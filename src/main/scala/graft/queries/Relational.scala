@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.5 host-op vocabulary + §2.4
+  * patterns P2-P5, P7, P12 where they are purely relational).
+  *
+  * Every query here is declarative DataFrame API so Catalyst gets full
+  * freedom: filter/projection pushdown to parquet, partial aggregation,
+  * broadcast joins for the small dimension tables. Results are made
+  * deterministic (stable ORDER BY with unique tie-breakers, rounded
+  * doubles, timestamps rendered as strings) so they hash-match the
+  * DuckDB oracles in `oracleSql`.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2/P4: TPC-H Q1 style grouped aggregate with partial+final agg.
+    "q01_agg" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 4).as("sum_qty"),
+          round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // filter + projection — both must push down to the parquet scan.
+    "q02_filter_project" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // multi-way join: fact ⋈ customer ⋈ broadcast(nation) ⋈ broadcast(region).
+    "q03_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"o_totalprice"), 4).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // total sort + top-k (reference `sort` + `limit`).
+    "q04_sort_topk" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+                date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"))
+    },
+
+    // P5: carried-state moving average (bandwidth 3) per user.
+    "q05_window_moving_avg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id").rowsBetween(-2, 0)
+      t(s, dir, "events")
+        .withColumn("mavg", round(avg($"value").over(w), 4))
+        .select($"event_id", $"user_id", $"value", $"mavg")
+        .orderBy($"event_id")
+    },
+
+    // P4: two-phase global aggregate (Catalyst partial+final).
+    "q06_global_agg" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_price"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+    },
+
+    // P7: range/interval overlap join — point-in-overlapping-band, via a
+    // broadcast band table (BroadcastNestedLoopJoin on the theta condition).
+    "q07_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = s.range(0, 50).select(
+        $"id".as("bucket_id"),
+        ($"id" * 10).cast("double").as("lo"),
+        ($"id" * 10 + 15).cast("double").as("hi"))
+      t(s, dir, "events")
+        .join(broadcast(buckets), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"bucket_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"bucket_id")
+    },
+
+    // P12: build TSV lines, then parse them back into typed columns.
+    "q08_parse_tsv" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(concat_ws("\t", $"l_orderkey", $"l_linenumber", $"l_returnflag").as("line"))
+        .select(split($"line", "\t").as("f"))
+        .select($"f".getItem(0).cast("long").as("orderkey"),
+                $"f".getItem(1).cast("int").as("linenumber"),
+                $"f".getItem(2).as("flag"))
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n"), sum($"orderkey").as("sum_orderkey"),
+             sum($"linenumber").as("sum_linenumber"))
+        .orderBy($"flag")
+    },
+
+    // anti join: customers with no orders.
+    "q09_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // semi join: order priorities of orders having a heavy lineitem.
+    "q10_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val heavy = t(s, dir, "lineitem").filter($"l_quantity" > 49).select($"l_orderkey")
+      val o = t(s, dir, "orders")
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // rollup (grouping sets) with null-ordering pinned.
+    "q11_rollup" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // set ops: parts never ordered (EXCEPT is set-distinct semantics).
+    "q12_except" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part").select($"p_partkey".as("key"))
+        .except(t(s, dir, "lineitem").select($"l_partkey".as("key")))
+        .orderBy($"key")
+    },
+
+    // set ops: intersect + union cardinalities in one row.
+    "q13_setop_counts" -> { (s, dir) =>
+      import s.implicits._
+      val a = t(s, dir, "part").select($"p_partkey".as("key"))
+      val b = t(s, dir, "lineitem").select($"l_partkey".as("key"))
+      val ni = a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+      val nu = a.union(b).distinct.agg(count(lit(1)).as("n_union"))
+      ni.crossJoin(nu)
+    },
+
+    // ranking window: top-3 orders per customer by price.
+    "q14_rank_topn" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_custkey", $"rk")
+    },
+
+    // conditional aggregation (pivot expressed portably).
+    "q15_pivot_cond" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(0d)), 4).as("qty_f"),
+          round(sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(0d)), 4).as("qty_o"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // sessionization: split each user's events at >30 min gaps (batch
+    // analog of streaming session windows; see graft.streaming for the
+    // flatMapGroupsWithState flavor).
+    "q16_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      t(s, dir, "events")
+        .withColumn("sec", unix_timestamp($"ts"))
+        .withColumn("brk",
+          when($"sec" - lag($"sec", 1).over(wOrd) > 1800, 1).otherwise(0))
+        .withColumn("sess", sum($"brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id")
+        .agg(countDistinct($"sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // tumbling time window aggregate (batch analog of streaming window).
+    "q17_tumbling_window" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    },
+
+    // JSON extraction from the event props payload.
+    "q18_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy(($"k" % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"k_mod")
+    },
+
+    // cross join of the two tiny dims (reference `cross_join`).
+    "q19_cross_join" -> { (s, dir) =>
+      import s.implicits._
+      val n = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+      n.crossJoin(r)
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_pairs"), min($"r_name").as("first_region"))
+        .orderBy($"n_name")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),4) AS sum_qty,
+        |  round(sum(l_extendedprice),4) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q04_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q05_window_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS mavg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q06_global_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  round(sum(l_quantity),4) AS sum_qty,
+        |  round(sum(l_extendedprice),4) AS sum_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "q07_range_join" ->
+      """SELECT b.bucket_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value),4) AS sum_value
+        |FROM events e
+        |JOIN (SELECT i AS bucket_id, CAST(i*10 AS DOUBLE) AS lo,
+        |        CAST(i*10+15 AS DOUBLE) AS hi FROM range(0,50) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_parse_tsv" ->
+      """WITH lines AS (
+        |  SELECT concat_ws(chr(9), l_orderkey, l_linenumber, l_returnflag) AS line
+        |  FROM lineitem),
+        |parsed AS (
+        |  SELECT CAST(str_split(line, chr(9))[1] AS BIGINT) AS orderkey,
+        |         CAST(str_split(line, chr(9))[2] AS INT) AS linenumber,
+        |         str_split(line, chr(9))[3] AS flag
+        |  FROM lines)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(sum(linenumber) AS BIGINT) AS sum_linenumber
+        |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity),4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_except" ->
+      """SELECT p_partkey AS key FROM part
+        |EXCEPT SELECT l_partkey AS key FROM lineitem
+        |ORDER BY key""".stripMargin,
+
+    "q13_setop_counts" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT p_partkey FROM part INTERSECT SELECT l_partkey FROM lineitem))
+        |    AS n_intersect,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT p_partkey FROM part UNION SELECT l_partkey FROM lineitem))
+        |    AS n_union""".stripMargin,
+
+    "q14_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q15_pivot_cond" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus='F' THEN l_quantity ELSE 0 END),4) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus='O' THEN l_quantity ELSE 0 END),4) AS qty_o,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_cross_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  min(r_name) AS first_region
+        |FROM (SELECT n_nationkey, n_name FROM nation) n
+        |CROSS JOIN (SELECT r_regionkey, r_name FROM region) r
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
