@@ -12,7 +12,8 @@ import graft.{queries => qmod}
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (qmod.Relational.queries, qmod.Relational.oracleSql)
+      (qmod.Relational.queries, qmod.Relational.oracleSql),
+      (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,162 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The `stream()` operator: pipe each partition of a DataFrame through an
+  * external program speaking the reference's half-duplex chunk protocol,
+  * and materialize the responses as a new DataFrame.
+  *
+  * Spark-first re-expression of the reference plugin
+  * (`src/LogicalStream.cpp`, `src/PhysicalStream.cpp`): a narrow
+  * `mapPartitions` — one child process per task, data stays
+  * partition-local, no shuffle is introduced (reference declares
+  * "undefined" output distribution, `src/PhysicalStream.cpp:129-159`; we
+  * surface `UnknownPartitioning` the same way by construction). The
+  * output schema is declared by the caller, mirroring the mandatory
+  * `types:`/`names:` keywords (`src/StreamSettings.h:62-324`), so no
+  * Catalyst extension is needed — analysis sees an ordinary plan.
+  *
+  * Lineage columns follow §1.2 of the survey: TSV output is
+  * `[instance_id, chunk_no, response]`; Arrow output is the declared
+  * attributes plus `[instance_id, chunk_no, value_no]`. `instance_id` is
+  * the Spark partition id.
+  *
+  * The optional side input replays the reference's ARRAY2: its rows are
+  * broadcast and written to every child *before* the partition's own data
+  * (`src/PhysicalStream.cpp:74-100` order), which is how clients receive
+  * shipped functions/models (patterns P6, P8, P9).
+  */
+object Stream {
+
+  /** Commands must be allowlisted when `spark.graft.stream.allowedCommands`
+    * is set (comma-separated), mirroring the reference's
+    * `stream_allowed` file gate (`src/LogicalStream.cpp:97-118`).
+    */
+  private def checkAllowed(spark: SparkSession, cmd: String): Unit = {
+    val conf = spark.conf.getOption("spark.graft.stream.allowedCommands")
+    conf.foreach { list =>
+      val allowed = list.split(',').map(_.trim).toSet
+      if (!allowed.contains(cmd))
+        throw new IllegalArgumentException(
+          s"stream command not allowlisted: $cmd (set spark.graft.stream.allowedCommands)")
+    }
+  }
+
+  val tsvOutputSchema: StructType = StructType(Seq(
+    StructField("instance_id", LongType, nullable = false),
+    StructField("chunk_no", LongType, nullable = false),
+    StructField("response", StringType, nullable = false)))
+
+  /** TSV-format stream: rows out as TSV, each response message becomes one
+    * output row (`response` holds the whole body, header stripped).
+    */
+  def tsv(df: DataFrame, cmd: String, chunkSize: Int = 10000,
+          side: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    checkAllowed(spark, cmd)
+    val sideRows: Seq[Row] =
+      side.map(_.collect().toIndexedSeq).getOrElse(IndexedSeq.empty)
+    val sideBc = spark.sparkContext.broadcast(sideRows)
+    val rdd = df.rdd.mapPartitions { iter =>
+      val ctx = TaskContext.get()
+      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+      val child = new ChildProcess(cmd, Option(ctx))
+      val out = ArrayBuffer.empty[Row]
+      var chunkNo = 0L
+      def exchange(lines: Iterator[String], n: Int, last: Boolean): Unit = {
+        if (!last && n == 0) return // O16: never send empty mid-stream chunks
+        try {
+          if (last) TsvProtocol.writeEof(child.stdin)
+          else TsvProtocol.writeChunk(child.stdin, lines, n)
+        } catch { case e: java.io.IOException =>
+          child.throwIfDead() // broken pipe from a dead child → clearer error
+          throw e
+        }
+        val resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
+        if (resp.nonEmpty) {
+          out += Row(pid, chunkNo, resp)
+          chunkNo += 1
+        }
+      }
+      try {
+        val sv = sideBc.value
+        if (sv.nonEmpty)
+          exchange(sv.iterator.map(TsvProtocol.formatRow), sv.size, last = false)
+        iter.grouped(chunkSize).foreach { chunk =>
+          exchange(chunk.iterator.map(TsvProtocol.formatRow), chunk.size, last = false)
+        }
+        exchange(Iterator.empty, 0, last = true)
+      } finally child.terminate()
+      out.iterator
+    }
+    spark.createDataFrame(rdd, tsvOutputSchema)
+  }
+
+  def arrowOutputSchema(declared: StructType): StructType =
+    StructType(declared.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("instance_id", LongType, nullable = false),
+      StructField("chunk_no", LongType, nullable = false),
+      StructField("value_no", LongType, nullable = false)))
+
+  /** Arrow-format stream: columnar batches both directions, declared
+    * output schema (the reference's mandatory `types:`/`names:`).
+    */
+  def arrow(df: DataFrame, cmd: String, declared: StructType,
+            chunkSize: Int = 10000, side: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    checkAllowed(spark, cmd)
+    declared.fields.foreach(f => ArrowProtocol.arrowField(f.name, f.dataType))
+    val inSchema = df.schema
+    val sideSchema = side.map(_.schema)
+    val sideRows: Seq[Row] =
+      side.map(_.collect().toIndexedSeq).getOrElse(IndexedSeq.empty)
+    val sideBc = spark.sparkContext.broadcast(sideRows)
+    val rdd = df.rdd.mapPartitions { iter =>
+      val ctx = TaskContext.get()
+      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+      val child = new ChildProcess(cmd, Option(ctx))
+      val allocator = new RootAllocator(Long.MaxValue)
+      val out = ArrayBuffer.empty[Row]
+      var chunkNo = 0L
+      def readResp(last: Boolean): Unit =
+        ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
+          lastMessage = last).foreach { rows =>
+          var valueNo = 0L
+          rows.foreach { r =>
+            out += Row.fromSeq(r.toSeq ++ Seq(pid, chunkNo, valueNo))
+            valueNo += 1
+          }
+          chunkNo += 1
+        }
+      try {
+        def write(body: => Unit): Unit =
+          try body catch { case e: java.io.IOException =>
+            child.throwIfDead(); throw e
+          }
+        val sv = sideBc.value
+        if (sv.nonEmpty) {
+          write(ArrowProtocol.writeBatch(child.stdin, allocator, sideSchema.get, sv))
+          readResp(last = false)
+        }
+        iter.grouped(chunkSize).foreach { chunk =>
+          if (chunk.nonEmpty) {
+            write(ArrowProtocol.writeBatch(child.stdin, allocator, inSchema, chunk))
+            readResp(last = false)
+          }
+        }
+        write(ArrowProtocol.writeEof(child.stdin))
+        readResp(last = true)
+      } finally {
+        child.terminate()
+        allocator.close()
+      }
+      out.iterator
+    }
+    spark.createDataFrame(rdd, arrowOutputSchema(declared))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.io.{ByteArrayOutputStream, EOFException, IOException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** TSV wire protocol of the reference stream operator.
+  *
+  * Framing (reference `src/TSVInterface.cpp:163-362`, `README.md:31-99`):
+  * each message is `"<nLines>\n"` followed by exactly nLines
+  * tab-separated lines. Parent→child `0\n` means end-of-data; the child
+  * then answers one final message. Child→parent `0\n` means "no data
+  * right now" and produces no output cell.
+  *
+  * Value encoding (reference `src/TSVInterface.cpp:189-292`):
+  * null → `\N`; NaN → `nan`; strings escape `\n` `\t` `\r` `\\`;
+  * booleans `true`/`false`; numerics in round-trip decimal form.
+  */
+object TsvProtocol {
+  val MaxResponseBytes: Long = 1L << 30 // reference src/TSVInterface.h:102
+
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\n' => sb.append("\\n")
+        case '\t' => sb.append("\\t")
+        case '\r' => sb.append("\\r")
+        case '\\' => sb.append("\\\\")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Format one cell. Binary is rejected, as in the reference's TSV path. */
+  def formatValue(v: Any): String = v match {
+    case null                          => "\\N"
+    case s: String                     => escape(s)
+    case d: java.lang.Double           => if (d.isNaN) "nan" else d.toString
+    case f: java.lang.Float            => if (f.isNaN) "nan" else f.toString
+    case b: java.lang.Boolean          => if (b) "true" else "false"
+    case b: Array[Byte] =>
+      throw new IllegalArgumentException(
+        "binary attributes are not supported over TSV; use the Arrow format")
+    case other                         => other.toString
+  }
+
+  def formatRow(row: Row): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < row.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(formatValue(row.get(i)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Write one data message: header line with the row count, then rows. */
+  def writeChunk(out: OutputStream, lines: Iterator[String], n: Int): Unit = {
+    out.write((n.toString + "\n").getBytes(StandardCharsets.UTF_8))
+    lines.foreach { l =>
+      out.write(l.getBytes(StandardCharsets.UTF_8))
+      out.write('\n')
+    }
+    out.flush()
+  }
+
+  /** Write the end-of-data message (`0\n`). */
+  def writeEof(out: OutputStream): Unit = {
+    out.write('0'); out.write('\n'); out.flush()
+  }
+
+  /** Read one response message; returns the body without the header and
+    * without the trailing newline (empty string for a `0\n` response,
+    * which the caller must not materialize as an output row).
+    */
+  def readMessage(in: InputStream, child: ChildProcess,
+                  lastMessage: Boolean = false): String = {
+    val header = new StringBuilder
+    var c = readByte(in, child, lastMessage)
+    while (c != '\n') {
+      if (c < '0' || c > '9')
+        throw new IOException(s"malformed TSV response header (byte $c)")
+      header.append(c.toChar)
+      if (header.length > 19) throw new IOException("TSV header overflow")
+      c = readByte(in, child, lastMessage)
+    }
+    val n = java.lang.Long.parseLong(header.toString)
+    if (n == 0) return ""
+    val buf = new ByteArrayOutputStream(1 << 10)
+    var newlines = 0L
+    while (newlines < n) {
+      val b = readByte(in, child, lastMessage)
+      if (b == '\n') newlines += 1
+      buf.write(b)
+      if (buf.size() > MaxResponseBytes)
+        throw new IOException("response from child exceeds maximum size")
+    }
+    val s = buf.toString(StandardCharsets.UTF_8.name())
+    s.substring(0, s.length - 1) // strip final newline, as the reference does
+  }
+
+  private def readByte(in: InputStream, child: ChildProcess,
+                       lastMessage: Boolean): Int = {
+    val b = in.read()
+    if (b < 0) {
+      // After EOF was sent, a child may exit right after its last write;
+      // reaching stream-end there is still an error because the final
+      // message must be complete (reference reads it with liveness checks
+      // disabled but still requires the bytes).
+      if (!lastMessage) child.throwIfDead()
+      throw new EOFException("child stdout closed mid-message")
+    }
+    b
+  }
+}

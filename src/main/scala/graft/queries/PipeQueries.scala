@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Stream
+
+/** Oracle-checked queries that exercise the pipe `stream()` operator
+  * end-to-end (SURVEY.md §2.4 P1/P3/P6/P12): data leaves the JVM through
+  * a real child process and comes back, and the final result must still
+  * hash-match plain SQL over the input tables — proving the protocol is
+  * lossless.
+  *
+  * The children are mawk scripts (`-W interactive` disables mawk's block
+  * buffering, which would deadlock the ping-pong protocol). Lineage
+  * columns (instance_id/chunk_no) are partitioning-dependent, so every
+  * query aggregates them away before comparing (SURVEY.md §7.4 risk 4).
+  */
+object PipeQueries {
+  /** Echo each line prefixed with "ok" (reference stream_test_client analog). */
+  private val awkEcho =
+    """awk -W interactive 'BEGIN{n=-1}
+      |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+      |  else     { print "ok\t" $0; if (--n==0) { fflush(); n=-1 } } }'"""
+      .stripMargin.replace("\n", " ")
+
+  /** Keep a running sum of column 1, emit it only in the final message (P3). */
+  private val awkSum =
+    """awk -W interactive 'BEGIN{n=-1; s=0}
+      |{ if (n<0) { n=$0+0;
+      |             if (n==0) { printf "1\n%d\n", s; fflush(); exit };
+      |             next }
+      |  s += $1; if (--n==0) { print 0; fflush(); n=-1 } }'"""
+      .stripMargin.replace("\n", " ")
+
+  /** First message is a key\tname lookup (side input); then map keys. */
+  private val awkLookup =
+    """awk -W interactive 'BEGIN{n=-1; mode=0}
+      |{ if (n<0) { n=$0+0;
+      |             if (n==0) { print 0; fflush(); exit };
+      |             print (mode==0 ? 0 : n); next }
+      |  if (mode==0) { split($0,f,"\t"); m[f[1]]=f[2]; if (--n==0){ fflush(); n=-1; mode=1 } }
+      |  else { print m[$1]; if (--n==0) { fflush(); n=-1 } } }'"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P12: pipe round-trip; parse responses back and aggregate. The
+    // result equals the same aggregate computed directly on lineitem, so
+    // any framing/escaping/loss bug breaks the hash.
+    "q40_pipe_echo" -> { (s, dir) =>
+      import s.implicits._
+      val in = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber")
+      Stream.tsv(in, awkEcho, chunkSize = 5000)
+        .select(explode(split($"response", "\n")).as("line"))
+        .select(split($"line", "\t").as("f"))
+        .select($"f".getItem(1).cast("long").as("orderkey"),
+                $"f".getItem(2).cast("long").as("linenumber"))
+        .agg(count(lit(1)).as("n"),
+             sum($"orderkey").as("sum_orderkey"),
+             sum($"linenumber").as("sum_linenumber"))
+    },
+
+    // P3+P4: per-partition aggregate in the child (emitted only in the
+    // finalize message), combined to a global sum by Spark.
+    "q41_pipe_partial_agg" -> { (s, dir) =>
+      import s.implicits._
+      val in = Tables.load(s, dir, "lineitem").select($"l_quantity".cast("long").as("q"))
+      Stream.tsv(in, awkSum, chunkSize = 5000)
+        .agg(sum($"response".cast("long")).as("sum_qty"))
+    },
+
+    // P6: broadcast side input consumed by the child before the stream.
+    "q42_pipe_side_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val side = Tables.load(s, dir, "nation").select($"n_nationkey", $"n_name")
+      val in = Tables.load(s, dir, "customer").select($"c_nationkey")
+      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side))
+        .select(explode(split($"response", "\n")).as("n_name"))
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_pipe_echo" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "q41_pipe_partial_agg" ->
+      "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem",
+
+    "q42_pipe_side_lookup" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Arrow IPC pipe protocol tests: round-trip through a real child JVM
+  * speaking the reference framing (length-prefixed single-batch IPC
+  * streams), mirroring the reference's `tests/test_low.py` type matrix.
+  */
+class StreamArrowSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Launch the in-repo echo client as a real OS child process. */
+  private def echoCmd: String = {
+    val cp = System.getProperty("java.class.path")
+    "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
+      "-Dio.netty.tryReflectiveSetAccessible=true " +
+      s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+  }
+
+  test("int64/double/string/binary round-trip with nulls (type matrix)") {
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("b", BinaryType)))
+    val rows = Seq(
+      Row(1L, 1.5, "one", Array[Byte](1, 2, 3)),
+      Row(null, null, null, null),
+      Row(3L, Double.NaN, "three\nwith\tctrl", Array[Byte]()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Stream.arrow(df, echoCmd, schema).collect()
+    assert(out.length == 3)
+    val sorted = out.sortBy(r => Option(r.getAs[java.lang.Long]("value_no")).map(_.toLong).get)
+    assert(sorted(0).getLong(0) == 1L && sorted(0).getString(2) == "one")
+    assert(sorted(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3))
+    assert(sorted(1).isNullAt(0) && sorted(1).isNullAt(1) &&
+      sorted(1).isNullAt(2) && sorted(1).isNullAt(3))
+    assert(sorted(2).getDouble(1).isNaN)
+    assert(sorted(2).getString(2) == "three\nwith\tctrl")
+    // lineage columns present
+    assert(out.head.schema.fieldNames.toSeq
+      .containsSlice(Seq("instance_id", "chunk_no", "value_no")))
+  }
+
+  test("multi-chunk echo preserves every row across partitions") {
+    val df = spark.range(0, 500).repartition(4)
+      .select($"id", ($"id" * 2).cast("double").as("d"))
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val out = Stream.arrow(df, echoCmd, declared, chunkSize = 64)
+    assert(out.count() == 500)
+    assert(out.agg(sum($"id")).head.getLong(0) == (0L until 500L).sum)
+    assert(out.select($"instance_id").distinct().count() == 4)
+    // chunk_no increments per message within a partition
+    assert(out.groupBy($"instance_id", $"chunk_no").count().count() >= 4)
+  }
+
+  test("declared-type mismatch is a protocol error") {
+    val df = spark.range(0, 10).coalesce(1).select($"id")
+    val wrong = StructType(Seq(StructField("id", StringType)))
+    val e = intercept[Exception] { Stream.arrow(df, echoCmd, wrong).count() }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: all(t.getCause)
+    assert(all(e).exists(m => m != null && m.contains("declared type")))
+  }
+
+  test("empty partitions still complete the EOF handshake") {
+    val df = spark.range(0, 3).repartition(8).select($"id")
+    val declared = StructType(Seq(StructField("id", LongType)))
+    assert(Stream.arrow(df, echoCmd, declared).count() == 3)
+  }
+
+  test("unsupported declared types are rejected eagerly") {
+    val df = spark.range(0, 1).select($"id")
+    val bad = StructType(Seq(StructField("t", TimestampType)))
+    intercept[IllegalArgumentException] { Stream.arrow(df, echoCmd, bad) }
+  }
+}

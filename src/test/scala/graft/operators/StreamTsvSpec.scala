@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TSV pipe protocol tests, mirroring the reference's golden shell tests
+  * (`tests/test.sh`): echo round-trip, nulls/escapes, per-partition
+  * aggregate with finalize, side input, child-crash handling.
+  */
+class StreamTsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** awk echo client: replies to each chunk with one line per input line,
+    * and an empty final message (reference `stream_test_client` analog).
+    */
+  private val awkEcho =
+    """awk -W interactive 'BEGIN{n=-1}
+      |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+      |  else     { print "ok\t" $0; if (--n==0) { fflush(); n=-1 } } }'""".stripMargin.replace("\n", " ")
+
+  test("echo round-trips every row with lineage columns") {
+    val df = spark.range(0, 1000).repartition(4).select($"id")
+    val out = Stream.tsv(df, awkEcho, chunkSize = 100)
+    assert(out.columns.toSeq == Seq("instance_id", "chunk_no", "response"))
+    val lines = out.select(explode(split($"response", "\n")).as("l"))
+      .select(split($"l", "\t").getItem(1).cast("long").as("v"))
+    assert(lines.count() == 1000)
+    assert(lines.agg(sum($"v")).head.getLong(0) == (0L until 1000L).sum)
+    // 4 partitions x (1000/4 rows / 100 chunk) = 10+ chunks, several instances
+    assert(out.select($"instance_id").distinct.count() == 4)
+  }
+
+  test("nulls and escapes follow the reference encoding") {
+    val df = Seq(
+      (Some(1L), Some("plain")),
+      (None: Option[Long], Some("tab\there\nand\rnl\\end")),
+      (Some(3L), None: Option[String])
+    ).toDF("a", "b").coalesce(1)
+    // cat-like child: echo chunk body verbatim
+    val catEcho =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+        |  else     { print $0; if (--n==0) { fflush(); n=-1 } } }'""".stripMargin.replace("\n", " ")
+    val resp = Stream.tsv(df, catEcho).select($"response").head.getString(0)
+    val lines = resp.split("\n").toSeq
+    assert(lines == Seq(
+      "1\tplain",
+      "\\N\ttab\\there\\nand\\rnl\\\\end",
+      "3\t\\N"))
+  }
+
+  test("per-partition aggregate with finalize (P3) sums correctly") {
+    // child keeps a running sum, emits only in the final message
+    val awkSum =
+      """awk -W interactive 'BEGIN{n=-1; s=0}
+        |{ if (n<0) { n=$0+0;
+        |             if (n==0) { printf "1\n%d\n", s; fflush(); exit };
+        |             next }
+        |  s += $1; if (--n==0) { print 0; fflush(); n=-1 } }'""".stripMargin.replace("\n", " ")
+    val df = spark.range(1, 51).repartition(4).select($"id")
+    val out = Stream.tsv(df, awkSum, chunkSize = 7)
+    val total = out.select($"response".cast("long").as("s"))
+      .agg(sum($"s")).head.getLong(0)
+    assert(total == 1275) // reference tests/test.expected:36-37 (sum 1..50)
+  }
+
+  test("side input (P6) is delivered before partition data") {
+    // child reads the first message as a key->name lookup, then maps ids
+    val awkLookup =
+      """awk -W interactive 'BEGIN{n=-1; mode=0}
+        |{ if (n<0) { n=$0+0;
+        |             if (n==0) { print 0; fflush(); exit };
+        |             if (mode==0) hdr=1; print (mode==0 ? 0 : n); next }
+        |  if (mode==0) { split($0,f,"\t"); m[f[1]]=f[2]; if (--n==0){ fflush(); n=-1; mode=1 } }
+        |  else { print m[$1]; if (--n==0) { fflush(); n=-1 } } }'""".stripMargin.replace("\n", " ")
+    val side = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "v")
+    val df = spark.range(0, 9).select(($"id" % 3).as("k")).repartition(3)
+    val out = Stream.tsv(df, awkLookup, side = Some(side))
+    val names = out.select(explode(split($"response", "\n")).as("name"))
+      .groupBy($"name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(names == Map("zero" -> 3L, "one" -> 3L, "two" -> 3L))
+  }
+
+  test("child that exits early fails the query") {
+    val df = spark.range(0, 10).coalesce(1).toDF("id")
+    val e = intercept[SparkException] {
+      Stream.tsv(df, "exit 3").count()
+    }
+    assert(e.getMessage.contains("exited prematurely") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited prematurely")))
+  }
+
+  test("binary columns are rejected on the TSV path") {
+    val df = Seq(Array[Byte](1, 2)).toDF("b").coalesce(1)
+    val e = intercept[Exception] { Stream.tsv(df, awkEcho).count() }
+    assert(e.getMessage.contains("Arrow") ||
+      Option(e.getCause).exists(_.getMessage.contains("Arrow")))
+  }
+
+  test("allowlist gate rejects unlisted commands") {
+    spark.conf.set("spark.graft.stream.allowedCommands", "cat")
+    try {
+      val df = spark.range(0, 2).toDF("id")
+      intercept[IllegalArgumentException] { Stream.tsv(df, "rm -rf /tmp/x") }
+    } finally spark.conf.unset("spark.graft.stream.allowedCommands")
+  }
+}
