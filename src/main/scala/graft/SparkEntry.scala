@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (qmod.Relational.queries, qmod.Relational.oracleSql),
-      (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql)
+      (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql),
+      (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

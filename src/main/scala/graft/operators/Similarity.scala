@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * `cosine` builds on codegen'd collection functions (`zip_with` +
+  * `aggregate`) — no UDF, no Python, stays inside whole-stage codegen.
+  *
+  * Scale path: brute force is O(n) per query (fine for broadcast query
+  * batches against a scanned corpus — 100 TB of vectors stream through
+  * the dot product without shuffle); the hyperplane-LSH variant buckets
+  * vectors by sign patterns of random projections so candidate sets
+  * shrink by ~2^bits, trading recall for a bounded join.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for stable arithmetic. */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest neighbours of one query vector (by vec_id) over
+    * the whole corpus: the brute-force baseline. The query row is tiny →
+    * broadcast; the corpus side is a single narrow scan.
+    */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 20): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Near-duplicate vector pairs within label blocks (cheap exact
+    * variant when a blocking key exists).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `bits` pseudo-random hyperplanes
+    * derived deterministically from the dimension index (seeded, no RNG
+    * at plan time), vectors keyed by the sign-pattern bucket. ANN then
+    * searches only the query's bucket (and optionally neighbours).
+    */
+  def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64): DataFrame = {
+    // deterministic "random" hyperplane h_b[d] = sin(1 + b * dim + d),
+    // a fixed quasi-random pattern identical on every executor
+    val bucketBits: Seq[Column] = (0 until bits).map { b =>
+      val proj = (0 until dim).map { d =>
+        element_at(col("v"), d + 1) * sin(lit((1 + b * dim + d).toDouble))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+    }
+    emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** ANN top-k via LSH buckets: search only vectors sharing the query's
+    * bucket. Returns (vec_id, cos) like the brute-force baseline —
+    * recall depends on bits (fewer bits → bigger buckets → higher
+    * recall, more work).
+    */
+  def lshTopK(emb: DataFrame, queryVecId: Long, k: Int = 20, bits: Int = 4): DataFrame = {
+    val bucketed = hyperplaneBuckets(emb, bits)
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), norm(col("v")).as("qn"), col("bucket").as("qbucket"))
+    bucketed.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: language ID,
+  * quality scoring, token statistics, document fingerprinting.
+  *
+  * All computations are integer/string based (counts and comparisons,
+  * no cross-engine float division) so the DuckDB oracles reproduce them
+  * bit-for-bit. Each operator is a narrow projection + one aggregation —
+  * at 100 TB these pipeline entirely inside whole-stage codegen with no
+  * shuffle except the final group-by.
+  */
+object TextAnalysis {
+
+  /** Stopword marker profiles per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic argmax with lexicographic
+    * tie-break (ties go to the alphabetically first language).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在"))
+
+  private def scoreExpr(markers: Seq[String]): String =
+    markers.map(m => s"size(filter(w, x -> x = '$m'))").mkString(" + ")
+
+  /** Per-document language guess + confusion matrix vs the labeled lang. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val withScores = langProfiles.foldLeft(scored) { case (df, (l, markers)) =>
+      df.withColumn(s"score_$l", expr(scoreExpr(markers)))
+    }
+    val maxScore = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    // ordered when-chain: the alphabetically-first language wins ties
+    val guessCol = langProfiles.foldLeft(when(maxScore <= 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"score_$l") === maxScore, lit(l))
+    }.otherwise(lit("und"))
+    withScores.withColumn("guess", guessCol)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  /** Quality metrics per document — integer components plus a boolean
+    * flag (token count and stopword-ratio test expressed as integer
+    * comparisons so no float crosses the oracle boundary).
+    */
+  def qualityScore(docs: DataFrame, minTokens: Int = 20): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "is")
+    docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr(scoreExpr(stopwords)).cast("long").as("n_stopwords"),
+        expr("aggregate(w, 0, (m, x) -> greatest(m, length(x)))").cast("long")
+          .as("max_token_len"))
+      .withColumn("is_quality",
+        col("n_tokens") >= minTokens && col("n_stopwords") * lit(20) >= col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token statistics per source: BPE-ish token estimate = whitespace
+    * tokens plus long-word splits (every 6 chars of a word beyond the
+    * first 6 counts as an extra token — a deterministic stand-in for a
+    * subword tokenizer's behavior on long words).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("aggregate(w, 0, (acc, x) -> acc + CAST(floor(greatest(length(x) - 1, 0) / 6) AS INT))")
+          .cast("long").as("n_extra_subtokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_tokens") + col("n_extra_subtokens")).as("sum_subword_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Document fingerprint: full-text hash plus min/max rolling window
+    * hash over word 5-grams (the winnowing-style sketch primitives).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val sh5 = TextDedup.wordShingles(docs, k = 5)
+      .withColumn("h", md5(col("sh").cast("binary")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("min_gram_hash"), max(col("h")).as("max_gram_hash"),
+        count(lit(1)).as("n_grams"))
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"))
+      .join(sh5, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash+LSH, blocked n-gram Jaccard, SimHash.
+  *
+  * All hashing is md5-over-UTF8 so results are reproducible across
+  * engines (the DuckDB oracles replay the identical computation). At
+  * production scale you would swap md5 for xxhash64 (cheaper, also a
+  * Spark builtin) without changing the topology.
+  *
+  * Scale design (100 TB): every stage is a keyed shuffle or broadcast —
+  * no driver-side loops. Shingling is a narrow projection; signatures
+  * are ONE groupBy over (doc_id) with 16 min-aggregates (not 16 jobs);
+  * LSH banding turns near-dup search from O(n²) into a self-join on
+  * (band, key) whose output is proportional to true collisions;
+  * verification joins only candidate pairs. Hot shingles (stopword
+  * n-grams) should be frequency-capped before the join at extreme scale
+  * — `maxShingleFreq` implements that cap.
+  */
+object TextDedup {
+  val NumHashes = 16
+  val NumBands = 8 // rows per band r = 2
+
+  /** Distinct word k-gram shingles per document: (doc_id, sh).
+    * Docs with fewer than k words produce no shingles (guarded, because
+    * Spark's `sequence(1,0)` would count backwards).
+    */
+  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val gram = (1 to k).map(j => s"element_at(w, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), i -> $gram)")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  /** MinHash signatures: one row per doc with s0..s15 = min over shingles
+    * of md5(seed || ':' || shingle). One aggregation, 16 columns — the
+    * map-side partial min makes this a single cheap shuffle.
+    */
+  def minhashSignatures(shingles: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { s =>
+      min(md5(concat(lit(s"$s:"), col("sh")).cast("binary"))).as(s"s$s")
+    }
+    shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band, bkey) with bkey = md5 of the band's
+    * concatenated signature rows (b = 8 bands × r = 2 rows).
+    */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val stack = (0 until NumBands)
+      .map(j => s"$j, md5(cast(concat(s${2 * j}, s${2 * j + 1}) as binary))")
+      .mkString(s"stack($NumBands, ", ", ", ") as (band, bkey)")
+    sigs.selectExpr("doc_id", stack)
+  }
+
+  /** Near-duplicate pairs by MinHash+LSH with exact-Jaccard verification.
+    * Output: (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val shRaw = wordShingles(docs)
+    val sh = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = shRaw.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select(col("sh"))
+        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => shRaw
+    }
+    val bands = lshBands(minhashSignatures(sh))
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("da") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+      .withColumn("jac", col("common") / (col("za.n") + col("zb.n") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Blocked n-gram Jaccard: exact pairwise Jaccard over word bigrams,
+    * restricted to (source, lang) blocks — the classic metadata-blocking
+    * strategy when candidate metadata exists (cheap at any scale because
+    * block sizes bound the quadratic term).
+    */
+  def blockedNgramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+          .as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za"), col("da") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+      .withColumn("jac", col("common") / (col("za.n") + col("zb.n") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 16-bit SimHash per document over word occurrences.
+    *
+    * Bit j of a word's hash is derived from hex digit j/4 of md5(word)
+    * via character membership (portable across engines: no bit ops).
+    * The document bit is the sign of the sum of ±1 contributions.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    def hexBit(j: Int): String = {
+      val p = j / 4 + 1
+      val ones = "0123456789abcdef".filter(c => (Integer.parseInt(c.toString, 16) >> (j % 4) & 1) == 1)
+      val inList = ones.map(c => s"'$c'").mkString(", ")
+      s"(CASE WHEN substr(h, $p, 1) IN ($inList) THEN 1 ELSE -1 END)"
+    }
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .withColumn("h", md5(col("wd").cast("binary")))
+    val bitSums = (0 until 16).map(j => sum(expr(hexBit(j))).as(s"b$j"))
+    val hashExpr = (0 until 16)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(hashExpr))
+      .select(col("doc_id"), col("simhash"))
+  }
+}

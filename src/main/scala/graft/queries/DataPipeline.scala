@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+
+/** Training-data pipeline queries: deduplication, text analysis,
+  * similarity search, multimodal metadata — each backed by the operator
+  * library and checked against a DuckDB oracle that replays the same
+  * (md5-based, integer-safe) computation.
+  *
+  * The q21 oracle is deliberately the *direct* O(n·overlap) Jaccard — it
+  * defines the ground truth the Spark-side MinHash+LSH must reproduce,
+  * so the hash-compare doubles as an LSH recall proof at threshold 0.5.
+  */
+object DataPipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> { (s, dir) =>
+      TextDedup.exactDedup(Tables.load(s, dir, "documents"))
+    },
+    "q21_minhash_lsh" -> { (s, dir) =>
+      TextDedup.minhashLshPairs(Tables.load(s, dir, "documents"), threshold = 0.5)
+    },
+    "q22_ngram_jaccard" -> { (s, dir) =>
+      TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"), threshold = 0.5)
+    },
+    "q23_simhash" -> { (s, dir) =>
+      TextDedup.simhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+    "q24_langid" -> { (s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
+    },
+    "q25_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
+    },
+    "q26_token_stats" -> { (s, dir) =>
+      TextAnalysis.tokenStats(Tables.load(s, dir, "documents"))
+    },
+    "q27_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))
+    },
+    "q30_ann_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryVecId = 0L, k = 20)
+    },
+    "q31_vec_near_dup" -> { (s, dir) =>
+      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.8)
+    },
+    "q50_multimodal_meta" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "utf-8").as("payload"), $"text")
+        .select($"doc_id",
+          length($"payload").cast("long").as("n_bytes"),
+          pmod(length($"payload"), lit(256)).cast("long").as("fake_width"),
+          ascii(substring($"text", 1, 1)).cast("long").as("fake_height"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  // ---- oracle SQL (generated from the same definitions the operators use) ----
+
+  private def duckStopScore(markers: Seq[String]): String =
+    markers.map(m => s"len(list_filter(w, x -> x = '$m'))").mkString(" + ")
+
+  private val jaccardTail =
+    """sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |j AS (SELECT da, db, common * 1.0 / (sa.n + sb.n - common) AS jac
+      |      FROM pairs JOIN sizes sa ON da = sa.doc_id
+      |                 JOIN sizes sb ON db = sb.doc_id)
+      |SELECT da AS doc_a, db AS doc_b, round(jac, 4) AS jaccard
+      |FROM j WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin
+
+  private val simhashSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      val p = j / 4 + 1
+      val ones = "0123456789abcdef"
+        .filter(c => (Integer.parseInt(c.toString, 16) >> (j % 4) & 1) == 1)
+        .map(c => s"'$c'").mkString(", ")
+      s"sum(CASE WHEN substr(h, $p, 1) IN ($ones) THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val hashExpr = (0 until 16)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id, md5(wd) AS h FROM wd),
+       |b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY 1)
+       |SELECT doc_id, CAST($hashExpr AS INT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private val langidSql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (l, ms) =>
+      s"${duckStopScore(ms)} AS score_$l"
+    }.mkString(",\n    ")
+    val gm = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")
+    val cases = TextAnalysis.langProfiles.map { case (l, _) =>
+      s"WHEN score_$l = greatest($gm) THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') w FROM documents)),
+       |g AS (SELECT lang,
+       |  CASE WHEN greatest($gm) <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS guess
+       |  FROM s)
+       |SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |       FROM w),
+         |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardTail""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+         |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |sh AS (SELECT DISTINCT doc_id, source, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> w[i] || ' ' || w[i+1])) AS sh
+         |       FROM w),
+         |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+         |          FROM sh a JOIN sh b
+         |            ON a.source = b.source AND a.lang = b.lang
+         |           AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardTail""".stripMargin,
+
+    "q23_simhash" -> simhashSql,
+    "q24_langid" -> langidSql,
+
+    "q25_quality" -> {
+      val stop = duckStopScore(Seq("the", "a", "of", "and", "to", "is"))
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST($stop AS BIGINT) AS n_stopwords,
+         |  CAST(list_aggregate(list_transform(w, x -> length(x)), 'max') AS BIGINT)
+         |    AS max_token_len,
+         |  (len(w) >= 20 AND ($stop) * 20 >= len(w)) AS is_quality
+         |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q26_token_stats" ->
+      """WITH t AS (SELECT doc_id, source, len(w) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(w,
+        |      x -> CAST(floor(greatest(length(x) - 1, 0) / 6) AS BIGINT)), 'sum')
+        |      AS BIGINT) AS extra
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_tokens + extra) AS BIGINT) AS sum_subword_tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3),
+        |           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS sh
+        |       FROM w),
+        |g AS (SELECT doc_id, min(md5(sh)) AS min_gram_hash,
+        |        max(md5(sh)) AS max_gram_hash, CAST(count(*) AS BIGINT) AS n_grams
+        |      FROM sh GROUP BY 1)
+        |SELECT d.doc_id, md5(d.text) AS text_hash,
+        |  g.min_gram_hash, g.max_gram_hash, g.n_grams
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q30_ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |    list_dot_product(e.v, q.qv) AS dp,
+        |    sqrt(list_dot_product(e.v, e.v)) AS nv,
+        |    sqrt(list_dot_product(q.qv, q.qv)) AS nq
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS cos
+        |FROM d ORDER BY round(dp / (nv * nq), 4) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q31_vec_near_dup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id va, b.vec_id vb,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT va AS vec_a, vb AS vec_b, round(cos, 4) AS cos
+        |FROM p WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    "q50_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
