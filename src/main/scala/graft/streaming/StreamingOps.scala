@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming flavor of the engine (SURVEY.md §7.2 M8).
+  *
+  * The reference is batch-only — its "streaming" is process piping — so
+  * this module is a capability extension: the same chunk-sequence model
+  * mapped onto micro-batches. Patterns covered:
+  *  - P5 (carried-state window) as a stateful streaming session/window
+  *  - tumbling event-time windows with watermark-based late-data drop
+  *  - the pipe operator applied per micro-batch via foreachBatch
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
+                           start_sec: Long, end_sec: Long)
+  case class SessionState(n: Long, sum: Double, startSec: Long, lastSec: Long)
+
+  /** Tumbling 1-hour event-time window with a 30-minute watermark:
+    * counts and sums per (window, event_type). Works on a streaming or
+    * batch events DataFrame (same code path — that is the point of the
+    * unified Dataset API).
+    */
+  def hourlyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state: a session closes when
+    * >30 min pass without an event for that user (the streaming
+    * equivalent of the batch q16_sessionize query). Emits one row per
+    * closed session; a processing-time timeout flushes the open session
+    * when the stream ends.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // within a micro-batch, order the user's events by time
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionUpdate]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            st match {
+              case null =>
+                st = SessionState(1, e.value, sec, sec)
+              case s if sec - s.lastSec > gapSeconds =>
+                closed += SessionUpdate(userId, s.n, s.sum, s.startSec, s.lastSec)
+                st = SessionState(1, e.value, sec, sec)
+              case s =>
+                st = SessionState(s.n + 1, s.sum + e.value, s.startSec, sec)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.result().iterator
+      }
+  }
+
+  /** Flush any open sessions from the state store by sending a
+    * synthetic end-of-stream far in the future (test/drain helper).
+    */
+  def drainSentinel(maxSec: Long): Event =
+    Event(Long.MaxValue, new Timestamp((maxSec + 1000000L) * 1000L), -1L, "drain", 0.0)
+
+  /** Run the pipe operator on each micro-batch of a stream: the
+    * streaming flavor of `Stream.tsv` (reference chunk-sequence model
+    * mapped onto micro-batches).
+    */
+  def pipePerBatch(input: DataFrame, cmd: String, sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Stream.tsv(batch, cmd), batchId)
+      }
+      .start()
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming flavor: streaming results must agree with their
+  * batch analogs on the same events table (the unified-API contract).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def loadEvents: Seq[Event] =
+    Tables.load(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+
+  test("streaming hourly aggregates equal the batch computation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.hourlyAggregates(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hourly_out").start()
+    val events = loadEvents
+    mem.addData(events)
+    // advance watermark far past the data so every window closes
+    mem.addData(Seq(StreamingOps.drainSentinel(events.map(_.ts.getTime / 1000).max)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .filter($"event_type" =!= "drain")
+      .orderBy($"hour", $"event_type")
+      .collect().toSeq
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization matches the batch window-function query") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(mem.toDS())
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    val events = loadEvents
+    mem.addData(events)
+    // close every user's open session with per-user far-future sentinels
+    val maxSec = events.map(_.ts.getTime / 1000).max
+    val users = events.map(_.user_id).distinct
+    mem.addData(users.map(u =>
+      StreamingOps.drainSentinel(maxSec).copy(user_id = u)))
+    q.processAllAvailable(); q.stop()
+
+    val streamedSessions = spark.table("sessions_out")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+      .orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val batch = graft.queries.Relational.queries("q16_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamedSessions == batch)
+  }
+
+  test("pipe operator runs inside foreachBatch on a micro-batched stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val results = new ConcurrentLinkedQueue[Long]()
+    val awkEcho =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+        |  else     { print "ok\t" $0; if (--n==0) { fflush(); n=-1 } } }'"""
+        .stripMargin.replace("\n", " ")
+    val q = StreamingOps.pipePerBatch(mem.toDF(), awkEcho, (piped: DataFrame, _: Long) => {
+      val n = piped.select(explode(split(col("response"), "\n"))).count()
+      results.add(n)
+    })
+    mem.addData(1L to 100L)
+    mem.addData(101L to 150L)
+    q.processAllAvailable(); q.stop()
+    assert(results.iterator().hasNext)
+    var total = 0L
+    results.forEach(n => total += n)
+    assert(total == 150L)
+  }
+}
