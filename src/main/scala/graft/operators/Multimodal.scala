@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: images/audio/video as opaque `binary`
+  * columns with typed metadata, batch decode / feature-extract /
+  * resize / frame-sample plumbing.
+  *
+  * The container has no image/audio codecs, so `decodeHeader` parses a
+  * deterministic GRFT container format (our stand-in for JPEG/WAV
+  * headers) and the pixel-level ops are STUBS with real Spark plumbing:
+  * correct schemas, per-partition batching, bounded memory. Swapping in
+  * a real codec is a one-function change inside `mapPartitions`; the
+  * distributed topology (narrow decode → columnar metadata → keyed
+  * shuffles only after size reduction) is what matters at 100 TB, where
+  * you decode close to the data and never shuffle raw bytes.
+  *
+  * Mirrors the reference's binary-attribute usage: MNIST 28×28 images
+  * packed into a `binary` attribute (`py_pkg/examples/4-machine-learning.py:49-109`).
+  */
+object Multimodal {
+
+  /** GRFT header: magic "GRFT", u16 width, u16 height, u8 channels,
+    * u8 kind (0=image, 1=audio, 2=video), u32 payload length.
+    */
+  val HeaderLen = 14
+
+  def pack(width: Int, height: Int, channels: Int, kind: Int,
+           payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(HeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GRFT".getBytes("ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(channels.toByte).put(kind.toByte)
+    b.putInt(payload.length)
+    b.put(payload)
+    b.array()
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("kind", IntegerType),
+    StructField("payload_len", IntegerType), StructField("valid", BooleanType)))
+
+  private def parseHeader(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < HeaderLen ||
+      !(bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'F' && bytes(3) == 'T'))
+      return Row(null, null, null, null, null, false)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(4)
+    val w = b.getShort & 0xffff
+    val h = b.getShort & 0xffff
+    val c = b.get() & 0xff
+    val k = b.get() & 0xff
+    val len = b.getInt
+    Row(w, h, c, k, len, len == bytes.length - HeaderLen)
+  }
+
+  /** Decode the typed metadata of a binary media column into a struct
+    * column (schema-declared, per-partition batch parse — the Scala
+    * analog of a `mapInPandas` batch decode).
+    */
+  def decodeHeader(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(out, metaSchema))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map(r => Row.fromSeq(r.toSeq :+ parseHeader(r.getAs[Array[Byte]](idx))))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** STUB pixel decode: summarise the payload instead of rasterising it
+    * (deterministic fake for the missing codec). Real implementation
+    * would decompress here; everything around it — batching, schema,
+    * partition locality — is production-shaped.
+    */
+  def extractFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("payload_bytes", LongType),
+      StructField("payload_checksum", LongType),
+      StructField("mean_byte", DoubleType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val payload = if (bytes != null && bytes.length > HeaderLen)
+          bytes.drop(HeaderLen) else Array.emptyByteArray
+        var sum = 0L
+        payload.foreach(b => sum += (b & 0xff))
+        val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+        Row.fromSeq(r.toSeq ++ Seq[Any](payload.length.toLong, sum, mean))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling for video-kind payloads: every k-th `frameSize`
+    * slice of the payload becomes one output row (explode-style,
+    * bounded by stride — at scale this is where you cut 100 TB of video
+    * to the frames you actually train on, before any shuffle).
+    */
+  def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
+                   stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val payload = if (bytes != null && bytes.length > HeaderLen)
+          bytes.drop(HeaderLen) else Array.emptyByteArray
+        val nFrames = payload.length / frameSize
+        (0 until nFrames by stride).map { f =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](f,
+            payload.slice(f * frameSize, (f + 1) * frameSize)))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val rows = (0 until 50).map { i =>
+      val payload = Array.tabulate[Byte](i * 7 % 97 + 10)(j => ((i + j) % 251).toByte)
+      (i.toLong, Multimodal.pack(28, 28, 1, i % 3, payload))
+    } :+ (999L, Array[Byte](1, 2, 3)) // corrupt blob
+    rows.toDF("id", "blob").repartition(3)
+  }
+
+  test("decodeHeader yields typed metadata incl. corrupt-blob handling") {
+    val out = Multimodal.decodeHeader(mediaDf, "blob")
+    assert(out.schema("meta").dataType == Multimodal.metaSchema)
+    val good = out.filter($"meta.valid").count()
+    val bad = out.filter(!$"meta.valid").count()
+    assert(good == 50 && bad == 1)
+    val m = out.filter($"id" === 0).select($"meta.width", $"meta.height",
+      $"meta.channels", $"meta.kind", $"meta.payload_len").head
+    assert((m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4))
+      == (28, 28, 1, 0, 10))
+  }
+
+  test("extractFeatures computes payload stats distributively") {
+    val out = Multimodal.extractFeatures(mediaDf.filter($"id" < 999), "blob")
+    assert(out.count() == 50)
+    val r = out.filter($"id" === 1).head
+    val expected = Array.tabulate[Byte](1 * 7 % 97 + 10)(j => ((1 + j) % 251).toByte)
+    assert(r.getAs[Long]("payload_bytes") == expected.length.toLong)
+    assert(r.getAs[Long]("payload_checksum") == expected.map(_ & 0xff).sum.toLong)
+  }
+
+  test("sampleFrames explodes payloads into strided frame rows") {
+    val payload = Array.tabulate[Byte](100)(_.toByte) // 10 frames of 10
+    val df = Seq((1L, Multimodal.pack(0, 0, 0, 2, payload))).toDF("id", "blob")
+    val frames = Multimodal.sampleFrames(df, "blob", frameSize = 10, stride = 3)
+    val got = frames.select($"frame_no", $"frame").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got.keySet == Set(0, 3, 6, 9))
+    assert(got(3) == (30 until 40).map(_.toByte).toSeq)
+  }
+
+  test("binary payloads survive the Arrow pipe round-trip") {
+    val cp = System.getProperty("java.class.path")
+    val cmd = "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
+      "-Dio.netty.tryReflectiveSetAccessible=true " +
+      s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+    val df = mediaDf.filter($"id" < 10).coalesce(1)
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("blob", org.apache.spark.sql.types.BinaryType)))
+    val out = Stream.arrow(df, cmd, declared)
+    val meta = Multimodal.decodeHeader(out, "blob")
+    assert(meta.filter($"meta.valid").count() == 10)
+  }
+}
