@@ -2,11 +2,13 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * `cosine` builds on codegen'd collection functions (`zip_with` +
-  * `aggregate`) — no UDF, no Python, stays inside whole-stage codegen.
+  * `cosine`/`dot` use the native `graft_dot` Catalyst expression
+  * (graft.functions.DotProduct) — a tight codegen'd loop, no UDF, no
+  * interpreted higher-order lambdas in the hot path.
   *
   * Scale path: brute force is O(n) per query (fine for broadcast query
   * batches against a scanned corpus — 100 TB of vectors stream through
@@ -19,7 +21,12 @@ object Similarity {
   /** Cast a float vector column to double for stable arithmetic. */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product through the native codegen'd `graft_dot` expression
+    * (registered per session); `dotHof` is the pure-builtin fallback.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -31,6 +38,7 @@ object Similarity {
     * broadcast; the corpus side is a single narrow scan.
     */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 20): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), norm(col("v")).as("qn"))
@@ -46,8 +54,11 @@ object Similarity {
     * variant when a blocking key exists).
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.8): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    // materialise vectors+norms once: both join sides reuse the cache
     val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .cache()
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -63,6 +74,7 @@ object Similarity {
     * searches only the query's bucket (and optionally neighbours).
     */
   def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
     // deterministic "random" hyperplane h_b[d] = sin(1 + b * dim + d),
     // a fixed quasi-random pattern identical on every executor
     val bucketBits: Seq[Column] = (0 until bits).map { b =>

@@ -70,13 +70,15 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       maxShingleFreq: Option[Long] = None): DataFrame = {
     val shRaw = wordShingles(docs)
-    val sh = maxShingleFreq match {
+    // the shingle set feeds signatures, sizes and two verification join
+    // sides — materialise it once instead of re-shingling 4×
+    val sh = (maxShingleFreq match {
       case Some(cap) =>
         val hot = shRaw.groupBy(col("sh")).agg(count(lit(1)).as("f"))
           .filter(col("f") > cap).select(col("sh"))
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => shRaw
-    }
+    }).cache()
     val bands = lshBands(minhashSignatures(sh))
     val candidates = bands.as("a")
       .join(bands.as("b"),
@@ -113,6 +115,7 @@ object TextDedup {
           "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
           .as("sh"))
       .distinct()
+      .cache() // reused by sizes + both sides of the blocked join
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
