@@ -114,7 +114,7 @@ object ArrowProtocol {
     while (off < payload.length) {
       val r = in.read(payload, off, payload.length - off)
       if (r < 0) {
-        if (!lastMessage) child.throwIfDead()
+        if (!lastMessage) child.throwIfDeadAfter(2000)
         throw new EOFException("child stdout closed mid-message")
       }
       off += r
@@ -170,7 +170,7 @@ object ArrowProtocol {
     while (off < 8) {
       val r = in.read(b, off, 8 - off)
       if (r < 0) {
-        if (!lastMessage) child.throwIfDead()
+        if (!lastMessage) child.throwIfDeadAfter(2000)
         throw new EOFException("child stdout closed before message length")
       }
       off += r

@@ -32,6 +32,12 @@ final class ChildProcess(cmd: String, ctx: Option[TaskContext]) {
 
   private val closed = new AtomicBoolean(false)
 
+  // a JVM that dies mid-query must not orphan children (the reference's
+  // host kills the whole process tree on query teardown)
+  private val shutdownHook = new Thread(() => proc.destroyForcibly())
+  try Runtime.getRuntime.addShutdownHook(shutdownHook)
+  catch { case _: IllegalStateException => () } // already shutting down
+
   // The reference re-validates the query every 100 ms while blocked on
   // child I/O and kills the child on cancellation. JVM pipe reads are not
   // interruptible, so a watchdog destroys the process when the Spark task
@@ -66,6 +72,15 @@ final class ChildProcess(cmd: String, ctx: Option[TaskContext]) {
         s"stream child exited prematurely with code $code (cmd: $cmd)")
     }
 
+  /** Like `throwIfDead`, but first allow a short grace period for the
+    * exit status to be reaped — EOF on the pipe can be observable a
+    * moment before `isAlive` flips.
+    */
+  def throwIfDeadAfter(graceMillis: Long): Unit = {
+    proc.waitFor(graceMillis, TimeUnit.MILLISECONDS)
+    throwIfDead()
+  }
+
   /** Close pipes, SIGTERM, wait ≤500 ms, then SIGKILL. Idempotent. */
   def terminate(): Unit = {
     if (!closed.compareAndSet(false, true)) return
@@ -77,6 +92,8 @@ final class ChildProcess(cmd: String, ctx: Option[TaskContext]) {
       proc.waitFor(5, TimeUnit.SECONDS)
     }
     if (watchdog != null) watchdog.interrupt()
+    try Runtime.getRuntime.removeShutdownHook(shutdownHook)
+    catch { case _: IllegalStateException => () }
   }
 
   /** Orderly wait after the final protocol message. */

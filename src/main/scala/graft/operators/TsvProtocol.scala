@@ -114,7 +114,7 @@ object TsvProtocol {
       // reaching stream-end there is still an error because the final
       // message must be complete (reference reads it with liveness checks
       // disabled but still requires the bytes).
-      if (!lastMessage) child.throwIfDead()
+      if (!lastMessage) child.throwIfDeadAfter(2000)
       throw new EOFException("child stdout closed mid-message")
     }
     b
