@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (qmod.Relational.queries, qmod.Relational.oracleSql),
       (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql),
-      (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql)
+      (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql),
+      (qmod.Patterns.queries, qmod.Patterns.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

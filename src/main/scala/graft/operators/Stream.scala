@@ -47,6 +47,11 @@ object Stream {
     }
   }
 
+  /** SQL-workflow bridge: pipe a registered view/table by name. */
+  def tsvSql(spark: SparkSession, view: String, cmd: String,
+             chunkSize: Int = 10000): DataFrame =
+    tsv(spark.table(view), cmd, chunkSize)
+
   val tsvOutputSchema: StructType = StructType(Seq(
     StructField("instance_id", LongType, nullable = false),
     StructField("chunk_no", LongType, nullable = false),

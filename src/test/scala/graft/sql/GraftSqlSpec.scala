@@ -1,0 +1,52 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.operators.Stream
+
+/** SQL surface: graft functions callable from spark.sql, full SQL
+  * workflows over registered views, and the SQL→pipe bridge.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot and graft_cosine work from SQL") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head.getDouble(0)
+    assert(d == 11.0)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(2.0D, 0.0D), array(5.0D, 0.0D)) AS c").head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("full SQL query over registered test tables") {
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).count()
+    assert(got > 0)
+  }
+
+  test("SQL view pipes through the stream operator via tsvSql") {
+    spark.range(0, 20).select($"id").createOrReplaceTempView("pipe_in")
+    val awkEcho =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+        |  else     { print $0; if (--n==0) { fflush(); n=-1 } } }'"""
+        .stripMargin.replace("\n", " ")
+    val out = Stream.tsvSql(spark, "pipe_in", awkEcho)
+    val n = out.select(explode(split($"response", "\n"))).count()
+    assert(n == 20)
+  }
+
+  test("graft_cosine equals the Similarity column API on real embeddings") {
+    GraftExtensions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings").limit(10)
+      .select($"vec_id", graft.operators.Similarity.toDouble($"embedding").as("v"))
+    val viaSql = emb.selectExpr("vec_id", "graft_cosine(v, v) AS c")
+      .collect().map(_.getDouble(1))
+    assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+}
