@@ -75,14 +75,36 @@ object Stream {
       var chunkNo = 0L
       def exchange(lines: Iterator[String], n: Int, last: Boolean): Unit = {
         if (!last && n == 0) return // O16: never send empty mid-stream chunks
-        try {
-          if (last) TsvProtocol.writeEof(child.stdin)
-          else TsvProtocol.writeChunk(child.stdin, lines, n)
-        } catch { case e: java.io.IOException =>
-          child.throwIfDead() // broken pipe from a dead child → clearer error
-          throw e
+        // Write on a helper thread while this thread drains the response:
+        // a child that starts answering before consuming the whole chunk
+        // would otherwise fill its 64 KB stdout pipe and deadlock both
+        // sides (SURVEY.md §7.4 risk 1 — JVM pipes have no poll loop).
+        @volatile var werr: Throwable = null
+        val writer = new Thread(() =>
+          try {
+            if (last) TsvProtocol.writeEof(child.stdin)
+            else TsvProtocol.writeChunk(child.stdin, lines, n)
+          } catch { case t: Throwable =>
+            werr = t
+            child.terminate() // unblock the reader; the exchange is dead
+          })
+        writer.setDaemon(true)
+        writer.start()
+        val resp =
+          try TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
+          catch { case re: Throwable =>
+            writer.join(60000)
+            // a writer failure is the root cause; a broken pipe from a
+            // dead child gets the clearer premature-exit message
+            if (werr != null && !werr.isInstanceOf[java.io.IOException]) throw werr
+            if (werr != null) { child.throwIfDead(); throw werr }
+            throw re
+          }
+        writer.join(60000)
+        if (werr != null) {
+          child.throwIfDead()
+          throw werr
         }
-        val resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
         if (resp.nonEmpty) {
           out += Row(pid, chunkNo, resp)
           chunkNo += 1
@@ -139,23 +161,36 @@ object Stream {
           chunkNo += 1
         }
       try {
-        def write(body: => Unit): Unit =
-          try body catch { case e: java.io.IOException =>
-            child.throwIfDead(); throw e
+        // concurrent writer per exchange — see the TSV path for why
+        def exchange(body: => Unit, last: Boolean): Unit = {
+          @volatile var werr: Throwable = null
+          val writer = new Thread(() =>
+            try body catch { case t: Throwable =>
+              werr = t
+              child.terminate() // unblock the reader; the exchange is dead
+            })
+          writer.setDaemon(true)
+          writer.start()
+          try readResp(last)
+          catch { case re: Throwable =>
+            writer.join(60000)
+            if (werr != null && !werr.isInstanceOf[java.io.IOException]) throw werr
+            if (werr != null) { child.throwIfDead(); throw werr }
+            throw re
           }
+          writer.join(60000)
+          if (werr != null) { child.throwIfDead(); throw werr }
+        }
         val sv = sideBc.value
-        if (sv.nonEmpty) {
-          write(ArrowProtocol.writeBatch(child.stdin, allocator, sideSchema.get, sv))
-          readResp(last = false)
-        }
+        if (sv.nonEmpty)
+          exchange(ArrowProtocol.writeBatch(child.stdin, allocator, sideSchema.get, sv),
+            last = false)
         iter.grouped(chunkSize).foreach { chunk =>
-          if (chunk.nonEmpty) {
-            write(ArrowProtocol.writeBatch(child.stdin, allocator, inSchema, chunk))
-            readResp(last = false)
-          }
+          if (chunk.nonEmpty)
+            exchange(ArrowProtocol.writeBatch(child.stdin, allocator, inSchema, chunk),
+              last = false)
         }
-        write(ArrowProtocol.writeEof(child.stdin))
-        readResp(last = true)
+        exchange(ArrowProtocol.writeEof(child.stdin), last = true)
       } finally {
         child.terminate()
         allocator.close()

@@ -37,6 +37,27 @@ object TsvProtocol {
     sb.toString
   }
 
+  /** Inverse of `escape` — what a child-side consumer applies to cell
+    * text (the reference clients do the same when they need raw values).
+    */
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => sb.append('\n'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case _    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Format one cell. Binary is rejected, as in the reference's TSV path. */
   def formatValue(v: Any): String = v match {
     case null                          => "\\N"

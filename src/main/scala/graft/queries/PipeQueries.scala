@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import graft.Tables
 import graft.operators.Stream
 
@@ -69,6 +70,23 @@ object PipeQueries {
         .agg(sum($"response".cast("long")).as("sum_qty"))
     },
 
+    // Arrow IPC path end-to-end: columnar frames out to a JVM child and
+    // back, then aggregate — lossless round-trip proven by the oracle.
+    "q43_pipe_arrow_echo" -> { (s, dir) =>
+      import s.implicits._
+      val cp = System.getProperty("java.class.path")
+      val cmd = "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
+        "-Dio.netty.tryReflectiveSetAccessible=true " +
+        s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+      val in = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      val declared = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
+      Stream.arrow(in, cmd, declared, chunkSize = 8192)
+        .agg(count(lit(1)).as("n"),
+             sum($"l_orderkey").as("sum_orderkey"),
+             round(sum($"l_quantity"), 4).as("sum_qty"))
+    },
+
     // P6: broadcast side input consumed by the child before the stream.
     "q42_pipe_side_lookup" -> { (s, dir) =>
       import s.implicits._
@@ -94,6 +112,12 @@ object PipeQueries {
     "q42_pipe_side_lookup" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_pipe_arrow_echo" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem""".stripMargin
   )
 }

@@ -228,6 +228,25 @@ object Relational {
         .orderBy($"k_mod")
     },
 
+    // malformed-row capture during parse (reference `parse`'s error
+    // column): corrupt ~1% of rows, try_cast them to null, count both.
+    "q44_parse_errors" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey",
+          concat_ws("\t", $"l_orderkey",
+            when($"l_orderkey" % 97 === 0,
+              concat($"l_quantity".cast("int"), lit("x")))
+              .otherwise($"l_quantity".cast("int").cast("string"))).as("line"))
+        .select(split($"line", "\t").as("f"))
+        .select($"f".getItem(0).cast("long").as("orderkey"),
+          expr("try_cast(f[1] AS int)").as("qty"))
+        .agg(count(lit(1)).as("n"),
+          count($"qty").as("n_ok"),
+          sum(when($"qty".isNull, 1L).otherwise(0L)).as("n_err"),
+          sum($"qty").as("sum_qty"))
+    },
+
     // cross join of the two tiny dims (reference `cross_join`).
     "q19_cross_join" -> { (s, dir) =>
       import s.implicits._
@@ -381,6 +400,23 @@ object Relational {
       """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44_parse_errors" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, concat_ws(chr(9), l_orderkey,
+        |    CASE WHEN l_orderkey % 97 = 0
+        |         THEN concat(CAST(CAST(l_quantity AS INT) AS VARCHAR), 'x')
+        |         ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END) AS line
+        |  FROM lineitem),
+        |parsed AS (
+        |  SELECT CAST(str_split(line, chr(9))[1] AS BIGINT) AS orderkey,
+        |         TRY_CAST(str_split(line, chr(9))[2] AS INT) AS qty
+        |  FROM lines)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(qty) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM parsed""".stripMargin,
 
     "q19_cross_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
