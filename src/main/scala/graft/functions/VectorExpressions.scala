@@ -4,16 +4,20 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expressions for vector math over `array<double>`.
+/** Native Catalyst expressions for vector math over `array<float>` /
+  * `array<double>`.
   *
-  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate
-  * interpreted lambdas per element — fine for ad-hoc use, ~10× too slow
-  * for a 64-dim dot product in the ANN hot path. `DotProduct` is a
-  * single tight loop over the two `ArrayData`s with real codegen, so a
-  * brute-force scan over 100 TB of vectors stays inside
-  * WholeStageCodegen.
+  * Spark's higher-order functions (`transform`, `zip_with`, `aggregate`)
+  * evaluate interpreted lambdas per element and block whole-stage
+  * codegen for the enclosing Project — ~10× too slow for a 64-dim dot
+  * product in the ANN hot path. `DotProduct` reads both element types
+  * directly (each element widened to double exactly like an explicit
+  * per-element cast, so results are bit-identical to the
+  * cast-then-multiply formulation the DuckDB oracles use) and generates
+  * a tight loop, so a brute-force scan over 100 TB of vectors stays
+  * inside WholeStageCodegen with no array copies.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -21,13 +25,26 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_dot expects array<float> or array<double>, got $other")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -36,11 +53,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |  $s += $getX * $getY;
          |}
          |${ev.value} = $s;
        """.stripMargin

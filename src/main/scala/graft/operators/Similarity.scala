@@ -39,7 +39,9 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 20): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // raw float arrays: graft_dot widens per element, keeping the scan
+    // inside whole-stage codegen with no array copy
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), norm(col("v")).as("qn"))
     e.filter(col("vec_id") =!= queryVecId)
@@ -56,7 +58,7 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.8): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     // materialise vectors+norms once: both join sides reuse the cache
-    val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
       .cache()
     e.as("a").join(e.as("b"),
@@ -79,11 +81,11 @@ object Similarity {
     // a fixed quasi-random pattern identical on every executor
     val bucketBits: Seq[Column] = (0 until bits).map { b =>
       val proj = (0 until dim).map { d =>
-        element_at(col("v"), d + 1) * sin(lit((1 + b * dim + d).toDouble))
+        element_at(col("v"), d + 1).cast("double") * sin(lit((1 + b * dim + d).toDouble))
       }.reduce(_ + _)
       when(proj >= 0, lit(1 << b)).otherwise(lit(0))
     }
-    emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("bucket", bucketBits.reduce(_ + _))
   }
 

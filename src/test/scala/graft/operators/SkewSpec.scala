@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation on skewed data") {
+    // heavily skewed: 90% of rows share one key
+    val df = spark.range(0, 20000)
+      .select(when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        ($"id" % 7).cast("double").as("v"))
+    val direct = df.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy($"k").collect().toSeq
+    val salted = Skew.saltedSumCount(df, "k", "v")
+      .withColumnRenamed("sum_v", "sum_v")
+      .orderBy($"k").collect().toSeq
+    assert(salted.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      == direct.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))))
+  }
+
+  test("salted broadcast join equals plain join") {
+    val fact = Tables.load(spark, sf, "customer")
+      .select($"c_custkey", $"c_nationkey".as("k"))
+    val dim = Tables.load(spark, sf, "nation")
+      .select($"n_nationkey".as("k"), $"n_name")
+    val direct = fact.join(dim, "k").groupBy($"n_name").count()
+      .orderBy($"n_name").collect().toSeq
+    val salted = Skew.saltedBroadcastJoin(fact, dim, "k")
+      .groupBy($"n_name").count().orderBy($"n_name").collect().toSeq
+    assert(salted == direct)
+  }
+}
