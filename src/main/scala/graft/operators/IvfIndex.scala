@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
+
+/** IVF (inverted-file) approximate nearest-neighbour index: partition
+  * the corpus into `nLists` Voronoi cells around trained centroids;
+  * queries probe only the `nProbe` nearest cells.
+  *
+  * Training is Lloyd's k-means expressed in DataFrame ops:
+  * assignment = argmin over a broadcast centroid table (codegen'd
+  * `graft_dot` distances), update = per-(cluster, dim) mean via
+  * posexplode + groupBy — both scale-out friendly (no driver loop over
+  * data, only over iterations; the only driver-sized object is the
+  * k×dim centroid table itself, which is what gets broadcast in any IVF
+  * design). Initial centroids are deterministic samples (hash-picked),
+  * so training is reproducible.
+  *
+  * At 100 TB: train on a sample, assign the full corpus once (narrow
+  * scan + broadcast argmin, written out partitioned by `list_id`), then
+  * every query reads `nProbe`/`nLists` of the data — the standard
+  * IVF-flat layout.
+  */
+object IvfIndex {
+
+  private def centroidArgmin(centroids: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    // squared L2 distance to each centroid; the vector norm term is
+    // constant per row, so argmin over (||c||² - 2 v·c) suffices
+    val scored = centroids.map { case (cid, c) =>
+      val cNorm = c.map(x => x * x).sum
+      val dotExpr = call_function("graft_dot", col("v"),
+        array(c.map(x => lit(x)): _*))
+      struct((lit(cNorm) - lit(2.0) * dotExpr).as("score"), lit(cid).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** Train centroids with a few Lloyd iterations. Returns (cid, vector). */
+  def train(emb: DataFrame, nLists: Int = 8, iters: Int = 3,
+            dim: Int = 64): Seq[(Int, Seq[Double])] = {
+    VectorExpressions.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")).cache()
+    // deterministic init: spread by hash of vec_id
+    var centroids: Seq[(Int, Seq[Double])] =
+      vecs.withColumn("h", pmod(xxhash64(col("vec_id")), lit(nLists * 37)))
+        .orderBy(col("h"), col("vec_id")).limit(nLists)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", centroidArgmin(centroids))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      // keep centroids whose cluster emptied
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid list. */
+  def assign(emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("list_id", centroidArgmin(centroids))
+  }
+
+  /** Top-k cosine search probing only the query's `nProbe` nearest lists. */
+  def topK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], queryVecId: Long,
+           k: Int = 20, nProbe: Int = 2): DataFrame = {
+    val indexed = assign(emb, centroids)
+    val qRow = indexed.filter(col("vec_id") === queryVecId)
+      .select(col("v")).head.getSeq[Double](0).toSeq
+    val probeLists = centroids.map { case (cid, c) =>
+      val d = c.zip(qRow).map { case (a, b) => (a - b) * (a - b) }.sum
+      (cid, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = indexed.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"),
+        sqrt(call_function("graft_dot", col("v"), col("v"))).as("qn"))
+    indexed
+      .filter(col("vec_id") =!= queryVecId && col("list_id").isin(probeLists: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) /
+          (sqrt(call_function("graft_dot", col("v"), col("v"))) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}
