@@ -28,14 +28,13 @@ object TextDedup {
     * Docs with fewer than k words produce no shingles (guarded, because
     * Spark's `sequence(1,0)` would count backwards).
     */
-  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val gram = (1 to k).map(j => s"element_at(w, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), i -> $gram)")).as("sh"))
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))")).as("sh"))
       .distinct()
-  }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -112,7 +111,7 @@ object TextDedup {
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"),
         explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+          "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"))
           .as("sh"))
       .distinct()
       .cache() // reused by sizes + both sides of the blocked join
