@@ -1,6 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.spark.TaskContext
@@ -44,6 +45,58 @@ object Stream {
       if (!allowed.contains(cmd))
         throw new IllegalArgumentException(
           s"stream command not allowlisted: $cmd (set spark.graft.stream.allowedCommands)")
+    }
+  }
+
+  /** Infer the child's output schema by running it on a sample batch —
+    * the analog of the R client's `schema(f, input)` helper
+    * (`r_pkg/R/exported.R:37-52`): ship `sampleRows` rows through the
+    * Arrow protocol and read the declared types off the response frame.
+    */
+  def inferSchema(df: DataFrame, cmd: String, sampleRows: Int = 32): StructType = {
+    import org.apache.arrow.vector._
+    val spark = df.sparkSession
+    checkAllowed(spark, cmd)
+    val sample = df.limit(sampleRows).collect().toIndexedSeq
+    val child = new ChildProcess(cmd, None)
+    val allocator = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    try {
+      ArrowProtocol.writeBatch(child.stdin, allocator, df.schema, sample)
+      val len = {
+        val b = new Array[Byte](8)
+        var off = 0
+        while (off < 8) {
+          val r = child.stdout.read(b, off, 8 - off)
+          if (r < 0) { child.throwIfDeadAfter(2000); sys.error("no response") }
+          off += r
+        }
+        java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      }
+      if (len == 0) sys.error("child returned no data for schema inference")
+      val payload = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < payload.length) {
+        val r = child.stdout.read(payload, off, payload.length - off)
+        if (r < 0) sys.error("child stdout closed mid-frame")
+        off += r
+      }
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(payload), allocator)
+      try {
+        if (!reader.loadNextBatch()) sys.error("empty IPC frame")
+        StructType(reader.getVectorSchemaRoot.getFieldVectors.asScala.toSeq.map {
+          case v: BigIntVector    => StructField(v.getName, LongType)
+          case v: IntVector       => StructField(v.getName, IntegerType)
+          case v: Float8Vector    => StructField(v.getName, DoubleType)
+          case v: VarCharVector   => StructField(v.getName, StringType)
+          case v: VarBinaryVector => StructField(v.getName, BinaryType)
+          case v => throw new IllegalArgumentException(
+            s"unsupported child column type ${v.getClass.getSimpleName}")
+        })
+      } finally reader.close()
+    } finally {
+      child.terminate()
+      allocator.close()
     }
   }
 

@@ -247,6 +247,19 @@ object Relational {
           sum($"qty").as("sum_qty"))
     },
 
+    // regex scalar surface (reference `rsub`/`dcast`): pattern replace
+    // + extract with numeric bucketing.
+    "q45_regex" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          regexp_replace($"source", "[0-9]+", "N").as("source_shape"),
+          (regexp_extract($"source", "[0-9]+", 0).cast("int") % 5).as("src_mod"))
+        .groupBy($"source_shape", $"src_mod")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"source_shape", $"src_mod")
+    },
+
     // cross join of the two tiny dims (reference `cross_join`).
     "q19_cross_join" -> { (s, dir) =>
       import s.implicits._
@@ -417,6 +430,12 @@ object Relational {
         |  CAST(sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM parsed""".stripMargin,
+
+    "q45_regex" ->
+      """SELECT regexp_replace(source, '[0-9]+', 'N', 'g') AS source_shape,
+        |  CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 AS src_mod,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q19_cross_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -72,6 +72,14 @@ class StreamArrowSpec extends SparkSpec {
     assert(Stream.arrow(df, echoCmd, declared).count() == 3)
   }
 
+  test("inferSchema reads the child's response schema from a sample") {
+    val df = spark.range(0, 100)
+      .select($"id", ($"id" * 1.5).as("d"), concat(lit("s"), $"id").as("s"))
+    val got = Stream.inferSchema(df, echoCmd)
+    assert(got.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("id", LongType), ("d", DoubleType), ("s", StringType)))
+  }
+
   test("unsupported declared types are rejected eagerly") {
     val df = spark.range(0, 1).select($"id")
     val bad = StructType(Seq(StructField("t", TimestampType)))
