@@ -26,6 +26,16 @@ object DataPipeline {
     "q22_ngram_jaccard" -> { (s, dir) =>
       TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"), threshold = 0.5)
     },
+    // end-to-end dedup application: remove the higher-id member of every
+    // verified near-dup pair, keep the rest of the corpus.
+    "q28_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val drop = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+        .select($"doc_b".as("doc_id")).distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids"))
+    },
     "q23_simhash" -> { (s, dir) =>
       TextDedup.simhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
     },
@@ -141,6 +151,24 @@ object DataPipeline {
          |           AND a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
          |$jaccardTail""".stripMargin,
+
+    "q28_dedup_apply" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 1),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |       FROM w),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT db FROM pairs
+         |      JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+         |FROM documents WHERE doc_id NOT IN (SELECT db FROM j)""".stripMargin,
 
     "q23_simhash" -> simhashSql,
     "q24_langid" -> langidSql,

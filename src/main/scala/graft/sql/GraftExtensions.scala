@@ -3,7 +3,9 @@ package graft.sql
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.functions.DotProduct
+import graft.operators.Stream
 
 /** SQL surface of the engine (SURVEY.md §7.2 M7).
   *
@@ -21,10 +23,14 @@ import graft.functions.DotProduct
   * bridges SQL workflows by piping a registered view.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, (info, builder)) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableBuilders.foreach { case (name, (info, builder)) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -43,10 +49,37 @@ object GraftExtensions {
       cosine _)
   )
 
+  /** SQL table function `graft_stream_tsv('<view>', '<cmd>')` — the
+    * reference's `stream(A, 'cmd')` callable from plain SQL. Arguments
+    * must be literals (the output schema is fixed by the TSV format, so
+    * analysis stays schema-sound).
+    */
+  private def streamTsvPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2,
+      "graft_stream_tsv expects (table_name_literal, command_literal)")
+    def str(e: Expression): String = {
+      require(e.foldable, s"graft_stream_tsv arguments must be literals, got $e")
+      String.valueOf(e.eval(null))
+    }
+    val spark = SparkSession.active
+    Stream.tsv(spark.table(str(args.head)), str(args(1)))
+      .queryExecution.logical
+  }
+
+  val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
+    "graft_stream_tsv" -> (
+      new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
+      streamTsvPlan _))
+
   /** Register every graft function on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, (_, builder)) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    tableBuilders.foreach { case (name, (_, builder)) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+  }
 }

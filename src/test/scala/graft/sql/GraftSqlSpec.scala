@@ -41,6 +41,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(n == 20)
   }
 
+  test("graft_stream_tsv table function pipes a view from plain SQL") {
+    GraftExtensions.register(spark)
+    spark.range(0, 15).select($"id").createOrReplaceTempView("tvf_in")
+    val awkEcho =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+        |  else     { print $0; if (--n==0) { fflush(); n=-1 } } }'"""
+        .stripMargin.replace("\n", " ")
+    val out = spark.sql(
+      s"SELECT * FROM graft_stream_tsv('tvf_in', '${awkEcho.replace("'", "\\'")}')")
+    assert(out.columns.toSeq == Seq("instance_id", "chunk_no", "response"))
+    val n = out.select(explode(split(col("response"), "\n"))).count()
+    assert(n == 15)
+  }
+
   test("graft_cosine equals the Similarity column API on real embeddings") {
     GraftExtensions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
