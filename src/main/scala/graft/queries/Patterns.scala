@@ -19,22 +19,22 @@ import graft.Tables
   */
 object Patterns {
 
-  /** u in [0,1) from the first 8 hex digits of md5(seed):
+  /** u in [0,1) from the first 8 hex digits of a 32-hex hash string:
     * Σ digit_i / 16^i — binary-exact arithmetic, so portable bit-for-bit.
+    * The hash is computed once into a column named by `hashCol`.
     */
-  private def u01Spark(seedCol: String): String = {
+  private def u01FromHash(hashCol: String, strpos: (String, String) => String): String = {
     val digits = (1 to 8).map { i =>
-      s"(position(substr(md5(cast(cast($seedCol as string) as binary)), $i, 1) IN '0123456789abcdef') - 1) / ${math.pow(16, i).toLong}.0"
+      s"(${strpos(s"substr($hashCol, $i, 1)", "'0123456789abcdef'")} - 1) / ${math.pow(16, i).toLong}.0"
     }
     digits.mkString("(", " + ", ")")
   }
 
-  private def u01Duck(seedCol: String): String = {
-    val digits = (1 to 8).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST($seedCol AS VARCHAR)), $i, 1)) - 1) / ${math.pow(16, i).toLong}.0"
-    }
-    digits.mkString("(", " + ", ")")
-  }
+  private def u01Spark(hashCol: String): String =
+    u01FromHash(hashCol, (c, alpha) => s"position($c IN $alpha)")
+
+  private def u01Duck(hashCol: String): String =
+    u01FromHash(hashCol, (c, alpha) => s"strpos($alpha, $c)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P8: regression sufficient statistics value ~ k (map-side partials
@@ -56,7 +56,8 @@ object Patterns {
     "q61_seeded_sample" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "events")
-        .withColumn("u", expr(u01Spark("event_id")))
+        .withColumn("h", md5($"event_id".cast("string").cast("binary")))
+        .withColumn("u", expr(u01Spark("h")))
         .filter($"u" < 0.3)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
@@ -77,7 +78,9 @@ object Patterns {
     "q61_seeded_sample" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          |  round(sum(value), 4) AS sum_value
-         |FROM (SELECT event_type, value, ${u01Duck("event_id")} AS u FROM events)
+         |FROM (SELECT event_type, value, ${u01Duck("h")} AS u
+         |      FROM (SELECT event_type, value,
+         |              md5(CAST(event_id AS VARCHAR)) AS h FROM events))
          |WHERE u < 0.3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
