@@ -51,6 +51,27 @@ object Patterns {
           round(sum($"x" * $"x"), 4).as("sum_xx"))
     },
 
+    // as-of join: each purchase attributed to the user's most recent
+    // prior view (union-window formulation — one shuffle, no range join).
+    "q46_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .withColumn("sec", unix_timestamp($"ts"))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"sec")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"sec")
+      val views = e.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"sec", $"value")
+      graft.operators.AsOfJoin.join(purchases, views,
+          key = "user_id", time = "sec", valueCols = Seq("value"),
+          tieBreaker = Some("event_id"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"asof_value".isNotNull, 1L).otherwise(0L)).as("n_with_prior_view"),
+          round(sum(coalesce($"asof_value", lit(0d))), 4).as("sum_asof_value"))
+        .orderBy($"user_id")
+    },
+
     // P10: seed-reproducible 30% sample — same rows regardless of
     // engine, partitioning, or cluster size.
     "q61_seeded_sample" -> { (s, dir) =>
@@ -74,6 +95,26 @@ object Patterns {
         |  round(sum(x * x), 4) AS sum_xx
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x, value
         |      FROM events)""".stripMargin,
+
+    "q46_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |j AS (
+        |  SELECT event_id, user_id, sec, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY sec, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+        |                     event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN asof_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_prior_view,
+        |  round(sum(coalesce(asof_value, 0)), 4) AS sum_asof_value
+        |FROM j WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_seeded_sample" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,

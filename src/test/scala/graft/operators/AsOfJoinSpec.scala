@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of semantics: latest earlier row, exact-time visibility, no-match null") {
+    val left = Seq(
+      (1L, 100L, 10L),  // after right@5 -> sees v5
+      (2L, 100L, 5L),   // exactly at right@5 -> right sorts first, sees v5
+      (3L, 100L, 3L),   // before any right -> null
+      (4L, 200L, 50L)   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "sec")
+    val right = Seq(
+      (90L, 100L, 5L, 5.5),
+      (91L, 100L, 8L, 8.8),
+      (92L, 300L, 1L, 1.1)
+    ).toDF("event_id", "user_id", "sec", "value")
+    val got = AsOfJoin.join(left, right, "user_id", "sec", Seq("value"),
+        tieBreaker = Some("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> Some(8.8),  // latest earlier is right@8
+      2L -> Some(5.5),  // equal-time right row visible
+      3L -> None,
+      4L -> None))
+  }
+
+  test("one shuffle: plan contains a single Exchange for the window") {
+    val left = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "sec")
+    val right = Seq((2L, 1L, 1L, 1.0)).toDF("event_id", "user_id", "sec", "value")
+    val df = AsOfJoin.join(left, right, "user_id", "sec", Seq("value"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan) // union+window, not a join
+  }
+}
