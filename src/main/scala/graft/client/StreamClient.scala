@@ -43,12 +43,18 @@ object StreamClient {
       if (n == 0) return None
       val rows = Seq.newBuilder[TsvRow]
       var i = 0L
-      val line = new StringBuilder
+      // accumulate raw bytes per line and decode as UTF-8 (write() encodes
+      // UTF-8; per-byte toChar would decode Latin-1 and corrupt non-ASCII);
+      // split with limit -1 so trailing empty cells keep their column slot
+      val line = new java.io.ByteArrayOutputStream(256)
       while (i < n) {
         val b = bin.read()
         if (b < 0) sys.error("parent closed pipe mid-message")
-        if (b == '\n') { rows += line.toString.split('\t').toSeq; line.clear(); i += 1 }
-        else line.append(b.toChar)
+        if (b == '\n') {
+          val s = new String(line.toByteArray, StandardCharsets.UTF_8)
+          rows += s.split("\t", -1).toSeq
+          line.reset(); i += 1
+        } else line.write(b)
       }
       Some(rows.result())
     }

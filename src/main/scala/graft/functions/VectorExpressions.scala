@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * cast-then-multiply formulation the DuckDB oracles use) and generates
   * a tight loop, so a brute-force scan over 100 TB of vectors stays
   * inside WholeStageCodegen with no array copies.
+  *
+  * Null semantics match the `zip_with`/`aggregate` higher-order
+  * formulation exactly: a length mismatch or a null element in either
+  * array yields NULL (never a silently-truncated or zero-padded
+  * number) — a dimension bug upstream surfaces as missing scores, not
+  * plausible wrong ones.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -36,10 +43,12 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -56,12 +65,17 @@ case class DotProduct(left: Expression, right: Expression)
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $getX * $getY;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $getX * $getY;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -24,14 +24,25 @@ object Skew {
   /** Two-phase salted sum/count aggregation: equivalent to
     * `df.groupBy(key).agg(sum(valueCol), count)` but with the first
     * shuffle keyed on (key, salt) so a hot key spreads over `numSalts`
-    * reducers. Salt is derived from a hash of the whole row's value
-    * column so it is deterministic (replay-safe, no RNG at execution).
+    * reducers.
+    *
+    * The salt is derived ONLY from row content (`xxhash64` over
+    * `saltCols`, defaulting to every column), never from
+    * `monotonically_increasing_id()` or RNG: position-dependent salts
+    * change on partial stage retry after a shuffle-fetch failure, and
+    * recomputed map tasks would route rows to different reducers than
+    * the ones that already fetched — the SPARK-23207 class of silent
+    * duplicate/lost rows. Content-derived salts replay identically.
+    * Caveat: fully identical rows share a salt; if the hot key's rows
+    * are byte-identical, pass a caller-supplied unique id column in
+    * `saltCols` to spread them.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     numSalts: Int = 16): DataFrame = {
+                     numSalts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0)
+    val basis = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(valueCol), monotonically_increasing_id()), lit(numSalts)))
+      pmod(xxhash64(basis: _*), lit(numSalts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -42,15 +53,17 @@ object Skew {
 
   /** Salted join of a skewed fact against a small dimension: the
     * dimension is exploded `numSalts`× and broadcast; the fact side gets
-    * a deterministic salt, so each hot fact key hits `numSalts`
-    * distinct join partitions.
+    * a content-derived salt (replay-safe, see [[saltedSumCount]]), so a
+    * hot fact key's rows spread over `numSalts` distinct join partitions
+    * as long as their non-key content varies.
     */
   def saltedBroadcastJoin(fact: DataFrame, dim: DataFrame, key: String,
-                          numSalts: Int = 16): DataFrame = {
+                          numSalts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     val salts = fact.sparkSession.range(numSalts).select(col("id").cast("int").as("_salt"))
     val dimExploded = dim.crossJoin(salts)
+    val basis = (if (saltCols.nonEmpty) saltCols else fact.columns.toSeq).map(col)
     val factSalted = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)).cast("int"))
+      pmod(xxhash64(basis: _*), lit(numSalts)).cast("int"))
     factSalted.join(broadcast(dimExploded), Seq(key, "_salt")).drop("_salt")
   }
 }

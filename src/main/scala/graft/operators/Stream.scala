@@ -154,6 +154,13 @@ object Stream {
             throw re
           }
         writer.join(60000)
+        if (writer.isAlive) {
+          // writer still blocked on the child's stdin: starting the next
+          // exchange would run two writers on one stream and interleave
+          // bytes — kill the child and fail the task instead
+          child.terminate()
+          sys.error(s"stream writer stuck >60s feeding child stdin ($cmd); child terminated")
+        }
         if (werr != null) {
           child.throwIfDead()
           throw werr
@@ -232,6 +239,11 @@ object Stream {
             throw re
           }
           writer.join(60000)
+          if (writer.isAlive) {
+            // same two-concurrent-writers hazard as the TSV path
+            child.terminate()
+            sys.error(s"stream writer stuck >60s feeding child stdin ($cmd); child terminated")
+          }
           if (werr != null) { child.throwIfDead(); throw werr }
         }
         val sv = sideBc.value

@@ -90,6 +90,25 @@ private class TsvScanBuilder(schema: StructType, opts: Map[String, String])
 
 private case class TsvFilePartition(path: String) extends InputPartition
 
+private object TsvReaderFactory {
+  /** Split on the literal delimiter character (String.split treats its
+    * argument as a regex, so '|' or '.' would split every boundary),
+    * preserving trailing empty fields.
+    */
+  def splitLiteral(line: String, delim: Char): Array[String] = {
+    val out = Array.newBuilder[String]
+    var start = 0
+    var i = line.indexOf(delim)
+    while (i >= 0) {
+      out += line.substring(start, i)
+      start = i + 1
+      i = line.indexOf(delim, start)
+    }
+    out += line.substring(start)
+    out.result()
+  }
+}
+
 private class TsvReaderFactory(nAttrs: Int, delim: Char)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -104,7 +123,7 @@ private class TsvReaderFactory(nAttrs: Int, delim: Char)
       override def next(): Boolean = {
         val line = reader.readLine()
         if (line == null) return false
-        val fields = line.split(delim.toString, -1)
+        val fields = TsvReaderFactory.splitLiteral(line, delim)
         val vals = new Array[Any](nAttrs + 1)
         if (fields.length == nAttrs) {
           var i = 0

@@ -16,6 +16,20 @@ class StreamClientSpec extends SparkSpec {
     s"exec java -cp '$cp' $main"
   }
 
+  test("Channel round-trips UTF-8 and trailing empty cells") {
+    // write() encodes UTF-8; a byte-at-a-time toChar read would decode
+    // Latin-1 and corrupt any non-ASCII cell, and split('\t') would drop
+    // the trailing empty field
+    val rows = Seq(Seq("héllo", "世界", ""), Seq("", "naïve space", "ok"))
+    val baos = new java.io.ByteArrayOutputStream()
+    new StreamClient.Channel(new java.io.ByteArrayInputStream(Array.empty), baos)
+      .write(rows)
+    val back = new StreamClient.Channel(
+      new java.io.ByteArrayInputStream(baos.toByteArray),
+      new java.io.ByteArrayOutputStream()).read()
+    assert(back == Some(rows))
+  }
+
   test("TsvEchoChild echoes with prefix through the client library") {
     val df = spark.range(0, 200).repartition(2).select($"id")
     val out = Stream.tsv(df, jvmChild("graft.client.TsvEchoChild"), chunkSize = 50)

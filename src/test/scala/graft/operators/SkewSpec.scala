@@ -21,6 +21,20 @@ class SkewSpec extends SparkSpec {
       == direct.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))))
   }
 
+  test("salts derive from row content only (replay-safe, no position-dependent exprs)") {
+    // monotonically_increasing_id/rand-based salts change on partial stage
+    // retry and silently duplicate/lose rows (SPARK-23207 class)
+    val df = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).cast("double").as("v"))
+    val aggPlan = Skew.saltedSumCount(df, "k", "v").queryExecution.analyzed.toString
+    val joinPlan = Skew.saltedBroadcastJoin(
+      df, spark.range(0, 5).select($"id".as("k"), lit("x").as("name")), "k")
+      .queryExecution.analyzed.toString
+    for (plan <- Seq(aggPlan, joinPlan)) {
+      assert(!plan.contains("monotonically_increasing_id"), plan)
+      assert(!plan.contains("rand("), plan)
+    }
+  }
+
   test("salted broadcast join equals plain join") {
     val fact = Tables.load(spark, sf, "customer")
       .select($"c_custkey", $"c_nationkey".as("k"))

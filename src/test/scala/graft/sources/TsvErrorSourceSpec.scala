@@ -28,6 +28,19 @@ class TsvErrorSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("regex-special delimiter is treated literally") {
+    // '|' is regex alternation: a regex-based split would explode every
+    // line into per-character fields and flag every row as an error
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    Files.writeString(Paths.get(dir, "f.psv"), "a|b|\nc|d|e\n")
+    val df = spark.read.format("graft.sources.TsvErrorSource")
+      .option("numAttributes", "3").option("delimiter", "|")
+      .load(dir)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // trailing empty field must keep its column slot (split limit -1)
+    assert(rows.toSet == Set(("a", "b", "", null), ("c", "d", "e", null)))
+  }
+
   test("custom delimiter") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(Paths.get(dir, "f.csv"), "a,b\nc,d\n")
