@@ -28,18 +28,40 @@ object TextAnalysis {
   private def scoreExpr(markers: Seq[String]): String =
     markers.map(m => s"size(filter(w, x -> x = '$m'))").mkString(" + ")
 
-  /** Per-document language guess + confusion matrix vs the labeled lang. */
+  /** Per-document language guess + confusion matrix vs the labeled lang.
+    *
+    * Implemented as explode → map-literal lookup → pivot-count rather
+    * than 30 `size(filter(...))` higher-order expressions: the lambda
+    * form generates a codegen unit so large that first-compile cost
+    * dominates small runs, while this shape is all codegen-friendly
+    * primitives and one keyed aggregation (the scalable topology — at
+    * 100 TB the marker lookup is a narrow map stage and the only
+    * shuffle is per-doc score aggregation).
+    */
   def langIdConfusion(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-    val withScores = langProfiles.foldLeft(scored) { case (df, (l, markers)) =>
-      df.withColumn(s"score_$l", expr(scoreExpr(markers)))
-    }
-    val maxScore = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    val langs = langProfiles.map(_._1)
+    // marker words are globally unique across profiles, so one map works
+    val markerMap = map(langProfiles.flatMap { case (l, ms) =>
+      ms.flatMap(m => Seq(lit(m), lit(l)))
+    }: _*)
+    val scores = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("wd"))
+      .select(col("doc_id"), col("lang"), element_at(markerMap, col("wd")).as("ml"))
+      .filter(col("ml").isNotNull)
+      .groupBy(col("doc_id"), col("lang"))
+      .pivot("ml", langs)
+      .count()
+    // docs with zero marker hits drop out of `scores`; restore them with
+    // all-zero rows so they classify as 'und' like the direct formulation
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, langs)
+    val maxScore = greatest(langs.map(col): _*)
     // ordered when-chain: the alphabetically-first language wins ties
-    val guessCol = langProfiles.foldLeft(when(maxScore <= 0, lit("und"))) {
-      case (acc, (l, _)) => acc.when(col(s"score_$l") === maxScore, lit(l))
+    val guessCol = langs.foldLeft(when(maxScore <= 0, lit("und"))) {
+      case (acc, l) => acc.when(col(l) === maxScore, lit(l))
     }.otherwise(lit("und"))
-    withScores.withColumn("guess", guessCol)
+    scored.withColumn("guess", guessCol)
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("guess"))
