@@ -8,7 +8,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    def usage(): Nothing = {
+      System.err.println(
+        "usage: graft.Profile <query-name> [sfDir] [reps] [explain]\n" +
+          "known query names:\n  " + SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
+    if (args.isEmpty) usage()
     val name = args(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'")
+      usage()
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val doExplain = args.length > 3 && args(3) == "explain"

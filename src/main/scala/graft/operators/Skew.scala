@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Skew-mitigation utilities for hot-key aggregation and joins.
   *
@@ -20,6 +21,39 @@ import org.apache.spark.sql.functions._
   * aggregation case and deterministic-salt needs that AQE does not.
   */
 object Skew {
+
+  /** xxhash64 rejects MapType (and anything containing one) at analysis
+    * time; map entries have no canonical order so Spark refuses to hash
+    * them. Variant/UDT columns are excluded too for the same reason.
+    */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType                => false
+    case s: StructType             => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType              => hashable(a.elementType)
+    case _: VariantType            => false
+    case _: UserDefinedType[_]     => false
+    case _                         => true
+  }
+
+  /** Salt basis columns: caller-supplied `saltCols` (validated — an
+    * unhashable column is an immediate, explicit error rather than a
+    * deep AnalysisException), else every hashable column of `df`.
+    */
+  private def saltBasis(df: DataFrame, saltCols: Seq[String]): Seq[Column] = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (saltCols.nonEmpty) {
+      val bad = saltCols.filter(c => !types.contains(c) || !hashable(types(c)))
+      require(bad.isEmpty,
+        s"saltCols ${bad.mkString(", ")} are missing or not hashable (map/variant " +
+          "types cannot feed xxhash64); pick different salt columns")
+      saltCols.map(col)
+    } else {
+      val basis = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+      require(basis.nonEmpty,
+        "no hashable columns to derive a salt from; pass saltCols explicitly")
+      basis
+    }
+  }
 
   /** Two-phase salted sum/count aggregation: equivalent to
     * `df.groupBy(key).agg(sum(valueCol), count)` but with the first
@@ -40,7 +74,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      numSalts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0)
-    val basis = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
+    val basis = saltBasis(df, saltCols)
     val salted = df.withColumn("_salt",
       pmod(xxhash64(basis: _*), lit(numSalts)))
     salted
@@ -61,9 +95,23 @@ object Skew {
                           numSalts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     val salts = fact.sparkSession.range(numSalts).select(col("id").cast("int").as("_salt"))
     val dimExploded = dim.crossJoin(salts)
-    val basis = (if (saltCols.nonEmpty) saltCols else fact.columns.toSeq).map(col)
+    val basis = saltBasis(fact, saltCols)
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(basis: _*), lit(numSalts)).cast("int"))
     factSalted.join(broadcast(dimExploded), Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Diagnostic: distinct salts actually hit per key under the same
+    * basis the salted operators would use. A hot key whose rows are
+    * byte-identical collapses to `n_salts = 1` — degenerate spreading
+    * that silently reintroduces the skew; run this (e.g. on a sample)
+    * to detect it and pick better `saltCols`.
+    */
+  def saltSpread(df: DataFrame, key: String,
+                 numSalts: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val basis = saltBasis(df, saltCols)
+    df.withColumn("_salt", pmod(xxhash64(basis: _*), lit(numSalts)))
+      .groupBy(col(key))
+      .agg(countDistinct(col("_salt")).as("n_salts"), count(lit(1)).as("n_rows"))
   }
 }

@@ -35,6 +35,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("default salt basis skips unhashable columns; explicit bad saltCols error clearly") {
+    val df = spark.range(0, 100)
+      .select($"id".as("k"), ($"id" % 3).cast("double").as("v"),
+        map(lit("a"), $"id").as("m"))
+    // default basis must drop the map column instead of blowing up in xxhash64
+    val out = Skew.saltedSumCount(df, "k", "v").orderBy($"k").collect()
+    assert(out.length == 100)
+    // explicitly salting on the map column is an immediate, explicit error
+    val err = intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(df, "k", "v", saltCols = Seq("m"))
+    }
+    assert(err.getMessage.contains("not hashable"))
+  }
+
+  test("saltSpread flags byte-identical hot keys as degenerate (n_salts = 1)") {
+    val dup = spark.range(0, 1000).select(lit(7L).as("k"), lit(1.0).as("v"))
+    val varied = spark.range(0, 1000).select(lit(8L).as("k"), ($"id" % 50).cast("double").as("v"))
+    val spread = Skew.saltSpread(dup.union(varied), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spread(7L) == 1L)   // identical rows all hash to one salt
+    assert(spread(8L) > 1L)    // content variety spreads
+  }
+
   test("salted broadcast join equals plain join") {
     val fact = Tables.load(spark, sf, "customer")
       .select($"c_custkey", $"c_nationkey".as("k"))
