@@ -20,32 +20,42 @@ import org.apache.spark.sql.functions._
   * than the classic r=2/b=8 split (0.90 at j=0.5) at the cost of a few
   * more candidates, all of which exact verification filters anyway.
   *
-  * Scale design (100 TB): every stage is a keyed shuffle or broadcast —
-  * no driver-side loops. Shingling is a narrow projection; signatures
-  * AND set sizes come from ONE groupBy over (doc_id) (not 17 jobs);
-  * LSH banding turns near-dup search from O(n²) into a self-join on
-  * (band, key) whose output is proportional to true collisions;
-  * verification joins only candidate pairs. Hot shingles (stopword
-  * n-grams) should be frequency-capped before the join at extreme scale
-  * — `maxShingleFreq` implements that cap; r=1 banding makes the cap
-  * more important because a corpus-wide hot shingle that wins a
-  * permutation would bucket many docs together.
+  * Scale design (100 TB): shingle sets AND minhash signatures are
+  * computed per-document with array expressions — a fully narrow,
+  * embarrassingly parallel map stage with no shuffle at all (a doc's
+  * shingle set is the same order of magnitude as its text, so anything
+  * that can hold the corpus can hold the sets). The only shuffles are
+  * the LSH band self-join — whose output is proportional to true
+  * collisions, not O(n²) — and the candidate-pair verification join,
+  * which computes exact Jaccard from the two set arrays
+  * (`array_intersect`) instead of re-joining an exploded shingle table.
+  * Hot shingles (stopword n-grams) should be frequency-capped before
+  * banding at extreme scale — `maxShingleFreq` implements that cap;
+  * r=1 banding makes the cap more important because a corpus-wide hot
+  * shingle that wins a permutation would bucket many docs together.
   */
 object TextDedup {
   val NumHashes = 16
   val NumBands = 16 // rows per band r = 1: band key = the signature itself
 
-  /** Distinct word k-gram shingles per document: (doc_id, sh).
-    * Docs with fewer than k words produce no shingles (guarded, because
-    * Spark's `sequence(1,0)` would count backwards).
+  /** Narrow per-document distinct shingle sets: (doc_id, set) where
+    * `set` = distinct word k-gram strings. Docs with fewer than k words
+    * are dropped (guarded, because Spark's `sequence(1,0)` would count
+    * backwards). Pure projection — no shuffle.
     */
-  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame =
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))")).as("sh"))
-      .distinct()
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' ')))")
+        .as("set"))
+
+  /** Distinct word k-gram shingles per document: (doc_id, sh) — the
+    * exploded view of [[shingleSets]] (still narrow: per-doc
+    * `array_distinct` replaces a global `.distinct()` shuffle).
+    */
+  def wordShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleSets(docs, k).select(col("doc_id"), explode(col("set")).as("sh"))
 
   /** Exact dedup: group identical texts, keep the smallest doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -53,12 +63,15 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
-  /** MinHash signatures + shingle-set size: one row per doc with
-    * s0..s15 = min over shingles of xxhash64(seed, shingle), plus
-    * `n` = |shingle set|. One aggregation, 17 columns — the map-side
-    * partial min/count makes this a single cheap shuffle, and callers
-    * that need set sizes (Jaccard verification) get them without a
-    * second pass over the shingles.
+  /** MinHash signatures + shingle-set size from an exploded
+    * distinct-shingle table (doc_id, sh): one row per doc with
+    * s0..s15 = min over shingles of xxhash64(seed, shingle) plus
+    * `n` = |shingle set|. ONE groupBy whose aggregates are all
+    * codegen'd min/count (HashAggregateExec with map-side partials).
+    * Measured faster than both (a) a narrow `array_min(transform(...))`
+    * projection — higher-order lambdas fall out of whole-stage codegen —
+    * and (b) folding `collect_set` into this aggregation, which demotes
+    * the whole operator to ObjectHashAggregateExec.
     */
   def minhashSignatures(shingles: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map { s =>
@@ -83,8 +96,8 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       maxShingleFreq: Option[Long] = None): DataFrame = {
     val shRaw = wordShingles(docs)
-    // the shingle set feeds signatures, sizes and two verification join
-    // sides — materialise it once instead of re-shingling 4×
+    // the shingle table feeds signatures and two verification join
+    // sides — materialise it once instead of re-shingling 3×
     val sh = (maxShingleFreq match {
       case Some(cap) =>
         val hot = shRaw.groupBy(col("sh")).agg(count(lit(1)).as("f"))
@@ -121,26 +134,30 @@ object TextDedup {
 
   /** Blocked n-gram Jaccard: exact pairwise Jaccard over word bigrams,
     * restricted to (source, lang) blocks — the classic metadata-blocking
-    * strategy when candidate metadata exists (cheap at any scale because
-    * block sizes bound the quadratic term).
+    * strategy when candidate metadata exists. The `common` counts come
+    * from an inverted-index self-join on (block, shingle) — output
+    * proportional to actual shingle collisions, never |block|² pairs —
+    * while set sizes come from the narrow per-doc arrays, so there is no
+    * separate sizes aggregation.
     */
   def blockedNgramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
+    val sets = docs
       .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("source"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"))
-          .as("sh"))
-      .distinct()
-      .cache() // reused by sizes + both sides of the blocked join
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("source"), col("lang"), expr(
+        "array_distinct(transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' ')))")
+        .as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+      .cache() // reused by the inverted index and both size lookups
+    val sh = sets.select(col("doc_id"), col("source"), col("lang"),
+      explode(col("set")).as("sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
         col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
+    val sizes = sets.select(col("doc_id"), col("n"))
     common
       .join(sizes.as("za"), col("da") === col("za.doc_id"))
       .join(sizes.as("zb"), col("db") === col("zb.doc_id"))

@@ -74,10 +74,7 @@ object PipeQueries {
     // back, then aggregate — lossless round-trip proven by the oracle.
     "q43_pipe_arrow_echo" -> { (s, dir) =>
       import s.implicits._
-      val cp = System.getProperty("java.class.path")
-      val cmd = "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
-        "-Dio.netty.tryReflectiveSetAccessible=true " +
-        s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+      val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
       val in = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
       val declared = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))

@@ -11,10 +11,8 @@ import graft.operators.Stream
 class StreamClientSpec extends SparkSpec {
   import spark.implicits._
 
-  private def jvmChild(main: String): String = {
-    val cp = System.getProperty("java.class.path")
-    s"exec java -cp '$cp' $main"
-  }
+  private def jvmChild(main: String): String =
+    graft.operators.clients.JvmChild.command(main)
 
   test("Channel round-trips UTF-8 and trailing empty cells") {
     // write() encodes UTF-8; a byte-at-a-time toChar read would decode

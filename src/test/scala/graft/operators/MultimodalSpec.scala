@@ -46,10 +46,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("binary payloads survive the Arrow pipe round-trip") {
-    val cp = System.getProperty("java.class.path")
-    val cmd = "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
-      "-Dio.netty.tryReflectiveSetAccessible=true " +
-      s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+    val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)
     val declared = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),

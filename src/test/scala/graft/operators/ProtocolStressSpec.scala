@@ -30,10 +30,7 @@ class ProtocolStressSpec extends SparkSpec {
   }
 
   test("10k strings with one null survive a single Arrow batch") {
-    val cp = System.getProperty("java.class.path")
-    val cmd = "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
-      "-Dio.netty.tryReflectiveSetAccessible=true " +
-      s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
+    val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = spark.range(1, 10001).coalesce(1)
       .select(when($"id" < 10000, $"id".cast("string")).as("val"))
     val declared = StructType(Seq(StructField("val", StringType)))

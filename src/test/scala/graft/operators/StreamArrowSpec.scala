@@ -13,12 +13,8 @@ class StreamArrowSpec extends SparkSpec {
   import spark.implicits._
 
   /** Launch the in-repo echo client as a real OS child process. */
-  private def echoCmd: String = {
-    val cp = System.getProperty("java.class.path")
-    "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
-      "-Dio.netty.tryReflectiveSetAccessible=true " +
-      s"-cp '$cp' graft.operators.clients.ArrowEchoChild"
-  }
+  private def echoCmd: String =
+    graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
 
   test("int64/double/string/binary round-trip with nulls (type matrix)") {
     val schema = StructType(Seq(
