@@ -91,6 +91,51 @@ object ArrowProtocol {
     } finally root.close()
   }
 
+  /** Encode one batch of `InternalRow`s (the [[graft.plans.StreamExec]]
+    * hot path: strings leave as their UTF-8 bytes directly, no
+    * `String` materialization).
+    */
+  def writeBatchInternal(out: OutputStream, allocator: BufferAllocator,
+                         schema: StructType,
+                         rows: scala.collection.Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+    try {
+      root.allocateNew()
+      var col = 0
+      while (col < schema.length) {
+        val vec = root.getVector(col)
+        var i = 0
+        rows.foreach { row =>
+          if (row.isNullAt(col)) vec match {
+            case v: BigIntVector    => v.setNull(i)
+            case v: IntVector       => v.setNull(i)
+            case v: Float8Vector    => v.setNull(i)
+            case v: VarCharVector   => v.setNull(i)
+            case v: VarBinaryVector => v.setNull(i)
+            case v => throw new IllegalStateException(s"unexpected vector $v")
+          } else vec match {
+            case v: BigIntVector    => v.setSafe(i, row.getLong(col))
+            case v: IntVector       => v.setSafe(i, row.getInt(col))
+            case v: Float8Vector    => v.setSafe(i, row.getDouble(col))
+            case v: VarCharVector   => v.setSafe(i, row.getUTF8String(col).getBytes)
+            case v: VarBinaryVector => v.setSafe(i, row.getBinary(col))
+            case v => throw new IllegalStateException(s"unexpected vector $v")
+          }
+          i += 1
+        }
+        col += 1
+      }
+      root.setRowCount(rows.length)
+      val baos = new ByteArrayOutputStream(1 << 12)
+      val writer = new ArrowStreamWriter(root, null, Channels.newChannel(baos))
+      writer.start(); writer.writeBatch(); writer.end(); writer.close()
+      val payload = baos.toByteArray
+      writeLen(out, payload.length.toLong)
+      out.write(payload)
+      out.flush()
+    } finally root.close()
+  }
+
   /** End-of-data: a bare zero length (reference `writeFinalFeather`). */
   def writeEof(out: OutputStream): Unit = { writeLen(out, 0L); out.flush() }
 

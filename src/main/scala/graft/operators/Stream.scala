@@ -1,26 +1,29 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
-import org.apache.arrow.memory.RootAllocator
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.types._
+
+import graft.plans.{StreamFormat, StreamPlan, StreamStrategy}
 
 /** The `stream()` operator: pipe each partition of a DataFrame through an
   * external program speaking the reference's half-duplex chunk protocol,
   * and materialize the responses as a new DataFrame.
   *
   * Spark-first re-expression of the reference plugin
-  * (`src/LogicalStream.cpp`, `src/PhysicalStream.cpp`): a narrow
-  * `mapPartitions` — one child process per task, data stays
-  * partition-local, no shuffle is introduced (reference declares
-  * "undefined" output distribution, `src/PhysicalStream.cpp:129-159`; we
-  * surface `UnknownPartitioning` the same way by construction). The
-  * output schema is declared by the caller, mirroring the mandatory
-  * `types:`/`names:` keywords (`src/StreamSettings.h:62-324`), so no
-  * Catalyst extension is needed — analysis sees an ordinary plan.
+  * (`src/LogicalStream.cpp`, `src/PhysicalStream.cpp`) as a first-class
+  * Catalyst operator: this API builds a [[graft.plans.StreamPlan]]
+  * logical node, planned by [[graft.plans.StreamStrategy]] into
+  * [[graft.plans.StreamExec]] — a narrow physical operator (one child
+  * process per task, partition-local, no shuffle; reference declares
+  * "undefined" output distribution, `src/PhysicalStream.cpp:129-159`)
+  * whose optional side input carries `BroadcastDistribution` and rides
+  * the planner's `BroadcastExchangeExec`. The output schema is declared
+  * by the caller, mirroring the mandatory `types:`/`names:` keywords
+  * (`src/StreamSettings.h:62-324`), so analysis stays schema-sound.
   *
   * Lineage columns follow §1.2 of the survey: TSV output is
   * `[instance_id, chunk_no, response]`; Arrow output is the declared
@@ -110,78 +113,32 @@ object Stream {
     StructField("chunk_no", LongType, nullable = false),
     StructField("response", StringType, nullable = false)))
 
+  /** Build the stream DataFrame as a first-class Catalyst plan:
+    * [[graft.plans.StreamPlan]] → (via [[graft.plans.StreamStrategy]])
+    * [[graft.plans.StreamExec]]. The side input becomes the plan's
+    * second child with `BroadcastDistribution`, so it rides a planner-
+    * managed `BroadcastExchangeExec` instead of an eager driver
+    * `collect()` here at construction time.
+    */
+  private def planned(df: DataFrame, side: Option[DataFrame], cmd: String,
+                      format: StreamFormat, chunkSize: Int,
+                      outSchema: StructType): DataFrame = {
+    val spark = df.sparkSession
+    StreamStrategy.ensureRegistered(spark)
+    val attrs = outSchema.fields.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
+    PlanBridge.ofRows(spark, StreamPlan(
+      df.queryExecution.analyzed, side.map(_.queryExecution.analyzed),
+      cmd, format, chunkSize, attrs))
+  }
+
   /** TSV-format stream: rows out as TSV, each response message becomes one
     * output row (`response` holds the whole body, header stripped).
     */
   def tsv(df: DataFrame, cmd: String, chunkSize: Int = 10000,
           side: Option[DataFrame] = None): DataFrame = {
-    val spark = df.sparkSession
-    checkAllowed(spark, cmd)
-    val sideRows: Seq[Row] =
-      side.map(_.collect().toIndexedSeq).getOrElse(IndexedSeq.empty)
-    val sideBc = spark.sparkContext.broadcast(sideRows)
-    val rdd = df.rdd.mapPartitions { iter =>
-      val ctx = TaskContext.get()
-      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-      val child = new ChildProcess(cmd, Option(ctx))
-      val out = ArrayBuffer.empty[Row]
-      var chunkNo = 0L
-      def exchange(lines: Iterator[String], n: Int, last: Boolean): Unit = {
-        if (!last && n == 0) return // O16: never send empty mid-stream chunks
-        // Write on a helper thread while this thread drains the response:
-        // a child that starts answering before consuming the whole chunk
-        // would otherwise fill its 64 KB stdout pipe and deadlock both
-        // sides (SURVEY.md §7.4 risk 1 — JVM pipes have no poll loop).
-        @volatile var werr: Throwable = null
-        val writer = new Thread(() =>
-          try {
-            if (last) TsvProtocol.writeEof(child.stdin)
-            else TsvProtocol.writeChunk(child.stdin, lines, n)
-          } catch { case t: Throwable =>
-            werr = t
-            child.terminate() // unblock the reader; the exchange is dead
-          })
-        writer.setDaemon(true)
-        writer.start()
-        val resp =
-          try TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
-          catch { case re: Throwable =>
-            writer.join(60000)
-            // a writer failure is the root cause; a broken pipe from a
-            // dead child gets the clearer premature-exit message
-            if (werr != null && !werr.isInstanceOf[java.io.IOException]) throw werr
-            if (werr != null) { child.throwIfDead(); throw werr }
-            throw re
-          }
-        writer.join(60000)
-        if (writer.isAlive) {
-          // writer still blocked on the child's stdin: starting the next
-          // exchange would run two writers on one stream and interleave
-          // bytes — kill the child and fail the task instead
-          child.terminate()
-          sys.error(s"stream writer stuck >60s feeding child stdin ($cmd); child terminated")
-        }
-        if (werr != null) {
-          child.throwIfDead()
-          throw werr
-        }
-        if (resp.nonEmpty) {
-          out += Row(pid, chunkNo, resp)
-          chunkNo += 1
-        }
-      }
-      try {
-        val sv = sideBc.value
-        if (sv.nonEmpty)
-          exchange(sv.iterator.map(TsvProtocol.formatRow), sv.size, last = false)
-        iter.grouped(chunkSize).foreach { chunk =>
-          exchange(chunk.iterator.map(TsvProtocol.formatRow), chunk.size, last = false)
-        }
-        exchange(Iterator.empty, 0, last = true)
-      } finally child.terminate()
-      out.iterator
-    }
-    spark.createDataFrame(rdd, tsvOutputSchema)
+    checkAllowed(df.sparkSession, cmd)
+    planned(df, side, cmd, StreamFormat.Tsv, chunkSize, tsvOutputSchema)
   }
 
   def arrowOutputSchema(declared: StructType): StructType =
@@ -195,73 +152,9 @@ object Stream {
     */
   def arrow(df: DataFrame, cmd: String, declared: StructType,
             chunkSize: Int = 10000, side: Option[DataFrame] = None): DataFrame = {
-    val spark = df.sparkSession
-    checkAllowed(spark, cmd)
+    checkAllowed(df.sparkSession, cmd)
     declared.fields.foreach(f => ArrowProtocol.arrowField(f.name, f.dataType))
-    val inSchema = df.schema
-    val sideSchema = side.map(_.schema)
-    val sideRows: Seq[Row] =
-      side.map(_.collect().toIndexedSeq).getOrElse(IndexedSeq.empty)
-    val sideBc = spark.sparkContext.broadcast(sideRows)
-    val rdd = df.rdd.mapPartitions { iter =>
-      val ctx = TaskContext.get()
-      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-      val child = new ChildProcess(cmd, Option(ctx))
-      val allocator = new RootAllocator(Long.MaxValue)
-      val out = ArrayBuffer.empty[Row]
-      var chunkNo = 0L
-      def readResp(last: Boolean): Unit =
-        ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
-          lastMessage = last).foreach { rows =>
-          var valueNo = 0L
-          rows.foreach { r =>
-            out += Row.fromSeq(r.toSeq ++ Seq(pid, chunkNo, valueNo))
-            valueNo += 1
-          }
-          chunkNo += 1
-        }
-      try {
-        // concurrent writer per exchange — see the TSV path for why
-        def exchange(body: => Unit, last: Boolean): Unit = {
-          @volatile var werr: Throwable = null
-          val writer = new Thread(() =>
-            try body catch { case t: Throwable =>
-              werr = t
-              child.terminate() // unblock the reader; the exchange is dead
-            })
-          writer.setDaemon(true)
-          writer.start()
-          try readResp(last)
-          catch { case re: Throwable =>
-            writer.join(60000)
-            if (werr != null && !werr.isInstanceOf[java.io.IOException]) throw werr
-            if (werr != null) { child.throwIfDead(); throw werr }
-            throw re
-          }
-          writer.join(60000)
-          if (writer.isAlive) {
-            // same two-concurrent-writers hazard as the TSV path
-            child.terminate()
-            sys.error(s"stream writer stuck >60s feeding child stdin ($cmd); child terminated")
-          }
-          if (werr != null) { child.throwIfDead(); throw werr }
-        }
-        val sv = sideBc.value
-        if (sv.nonEmpty)
-          exchange(ArrowProtocol.writeBatch(child.stdin, allocator, sideSchema.get, sv),
-            last = false)
-        iter.grouped(chunkSize).foreach { chunk =>
-          if (chunk.nonEmpty)
-            exchange(ArrowProtocol.writeBatch(child.stdin, allocator, inSchema, chunk),
-              last = false)
-        }
-        exchange(ArrowProtocol.writeEof(child.stdin), last = true)
-      } finally {
-        child.terminate()
-        allocator.close()
-      }
-      out.iterator
-    }
-    spark.createDataFrame(rdd, arrowOutputSchema(declared))
+    planned(df, side, cmd, StreamFormat.Arrow(declared), chunkSize,
+      arrowOutputSchema(declared))
   }
 }

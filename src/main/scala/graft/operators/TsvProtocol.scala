@@ -71,6 +71,50 @@ object TsvProtocol {
     case other                         => other.toString
   }
 
+  /** Format one `InternalRow` (the [[graft.plans.StreamExec]] hot path:
+    * no external-Row conversion). Encoding is identical to the
+    * Row-based [[formatRow]] for every wire-supported type.
+    */
+  def formatInternalRow(row: org.apache.spark.sql.catalyst.InternalRow,
+                        schema: StructType): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      if (row.isNullAt(i)) sb.append("\\N")
+      else schema.fields(i).dataType match {
+        case StringType  => sb.append(escape(row.getUTF8String(i).toString))
+        case LongType    => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType  =>
+          val d = row.getDouble(i)
+          sb.append(if (d.isNaN) "nan" else d.toString)
+        case FloatType   =>
+          val f = row.getFloat(i)
+          sb.append(if (f.isNaN) "nan" else f.toString)
+        case BooleanType => sb.append(if (row.getBoolean(i)) "true" else "false")
+        case ShortType   => sb.append(row.getShort(i))
+        case ByteType    => sb.append(row.getByte(i))
+        case dt: DecimalType =>
+          sb.append(row.getDecimal(i, dt.precision, dt.scale).toString)
+        case DateType =>
+          sb.append(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaDate(row.getInt(i)).toString)
+        case TimestampType =>
+          sb.append(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(row.getLong(i)).toString)
+        case BinaryType =>
+          throw new IllegalArgumentException(
+            "binary attributes are not supported over TSV; use the Arrow format")
+        case other =>
+          throw new IllegalArgumentException(
+            s"type $other is not supported over the TSV stream format")
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def formatRow(row: Row): String = {
     val sb = new StringBuilder
     var i = 0

@@ -1,0 +1,216 @@
+package graft.plans
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{ArrowProtocol, ChildProcess, TsvProtocol}
+
+/** Physical `stream()` operator (reference `PhysicalStream`,
+  * `src/PhysicalStream.cpp:59-176`): per partition, fork one child
+  * process, optionally replay the broadcast side input first, then
+  * ping-pong the partition's rows chunk-by-chunk and materialize the
+  * responses.
+  *
+  * Execution properties:
+  *  - narrow over `input` — one child per task, data stays
+  *    partition-local, no shuffle introduced; output partitioning is
+  *    unknown by construction (reference declares "undefined" output
+  *    distribution, `src/PhysicalStream.cpp:129-159`);
+  *  - `side` declares [[BroadcastDistribution]], so planning inserts a
+  *    real `BroadcastExchangeExec` (reference: ARRAY2 must be replicated,
+  *    `src/PhysicalStream.cpp:137-143`) — the side plan executes lazily
+  *    on the cluster and its broadcast is shared/reused by the planner
+  *    rather than collected eagerly on the driver;
+  *  - rows are consumed and produced as `InternalRow` — no external-Row
+  *    round trip through `df.rdd` / `createDataFrame`.
+  *
+  * The concurrent-writer discipline per exchange is load-bearing: a
+  * child that starts answering before consuming the whole chunk would
+  * fill its 64 KB stdout pipe and deadlock both sides (the reference
+  * uses a poll() loop, `src/ChildProcess.cpp:130-225`; JVM pipes have
+  * none, so a helper thread writes while the task thread drains).
+  */
+case class StreamExec(
+    input: SparkPlan,
+    side: Option[SparkPlan],
+    cmd: String,
+    format: StreamFormat,
+    chunkSize: Int,
+    output: Seq[Attribute]) extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = input +: side.toSeq
+
+  override def producedAttributes: AttributeSet = outputSet
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution +: side.map(_ =>
+      BroadcastDistribution(IdentityBroadcastMode)).toSeq
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numChildren" -> SQLMetrics.createMetric(sparkContext, "child processes forked"))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): StreamExec =
+    copy(input = newChildren(0),
+      side = if (side.isDefined) Some(newChildren(1)) else None)
+
+  /** One half-duplex exchange: `write` runs on a helper thread while the
+    * task thread runs `read` (returning whether the response produced
+    * data). Failure handling mirrors the reference's liveness loop: a
+    * writer failure is surfaced as the root cause, and a dead child gets
+    * the clearer premature-exit diagnostic.
+    */
+  private def exchange(child: ChildProcess)(write: => Unit)(read: => Unit): Unit = {
+    @volatile var werr: Throwable = null
+    val writer = new Thread(() =>
+      try write catch { case t: Throwable =>
+        werr = t
+        child.terminate() // unblock the reader; the exchange is dead
+      })
+    writer.setDaemon(true)
+    writer.start()
+    try read
+    catch { case re: Throwable =>
+      writer.join(60000)
+      if (werr != null && !werr.isInstanceOf[java.io.IOException]) throw werr
+      if (werr != null) { child.throwIfDead(); throw werr }
+      throw re
+    }
+    writer.join(60000)
+    if (writer.isAlive) {
+      // writer still blocked on the child's stdin: starting the next
+      // exchange would run two writers on one stream and interleave
+      // bytes — kill the child and fail the task instead
+      child.terminate()
+      sys.error(s"stream writer stuck >60s feeding child stdin ($cmd); child terminated")
+    }
+    if (werr != null) { child.throwIfDead(); throw werr }
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val outRows = longMetric("numOutputRows")
+    val kids = longMetric("numChildren")
+    val sideBc = side.map(_.executeBroadcast[Array[InternalRow]]())
+    val inSchema = input.schema
+    val sideSchema = side.map(_.schema)
+    val outSchema = StructType(output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    val command = cmd
+    val chunk = chunkSize
+    format match {
+      case StreamFormat.Tsv =>
+        input.execute().mapPartitions { iter =>
+          val ctx = TaskContext.get()
+          val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+          val child = new ChildProcess(command, Option(ctx))
+          kids += 1
+          val out = ArrayBuffer.empty[InternalRow]
+          var chunkNo = 0L
+          def oneExchange(lines: Iterator[String], n: Int, last: Boolean): Unit = {
+            if (!last && n == 0) return // O16: never send empty mid-stream chunks
+            var resp: String = null
+            exchange(child) {
+              if (last) TsvProtocol.writeEof(child.stdin)
+              else TsvProtocol.writeChunk(child.stdin, lines, n)
+            } {
+              resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
+            }
+            if (resp != null && resp.nonEmpty) {
+              out += new GenericInternalRow(
+                Array[Any](pid, chunkNo, UTF8String.fromString(resp)))
+              chunkNo += 1
+            }
+          }
+          try {
+            sideBc.map(_.value).filter(_.nonEmpty).foreach { sv =>
+              oneExchange(
+                sv.iterator.map(TsvProtocol.formatInternalRow(_, sideSchema.get)),
+                sv.length, last = false)
+            }
+            // format before grouping: the input iterator may reuse row
+            // objects, but formatted strings are immutable
+            iter.map(TsvProtocol.formatInternalRow(_, inSchema))
+              .grouped(chunk)
+              .foreach(ls => oneExchange(ls.iterator, ls.size, last = false))
+            oneExchange(Iterator.empty, 0, last = true)
+          } finally child.terminate()
+          outRows += out.size
+          // downstream consumers (collect, exchanges) expect UnsafeRow
+          val proj = UnsafeProjection.create(outSchema)
+          out.iterator.map(proj)
+        }
+
+      case StreamFormat.Arrow(declared) =>
+        input.execute().mapPartitions { iter =>
+          val ctx = TaskContext.get()
+          val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+          val child = new ChildProcess(command, Option(ctx))
+          kids += 1
+          val allocator = new RootAllocator(Long.MaxValue)
+          val out = ArrayBuffer.empty[InternalRow]
+          var chunkNo = 0L
+          def readResp(last: Boolean): Unit =
+            ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
+              lastMessage = last).foreach { rows =>
+              var valueNo = 0L
+              rows.foreach { r =>
+                val vals = new Array[Any](declared.length + 3)
+                var c = 0
+                while (c < declared.length) {
+                  vals(c) = r.get(c) match {
+                    case s: String => UTF8String.fromString(s)
+                    case other     => other
+                  }
+                  c += 1
+                }
+                vals(declared.length) = pid
+                vals(declared.length + 1) = chunkNo
+                vals(declared.length + 2) = valueNo
+                out += new GenericInternalRow(vals)
+                valueNo += 1
+              }
+              chunkNo += 1
+            }
+          try {
+            sideBc.map(_.value).filter(_.nonEmpty).foreach { sv =>
+              exchange(child) {
+                ArrowProtocol.writeBatchInternal(
+                  child.stdin, allocator, sideSchema.get, sv)
+              } { readResp(last = false) }
+            }
+            // batches are written from a helper thread while this thread
+            // drains responses, so buffered rows must own their memory —
+            // copy before grouping
+            iter.map(_.copy()).grouped(chunk).foreach { rows =>
+              if (rows.nonEmpty)
+                exchange(child) {
+                  ArrowProtocol.writeBatchInternal(
+                    child.stdin, allocator, inSchema, rows)
+                } { readResp(last = false) }
+            }
+            exchange(child) { ArrowProtocol.writeEof(child.stdin) } {
+              readResp(last = true)
+            }
+          } finally {
+            child.terminate()
+            allocator.close()
+          }
+          outRows += out.size
+          // downstream consumers (collect, exchanges) expect UnsafeRow
+          val proj = UnsafeProjection.create(outSchema)
+          out.iterator.map(proj)
+        }
+    }
+  }
+}

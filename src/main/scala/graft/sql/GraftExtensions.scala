@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableBuilders.foreach { case (name, (info, builder)) =>
       e.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
+    // plans graft.plans.StreamPlan (the pipe operator's logical node) to
+    // StreamExec; also self-registers lazily via the Stream API for
+    // sessions built without extensions
+    e.injectPlannerStrategy(_ => graft.plans.StreamStrategy)
   }
 }
 

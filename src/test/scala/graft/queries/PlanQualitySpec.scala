@@ -53,6 +53,43 @@ class PlanQualitySpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("the pipe operator plans as StreamExec via the injected strategy") {
+    import spark.implicits._
+    val piped = graft.operators.Stream.tsv(
+      Tables.load(spark, sf, "lineitem").select($"l_orderkey"), "cat")
+    val plan = piped.queryExecution.executedPlan.toString
+    assert(plan.contains("Stream cat"), plan)
+  }
+
+  test("the pipe side input rides a planner-managed BroadcastExchange") {
+    import spark.implicits._
+    val side = Tables.load(spark, sf, "nation").select($"n_nationkey", $"n_name")
+    val piped = graft.operators.Stream.tsv(
+      Tables.load(spark, sf, "customer").select($"c_nationkey"),
+      "cat", side = Some(side))
+    val plan = piped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the input side must still be exchange-free (narrow operator)
+    val above = plan.linesIterator.takeWhile(!_.contains("BroadcastExchange")).mkString("\n")
+    assert(!above.contains("Exchange "), plan)
+  }
+
+  test("stream input columns survive column pruning (black-box operator)") {
+    import spark.implicits._
+    // regression: ColumnPruning's generic case once inserted an empty
+    // Project under StreamPlan (references = none), feeding the child
+    // zero-width rows; the narrow projection downstream masked it until
+    // values were parsed
+    val piped = graft.operators.Stream.tsv(
+      spark.range(0, 8).select($"id"), "cat", chunkSize = 4)
+    import org.apache.spark.sql.functions._
+    val total = piped
+      .select(explode(split($"response", "\n")).as("l"))
+      .select($"l".cast("long").as("v"))
+      .agg(sum($"v")).head.getLong(0)
+    assert(total == (0L until 8L).sum)
+  }
 }
 
 /** Test-side accessor that keeps PlanQualitySpec free of the SparkEntry
