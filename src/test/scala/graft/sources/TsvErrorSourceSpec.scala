@@ -41,6 +41,45 @@ class TsvErrorSourceSpec extends SparkSpec {
     assert(rows.toSet == Set(("a", "b", "", null), ("c", "d", "e", null)))
   }
 
+  test("byte-range splits partition a large file without losing or duplicating lines") {
+    val dir = Files.createTempDirectory("graft_split").toString
+    // variable-length lines so split boundaries land mid-line, at line
+    // starts, and inside multi-byte UTF-8 (é is 2 bytes)
+    val lines = (0 until 500).map(i => s"$i\tvalué${"x" * (i % 13)}\tz")
+    Files.writeString(Paths.get(dir, "big.tsv"), lines.mkString("", "\n", "\n"))
+    def load(maxSplit: Option[Long]) = {
+      val r = spark.read.format("graft.sources.TsvErrorSource")
+        .option("numAttributes", "3")
+      maxSplit.foreach(m => r.option("maxSplitBytes", m.toString))
+      r.load(dir)
+    }
+    val whole = load(None)
+    assert(whole.rdd.getNumPartitions == 1)
+    for (split <- Seq(64L, 97L, 1000L)) {
+      val df = load(Some(split))
+      assert(df.rdd.getNumPartitions > 1, s"split=$split")
+      assert(df.filter($"error".isNotNull).count() == 0, s"split=$split")
+      // exact multiset equality with the unsplit read
+      val got = df.select($"a0", $"a1").as[(String, String)].collect().sortBy(_._1.toInt)
+      val want = whole.select($"a0", $"a1").as[(String, String)].collect().sortBy(_._1.toInt)
+      assert(got.toSeq == want.toSeq, s"split=$split")
+      assert(got.length == 500, s"split=$split")
+    }
+  }
+
+  test("a split boundary exactly on a line start assigns the line once") {
+    val dir = Files.createTempDirectory("graft_edge").toString
+    // every line is exactly 8 bytes ("aaaaaa1\n"), so maxSplitBytes=8
+    // puts every boundary precisely at a line start
+    val lines = (0 until 32).map(i => f"line$i%03d")
+    Files.writeString(Paths.get(dir, "fixed.tsv"), lines.mkString("", "\n", "\n"))
+    val df = spark.read.format("graft.sources.TsvErrorSource")
+      .option("numAttributes", "1").option("maxSplitBytes", "8")
+      .load(dir)
+    assert(df.rdd.getNumPartitions == 32)
+    assert(df.select($"a0").as[String].collect().sorted.toSeq == lines.sorted)
+  }
+
   test("custom delimiter") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(Paths.get(dir, "f.csv"), "a,b\nc,d\n")
