@@ -70,10 +70,50 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** SQL table function `graft_stream_arrow('<view>', '<cmd>',
+    * '<types csv>', '<names csv>')` — the reference's
+    * `stream(A, 'cmd', format:'feather', types:…, names:…)`
+    * (`src/StreamSettings.h:97-116`) callable from plain SQL; the
+    * declared types/names lists fix the output schema at analysis time
+    * exactly as the mandatory keywords do.
+    */
+  private def streamArrowPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graft_stream_arrow expects (table_name, command, types_csv, names_csv) literals")
+    def str(e: Expression): String = {
+      require(e.foldable, s"graft_stream_arrow arguments must be literals, got $e")
+      String.valueOf(e.eval(null))
+    }
+    val types = str(args(2)).split(',').map(_.trim.toLowerCase)
+    val names = str(args(3)).split(',').map(_.trim)
+    require(types.length == names.length,
+      s"types (${types.length}) and names (${names.length}) must have equal arity")
+    val fields = names.zip(types).map { case (n, t) =>
+      val dt = t match {
+        case "int64" | "long" | "bigint" => org.apache.spark.sql.types.LongType
+        case "int32" | "int"             => org.apache.spark.sql.types.IntegerType
+        case "double" | "float64"        => org.apache.spark.sql.types.DoubleType
+        case "string"                    => org.apache.spark.sql.types.StringType
+        case "binary"                    => org.apache.spark.sql.types.BinaryType
+        case other => throw new IllegalArgumentException(
+          s"type $other not supported over the Arrow stream format " +
+            "(supported: int64, int32, double, string, binary)")
+      }
+      org.apache.spark.sql.types.StructField(n, dt)
+    }
+    val spark = SparkSession.active
+    Stream.arrow(spark.table(str(args.head)), str(args(1)),
+      org.apache.spark.sql.types.StructType(fields.toSeq))
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
-      streamTsvPlan _))
+      streamTsvPlan _),
+    "graft_stream_arrow" -> (
+      new ExpressionInfo(Stream.getClass.getName, "graft_stream_arrow"),
+      streamArrowPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

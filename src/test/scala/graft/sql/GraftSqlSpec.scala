@@ -56,6 +56,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(n == 15)
   }
 
+  test("graft_stream_arrow table function declares types/names like the reference keywords") {
+    GraftExtensions.register(spark)
+    spark.range(0, 12).select($"id", ($"id" * 1.5).as("v"))
+      .createOrReplaceTempView("tvf_arrow_in")
+    val cmd = graft.operators.clients.JvmChild
+      .command("graft.operators.clients.ArrowEchoChild").replace("'", "\\'")
+    val out = spark.sql(
+      s"SELECT * FROM graft_stream_arrow('tvf_arrow_in', '$cmd', 'int64,double', 'id,v')")
+    assert(out.columns.toSeq ==
+      Seq("id", "v", "instance_id", "chunk_no", "value_no"))
+    assert(out.count() == 12)
+    assert(out.agg(sum($"id")).head.getLong(0) == (0L until 12L).sum)
+  }
+
   test("graft_cosine equals the Similarity column API on real embeddings") {
     GraftExtensions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
