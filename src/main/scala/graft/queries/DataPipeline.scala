@@ -57,6 +57,14 @@ object DataPipeline {
     "q31_vec_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.8)
     },
+    // IVF index probing ALL lists: approximate search degenerates to
+    // exact, so the brute-force oracle doubles as an index-correctness
+    // proof (assignment loses no vectors, per-list search scores match)
+    "q32_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(emb, nLists = 4, iters = 1)
+      graft.operators.IvfIndex.topK(emb, centroids, queryVecId = 0L, k = 20, nProbe = 4)
+    },
     "q50_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -212,6 +220,19 @@ object DataPipeline {
         |  g.min_gram_hash, g.max_gram_hash, g.n_grams
         |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q32_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |    list_dot_product(e.v, q.qv) AS dp,
+        |    sqrt(list_dot_product(e.v, e.v)) AS nv,
+        |    sqrt(list_dot_product(q.qv, q.qv)) AS nq
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS cos
+        |FROM d ORDER BY round(dp / (nv * nq), 4) DESC, vec_id LIMIT 20""".stripMargin,
 
     "q30_ann_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -83,6 +83,17 @@ object Patterns {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .orderBy($"event_type")
+    },
+
+    // Skew-mitigation path under the gate: the two-phase salted
+    // aggregation must be value-identical to a direct groupBy
+    // (l_quantity is integer-valued, so double addition is
+    // order-insensitive here and no rounding is needed).
+    "q62_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
+      graft.operators.Skew.saltedSumCount(li, "l_returnflag", "l_quantity")
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -122,6 +133,11 @@ object Patterns {
          |FROM (SELECT event_type, value, ${u01Duck("h")} AS u
          |      FROM (SELECT event_type, value,
          |              md5(CAST(event_id AS VARCHAR)) AS h FROM events))
-         |WHERE u < 0.3 GROUP BY 1 ORDER BY 1""".stripMargin
+         |WHERE u < 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

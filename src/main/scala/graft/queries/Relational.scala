@@ -106,6 +106,26 @@ object Relational {
         .orderBy($"bucket_id")
     },
 
+    // P7 scale path: same overlap semantics as q07 but through the
+    // binned equi-join (both-sides-large strategy) — bin width chosen
+    // not to divide the interval bounds so the per-bin dedup logic is
+    // exercised. Closed intervals: a point value on a bucket edge can
+    // land in two buckets, and the oracle replicates that.
+    "q47_range_join_binned" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = s.range(0, 50).select(
+        $"id".as("bucket_id"),
+        ($"id" * 10).cast("double").as("lo"),
+        ($"id" * 10 + 15).cast("double").as("hi"))
+      val points = t(s, dir, "events")
+        .select($"value".as("vlo"), $"value".as("vhi"), $"value")
+      graft.operators.RangeJoin.binnedOverlap(
+          points, buckets, "vlo", "vhi", "lo", "hi", binWidth = 7L)
+        .groupBy($"bucket_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"bucket_id")
+    },
+
     // P12: build TSV lines, then parse them back into typed columns.
     "q08_parse_tsv" -> { (s, dir) =>
       import s.implicits._
@@ -323,6 +343,15 @@ object Relational {
         |JOIN (SELECT i AS bucket_id, CAST(i*10 AS DOUBLE) AS lo,
         |        CAST(i*10+15 AS DOUBLE) AS hi FROM range(0,50) t(i)) b
         |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_range_join_binned" ->
+      """SELECT b.bucket_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value),4) AS sum_value
+        |FROM events e
+        |JOIN (SELECT i AS bucket_id, CAST(i*10 AS DOUBLE) AS lo,
+        |        CAST(i*10+15 AS DOUBLE) AS hi FROM range(0,50) t(i)) b
+        |  ON e.value >= b.lo AND e.value <= b.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q08_parse_tsv" ->
