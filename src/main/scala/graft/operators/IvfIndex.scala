@@ -73,6 +73,54 @@ object IvfIndex {
       .withColumn("list_id", centroidArgmin(centroids))
   }
 
+  /** Materialise the IVF-flat layout: the assigned corpus written as
+    * parquet partitioned by `list_id` (one directory per inverted
+    * list), plus the centroid table. At 100 TB this is the layout that
+    * makes probing cheap: a query's `nProbe` lists become partition
+    * filters, so the scan touches only `nProbe/nLists` of the data —
+    * verified by the partition-pruning assertion in `AnnRecallSpec`.
+    */
+  def writeIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                 path: String): Unit = {
+    val spark = emb.sparkSession
+    assign(emb, centroids).write
+      .partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k cosine search against a materialised index: the probed lists
+    * arrive as a partition-column filter, so only those directories are
+    * scanned.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queryVecId: Long, k: Int = 20, nProbe: Int = 2): DataFrame = {
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+    val qRow = lists.filter(col("vec_id") === queryVecId)
+      .select(col("v")).head.getSeq[Double](0).toSeq
+    val probeLists = centroids.map { case (cid, c) =>
+      (cid, c.zip(qRow).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(
+      lists.filter(col("vec_id") === queryVecId)
+        .select(col("v").as("qv"),
+          sqrt(call_function("graft_dot", col("v"), col("v"))).as("qn")))
+    lists
+      .filter(col("list_id").isin(probeLists: _*)) // partition pruning
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(call_function("graft_dot", col("v"), col("qv")) /
+          (sqrt(call_function("graft_dot", col("v"), col("v"))) * col("qn")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k cosine search probing only the query's `nProbe` nearest lists. */
   def topK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], queryVecId: Long,
            k: Int = 20, nProbe: Int = 2): DataFrame = {

@@ -76,6 +76,23 @@ object StreamingOps {
   def drainSentinel(maxSec: Long): Event =
     Event(Long.MaxValue, new Timestamp((maxSec + 1000000L) * 1000L), -1L, "drain", 0.0)
 
+  /** Streaming exact deduplication for a document/event feed: drop
+    * every record whose content hash was already seen, with state
+    * bounded by the event-time watermark (a duplicate arriving later
+    * than `withinDelay` after the original is passed through — the
+    * standard state/recall trade every streaming dedup makes; at 100 TB
+    * /day unbounded exact state is not an option).
+    *
+    * Built on `dropDuplicatesWithinWatermark`, so the state store keys
+    * on the (tiny) hash column, not the document body.
+    */
+  def dedupExactStream(docs: DataFrame, contentCol: String, tsCol: String,
+                       withinDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, withinDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Run the pipe operator on each micro-batch of a stream: the
     * streaming flavor of `Stream.tsv` (reference chunk-sequence model
     * mapped onto micro-batches).

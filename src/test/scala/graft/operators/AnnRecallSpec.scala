@@ -30,6 +30,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(probedSize == emb.count())
   }
 
+  test("materialised IVF layout prunes partitions to the probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    IvfIndex.writeIndex(emb, centroids, dir)
+    // all-probe search over the materialised layout = brute force
+    assert(ids(IvfIndex.topKIndexed(spark, dir, 0L, k = 20, nProbe = 4)) == exact)
+    // partial probe: the probed lists must reach the scan as PARTITION
+    // filters (directory pruning), not post-scan data filters
+    val pruned = IvfIndex.topKIndexed(spark, dir, 0L, k = 20, nProbe = 1)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
+  }
+
   test("hyperplane LSH bucket search returns subset-consistent scores") {
     val lsh = Similarity.lshTopK(emb, 0L, k = 20, bits = 2)
     val got = lsh.collect()

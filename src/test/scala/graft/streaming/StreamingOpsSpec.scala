@@ -70,6 +70,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamedSessions == batch)
   }
 
+  test("streaming exact dedup drops within-watermark duplicates, keeps state on the hash") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamingOps.dedupExactStream(
+      mem.toDF().withColumn("text", concat(lit("doc-"), ($"event_id" % 5).cast("string"))),
+      contentCol = "text", tsCol = "ts", withinDelay = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    // 20 events but only 5 distinct contents, all within the same hour
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    mem.addData((0 until 20).map(i => Event(i.toLong,
+      new java.sql.Timestamp(base + i * 1000L), i.toLong % 3, "view", i.toDouble)))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup_out").select($"text").as[String].collect()
+    assert(kept.length == 5)
+    assert(kept.toSet == (0 until 5).map(i => s"doc-$i").toSet)
+  }
+
   test("pipe operator runs inside foreachBatch on a micro-batched stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
