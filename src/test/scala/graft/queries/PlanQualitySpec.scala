@@ -75,6 +75,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!above.contains("Exchange "), plan)
   }
 
+  test("minhash signature aggregation stays in codegen'd HashAggregate") {
+    // regression for two measured dead ends: collect_set in the
+    // signature groupBy demotes it to ObjectHashAggregate; higher-order
+    // array_min(transform(...)) signatures leave whole-stage codegen
+    val plan = formatted("q21_minhash_lsh")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    // banding + verification must be equi-joins, never a cross product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("blocked jaccard common counts come from an equi-join inverted index") {
+    val plan = formatted("q22_ngram_jaccard")
+    // the |block|^2 array-intersect formulation would plan a sort-merge
+    // or nested-loop join keyed only on (source, lang); the inverted
+    // index joins on the shingle too, and never a cross product
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("sh"), plan)
+  }
+
   test("stream input columns survive column pruning (black-box operator)") {
     import spark.implicits._
     // regression: ColumnPruning's generic case once inserted an empty
