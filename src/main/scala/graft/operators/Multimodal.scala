@@ -97,6 +97,56 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** STUB resize: nearest-neighbour downsample of the fake raster
+    * (payload treated as row-major width×height×channels bytes, the
+    * GRFT stand-in for decoded pixels). Output is a well-formed GRFT
+    * container with the new dimensions, so resized media flows through
+    * the same decode/feature plumbing. A real implementation swaps the
+    * per-row sampling loop for a codec call; the narrow per-partition
+    * topology (resize close to the data, shuffle only shrunken bytes)
+    * is the part that matters at 100 TB.
+    */
+  def resize(df: DataFrame, binCol: String, outWidth: Int, outHeight: Int,
+             out: String = "resized"): DataFrame = {
+    require(outWidth > 0 && outHeight > 0)
+    val schema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta = parseHeader(bytes)
+        val resized: Array[Byte] =
+          if (meta.isNullAt(0) || !meta.getBoolean(5)) null
+          else {
+            val (w, h, c) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+            if (w == 0 || h == 0) null
+            else {
+              val payload = bytes.drop(HeaderLen)
+              val outBytes = new Array[Byte](outWidth * outHeight * c)
+              var y = 0
+              while (y < outHeight) {
+                val sy = y * h / outHeight
+                var x = 0
+                while (x < outWidth) {
+                  val sx = x * w / outWidth
+                  var ch = 0
+                  while (ch < c) {
+                    outBytes((y * outWidth + x) * c + ch) = payload((sy * w + sx) * c + ch)
+                    ch += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              pack(outWidth, outHeight, c, meta.getInt(3), outBytes)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling for video-kind payloads: every k-th `frameSize`
     * slice of the payload becomes one output row (explode-style,
     * bounded by stride — at scale this is where you cut 100 TB of video

@@ -89,6 +89,54 @@ object Similarity {
       .withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
+  /** Embedding near-duplicate MINING without a blocking key: the
+    * multi-table hyperplane-LSH analog of MinHash banding. Each of the
+    * `tables` hash tables buckets every vector by `bits` hyperplane
+    * signs (table t uses hyperplanes `t*bits..t*bits+bits-1`, so tables
+    * are independent); candidates are pairs sharing a bucket in ANY
+    * table; exact cosine verification filters them to `>= threshold`.
+    *
+    * Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables —
+    * at cos 0.8 with bits=4/tables=8 that is ≈0.985 — while the
+    * quadratic term shrinks from n² to Σ per-bucket². Same scale
+    * topology as [[TextDedup.minhashLshPairs]]: narrow bucketing,
+    * bucket-keyed self-join proportional to collisions, verified pairs
+    * only. (The label-blocked [[nearDupPairs]] stays the better choice
+    * when trustworthy blocking metadata exists.)
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.8,
+                      bits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .cache() // bucketing + both verification sides
+    val bucketCols = (0 until tables).map { t =>
+      val bucketBits = (0 until bits).map { b =>
+        val plane = t * bits + b
+        val proj = (0 until dim).map { d =>
+          element_at(col("v"), d + 1).cast("double") * sin(lit((1 + plane * dim + d).toDouble))
+        }.reduce(_ + _)
+        when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+      }
+      struct(lit(t).as("t"), bucketBits.reduce(_ + _).as("b")).as(s"bk$t")
+    }
+    val buckets = base
+      .select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"), explode(array((0 until tables).map(t => col(s"bk$t")): _*)).as("bk"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    candidates
+      .join(base.as("za"), col("va") === col("za.vec_id"))
+      .join(base.as("zb"), col("vb") === col("zb.vec_id"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        round(dot(col("za.v"), col("zb.v")) / (col("za.nrm") * col("zb.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** ANN top-k via LSH buckets: search only vectors sharing the query's
     * bucket. Returns (vec_id, cos) like the brute-force baseline —
     * recall depends on bits (fewer bits → bigger buckets → higher

@@ -44,6 +44,29 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("multi-table LSH near-dup mining finds the exact pairs it reports") {
+    // unblocked ground truth: exact all-pairs cosine at the threshold
+    val e = emb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(org.apache.spark.sql.functions.col("v")))
+    import org.apache.spark.sql.functions._
+    val exactPairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.lshNearDupPairs(emb, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every reported pair is a true pair with the exact score
+    got.foreach { case (k, cos) => assert(exactPairs(k) == cos, k) }
+    // recall: expected ≈0.985 at bits=4/tables=8; generous flake floor
+    if (exactPairs.nonEmpty) {
+      val recall = got.size.toDouble / exactPairs.size
+      assert(recall >= 0.5, s"recall $recall of ${exactPairs.size} pairs")
+    }
+  }
+
   test("hyperplane LSH bucket search returns subset-consistent scores") {
     val lsh = Similarity.lshTopK(emb, 0L, k = 20, bits = 2)
     val got = lsh.collect()

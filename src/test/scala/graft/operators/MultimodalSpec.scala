@@ -45,6 +45,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3) == (30 until 40).map(_.toByte).toSeq)
   }
 
+  test("resize downsamples the raster and re-packs a valid container") {
+    // 4x4 single-channel "image" with pixel value = row*4+col
+    val px = Array.tabulate[Byte](16)(_.toByte)
+    val df = Seq((1L, Multimodal.pack(4, 4, 1, 0, px)), (2L, Array[Byte](9, 9))).toDF("id", "blob")
+    val out = Multimodal.resize(df, "blob", outWidth = 2, outHeight = 2)
+    val ok = out.filter($"id" === 1).select($"resized").head.getAs[Array[Byte]](0)
+    // nearest-neighbour with sy = y*4/2: picks rows 0,2 and cols 0,2
+    val meta = Multimodal.decodeHeader(
+      Seq((1L, ok)).toDF("id", "blob"), "blob").select($"meta.*").head
+    assert((meta.getInt(0), meta.getInt(1), meta.getBoolean(5)) == (2, 2, true))
+    assert(ok.drop(Multimodal.HeaderLen).toSeq == Seq[Byte](0, 2, 8, 10))
+    // corrupt input resizes to null instead of throwing
+    assert(out.filter($"id" === 2).select($"resized").head.isNullAt(0))
+  }
+
   test("binary payloads survive the Arrow pipe round-trip") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)
