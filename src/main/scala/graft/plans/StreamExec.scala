@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.arrow.memory.RootAllocator
 import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
@@ -98,6 +96,32 @@ case class StreamExec(
     if (werr != null) { child.throwIfDead(); throw werr }
   }
 
+  /** Pull-driven protocol iterator: each `advance()` call performs ONE
+    * exchange and yields its response rows, so a partition's output is
+    * never materialized whole — a child with large fan-out streams
+    * through bounded memory (one response message at a time; the 1 GB
+    * per-message cap is the protocol's own bound). Child teardown is
+    * owned by the `TaskContext` completion listener registered in
+    * `ChildProcess`, which also covers downstream early-exit (limit).
+    */
+  private abstract class ExchangeIterator extends Iterator[InternalRow] {
+    private var batch: Iterator[InternalRow] = Iterator.empty
+    private var finished = false
+    /** Next exchange's rows, or null when the protocol is complete. */
+    protected def advance(): Iterator[InternalRow]
+    final def hasNext: Boolean = {
+      while (!batch.hasNext && !finished) {
+        val b = advance()
+        if (b == null) finished = true else batch = b
+      }
+      batch.hasNext
+    }
+    final def next(): InternalRow = {
+      if (!hasNext) throw new NoSuchElementException("stream exhausted")
+      batch.next()
+    }
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
@@ -115,40 +139,53 @@ case class StreamExec(
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
           val child = new ChildProcess(command, Option(ctx))
           kids += 1
-          val out = ArrayBuffer.empty[InternalRow]
-          var chunkNo = 0L
-          def oneExchange(lines: Iterator[String], n: Int, last: Boolean): Unit = {
-            if (!last && n == 0) return // O16: never send empty mid-stream chunks
-            var resp: String = null
-            exchange(child) {
-              if (last) TsvProtocol.writeEof(child.stdin)
-              else TsvProtocol.writeChunk(child.stdin, lines, n)
-            } {
-              resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
+          // format before grouping: the input iterator may reuse row
+          // objects, but formatted strings are immutable
+          val lineChunks = iter.map(TsvProtocol.formatInternalRow(_, inSchema))
+            .grouped(chunk)
+          val proj = UnsafeProjection.create(outSchema)
+          val out = new ExchangeIterator {
+            private var chunkNo = 0L
+            private var sentSide = false
+            private var sentEof = false
+            private def oneExchange(lines: Iterator[String], n: Int,
+                                    last: Boolean): Iterator[InternalRow] = {
+              var resp: String = null
+              exchange(child) {
+                if (last) TsvProtocol.writeEof(child.stdin)
+                else TsvProtocol.writeChunk(child.stdin, lines, n)
+              } {
+                resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
+              }
+              if (resp != null && resp.nonEmpty) {
+                val r = new GenericInternalRow(
+                  Array[Any](pid, chunkNo, UTF8String.fromString(resp)))
+                chunkNo += 1
+                Iterator.single(r)
+              } else Iterator.empty
             }
-            if (resp != null && resp.nonEmpty) {
-              out += new GenericInternalRow(
-                Array[Any](pid, chunkNo, UTF8String.fromString(resp)))
-              chunkNo += 1
+            protected def advance(): Iterator[InternalRow] = {
+              if (!sentSide) {
+                sentSide = true
+                val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
+                if (sv.nonEmpty) // O16: never send empty mid-stream chunks
+                  return oneExchange(
+                    sv.iterator.map(TsvProtocol.formatInternalRow(_, sideSchema.get)),
+                    sv.length, last = false)
+              }
+              if (lineChunks.hasNext) {
+                val ls = lineChunks.next()
+                return oneExchange(ls.iterator, ls.size, last = false)
+              }
+              if (!sentEof) {
+                sentEof = true
+                return oneExchange(Iterator.empty, 0, last = true)
+              }
+              child.terminate()
+              null
             }
           }
-          try {
-            sideBc.map(_.value).filter(_.nonEmpty).foreach { sv =>
-              oneExchange(
-                sv.iterator.map(TsvProtocol.formatInternalRow(_, sideSchema.get)),
-                sv.length, last = false)
-            }
-            // format before grouping: the input iterator may reuse row
-            // objects, but formatted strings are immutable
-            iter.map(TsvProtocol.formatInternalRow(_, inSchema))
-              .grouped(chunk)
-              .foreach(ls => oneExchange(ls.iterator, ls.size, last = false))
-            oneExchange(Iterator.empty, 0, last = true)
-          } finally child.terminate()
-          outRows += out.size
-          // downstream consumers (collect, exchanges) expect UnsafeRow
-          val proj = UnsafeProjection.create(outSchema)
-          out.iterator.map(proj)
+          out.map { r => outRows += 1; proj(r) }
         }
 
       case StreamFormat.Arrow(declared) =>
@@ -158,58 +195,77 @@ case class StreamExec(
           val child = new ChildProcess(command, Option(ctx))
           kids += 1
           val allocator = new RootAllocator(Long.MaxValue)
-          val out = ArrayBuffer.empty[InternalRow]
-          var chunkNo = 0L
-          def readResp(last: Boolean): Unit =
-            ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
-              lastMessage = last).foreach { rows =>
-              var valueNo = 0L
-              rows.foreach { r =>
-                val vals = new Array[Any](declared.length + 3)
-                var c = 0
-                while (c < declared.length) {
-                  vals(c) = r.get(c) match {
-                    case s: String => UTF8String.fromString(s)
-                    case other     => other
-                  }
-                  c += 1
-                }
-                vals(declared.length) = pid
-                vals(declared.length + 1) = chunkNo
-                vals(declared.length + 2) = valueNo
-                out += new GenericInternalRow(vals)
-                valueNo += 1
-              }
-              chunkNo += 1
+          ctx match {
+            case null => ()
+            case c => c.addTaskCompletionListener[Unit] { _ =>
+              try allocator.close() catch { case _: Throwable => () }
             }
-          try {
-            sideBc.map(_.value).filter(_.nonEmpty).foreach { sv =>
-              exchange(child) {
-                ArrowProtocol.writeBatchInternal(
-                  child.stdin, allocator, sideSchema.get, sv)
-              } { readResp(last = false) }
-            }
-            // batches are written from a helper thread while this thread
-            // drains responses, so buffered rows must own their memory —
-            // copy before grouping
-            iter.map(_.copy()).grouped(chunk).foreach { rows =>
-              if (rows.nonEmpty)
-                exchange(child) {
-                  ArrowProtocol.writeBatchInternal(
-                    child.stdin, allocator, inSchema, rows)
-                } { readResp(last = false) }
-            }
-            exchange(child) { ArrowProtocol.writeEof(child.stdin) } {
-              readResp(last = true)
-            }
-          } finally {
-            child.terminate()
-            allocator.close()
           }
-          outRows += out.size
-          // downstream consumers (collect, exchanges) expect UnsafeRow
+          // batches are written from a helper thread while this thread
+          // drains responses, so buffered rows must own their memory —
+          // copy before grouping
+          val rowChunks = iter.map(_.copy()).grouped(chunk)
           val proj = UnsafeProjection.create(outSchema)
-          out.iterator.map(proj)
+          val out = new ExchangeIterator {
+            private var chunkNo = 0L
+            private var sentSide = false
+            private var sentEof = false
+            private def decode(last: Boolean): Iterator[InternalRow] =
+              ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
+                lastMessage = last) match {
+                case None => Iterator.empty
+                case Some(rows) =>
+                  var valueNo = 0L
+                  val decoded = rows.map { r =>
+                    val vals = new Array[Any](declared.length + 3)
+                    var c = 0
+                    while (c < declared.length) {
+                      vals(c) = r.get(c) match {
+                        case s: String => UTF8String.fromString(s)
+                        case other     => other
+                      }
+                      c += 1
+                    }
+                    vals(declared.length) = pid
+                    vals(declared.length + 1) = chunkNo
+                    vals(declared.length + 2) = valueNo
+                    valueNo += 1
+                    new GenericInternalRow(vals): InternalRow
+                  }
+                  chunkNo += 1
+                  decoded.iterator
+              }
+            private def oneExchange(write: => Unit, last: Boolean): Iterator[InternalRow] = {
+              var resp: Iterator[InternalRow] = Iterator.empty
+              exchange(child)(write) { resp = decode(last) }
+              resp
+            }
+            protected def advance(): Iterator[InternalRow] = {
+              if (!sentSide) {
+                sentSide = true
+                val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
+                if (sv.nonEmpty)
+                  return oneExchange(
+                    ArrowProtocol.writeBatchInternal(
+                      child.stdin, allocator, sideSchema.get, sv.toIndexedSeq),
+                    last = false)
+              }
+              if (rowChunks.hasNext) {
+                val rows = rowChunks.next()
+                return oneExchange(
+                  ArrowProtocol.writeBatchInternal(child.stdin, allocator, inSchema, rows),
+                  last = false)
+              }
+              if (!sentEof) {
+                sentEof = true
+                return oneExchange(ArrowProtocol.writeEof(child.stdin), last = true)
+              }
+              child.terminate()
+              allocator.close()
+              null
+            }
+          }
+          out.map { r => outRows += 1; proj(r) }
         }
     }
   }
