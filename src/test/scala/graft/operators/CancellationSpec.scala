@@ -21,6 +21,28 @@ class CancellationSpec extends SparkSpec {
     p.waitFor(); n
   }
 
+  test("downstream limit stops the lazy protocol early and reaps the child") {
+    val awkEcho =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+        |  else     { print $0; if (--n==0) { fflush(); n=-1 } } }'"""
+        .stripMargin.replace("\n", " ")
+    // 200k rows in 2-row chunks = 100k exchanges if fully drained; a
+    // limit(1) over the lazy iterator must finish in a few exchanges
+    val df = spark.range(0, 200000).coalesce(1).select($"id")
+    val t0 = System.nanoTime()
+    val first = Stream.tsv(df, awkEcho, chunkSize = 2).limit(1).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(first.length == 1)
+    assert(dt < 30.0, s"limit(1) took $dt s — output is being buffered eagerly")
+    // the abandoned child is torn down by the task-completion listener
+    val p = new ProcessBuilder("bash", "-c",
+      "ps -eo args= | grep -c '^awk -W interactive' || true").start()
+    val leftover = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim.toInt
+    p.waitFor()
+    assert(leftover == 0, s"$leftover awk children survived early exit")
+  }
+
   test("cancelling a query kills a stalled child within the poll interval") {
     val df = spark.range(0, 10).coalesce(1).toDF("id")
     val started = new CountDownLatch(1)
