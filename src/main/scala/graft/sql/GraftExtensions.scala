@@ -53,37 +53,38 @@ object GraftExtensions {
       cosine _)
   )
 
-  /** SQL table function `graft_stream_tsv('<view>', '<cmd>')` — the
-    * reference's `stream(A, 'cmd')` callable from plain SQL. Arguments
-    * must be literals (the output schema is fixed by the TSV format, so
+  private def lit(fn: String)(e: Expression): String = {
+    require(e.foldable, s"$fn arguments must be literals, got $e")
+    String.valueOf(e.eval(null))
+  }
+
+  /** SQL table function `graft_stream_tsv('<view>', '<cmd>'
+    * [, chunk_size])` — the reference's `stream(A, 'cmd'
+    * [, chunk_size:…])` callable from plain SQL. Arguments must be
+    * literals (the output schema is fixed by the TSV format, so
     * analysis stays schema-sound).
     */
   private def streamTsvPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2,
-      "graft_stream_tsv expects (table_name_literal, command_literal)")
-    def str(e: Expression): String = {
-      require(e.foldable, s"graft_stream_tsv arguments must be literals, got $e")
-      String.valueOf(e.eval(null))
-    }
+    require(args.length == 2 || args.length == 3,
+      "graft_stream_tsv expects (table_name, command[, chunk_size]) literals")
+    val str = lit("graft_stream_tsv") _
+    val chunkSize = if (args.length == 3) str(args(2)).toInt else 10000
     val spark = SparkSession.active
-    Stream.tsv(spark.table(str(args.head)), str(args(1)))
+    Stream.tsv(spark.table(str(args.head)), str(args(1)), chunkSize)
       .queryExecution.logical
   }
 
   /** SQL table function `graft_stream_arrow('<view>', '<cmd>',
-    * '<types csv>', '<names csv>')` — the reference's
+    * '<types csv>', '<names csv>'[, chunk_size])` — the reference's
     * `stream(A, 'cmd', format:'feather', types:…, names:…)`
     * (`src/StreamSettings.h:97-116`) callable from plain SQL; the
     * declared types/names lists fix the output schema at analysis time
     * exactly as the mandatory keywords do.
     */
   private def streamArrowPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4,
-      "graft_stream_arrow expects (table_name, command, types_csv, names_csv) literals")
-    def str(e: Expression): String = {
-      require(e.foldable, s"graft_stream_arrow arguments must be literals, got $e")
-      String.valueOf(e.eval(null))
-    }
+    require(args.length == 4 || args.length == 5,
+      "graft_stream_arrow expects (table_name, command, types_csv, names_csv[, chunk_size]) literals")
+    val str = lit("graft_stream_arrow") _
     val types = str(args(2)).split(',').map(_.trim.toLowerCase)
     val names = str(args(3)).split(',').map(_.trim)
     require(types.length == names.length,
@@ -101,9 +102,10 @@ object GraftExtensions {
       }
       org.apache.spark.sql.types.StructField(n, dt)
     }
+    val chunkSize = if (args.length == 5) str(args(4)).toInt else 10000
     val spark = SparkSession.active
     Stream.arrow(spark.table(str(args.head)), str(args(1)),
-      org.apache.spark.sql.types.StructType(fields.toSeq))
+      org.apache.spark.sql.types.StructType(fields.toSeq), chunkSize)
       .queryExecution.logical
   }
 

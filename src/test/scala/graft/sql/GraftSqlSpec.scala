@@ -54,6 +54,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("instance_id", "chunk_no", "response"))
     val n = out.select(explode(split(col("response"), "\n"))).count()
     assert(n == 15)
+    // optional chunk_size literal (reference chunk_size: keyword): one
+    // partition of 15 rows in chunks of 4 -> 4 response messages
+    spark.range(0, 15).coalesce(1).select($"id").createOrReplaceTempView("tvf_in1")
+    val chunked = spark.sql(
+      s"SELECT * FROM graft_stream_tsv('tvf_in1', '${awkEcho.replace("'", "\\'")}', '4')")
+    assert(chunked.count() == 4)
   }
 
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
