@@ -145,6 +145,58 @@ object ArrowProtocol {
     out.write(b.array())
   }
 
+  /** Columnar read: return the open ArrowStreamReader positioned on the
+    * message's RecordBatch (None for a zero-length frame). The caller
+    * owns the reader and must close it after consuming the vectors —
+    * this is the zero-copy path ([[graft.plans.StreamExec]] wraps the
+    * vectors as Spark `ArrowColumnVector`s). Arity and vector types are
+    * validated against the declared schema here; the
+    * one-RecordBatch-per-message rule is checked by the caller at close
+    * time (checking earlier would clobber the zero-copied buffers).
+    */
+  def readMessageReader(in: InputStream, child: ChildProcess,
+                        allocator: BufferAllocator, declared: StructType,
+                        lastMessage: Boolean = false): Option[ArrowStreamReader] = {
+    val len = readLen(in, child, lastMessage)
+    if (len == 0) return None
+    if (len > MaxResponseBytes)
+      throw new IOException("response from child exceeds maximum size")
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < payload.length) {
+      val r = in.read(payload, off, payload.length - off)
+      if (r < 0) {
+        if (!lastMessage) child.throwIfDeadAfter(2000)
+        throw new EOFException("child stdout closed mid-message")
+      }
+      off += r
+    }
+    val reader = new ArrowStreamReader(new ByteArrayInputStream(payload), allocator)
+    try {
+      if (!reader.loadNextBatch())
+        throw new IOException("Arrow response contained no RecordBatch")
+      val root = reader.getVectorSchemaRoot
+      if (root.getFieldVectors.size() != declared.length)
+        throw new IOException(
+          s"child returned ${root.getFieldVectors.size()} columns; " +
+            s"declared types expect ${declared.length}")
+      root.getFieldVectors.asScala.zip(declared.fields).foreach { case (v, f) =>
+        (v, f.dataType) match {
+          case (_: BigIntVector, LongType)       => ()
+          case (_: IntVector, IntegerType)       => ()
+          case (_: IntVector, LongType)          => () // pandas int32 widening
+          case (_: Float8Vector, DoubleType)     => ()
+          case (_: VarCharVector, StringType)    => ()
+          case (_: VarBinaryVector, BinaryType)  => ()
+          case (vec, t) => throw new IOException(
+            s"child column ${vec.getName} has Arrow type ${vec.getClass.getSimpleName}, " +
+              s"declared type is $t")
+        }
+      }
+      Some(reader)
+    } catch { case t: Throwable => reader.close(); throw t }
+  }
+
   /** Read one response message. Returns None for a zero-length frame
     * ("no data right now"), otherwise the decoded rows.
     */

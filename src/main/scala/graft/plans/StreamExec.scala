@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, IntVector}
+import org.apache.arrow.vector.ipc.ArrowStreamReader
 import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
@@ -8,7 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Gener
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.{ArrowProtocol, ChildProcess, TsvProtocol}
@@ -63,6 +67,15 @@ case class StreamExec(
     copy(input = newChildren(0),
       side = if (side.isDefined) Some(newChildren(1)) else None)
 
+  /** The Arrow format is columnar end-to-end: the child's IPC response
+    * vectors are handed to Spark zero-copy (wrapped as
+    * `ArrowColumnVector`s) and the planner inserts a codegen'd
+    * ColumnarToRow only where a row consumer needs it. TSV responses
+    * are one string row per message — nothing to vectorize.
+    */
+  override def supportsColumnar: Boolean =
+    format.isInstanceOf[StreamFormat.Arrow]
+
   /** One half-duplex exchange: `write` runs on a helper thread while the
     * task thread runs `read` (returning whether the response produced
     * data). Failure handling mirrors the reference's liveness loop: a
@@ -96,6 +109,21 @@ case class StreamExec(
     if (werr != null) { child.throwIfDead(); throw werr }
   }
 
+  /** Input rows regardless of the child's chosen format: when this
+    * operator declares columnar support, the planner hands it columnar
+    * CHILDREN too (no ColumnarToRow is inserted below), so a columnar
+    * child must be consumed via executeColumnar and its batches
+    * row-iterated. Rows are only valid until the next batch — callers
+    * copy (Arrow) or format immediately (TSV), as with any row input.
+    */
+  private def inputRows(): RDD[InternalRow] =
+    if (input.supportsColumnar) {
+      input.executeColumnar().mapPartitions { batches =>
+        import scala.jdk.CollectionConverters._
+        batches.flatMap(_.rowIterator().asScala)
+      }
+    } else input.execute()
+
   /** Pull-driven protocol iterator: each `advance()` call performs ONE
     * exchange and yields its response rows, so a partition's output is
     * never materialized whole — a child with large fan-out streams
@@ -122,6 +150,144 @@ case class StreamExec(
     }
   }
 
+  protected override def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val StreamFormat.Arrow(declared) = format: @unchecked
+    val outRows = longMetric("numOutputRows")
+    val kids = longMetric("numChildren")
+    val sideBc = side.map(_.executeBroadcast[Array[InternalRow]]())
+    val inSchema = input.schema
+    val sideSchema = side.map(_.schema)
+    val command = cmd
+    val chunk = chunkSize
+    inputRows().mapPartitions { iter =>
+      val ctx = TaskContext.get()
+      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+      val child = new ChildProcess(command, Option(ctx))
+      kids += 1
+      val allocator = new RootAllocator(Long.MaxValue)
+      val rowChunks = iter.map(_.copy()).grouped(chunk)
+      val out = new Iterator[ColumnarBatch] {
+        private var pendingBatch: ColumnarBatch = null
+        private var pendingReader: ArrowStreamReader = null
+        private var nextReady: ColumnarBatch = null
+        private var chunkNo = 0L
+        private var sentSide = false
+        private var sentEof = false
+        private var finished = false
+
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          try closePending() catch { case _: Throwable => () }
+          try allocator.close() catch { case _: Throwable => () }
+        }
+
+        /** A handed-out batch stays valid until the consumer pulls the
+          * next one (the standard columnar-scan contract). Closing is
+          * also where the one-RecordBatch-per-message rule is enforced:
+          * checking earlier would clobber the zero-copied buffers.
+          */
+        private def closePending(): Unit = {
+          if (pendingBatch != null) { pendingBatch.close(); pendingBatch = null }
+          if (pendingReader != null) {
+            val more =
+              try pendingReader.loadNextBatch()
+              catch { case _: Throwable => false }
+            pendingReader.close()
+            pendingReader = null
+            if (more) throw new java.io.IOException(
+              "expected exactly one RecordBatch per message")
+          }
+        }
+
+        private def toBatch(reader: ArrowStreamReader): ColumnarBatch = {
+          val root = reader.getVectorSchemaRoot
+          val n = root.getRowCount
+          val dataCols: Seq[ColumnVector] =
+            root.getFieldVectors.toArray.toSeq.zip(declared.fields).map {
+              // pandas int32 response for a declared int64 column: the
+              // one widening case the row path tolerates — copy those n
+              // values; every exact-match column is wrapped zero-copy
+              case (v: IntVector, f) if f.dataType == LongType =>
+                val c = new OnHeapColumnVector(n, LongType)
+                var i = 0
+                while (i < n) {
+                  if (v.isNull(i)) c.putNull(i) else c.putLong(i, v.get(i).toLong)
+                  i += 1
+                }
+                c
+              case (v, _) =>
+                new ArrowColumnVector(v.asInstanceOf[org.apache.arrow.vector.ValueVector])
+            }
+          val lineage = (0 until 3).map(_ => new OnHeapColumnVector(math.max(n, 1), LongType))
+          var i = 0
+          while (i < n) {
+            lineage(0).putLong(i, pid)
+            lineage(1).putLong(i, chunkNo)
+            lineage(2).putLong(i, i.toLong)
+            i += 1
+          }
+          chunkNo += 1
+          outRows += n
+          new ColumnarBatch((dataCols ++ lineage).toArray, n)
+        }
+
+        private def oneExchange(write: => Unit, last: Boolean): Option[ColumnarBatch] = {
+          var resp: Option[ArrowStreamReader] = None
+          exchange(child)(write) {
+            resp = ArrowProtocol.readMessageReader(child.stdout, child, allocator,
+              declared, lastMessage = last)
+          }
+          resp.map { r => pendingReader = r; toBatch(r) }
+        }
+
+        private def advance(): Option[ColumnarBatch] = {
+          if (!sentSide) {
+            sentSide = true
+            val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
+            if (sv.nonEmpty) {
+              val b = oneExchange(
+                ArrowProtocol.writeBatchInternal(
+                  child.stdin, allocator, sideSchema.get, sv.toIndexedSeq),
+                last = false)
+              if (b.isDefined) return b
+            }
+          }
+          while (rowChunks.hasNext) {
+            val rows = rowChunks.next()
+            val b = oneExchange(
+              ArrowProtocol.writeBatchInternal(child.stdin, allocator, inSchema, rows),
+              last = false)
+            if (b.isDefined) return b
+          }
+          if (!sentEof) {
+            sentEof = true
+            val b = oneExchange(ArrowProtocol.writeEof(child.stdin), last = true)
+            if (b.isDefined) return b
+          }
+          child.terminate()
+          None
+        }
+
+        def hasNext: Boolean = {
+          if (nextReady != null) return true
+          if (finished) return false
+          closePending()
+          advance() match {
+            case Some(b) => nextReady = b; true
+            case None    => finished = true; false
+          }
+        }
+
+        def next(): ColumnarBatch = {
+          if (!hasNext) throw new NoSuchElementException("stream exhausted")
+          pendingBatch = nextReady
+          nextReady = null
+          pendingBatch
+        }
+      }
+      out
+    }
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
@@ -134,7 +300,7 @@ case class StreamExec(
     val chunk = chunkSize
     format match {
       case StreamFormat.Tsv =>
-        input.execute().mapPartitions { iter =>
+        inputRows().mapPartitions { iter =>
           val ctx = TaskContext.get()
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
           val child = new ChildProcess(command, Option(ctx))
@@ -189,7 +355,7 @@ case class StreamExec(
         }
 
       case StreamFormat.Arrow(declared) =>
-        input.execute().mapPartitions { iter =>
+        inputRows().mapPartitions { iter =>
           val ctx = TaskContext.get()
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
           val child = new ChildProcess(command, Option(ctx))

@@ -97,6 +97,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("sh"), plan)
   }
 
+  test("arrow stream output is columnar with a codegen'd ColumnarToRow above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val cmd = graft.operators.clients.JvmChild.command(
+      "graft.operators.clients.ArrowEchoChild")
+    val declared = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
+    val piped = graft.operators.Stream.arrow(
+      Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_quantity"),
+      cmd, declared)
+    val plan = piped.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(plan.contains("Stream "), plan)
+  }
+
   test("stream input columns survive column pruning (black-box operator)") {
     import spark.implicits._
     // regression: ColumnPruning's generic case once inserted an empty
