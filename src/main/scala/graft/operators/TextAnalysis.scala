@@ -106,6 +106,28 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** BPE-ish regex tokenization (GPT-2-style pre-tokenizer, simplified
+    * to constructs shared by Java regex and RE2 — no lookarounds):
+    * common contractions, letter runs, digit runs, punctuation runs.
+    * This is the pre-tokenization pass a byte-pair encoder would refine;
+    * the count is the budget-relevant "token" number for corpus sizing.
+    */
+  val BpeishPattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Per-source regex-token statistics (the "BPE-ish" counterpart of
+    * the whitespace-based [[tokenStats]]).
+    */
+  def bpeishTokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .cast("long").as("n_bpeish"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpeish")).as("sum_bpeish_tokens"),
+        min(col("n_bpeish")).as("min_bpeish_tokens"),
+        max(col("n_bpeish")).as("max_bpeish_tokens"))
+      .orderBy(col("source"))
+
   /** Document fingerprint: full-text hash plus min/max rolling window
     * hash over word 5-grams (the winnowing-style sketch primitives).
     */

@@ -51,6 +51,9 @@ object DataPipeline {
     "q27_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents"))
     },
+    "q29_bpeish_tokens" -> { (s, dir) =>
+      TextAnalysis.bpeishTokenStats(Tables.load(s, dir, "documents"))
+    },
     "q30_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryVecId = 0L, k = 20)
     },
@@ -205,6 +208,20 @@ object DataPipeline {
         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_bpeish_tokens" -> {
+      // DuckDB standard SQL strings keep backslashes literal; only the
+      // leading apostrophe of the contraction branch needs doubling
+      val re = TextAnalysis.BpeishPattern.replace("'", "''")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '$re')) AS n_bpeish
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bpeish) AS BIGINT) AS sum_bpeish_tokens,
+         |  CAST(min(n_bpeish) AS BIGINT) AS min_bpeish_tokens,
+         |  CAST(max(n_bpeish) AS BIGINT) AS max_bpeish_tokens
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q27_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
