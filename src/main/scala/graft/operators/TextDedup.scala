@@ -46,16 +46,12 @@ object TextDedup {
     * are dropped (guarded, because Spark's `sequence(1,0)` would count
     * backwards). Pure projection — no shuffle.
     */
-  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
-    // concat_ws over element_at instead of array_join(slice(...)): same
-    // string, no per-shingle slice-array allocation inside the lambda
-    val gram = (0 until k).map(j => s"element_at(w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> $gram))")
+        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' ')))")
         .as("set"))
-  }
 
   /** Distinct word k-gram shingles per document: (doc_id, sh) — the
     * exploded view of [[shingleSets]] (still narrow: per-doc
@@ -154,7 +150,7 @@ object TextDedup {
       .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"), expr(
-        "array_distinct(transform(sequence(1, size(w) - 1), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))")
+        "array_distinct(transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' ')))")
         .as("set"))
       .withColumn("n", size(col("set")).cast("long"))
       .cache() // reused by the inverted index and both size lookups
