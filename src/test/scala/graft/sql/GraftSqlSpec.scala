@@ -76,6 +76,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.agg(sum($"id")).head.getLong(0) == (0L until 12L).sum)
   }
 
+  test("stream table functions reject bad arity and non-literal arguments") {
+    GraftExtensions.register(spark)
+    spark.range(0, 3).select($"id").createOrReplaceTempView("tvf_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_stream_tsv('tvf_bad')").collect()
+    }
+    assert(e1.getMessage.contains("graft_stream_tsv expects"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_stream_arrow('tvf_bad', 'cat', 'int64')").collect()
+    }
+    assert(e2.getMessage.contains("graft_stream_arrow expects"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_stream_arrow('tvf_bad', 'cat', 'uuid', 'x')").collect()
+    }
+    assert(e3.getMessage.contains("not supported over the Arrow stream format"),
+      e3.getMessage)
+  }
+
   test("graft_cosine equals the Similarity column API on real embeddings") {
     GraftExtensions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
