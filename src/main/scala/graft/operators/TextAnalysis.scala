@@ -28,6 +28,32 @@ object TextAnalysis {
   private def scoreExpr(markers: Seq[String]): String =
     markers.map(m => s"size(filter(w, x -> x = '$m'))").mkString(" + ")
 
+  /** Shared confusion-matrix tail: per-doc marker hits (doc_id, lang,
+    * ml = matched language) → pivot-count scores → deterministic argmax
+    * (ordered when-chain, alphabetically first language wins ties, no
+    * hits → 'und') → (lang, guess, n).
+    */
+  private def confusionFromHits(docs: DataFrame, hits: DataFrame,
+                                langs: Seq[String]): DataFrame = {
+    val scores = hits
+      .groupBy(col("doc_id"), col("lang"))
+      .pivot("ml", langs)
+      .count()
+    // docs with zero marker hits drop out of `scores`; restore them with
+    // all-zero rows so they classify as 'und' like the direct formulation
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, langs)
+    val maxScore = greatest(langs.map(col): _*)
+    val guessCol = langs.foldLeft(when(maxScore <= 0, lit("und"))) {
+      case (acc, l) => acc.when(col(l) === maxScore, lit(l))
+    }.otherwise(lit("und"))
+    scored.withColumn("guess", guessCol)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
   /** Per-document language guess + confusion matrix vs the labeled lang.
     *
     * Implemented as explode → map-literal lookup → pivot-count rather
@@ -44,27 +70,52 @@ object TextAnalysis {
     val markerMap = map(langProfiles.flatMap { case (l, ms) =>
       ms.flatMap(m => Seq(lit(m), lit(l)))
     }: _*)
-    val scores = docs
+    val hits = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("wd"))
       .select(col("doc_id"), col("lang"), element_at(markerMap, col("wd")).as("ml"))
       .filter(col("ml").isNotNull)
-      .groupBy(col("doc_id"), col("lang"))
-      .pivot("ml", langs)
-      .count()
-    // docs with zero marker hits drop out of `scores`; restore them with
-    // all-zero rows so they classify as 'und' like the direct formulation
-    val scored = docs.select(col("doc_id"), col("lang"))
-      .join(scores, Seq("doc_id", "lang"), "left")
-      .na.fill(0L, langs)
-    val maxScore = greatest(langs.map(col): _*)
-    // ordered when-chain: the alphabetically-first language wins ties
-    val guessCol = langs.foldLeft(when(maxScore <= 0, lit("und"))) {
-      case (acc, l) => acc.when(col(l) === maxScore, lit(l))
-    }.otherwise(lit("und"))
-    scored.withColumn("guess", guessCol)
-      .groupBy(col("lang"), col("guess"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("guess"))
+    confusionFromHits(docs, hits, langs)
+  }
+
+  /** Characteristic char trigrams per language, derived
+    * deterministically from the marker lexicon: every trigram of each
+    * space-padded marker word, kept only when unique to one language.
+    */
+  val charTrigramProfiles: Seq[(String, Seq[String])] = {
+    val raw = langProfiles.map { case (l, ws) =>
+      l -> ws.flatMap { w0 =>
+        val w = s" $w0 "
+        (0 to w.length - 3).map(i => w.substring(i, i + 3))
+      }.distinct
+    }
+    val owners = raw.flatMap { case (l, gs) => gs.map(_ -> l) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    raw.map { case (l, gs) => l -> gs.filter(g => owners(g) == 1) }
+  }
+
+  /** Char-n-gram language ID: the same confusion-matrix output as
+    * [[langIdConfusion]] but scored on character trigrams of the
+    * space-padded text — the classic n-gram profile heuristic, robust
+    * to languages without whitespace tokenization (the zh markers only
+    * ever match here via their padded single-char grams). Topology is
+    * identical: narrow trigram explode + map lookup, one keyed
+    * aggregation.
+    */
+  def langIdCharNgram(docs: DataFrame): DataFrame = {
+    val langs = charTrigramProfiles.map(_._1)
+    val gramMap = map(charTrigramProfiles.flatMap { case (l, gs) =>
+      gs.flatMap(g => Seq(lit(g), lit(l)))
+    }: _*)
+    val hits = docs
+      .select(col("doc_id"), col("lang"),
+        concat(lit(" "), col("text"), lit(" ")).as("t"))
+      .filter(length(col("t")) >= 3) // sequence(1,0) would count backwards
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(expr("sequence(1, length(t) - 2)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        element_at(gramMap, expr("substring(t, i, 3)")).as("ml"))
+      .filter(col("ml").isNotNull)
+    confusionFromHits(docs, hits, langs)
   }
 
   /** Quality metrics per document — integer components plus a boolean

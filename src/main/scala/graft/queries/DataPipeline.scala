@@ -42,6 +42,9 @@ object DataPipeline {
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
+    "q33_langid_ngram" -> { (s, dir) =>
+      TextAnalysis.langIdCharNgram(Tables.load(s, dir, "documents"))
+    },
     "q25_quality" -> { (s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
     },
@@ -131,7 +134,37 @@ object DataPipeline {
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  private val langidNgramSql: String = {
+    val langs = TextAnalysis.charTrigramProfiles.map(_._1)
+    val values = TextAnalysis.charTrigramProfiles.flatMap { case (l, gs) =>
+      gs.map(g => s"('${g.replace("'", "''")}', '$l')")
+    }.mkString(",\n    ")
+    val scoreCols = langs.map(l =>
+      s"count(*) FILTER (h.l = '$l') AS score_$l").mkString(",\n    ")
+    val gm = langs.map(l => s"score_$l").mkString(", ")
+    val cases = langs.map(l =>
+      s"WHEN score_$l = greatest($gm) THEN '$l'").mkString("\n    ")
+    s"""WITH m(g, l) AS (VALUES
+       |    $values),
+       |t AS (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents),
+       |gr AS (SELECT doc_id, lang, substr(t, i, 3) AS g
+       |       FROM (SELECT doc_id, lang, t, unnest(range(1, length(t) - 1)) AS i
+       |             FROM t WHERE length(t) >= 3)),
+       |h AS (SELECT gr.doc_id, m.l FROM gr JOIN m ON gr.g = m.g),
+       |s AS (SELECT t.doc_id, t.lang,
+       |    $scoreCols
+       |  FROM t LEFT JOIN h ON t.doc_id = h.doc_id GROUP BY 1, 2),
+       |g2 AS (SELECT lang,
+       |  CASE WHEN greatest($gm) <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS guess
+       |  FROM s)
+       |SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+       |FROM g2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q33_langid_ngram" -> langidNgramSql,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
