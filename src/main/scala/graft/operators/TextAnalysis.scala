@@ -103,6 +103,9 @@ object TextAnalysis {
     */
   def langIdCharNgram(docs: DataFrame): DataFrame = {
     val langs = charTrigramProfiles.map(_._1)
+    // map-literal lookup: measured faster than a broadcast hash join of
+    // the ~90-gram table at this profile size (the join's build/probe
+    // plumbing costs more than a short literal scan)
     val gramMap = map(charTrigramProfiles.flatMap { case (l, gs) =>
       gs.flatMap(g => Seq(lit(g), lit(l)))
     }: _*)
