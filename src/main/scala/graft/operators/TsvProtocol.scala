@@ -142,8 +142,10 @@ object TsvProtocol {
   }
 
   /** Read one response message; returns the body without the header and
-    * without the trailing newline (empty string for a `0\n` response,
-    * which the caller must not materialize as an output row).
+    * without the trailing newline, or null for a `0\n` "no data right
+    * now" response (which produces no output row). Null — not empty
+    * string — because `1\n\n` is a legitimate one-line response whose
+    * content is empty and must still materialize a row.
     */
   def readMessage(in: InputStream, child: ChildProcess,
                   lastMessage: Boolean = false): String = {
@@ -157,7 +159,7 @@ object TsvProtocol {
       c = readByte(in, child, lastMessage)
     }
     val n = java.lang.Long.parseLong(header.toString)
-    if (n == 0) return ""
+    if (n == 0) return null
     val buf = new ByteArrayOutputStream(1 << 10)
     var newlines = 0L
     while (newlines < n) {

@@ -109,6 +109,19 @@ case class StreamExec(
     if (werr != null) { child.throwIfDead(); throw werr }
   }
 
+  /** Broadcast of the side input. When this operator is columnar, the
+    * planner's transition rule wraps EVERY child — including the
+    * BroadcastExchangeExec the side distribution produced — in
+    * RowToColumnarExec, which cannot executeBroadcast; unwrap it and
+    * take the broadcast from the exchange itself.
+    */
+  private def sideBroadcast(p: SparkPlan): org.apache.spark.broadcast.Broadcast[Array[InternalRow]] =
+    p match {
+      case r: org.apache.spark.sql.execution.RowToColumnarExec =>
+        r.child.executeBroadcast[Array[InternalRow]]()
+      case other => other.executeBroadcast[Array[InternalRow]]()
+    }
+
   /** Input rows regardless of the child's chosen format: when this
     * operator declares columnar support, the planner hands it columnar
     * CHILDREN too (no ColumnarToRow is inserted below), so a columnar
@@ -154,7 +167,7 @@ case class StreamExec(
     val StreamFormat.Arrow(declared) = format: @unchecked
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
-    val sideBc = side.map(_.executeBroadcast[Array[InternalRow]]())
+    val sideBc = side.map(sideBroadcast)
     val inSchema = input.schema
     val sideSchema = side.map(_.schema)
     val command = cmd
@@ -291,7 +304,7 @@ case class StreamExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
-    val sideBc = side.map(_.executeBroadcast[Array[InternalRow]]())
+    val sideBc = side.map(sideBroadcast)
     val inSchema = input.schema
     val sideSchema = side.map(_.schema)
     val outSchema = StructType(output.map(a =>
@@ -323,7 +336,9 @@ case class StreamExec(
               } {
                 resp = TsvProtocol.readMessage(child.stdout, child, lastMessage = last)
               }
-              if (resp != null && resp.nonEmpty) {
+              // null = the protocol's "no data right now"; an empty
+              // string is a real one-empty-line response and keeps its row
+              if (resp != null) {
                 val r = new GenericInternalRow(
                   Array[Any](pid, chunkNo, UTF8String.fromString(resp)))
                 chunkNo += 1
@@ -354,84 +369,15 @@ case class StreamExec(
           out.map { r => outRows += 1; proj(r) }
         }
 
-      case StreamFormat.Arrow(declared) =>
-        inputRows().mapPartitions { iter =>
-          val ctx = TaskContext.get()
-          val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-          val child = new ChildProcess(command, Option(ctx))
-          kids += 1
-          val allocator = new RootAllocator(Long.MaxValue)
-          ctx match {
-            case null => ()
-            case c => c.addTaskCompletionListener[Unit] { _ =>
-              try allocator.close() catch { case _: Throwable => () }
-            }
-          }
-          // batches are written from a helper thread while this thread
-          // drains responses, so buffered rows must own their memory —
-          // copy before grouping
-          val rowChunks = iter.map(_.copy()).grouped(chunk)
+      case StreamFormat.Arrow(_) =>
+        // the planner never row-executes a columnar-only operator
+        // (supportsRowBased = !supportsColumnar, so a ColumnarToRowExec
+        // is always inserted above); keep a thin delegating fallback
+        // instead of a second, drift-prone copy of the protocol loop
+        doExecuteColumnar().mapPartitions { batches =>
+          import scala.jdk.CollectionConverters._
           val proj = UnsafeProjection.create(outSchema)
-          val out = new ExchangeIterator {
-            private var chunkNo = 0L
-            private var sentSide = false
-            private var sentEof = false
-            private def decode(last: Boolean): Iterator[InternalRow] =
-              ArrowProtocol.readMessage(child.stdout, child, allocator, declared,
-                lastMessage = last) match {
-                case None => Iterator.empty
-                case Some(rows) =>
-                  var valueNo = 0L
-                  val decoded = rows.map { r =>
-                    val vals = new Array[Any](declared.length + 3)
-                    var c = 0
-                    while (c < declared.length) {
-                      vals(c) = r.get(c) match {
-                        case s: String => UTF8String.fromString(s)
-                        case other     => other
-                      }
-                      c += 1
-                    }
-                    vals(declared.length) = pid
-                    vals(declared.length + 1) = chunkNo
-                    vals(declared.length + 2) = valueNo
-                    valueNo += 1
-                    new GenericInternalRow(vals): InternalRow
-                  }
-                  chunkNo += 1
-                  decoded.iterator
-              }
-            private def oneExchange(write: => Unit, last: Boolean): Iterator[InternalRow] = {
-              var resp: Iterator[InternalRow] = Iterator.empty
-              exchange(child)(write) { resp = decode(last) }
-              resp
-            }
-            protected def advance(): Iterator[InternalRow] = {
-              if (!sentSide) {
-                sentSide = true
-                val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
-                if (sv.nonEmpty)
-                  return oneExchange(
-                    ArrowProtocol.writeBatchInternal(
-                      child.stdin, allocator, sideSchema.get, sv.toIndexedSeq),
-                    last = false)
-              }
-              if (rowChunks.hasNext) {
-                val rows = rowChunks.next()
-                return oneExchange(
-                  ArrowProtocol.writeBatchInternal(child.stdin, allocator, inSchema, rows),
-                  last = false)
-              }
-              if (!sentEof) {
-                sentEof = true
-                return oneExchange(ArrowProtocol.writeEof(child.stdin), last = true)
-              }
-              child.terminate()
-              allocator.close()
-              null
-            }
-          }
-          out.map { r => outRows += 1; proj(r) }
+          batches.flatMap(_.rowIterator().asScala.map(proj))
         }
     }
   }

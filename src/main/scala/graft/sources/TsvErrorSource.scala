@@ -65,39 +65,84 @@ private class TsvErrorTable(schema: StructType, props: Map[String, String])
     new TsvScanBuilder(schema, options.asScala.toMap ++ props)
 }
 
+/** Minimal serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]): executors need the
+  * driver session's fs.* settings (credentials, defaultFS, custom
+  * filesystems), which a bare `new Configuration()` would drop.
+  */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private class TsvScanBuilder(schema: StructType, opts: Map[String, String])
   extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
+  // Spark option keys are case-insensitive; the merged map mixes
+  // lowercased scan options with original-case table properties
+  private def opt(name: String): Option[String] =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   private def paths: Seq[String] =
-    opts.get("path").toSeq ++ opts.get("paths").toSeq.flatMap(_.split(","))
+    opt("path").toSeq ++ opt("paths").toSeq.flatMap { raw =>
+      // DataFrameReader.load(p1, p2, ...) passes `paths` as a JSON array
+      if (raw.trim.startsWith("["))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(raw, classOf[Array[String]]).toSeq
+      else raw.split(',').toSeq
+    }
 
   private def maxSplitBytes: Long =
-    opts.get("maxSplitBytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
+    opt("maxSplitBytes").map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  private def hasGlob(p: String): Boolean = p.exists("*?[]{}".contains(_))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = hadoopConf.value
     val split = maxSplitBytes
     def partitionsOf(path: String, len: Long): Seq[TsvFilePartition] =
       if (len <= split) Seq(TsvFilePartition(path, 0L, Long.MaxValue))
       else (0L until len by split).map(off =>
         TsvFilePartition(path, off, math.min(split, len - off)))
     paths.flatMap { p =>
-      val fs = new Path(p).getFileSystem(conf)
-      val stat = fs.getFileStatus(new Path(p))
-      if (stat.isDirectory)
-        fs.listStatus(new Path(p)).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .flatMap(s => partitionsOf(s.getPath.toString, s.getLen))
-      else partitionsOf(p, stat.getLen)
+      val p0 = new Path(p)
+      val fs = p0.getFileSystem(conf)
+      val matched = Option(fs.globStatus(p0)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matched.isEmpty)
+        throw new java.io.FileNotFoundException(s"no files match path $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && !hidden(s.getPath.getName))
+            .flatMap(s => partitionsOf(s.getPath.toString, s.getLen))
+        else if (hasGlob(p) && hidden(st.getPath.getName))
+          Seq.empty // globs skip hidden files like the built-in sources
+        else
+          partitionsOf(st.getPath.toString, st.getLen)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(schema.length - 1,
-      opts.getOrElse("delimiter", "\t").charAt(0))
+      opt("delimiter").getOrElse("\t").charAt(0), hadoopConf)
 }
 
 private case class TsvFilePartition(path: String, start: Long, length: Long)
@@ -181,13 +226,13 @@ private class LineScanner(in: java.io.InputStream) {
   }
 }
 
-private class TsvReaderFactory(nAttrs: Int, delim: Char)
+private class TsvReaderFactory(nAttrs: Int, delim: Char,
+                               hadoopConf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvFilePartition]
     new PartitionReader[InternalRow] {
-      private val fs = new Path(p.path)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = new Path(p.path).getFileSystem(hadoopConf.value)
       private val stream = fs.open(new Path(p.path))
       private val end: Long =
         if (p.length == Long.MaxValue) Long.MaxValue else p.start + p.length

@@ -76,6 +76,36 @@ class StreamArrowSpec extends SparkSpec {
       ("id", LongType), ("d", DoubleType), ("s", StringType)))
   }
 
+  test("Arrow side input is delivered first under the columnar plan") {
+    // regression: the columnar transition rule wraps the side
+    // BroadcastExchangeExec in RowToColumnarExec, which cannot
+    // executeBroadcast — StreamExec must unwrap it. The echo child
+    // answers the side batch as its first message, so its rows appear
+    // in the output ahead of the partition rows.
+    val df = spark.range(0, 10).coalesce(1).select($"id")
+    val side = spark.range(100, 103).select($"id")
+    val declared = StructType(Seq(StructField("id", LongType)))
+    val out = Stream.arrow(df, echoCmd, declared, side = Some(side)).collect()
+    assert(out.length == 13)
+    val firstChunk = out.filter(_.getAs[Long]("chunk_no") == 0L).map(_.getLong(0)).sorted
+    assert(firstChunk.toSeq == Seq(100L, 101L, 102L))
+    assert(out.map(_.getLong(0)).sum == (0L until 10L).sum + 100 + 101 + 102)
+  }
+
+  test("a one-line empty TSV response keeps its row ('1\\n\\n' is not 'no data')") {
+    // child answers every chunk with exactly one empty line
+    val emptyLine =
+      """awk -W interactive 'BEGIN{n=-1}
+        |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; next }
+        |  else     { if (--n==0) { printf "1\n\n"; fflush(); n=-1 } } }'"""
+        .stripMargin.replace("\n", " ")
+    val df = spark.range(0, 6).coalesce(1).select($"id")
+    val out = Stream.tsv(df, emptyLine, chunkSize = 3).collect()
+    assert(out.length == 2) // one empty-but-real response per chunk
+    assert(out.forall(_.getString(2) == ""))
+    assert(out.map(_.getAs[Long]("chunk_no")).sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("unsupported declared types are rejected eagerly") {
     val df = spark.range(0, 1).select($"id")
     val bad = StructType(Seq(StructField("t", TimestampType)))

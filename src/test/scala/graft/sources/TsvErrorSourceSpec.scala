@@ -80,6 +80,40 @@ class TsvErrorSourceSpec extends SparkSpec {
     assert(df.select($"a0").as[String].collect().sorted.toSeq == lines.sorted)
   }
 
+  test("multi-path load, globs, and hidden-file exclusion") {
+    val dir = Files.createTempDirectory("graft_multi").toString
+    Files.writeString(Paths.get(dir, "a.tsv"), "1\tx\n")
+    Files.writeString(Paths.get(dir, "b.tsv"), "2\ty\n")
+    Files.writeString(Paths.get(dir, ".hidden.tsv"), "9\tz\n")
+    Files.writeString(Paths.get(dir, "_temp.tsv"), "9\tz\n")
+    def read(paths: String*) = {
+      val r = spark.read.format("graft.sources.TsvErrorSource")
+        .option("numAttributes", "2")
+      r.load(paths: _*)
+    }
+    // DataFrameReader.load(p1, p2) ships `paths` as a JSON array
+    val two = read(s"$dir/a.tsv", s"$dir/b.tsv")
+    assert(two.select($"a0").as[String].collect().sorted.toSeq == Seq("1", "2"))
+    // glob expansion skips hidden files
+    val glob = read(s"$dir/*.tsv")
+    assert(glob.select($"a0").as[String].collect().sorted.toSeq == Seq("1", "2"))
+    // directory listing skips _ and . files
+    val all = read(dir)
+    assert(all.select($"a0").as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
+  test("option keys are case-insensitive") {
+    val dir = Files.createTempDirectory("graft_ci").toString
+    Files.writeString(Paths.get(dir, "f.tsv"),
+      (0 until 64).map(i => s"$i\tv").mkString("", "\n", "\n"))
+    val df = spark.read.format("graft.sources.TsvErrorSource")
+      .option("NUMATTRIBUTES", "2").option("maxsplitbytes", "64")
+      .load(dir)
+    assert(df.columns.toSeq == Seq("a0", "a1", "error"))
+    assert(df.rdd.getNumPartitions > 1) // the lowercased split option applied
+    assert(df.count() == 64)
+  }
+
   test("custom delimiter") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Files.writeString(Paths.get(dir, "f.csv"), "a,b\nc,d\n")
