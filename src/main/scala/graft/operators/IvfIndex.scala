@@ -36,9 +36,10 @@ object IvfIndex {
     array_min(array(scored: _*)).getField("cid")
   }
 
-  /** Train centroids with a few Lloyd iterations. Returns (cid, vector). */
-  def train(emb: DataFrame, nLists: Int = 8, iters: Int = 3,
-            dim: Int = 64): Seq[(Int, Seq[Double])] = {
+  /** Train centroids with a few Lloyd iterations. Returns (cid, vector);
+    * dimensionality is inferred from the data.
+    */
+  def train(emb: DataFrame, nLists: Int = 8, iters: Int = 3): Seq[(Int, Seq[Double])] = {
     VectorExpressions.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v")).cache()
@@ -73,6 +74,44 @@ object IvfIndex {
       .withColumn("list_id", centroidArgmin(centroids))
   }
 
+  /** Scored scan of `probed` against the already-collected query vector:
+    * the query rides as a literal array (no second corpus scan, no
+    * cross join), the per-row division is `try_divide` (a zero-norm
+    * vector scores null instead of throwing under ANSI).
+    */
+  private def scoreAgainst(probed: DataFrame, qRow: Seq[Double],
+                           k: Int): DataFrame = {
+    val qv = array(qRow.map(lit): _*)
+    val qn = math.sqrt(qRow.map(x => x * x).sum)
+    probed.select(col("vec_id"),
+        round(try_divide(call_function("graft_dot", col("v"), qv),
+          sqrt(call_function("graft_dot", col("v"), col("v"))) * lit(qn)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  private def nearestLists(centroids: Seq[(Int, Seq[Double])],
+                           qRow: Seq[Double], nProbe: Int): Seq[Int] =
+    centroids.map { case (cid, c) =>
+      (cid, c.zip(qRow).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
+  /** Top-k cosine search probing only the query's `nProbe` nearest
+    * lists. One head lookup for the query vector plus ONE pass over the
+    * probed fraction of the corpus (the assignment lineage is cached so
+    * the lookup does not re-score the corpus).
+    */
+  def topK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], queryVecId: Long,
+           k: Int = 20, nProbe: Int = 2): DataFrame = {
+    val indexed = assign(emb, centroids).cache()
+    val qRow = indexed.filter(col("vec_id") === queryVecId)
+      .select(col("v")).head.getSeq[Double](0).toSeq
+    val probeLists = nearestLists(centroids, qRow, nProbe)
+    scoreAgainst(
+      indexed.filter(col("vec_id") =!= queryVecId && col("list_id").isin(probeLists: _*)),
+      qRow, k)
+  }
+
   /** Materialise the IVF-flat layout: the assigned corpus written as
     * parquet partitioned by `list_id` (one directory per inverted
     * list), plus the centroid table. At 100 TB this is the layout that
@@ -93,7 +132,8 @@ object IvfIndex {
 
   /** Top-k cosine search against a materialised index: the probed lists
     * arrive as a partition-column filter, so only those directories are
-    * scanned.
+    * scanned, and the single scoring pass reuses the collected query
+    * vector as a literal (no second scan, no cross join).
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryVecId: Long, k: Int = 20, nProbe: Int = 2): DataFrame = {
@@ -103,44 +143,10 @@ object IvfIndex {
     val lists = spark.read.parquet(s"$path/lists")
     val qRow = lists.filter(col("vec_id") === queryVecId)
       .select(col("v")).head.getSeq[Double](0).toSeq
-    val probeLists = centroids.map { case (cid, c) =>
-      (cid, c.zip(qRow).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy(_._2).take(nProbe).map(_._1)
-    val q = broadcast(
-      lists.filter(col("vec_id") === queryVecId)
-        .select(col("v").as("qv"),
-          sqrt(call_function("graft_dot", col("v"), col("v"))).as("qn")))
-    lists
-      .filter(col("list_id").isin(probeLists: _*)) // partition pruning
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(q)
-      .select(col("vec_id"),
-        round(call_function("graft_dot", col("v"), col("qv")) /
-          (sqrt(call_function("graft_dot", col("v"), col("v"))) * col("qn")), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-  }
-
-  /** Top-k cosine search probing only the query's `nProbe` nearest lists. */
-  def topK(emb: DataFrame, centroids: Seq[(Int, Seq[Double])], queryVecId: Long,
-           k: Int = 20, nProbe: Int = 2): DataFrame = {
-    val indexed = assign(emb, centroids)
-    val qRow = indexed.filter(col("vec_id") === queryVecId)
-      .select(col("v")).head.getSeq[Double](0).toSeq
-    val probeLists = centroids.map { case (cid, c) =>
-      val d = c.zip(qRow).map { case (a, b) => (a - b) * (a - b) }.sum
-      (cid, d)
-    }.sortBy(_._2).take(nProbe).map(_._1)
-    val q = indexed.filter(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"),
-        sqrt(call_function("graft_dot", col("v"), col("v"))).as("qn"))
-    indexed
-      .filter(col("vec_id") =!= queryVecId && col("list_id").isin(probeLists: _*))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(call_function("graft_dot", col("v"), col("qv")) /
-          (sqrt(call_function("graft_dot", col("v"), col("v"))) * col("qn")), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
+    val probeLists = nearestLists(centroids, qRow, nProbe)
+    scoreAgainst(
+      lists.filter(col("list_id").isin(probeLists: _*)) // partition pruning
+        .filter(col("vec_id") =!= queryVecId),
+      qRow, k)
   }
 }

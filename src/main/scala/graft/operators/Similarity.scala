@@ -8,7 +8,12 @@ import graft.functions.VectorExpressions
   *
   * `cosine`/`dot` use the native `graft_dot` Catalyst expression
   * (graft.functions.DotProduct) — a tight codegen'd loop, no UDF, no
-  * interpreted higher-order lambdas in the hot path.
+  * interpreted higher-order lambdas in the hot path. Cosine divisions
+  * go through `try_divide`: under Spark 4's default ANSI mode a plain
+  * division throws DIVIDE_BY_ZERO on a zero-norm (dead/padded)
+  * embedding, killing the whole query; `try_divide` scores such rows
+  * null, and null never passes a threshold filter or outranks a real
+  * score.
   *
   * Scale path: brute force is O(n) per query (fine for broadcast query
   * batches against a scanned corpus — 100 TB of vectors stream through
@@ -31,7 +36,38 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
+
+  /** Fail fast (with a clear message) when the embedding column is
+    * shorter than the hyperplane dimensionality: under ANSI mode the
+    * projection's `element_at` would otherwise throw a bare
+    * INVALID_ARRAY_INDEX mid-job, and with ANSI off it would silently
+    * zero every bucket bit. One `limit(1)` job — negligible even on a
+    * huge corpus (first file only).
+    */
+  private def requireDim(emb: DataFrame, dim: Int): Unit = {
+    val first = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    first.headOption.foreach { r =>
+      require(r.getInt(0) >= dim,
+        s"embedding dimension ${r.getInt(0)} is smaller than the requested " +
+          s"hyperplane dimensionality $dim; pass dim <= the vector length")
+    }
+  }
+
+  /** Sign-bit column for hyperplane `plane`: the deterministic
+    * "random" hyperplane h[d] = sin(1 + plane * dim + d) — a fixed
+    * quasi-random pattern identical on every executor. Shared by
+    * [[hyperplaneBuckets]] and [[lshNearDupPairs]] so their bucketing
+    * can never drift apart.
+    */
+  private def planeBit(plane: Int, bit: Int, dim: Int): Column = {
+    val proj = (0 until dim).map { d =>
+      element_at(col("v"), d + 1).cast("double") *
+        sin(lit((1 + plane * dim + d).toDouble))
+    }.reduce(_ + _)
+    when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
+  }
 
   /** Exact top-k nearest neighbours of one query vector (by vec_id) over
     * the whole corpus: the brute-force baseline. The query row is tiny →
@@ -47,7 +83,7 @@ object Similarity {
     e.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 4).as("cos"))
+        round(try_divide(dot(col("v"), col("qv")), norm(col("v")) * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -64,28 +100,23 @@ object Similarity {
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Random-hyperplane LSH bucketing: `bits` pseudo-random hyperplanes
-    * derived deterministically from the dimension index (seeded, no RNG
-    * at plan time), vectors keyed by the sign-pattern bucket. ANN then
-    * searches only the query's bucket (and optionally neighbours).
+  /** Random-hyperplane LSH bucketing: `bits` pseudo-random hyperplanes,
+    * vectors keyed by the sign-pattern bucket. ANN then searches only
+    * the query's bucket (and optionally neighbours). Output is
+    * (vec_id, v, bucket) — no schema requirements beyond
+    * (vec_id, embedding).
     */
   def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    // deterministic "random" hyperplane h_b[d] = sin(1 + b * dim + d),
-    // a fixed quasi-random pattern identical on every executor
-    val bucketBits: Seq[Column] = (0 until bits).map { b =>
-      val proj = (0 until dim).map { d =>
-        element_at(col("v"), d + 1).cast("double") * sin(lit((1 + b * dim + d).toDouble))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
-    }
-    emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+    requireDim(emb, dim)
+    val bucketBits = (0 until bits).map(b => planeBit(b, b, dim))
+    emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
@@ -94,7 +125,9 @@ object Similarity {
     * `tables` hash tables buckets every vector by `bits` hyperplane
     * signs (table t uses hyperplanes `t*bits..t*bits+bits-1`, so tables
     * are independent); candidates are pairs sharing a bucket in ANY
-    * table; exact cosine verification filters them to `>= threshold`.
+    * table; exact cosine verification filters them to `>= threshold`
+    * (on the raw score, like every other near-dup operator here;
+    * rounding happens after the filter).
     *
     * Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables —
     * at cos 0.8 with bits=4/tables=8 that is ≈0.985 — while the
@@ -107,17 +140,12 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, threshold: Double = 0.8,
                       bits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
+    requireDim(emb, dim)
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
       .cache() // bucketing + both verification sides
     val bucketCols = (0 until tables).map { t =>
-      val bucketBits = (0 until bits).map { b =>
-        val plane = t * bits + b
-        val proj = (0 until dim).map { d =>
-          element_at(col("v"), d + 1).cast("double") * sin(lit((1 + plane * dim + d).toDouble))
-        }.reduce(_ + _)
-        when(proj >= 0, lit(1 << b)).otherwise(lit(0))
-      }
+      val bucketBits = (0 until bits).map(b => planeBit(t * bits + b, b, dim))
       struct(lit(t).as("t"), bucketBits.reduce(_ + _).as("b")).as(s"bk$t")
     }
     val buckets = base
@@ -132,8 +160,9 @@ object Similarity {
       .join(base.as("za"), col("va") === col("za.vec_id"))
       .join(base.as("zb"), col("vb") === col("zb.vec_id"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-        round(dot(col("za.v"), col("zb.v")) / (col("za.nrm") * col("zb.nrm")), 4).as("cos"))
+        try_divide(dot(col("za.v"), col("zb.v")), col("za.nrm") * col("zb.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -149,7 +178,7 @@ object Similarity {
     bucketed.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"),
-        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), 4).as("cos"))
+        round(try_divide(dot(col("v"), col("qv")), norm(col("v")) * col("qn")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -37,41 +37,61 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
 
   /** Gap-based sessionization with explicit state: a session closes when
-    * >30 min pass without an event for that user (the streaming
-    * equivalent of the batch q16_sessionize query). Emits one row per
-    * closed session; a processing-time timeout flushes the open session
-    * when the stream ends.
+    * >gap passes without an event for that user (the streaming
+    * equivalent of the batch q16_sessionize query), emitted as one row
+    * per closed session. Each group's state carries an EVENT-time
+    * timeout at lastSec + gap, so a user that simply goes quiet has
+    * their final session flushed as soon as the stream's watermark
+    * passes the gap — no wall-clock wait, no state parked forever.
+    * (A processing-time timeout would also force the engine to schedule
+    * wall-clock batches, making `processAllAvailable` block for the
+    * whole gap.)
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "0 seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // within a micro-batch, order the user's events by time
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[SessionUpdate]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            st match {
-              case null =>
-                st = SessionState(1, e.value, sec, sec)
-              case s if sec - s.lastSec > gapSeconds =>
-                closed += SessionUpdate(userId, s.n, s.sum, s.startSec, s.lastSec)
-                st = SessionState(1, e.value, sec, sec)
-              case s =>
-                st = SessionState(s.n + 1, s.sum + e.value, s.startSec, sec)
+          if (state.hasTimedOut) {
+            // the watermark passed lastSec + gap: the open session is over
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.n, s.sum, s.startSec, s.lastSec))
+          } else {
+            // within a micro-batch, order the user's events by time
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              st match {
+                case null =>
+                  st = SessionState(1, e.value, sec, sec)
+                case s if sec - s.lastSec > gapSeconds =>
+                  closed += SessionUpdate(userId, s.n, s.sum, s.startSec, s.lastSec)
+                  st = SessionState(1, e.value, sec, sec)
+                case s =>
+                  st = SessionState(s.n + 1, s.sum + e.value, s.startSec, sec)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // must stay above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                (st.lastSec + gapSeconds) * 1000 + 1,
+                state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            closed.result().iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          closed.result().iterator
       }
   }
 
-  /** Flush any open sessions from the state store by sending a
-    * synthetic end-of-stream far in the future (test/drain helper).
+  /** Synthetic far-future event: advances the event-time watermark past
+    * every open session's timeout, so [[sessionize]] flushes them all —
+    * the deterministic end-of-stream drain for tests and batch replays.
     */
   def drainSentinel(maxSec: Long): Event =
     Event(Long.MaxValue, new Timestamp((maxSec + 1000000L) * 1000L), -1L, "drain", 0.0)

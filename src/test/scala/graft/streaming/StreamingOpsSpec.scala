@@ -70,6 +70,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamedSessions == batch)
   }
 
+  test("a quiet user's open session flushes via the event-time timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("timeout_out").start()
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    // user 7 has two events, then goes silent forever
+    mem.addData(Seq(
+      Event(1L, new java.sql.Timestamp(base * 1000), 7L, "view", 1.0),
+      Event(2L, new java.sql.Timestamp((base + 10) * 1000), 7L, "view", 2.0)))
+    q.processAllAvailable()
+    // only OTHER traffic advances the watermark past the gap
+    mem.addData(Seq(
+      Event(3L, new java.sql.Timestamp((base + 1000) * 1000), 8L, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("timeout_out")
+      .filter($"user_id" === 7L).collect()
+    assert(got.length == 1, got.mkString(","))
+    assert(got.head.getAs[Long]("n_events") == 2L)
+    assert(got.head.getAs[Long]("start_sec") == base)
+    assert(got.head.getAs[Long]("end_sec") == base + 10)
+  }
+
   test("streaming exact dedup drops within-watermark duplicates, keeps state on the hash") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
