@@ -31,6 +31,10 @@ object Multimodal {
 
   def pack(width: Int, height: Int, channels: Int, kind: Int,
            payload: Array[Byte]): Array[Byte] = {
+    require(width >= 0 && width <= 0xffff && height >= 0 && height <= 0xffff,
+      s"width/height must fit u16, got ${width}x$height")
+    require(channels >= 0 && channels <= 0xff && kind >= 0 && kind <= 0xff,
+      s"channels/kind must fit u8, got channels=$channels kind=$kind")
     val b = ByteBuffer.allocate(HeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
     b.put("GRFT".getBytes("ASCII"))
     b.putShort(width.toShort).putShort(height.toShort)
@@ -86,12 +90,20 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val payload = if (bytes != null && bytes.length > HeaderLen)
-          bytes.drop(HeaderLen) else Array.emptyByteArray
-        var sum = 0L
-        payload.foreach(b => sum += (b & 0xff))
-        val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-        Row.fromSeq(r.toSeq ++ Seq[Any](payload.length.toLong, sum, mean))
+        // invalid containers get null stats, matching decodeHeader's
+        // valid=false (garbage blobs must not pollute feature stats)
+        val meta = parseHeader(bytes)
+        if (meta.isNullAt(0) || !meta.getBoolean(5))
+          Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null))
+        else {
+          // index into the array directly: no per-row payload copy
+          var sum = 0L
+          var i = HeaderLen
+          while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+          val n = bytes.length - HeaderLen
+          val mean = if (n == 0) 0.0 else sum.toDouble / n
+          Row.fromSeq(r.toSeq ++ Seq[Any](n.toLong, sum, mean))
+        }
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

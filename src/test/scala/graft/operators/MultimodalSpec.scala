@@ -27,12 +27,26 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures computes payload stats distributively") {
-    val out = Multimodal.extractFeatures(mediaDf.filter($"id" < 999), "blob")
-    assert(out.count() == 50)
+    val out = Multimodal.extractFeatures(mediaDf, "blob")
+    assert(out.count() == 51)
     val r = out.filter($"id" === 1).head
     val expected = Array.tabulate[Byte](1 * 7 % 97 + 10)(j => ((1 + j) % 251).toByte)
     assert(r.getAs[Long]("payload_bytes") == expected.length.toLong)
     assert(r.getAs[Long]("payload_checksum") == expected.map(_ & 0xff).sum.toLong)
+    // corrupt container yields null stats, not garbage numbers
+    val bad = out.filter($"id" === 999).head
+    assert(bad.isNullAt(out.schema.fieldIndex("payload_bytes")) &&
+      bad.isNullAt(out.schema.fieldIndex("payload_checksum")) &&
+      bad.isNullAt(out.schema.fieldIndex("mean_byte")))
+  }
+
+  test("pack rejects dimensions that overflow the header fields") {
+    intercept[IllegalArgumentException] {
+      Multimodal.pack(70000, 1, 1, 0, Array[Byte](1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.pack(1, 1, 300, 0, Array[Byte](1))
+    }
   }
 
   test("sampleFrames explodes payloads into strided frame rows") {
