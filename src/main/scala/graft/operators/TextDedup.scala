@@ -195,4 +195,37 @@ object TextDedup {
       .withColumn("simhash", expr(hashExpr))
       .select(col("doc_id"), col("simhash"))
   }
+
+  /** SimHash near-duplicate pair mining: (doc_a, doc_b, hamming) for all
+    * pairs whose 16-bit simhashes differ in at most `maxHamming` bits.
+    *
+    * Candidates come from 4-bit band blocking — by pigeonhole, flipping
+    * ≤ 3 of 16 bits can touch at most 3 of the 4 bands, so every
+    * qualifying pair shares at least one exact band value and recall is
+    * exactly 1 (no probabilistic miss, unlike MinHash banding). The
+    * self-join is keyed on (band, band value): its output is
+    * proportional to actual band collisions, never |corpus|², which is
+    * what keeps it viable at corpus scale; the exact `bit_count(a ^ b)`
+    * verification then removes same-band-different-bits false positives.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 16 bits only guarantees recall for hamming <= 3")
+    val bands = simhash(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, band * 4) % 16"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -39,6 +39,12 @@ object DataPipeline {
     "q23_simhash" -> { (s, dir) =>
       TextDedup.simhash(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
     },
+    // SimHash pair mining: band-blocked candidates + exact hamming
+    // verify. The brute-force O(n²) oracle proves the 4-band blocking
+    // loses no pair at hamming <= 3 (pigeonhole recall = 1).
+    "q34_simhash_pairs" -> { (s, dir) =>
+      TextDedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+    },
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
@@ -96,7 +102,11 @@ object DataPipeline {
       |SELECT da AS doc_a, db AS doc_b, round(jac, 4) AS jaccard
       |FROM j WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin
 
-  private val simhashSql: String = {
+  /** Shared CTE prefix computing `s(doc_id, simhash)` — the exact
+    * md5-hex-digit SimHash the Spark operator computes, reused by the
+    * q23 (signatures) and q34 (pair-mining) oracles.
+    */
+  private val simhashCore: String = {
     val bitSums = (0 until 16).map { j =>
       val p = j / 4 + 1
       val ones = "0123456789abcdef"
@@ -110,9 +120,21 @@ object DataPipeline {
        |h AS (SELECT doc_id, md5(wd) AS h FROM wd),
        |b AS (SELECT doc_id,
        |    $bitSums
-       |  FROM h GROUP BY 1)
-       |SELECT doc_id, CAST($hashExpr AS INT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, CAST($hashExpr AS INT) AS simhash FROM b)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"""$simhashCore
+       |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  private val simhashPairsSql: String =
+    s"""$simhashCore
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+       |FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
 
   private val langidSql: String = {
     val scores = TextAnalysis.langProfiles.map { case (l, ms) =>
@@ -215,6 +237,7 @@ object DataPipeline {
          |FROM documents WHERE doc_id NOT IN (SELECT db FROM j)""".stripMargin,
 
     "q23_simhash" -> simhashSql,
+    "q34_simhash_pairs" -> simhashPairsSql,
     "q24_langid" -> langidSql,
 
     "q25_quality" -> {

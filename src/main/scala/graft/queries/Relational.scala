@@ -171,6 +171,34 @@ object Relational {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // cube (full grouping-set lattice) with grouping() flags so the
+    // subtotal rows are self-describing.
+    "q63_cube" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 4).as("sum_qty"),
+          grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"))
+        .orderBy($"g_flag", $"g_status",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // exact discrete percentiles per group (percentile_disc picks an
+    // actual data value — no cross-engine interpolation arithmetic).
+    "q64_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_qty"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_qty"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
     // set ops: parts never ordered (EXCEPT is set-distinct semantics).
     "q12_except" -> { (s, dir) =>
       import s.implicits._
@@ -384,6 +412,24 @@ object Relational {
         |  round(sum(l_quantity),4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q63_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity),4) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q64_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_price,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q12_except" ->
       """SELECT p_partkey AS key FROM part
