@@ -100,16 +100,25 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       maxShingleFreq: Option[Long] = None): DataFrame = {
-    val shRaw = wordShingles(docs)
-    // the shingle table feeds signatures and two verification join
-    // sides — materialise it once instead of re-shingling 3×
-    val sh = (maxShingleFreq match {
+    // one doc-sized row per document: the set array feeds the exploded
+    // signature aggregation AND both verification join sides — joining
+    // the compact sets table (|corpus| rows) beats re-joining the
+    // exploded shingle table (Σ|set| rows) twice, and `array_intersect`
+    // on two already-distinct arrays is a per-pair hash probe
+    val setsRaw = shingleSets(docs)
+    val sets = (maxShingleFreq match {
       case Some(cap) =>
-        val hot = shRaw.groupBy(col("sh")).agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap).select(col("sh"))
-        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
-      case None => shRaw
-    }).cache()
+        // hot shingles (stopword n-grams) are removed from the SETS, so
+        // signatures and verification see the same capped universe
+        val hot = setsRaw.select(explode(col("set")).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap)
+          .agg(collect_list(col("sh")).as("hot"))
+        setsRaw.crossJoin(broadcast(hot))
+          .select(col("doc_id"), array_except(col("set"), col("hot")).as("set"))
+      case None => setsRaw
+    }).withColumn("n", size(col("set")).cast("long")).cache()
+    val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
     val sigs = minhashSignatures(sh)
     val bands = lshBands(sigs)
     val candidates = bands.as("a")
@@ -118,18 +127,13 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // set sizes ride along on the signature aggregation — no second
-    // groupBy over the (much larger) shingle table. Left as plain joins:
-    // at corpus scale `sizes` is corpus-sized (not broadcastable) and
-    // AQE picks broadcast automatically when it is small.
-    val sizes = sigs.select(col("doc_id"), col("n"))
-    val common = candidates
-      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("za"), col("da") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+    // verification: two joins against the doc-sized sets table (AQE
+    // broadcasts it when small; at corpus scale it shuffles on doc_id,
+    // still ∝ candidates, never ∝ shingles)
+    candidates
+      .join(sets.as("za"), col("da") === col("za.doc_id"))
+      .join(sets.as("zb"), col("db") === col("zb.doc_id"))
+      .withColumn("common", size(array_intersect(col("za.set"), col("zb.set"))).cast("long"))
       .withColumn("jac", col("common") / (col("za.n") + col("zb.n") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two near-identical docs (0, 1) and one unrelated doc (2)
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy cat tonight"),
+    (2L, "completely different words about spark query planning engines")
+  ).toDF("doc_id", "text").repartition(3)
+
+  test("minhashLshPairs finds the true near-dup pair and nothing else") {
+    val pairs = TextDedup.minhashLshPairs(docs, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // 8 distinct trigram shingles each; the 2 containing dog/cat differ:
+    // jaccard = 6 / (8 + 8 - 6)
+    assert(math.abs(pairs.head.getDouble(2) - 0.6) < 1e-3)
+  }
+
+  test("maxShingleFreq cap removes boilerplate shingles from sets AND signatures") {
+    // 8-word boilerplate shared by four docs: its 6 interior trigrams
+    // have frequency 4. Docs 3-4 (and 5-6) differ only in the tail, so
+    // uncapped their jaccard is 7/9 — found at threshold 0.5. Capping at
+    // freq <= 3 deletes the boilerplate trigrams from the shingle
+    // universe, dropping every cross-pair below threshold.
+    val bp = "aaa bbb ccc ddd eee fff ggg hhh"
+    val cluster = Seq(
+      (3L, s"$bp unique one"), (4L, s"$bp unique two"),
+      (5L, s"$bp filler alpha"), (6L, s"$bp filler beta")
+    ).toDF("doc_id", "text").repartition(2)
+    val uncapped = TextDedup.minhashLshPairs(cluster, threshold = 0.5).collect()
+    assert(uncapped.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
+    val capped = TextDedup.minhashLshPairs(cluster, threshold = 0.5,
+      maxShingleFreq = Some(3)).collect()
+    assert(capped.isEmpty)
+  }
+
+  test("simhashPairs matches the brute-force hamming join (recall = 1)") {
+    val mined = TextDedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val s = TextDedup.simhash(docs)
+    val brute = s.as("a").join(s.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        expr("bit_count(a.simhash ^ b.simhash)").as("h"))
+      .filter($"h" <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mined == brute)
+  }
+
+  test("simhashPairs rejects maxHamming beyond the blocking guarantee") {
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(docs, maxHamming = 4)
+    }
+  }
+}
