@@ -81,13 +81,7 @@ object ArrowProtocol {
         col += 1
       }
       root.setRowCount(rows.length)
-      val baos = new ByteArrayOutputStream(1 << 12)
-      val writer = new ArrowStreamWriter(root, null, Channels.newChannel(baos))
-      writer.start(); writer.writeBatch(); writer.end(); writer.close()
-      val payload = baos.toByteArray
-      writeLen(out, payload.length.toLong)
-      out.write(payload)
-      out.flush()
+      writeRoot(out, root)
     } finally root.close()
   }
 
@@ -126,14 +120,82 @@ object ArrowProtocol {
         col += 1
       }
       root.setRowCount(rows.length)
-      val baos = new ByteArrayOutputStream(1 << 12)
-      val writer = new ArrowStreamWriter(root, null, Channels.newChannel(baos))
-      writer.start(); writer.writeBatch(); writer.end(); writer.close()
-      val payload = baos.toByteArray
-      writeLen(out, payload.length.toLong)
-      out.write(payload)
-      out.flush()
+      writeRoot(out, root)
     } finally root.close()
+  }
+
+  /** Encode a slice of a Spark `ColumnarBatch` — the columnar INPUT
+    * path: when the operator's child is itself columnar (vectorized
+    * parquet scan, another Arrow pipe), values move column-at-a-time
+    * from the child vectors into the Arrow builders with no
+    * `InternalRow` materialization, no per-row `copy()`, and no
+    * per-value virtual dispatch on the schema (one type match per
+    * column, then a tight primitive loop).
+    */
+  def writeColumnarSlice(out: OutputStream, allocator: BufferAllocator,
+                         schema: StructType,
+                         batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+                         start: Int, n: Int): Unit = {
+    val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+    try {
+      root.allocateNew()
+      var col = 0
+      while (col < schema.length) {
+        val cv = batch.column(col)
+        root.getVector(col) match {
+          case v: BigIntVector =>
+            var i = 0
+            while (i < n) {
+              if (cv.isNullAt(start + i)) v.setNull(i)
+              else v.setSafe(i, cv.getLong(start + i))
+              i += 1
+            }
+          case v: IntVector =>
+            var i = 0
+            while (i < n) {
+              if (cv.isNullAt(start + i)) v.setNull(i)
+              else v.setSafe(i, cv.getInt(start + i))
+              i += 1
+            }
+          case v: Float8Vector =>
+            var i = 0
+            while (i < n) {
+              if (cv.isNullAt(start + i)) v.setNull(i)
+              else v.setSafe(i, cv.getDouble(start + i))
+              i += 1
+            }
+          case v: VarCharVector =>
+            var i = 0
+            while (i < n) {
+              if (cv.isNullAt(start + i)) v.setNull(i)
+              else v.setSafe(i, cv.getUTF8String(start + i).getBytes)
+              i += 1
+            }
+          case v: VarBinaryVector =>
+            var i = 0
+            while (i < n) {
+              if (cv.isNullAt(start + i)) v.setNull(i)
+              else v.setSafe(i, cv.getBinary(start + i))
+              i += 1
+            }
+          case v => throw new IllegalStateException(s"unexpected vector $v")
+        }
+        col += 1
+      }
+      root.setRowCount(n)
+      writeRoot(out, root)
+    } finally root.close()
+  }
+
+  /** Frame one filled root as a length-prefixed single-batch IPC stream. */
+  private def writeRoot(out: OutputStream, root: VectorSchemaRoot): Unit = {
+    val baos = new ByteArrayOutputStream(1 << 12)
+    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(baos))
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    val payload = baos.toByteArray
+    writeLen(out, payload.length.toLong)
+    out.write(payload)
+    out.flush()
   }
 
   /** End-of-data: a bare zero length (reference `writeFinalFeather`). */

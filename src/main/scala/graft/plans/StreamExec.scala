@@ -172,13 +172,17 @@ case class StreamExec(
     val sideSchema = side.map(_.schema)
     val command = cmd
     val chunk = chunkSize
-    inputRows().mapPartitions { iter =>
-      val ctx = TaskContext.get()
-      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-      val child = new ChildProcess(command, Option(ctx))
-      kids += 1
-      val allocator = new RootAllocator(Long.MaxValue)
-      val rowChunks = iter.map(_.copy()).grouped(chunk)
+    // Each partition reduces to a sequence of frame-write thunks; the
+    // protocol iterator below is shared by both input shapes. Columnar
+    // children (vectorized parquet scan, an upstream Arrow pipe) encode
+    // column-at-a-time straight from their vectors — no InternalRow
+    // materialization, no per-row copy; a batch's slices are all
+    // exchanged before the next batch is pulled, so buffer reuse by the
+    // scan is safe. Row children keep the copy+group path (the input
+    // iterator may reuse row objects across next() calls).
+    def partitionIterator(frames: Iterator[() => Unit], child: ChildProcess,
+                          allocator: RootAllocator, ctx: TaskContext,
+                          pid: Long): Iterator[ColumnarBatch] = {
       val out = new Iterator[ColumnarBatch] {
         private var pendingBatch: ColumnarBatch = null
         private var pendingReader: ArrowStreamReader = null
@@ -264,11 +268,9 @@ case class StreamExec(
               if (b.isDefined) return b
             }
           }
-          while (rowChunks.hasNext) {
-            val rows = rowChunks.next()
-            val b = oneExchange(
-              ArrowProtocol.writeBatchInternal(child.stdin, allocator, inSchema, rows),
-              last = false)
+          while (frames.hasNext) {
+            val w = frames.next()
+            val b = oneExchange(w(), last = false)
             if (b.isDefined) return b
           }
           if (!sentEof) {
@@ -298,6 +300,38 @@ case class StreamExec(
         }
       }
       out
+    }
+
+    if (input.supportsColumnar) {
+      input.executeColumnar().mapPartitions { batches =>
+        val ctx = TaskContext.get()
+        val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+        val child = new ChildProcess(command, Option(ctx))
+        kids += 1
+        val allocator = new RootAllocator(Long.MaxValue)
+        val frames = batches.flatMap { b =>
+          // O16: a 0-row batch yields no slices (0-frames mean EOF)
+          (0 until b.numRows by chunk).iterator.map { s =>
+            val len = math.min(chunk, b.numRows - s)
+            () => ArrowProtocol.writeColumnarSlice(
+              child.stdin, allocator, inSchema, b, s, len)
+          }
+        }
+        partitionIterator(frames, child, allocator, ctx, pid)
+      }
+    } else {
+      input.execute().mapPartitions { iter =>
+        val ctx = TaskContext.get()
+        val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+        val child = new ChildProcess(command, Option(ctx))
+        kids += 1
+        val allocator = new RootAllocator(Long.MaxValue)
+        val frames = iter.map(_.copy()).grouped(chunk).map { rows =>
+          () => ArrowProtocol.writeBatchInternal(
+            child.stdin, allocator, inSchema, rows)
+        }
+        partitionIterator(frames, child, allocator, ctx, pid)
+      }
     }
   }
 

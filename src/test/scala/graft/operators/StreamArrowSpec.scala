@@ -111,4 +111,39 @@ class StreamArrowSpec extends SparkSpec {
     val bad = StructType(Seq(StructField("t", TimestampType)))
     intercept[IllegalArgumentException] { Stream.arrow(df, echoCmd, bad) }
   }
+
+  test("columnar parquet input encodes straight from the scan vectors") {
+    // the vectorized parquet scan feeds StreamExec as ColumnarBatches;
+    // writeColumnarSlice must slice multi-chunk batches and carry every
+    // type (incl. nulls) without an InternalRow detour
+    val dir = java.nio.file.Files.createTempDirectory("graft_colin").toString
+    spark.range(0, 300).select(
+        $"id",
+        when($"id" % 7 === 0, lit(null)).otherwise($"id" * 0.5).as("d"),
+        when($"id" % 11 === 0, lit(null)).otherwise(concat(lit("s"), $"id")).as("s"),
+        when($"id" % 13 === 0, lit(null))
+          .otherwise(encode(concat(lit("b"), $"id"), "utf-8")).as("b"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val in = spark.read.parquet(dir)
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("b", BinaryType)))
+    val plan = Stream.arrow(in, echoCmd, declared, chunkSize = 64)
+    val out = plan.collect()
+    assert(out.length == 300)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(15L).getDouble(1) == 7.5 && byId(15L).getString(2) == "s15")
+    assert(byId(7L).isNullAt(1) && byId(22L).isNullAt(2) && byId(26L).isNullAt(3))
+    assert(new String(byId(15L).getAs[Array[Byte]](3), "UTF-8") == "b15")
+    // 300 rows / chunkSize 64 -> 5 messages from one partition
+    assert(out.map(_.getAs[Long]("chunk_no")).distinct.sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // and the physical plan has no row transition below the pipe: the
+    // scan's batches feed the stream operator directly
+    val exec = plan.queryExecution.executedPlan
+    val stream = exec.collectFirst { case s: graft.plans.StreamExec => s }.get
+    assert(stream.input.supportsColumnar,
+      s"expected a columnar child under StreamExec, got:\n${stream.input}")
+  }
 }
