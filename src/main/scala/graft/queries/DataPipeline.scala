@@ -86,6 +86,27 @@ object DataPipeline {
           pmod(length($"payload"), lit(256)).cast("long").as("fake_width"),
           ascii(substring($"text", 1, 1)).cast("long").as("fake_height"))
         .orderBy($"doc_id")
+    },
+    // GRFT container round-trip through the REAL binary-media operators:
+    // pack each document's bytes into a container (1% corrupted to a
+    // 3-byte stub), decodeHeader parses it back, and the oracle
+    // recomputes every header field from the text — so the byte layout
+    // (magic, u16 dims, u8 channels/kind, u32 length) is what's gated.
+    "q51_multimodal_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val pack = udf { (id: Long, text: String) =>
+        val payload = text.getBytes("UTF-8")
+        if (id % 97 == 0) payload.take(3) // corrupt: too short for a header
+        else graft.operators.Multimodal.pack(
+          payload.length % 256, payload.length / 256 % 256,
+          1 + (id % 3).toInt, (id % 3).toInt, payload)
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", pack($"doc_id", $"text").as("blob"))
+      graft.operators.Multimodal.decodeHeader(packed, "blob")
+        .select($"doc_id", $"meta.width", $"meta.height", $"meta.channels",
+          $"meta.kind", $"meta.payload_len", $"meta.valid")
+        .orderBy($"doc_id")
     }
   )
 
@@ -336,6 +357,21 @@ object DataPipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_multimodal_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(octet_length(encode(text)) % 256 AS INT) END AS width,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(octet_length(encode(text)) // 256 % 256 AS INT) END AS height,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 3 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 3 AS INT) END AS kind,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(octet_length(encode(text)) AS INT) END AS payload_len,
+        |  doc_id % 97 <> 0 AS valid
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

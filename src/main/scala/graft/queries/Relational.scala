@@ -266,6 +266,18 @@ object Relational {
         .orderBy($"hour", $"event_type")
     },
 
+    // sliding (hopping) time windows: each event lands in the two
+    // overlapping 2h/1h windows (batch analog of the streaming hop).
+    "q65_sliding_window" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select(window($"ts", "2 hours", "1 hour").as("w"), $"event_type", $"value")
+        .groupBy(date_format($"w.start", "yyyy-MM-dd HH:00").as("win_start"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"win_start", $"event_type")
+    },
+
     // JSON extraction from the event props payload.
     "q18_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -483,6 +495,15 @@ object Relational {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q65_sliding_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |    unnest([date_trunc('hour', ts),
+        |            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value),4) AS sum_value
+        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q18_json_extract" ->
       """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod,
