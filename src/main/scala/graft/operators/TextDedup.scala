@@ -215,19 +215,24 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 16 bits only guarantees recall for hamming <= 3")
-    val bands = simhash(docs)
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bkey", expr("shiftright(simhash, band * 4) % 16"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    // first-match banding: the band-j self-join additionally requires
+    // bands 0..j-1 to DIFFER, so every candidate pair is emitted by
+    // exactly one join — no exploded band table, no multi-band
+    // duplicates, no distinct shuffle over the candidate set
+    val keyed = simhash(docs).select(
+      col("doc_id") +: col("simhash") +:
+        (0 until 4).map(j => expr(s"shiftright(simhash, ${j * 4}) % 16").as(s"k$j")): _*)
+      .cache()
+    val perBand = (0 until 4).map { j =>
+      val firstMatch = (0 until j)
+        .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
+        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+      keyed.as("a")
+        .join(keyed.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    }
+    perBand.reduce(_ unionAll _)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
