@@ -113,6 +113,27 @@ object StreamingOps {
       .withWatermark(tsCol, withinDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the right-side events of the same key that occur within
+    * `[left.ts, left.ts + within]` — the canonical impression→click
+    * correlation. Both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, which is what lets Spark
+    * expire buffered state instead of holding each side forever (state
+    * per side ≈ watermark + interval worth of data, independent of
+    * stream length — the property that matters on an unbounded feed).
+    * Works identically on batch frames (same API, no watermark state).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String = "15 minutes",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Run the pipe operator on each micro-batch of a stream: the
     * streaming flavor of `Stream.tsv` (reference chunk-sequence model
     * mapped onto micro-batches).

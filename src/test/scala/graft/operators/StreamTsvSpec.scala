@@ -106,4 +106,38 @@ class StreamTsvSpec extends SparkSpec {
       intercept[IllegalArgumentException] { Stream.tsv(df, "rm -rf /tmp/x") }
     } finally spark.conf.unset("spark.graft.stream.allowedCommands")
   }
+
+  test("a stdlib Python child speaks the reference protocol unmodified") {
+    // the reference's Python TSV clients (py_pkg/README.rst:101-131
+    // pattern: consume "n\n"+lines, answer "0\n" per chunk, emit the
+    // aggregate only in the final message) must work against this
+    // engine byte-for-byte — map+finalize with zero engine-side help
+    assume(new java.io.File("/usr/bin/python3").exists ||
+      sys.env.get("PATH").exists(_.split(':')
+        .exists(p => new java.io.File(p, "python3").exists)))
+    val py =
+      """import sys
+        |total = 0
+        |while True:
+        |    line = sys.stdin.readline()
+        |    if not line:
+        |        break
+        |    n = int(line)
+        |    if n == 0:
+        |        sys.stdout.write("1\nTOTAL\t%d\n" % total)
+        |        sys.stdout.flush()
+        |        break
+        |    for _ in range(n):
+        |        total += int(sys.stdin.readline().split("\t")[0])
+        |    sys.stdout.write("0\n")
+        |    sys.stdout.flush()
+        |""".stripMargin
+    val cmd = "python3 -uc '" + py.replace("'", "'\\''") + "'"
+    val df = spark.range(0, 100).repartition(4).toDF("id")
+    val out = Stream.tsv(df, cmd, chunkSize = 16).collect()
+    // one finalize row per partition; partial totals sum to Σ 0..99
+    assert(out.length == 4)
+    val totals = out.map(_.getString(2).stripPrefix("TOTAL\t").toLong)
+    assert(totals.sum == (0L until 100L).sum)
+  }
 }

@@ -113,6 +113,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(kept.toSet == (0 until 5).map(i => s"doc-$i").toSet)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamingOps.intervalJoin(
+        views.toDF(), clicks.toDF(), key = "user_id", within = "15 minutes")
+      .select(col("l.event_id").as("view_id"), col("r.event_id").as("click_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    def ev(id: Long, user: Long, offsetSec: Long, kind: String) =
+      Event(id, new java.sql.Timestamp(base + offsetSec * 1000L), user, kind, 0.0)
+    // user 1: click 10 min after the view (match), and one at 20 min (no)
+    // user 2: click BEFORE the view (no match); user 3: other user (no)
+    views.addData(Seq(ev(1, 1, 0, "view"), ev(2, 2, 600, "view")))
+    clicks.addData(Seq(ev(100, 1, 600, "click"), ev(101, 1, 1200, "click"),
+      ev(102, 2, 0, "click"), ev(103, 3, 60, "click")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L)))
+    // batch parity: identical API call over static frames
+    val vb = Seq(ev(1, 1, 0, "view"), ev(2, 2, 600, "view")).toDF()
+    val cb = Seq(ev(100, 1, 600, "click"), ev(101, 1, 1200, "click"),
+      ev(102, 2, 0, "click"), ev(103, 3, 60, "click")).toDF()
+    val batch = StreamingOps.intervalJoin(vb, cb, key = "user_id", within = "15 minutes")
+      .select(col("l.event_id"), col("r.event_id")).as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("pipe operator runs inside foreachBatch on a micro-batched stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
