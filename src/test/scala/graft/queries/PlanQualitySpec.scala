@@ -97,6 +97,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("sh"), plan)
   }
 
+  test("simhash pair mining plans as equi-joins with no distinct shuffle") {
+    val plan = formatted("q34_simhash_pairs")
+    // first-match banding: four band-keyed self-joins unioned — never a
+    // cross product, and no HashAggregate(distinct) over the candidates
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("cube expands grouping sets inside codegen'd HashAggregate") {
+    val plan = formatted("q63_cube")
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("sliding windows stay a single pass (explode + hash aggregate)") {
+    val plan = formatted("q65_sliding_window")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one scan of events, no self-join of the table against the windows
+    // (each file appears once: one "Location:" detail block per scan)
+    assert("Location:".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Expand"), plan)
+  }
+
   test("arrow stream output is columnar with a codegen'd ColumnarToRow above it") {
     import spark.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
