@@ -33,8 +33,8 @@ object TextAnalysis {
     * (ordered when-chain, alphabetically first language wins ties, no
     * hits → 'und') → (lang, guess, n).
     */
-  private def confusionFromHits(docs: DataFrame, hits: DataFrame,
-                                langs: Seq[String]): DataFrame = {
+  private def guessesFromHits(docs: DataFrame, hits: DataFrame,
+                              langs: Seq[String]): DataFrame = {
     val scores = hits
       .groupBy(col("doc_id"), col("lang"))
       .pivot("ml", langs)
@@ -49,10 +49,37 @@ object TextAnalysis {
       case (acc, l) => acc.when(col(l) === maxScore, lit(l))
     }.otherwise(lit("und"))
     scored.withColumn("guess", guessCol)
+      .select(col("doc_id"), col("lang"), col("guess"))
+  }
+
+  private def confusionFromHits(docs: DataFrame, hits: DataFrame,
+                                langs: Seq[String]): DataFrame =
+    guessesFromHits(docs, hits, langs)
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("guess"))
+
+  /** Per-doc stopword-marker hits: (doc_id, lang, ml = matched
+    * language), the shared input of [[langIdGuesses]] and
+    * [[langIdConfusion]].
+    */
+  private def markerHits(docs: DataFrame): DataFrame = {
+    // marker words are globally unique across profiles, so one map works
+    val markerMap = map(langProfiles.flatMap { case (l, ms) =>
+      ms.flatMap(m => Seq(lit(m), lit(l)))
+    }: _*)
+    docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("wd"))
+      .select(col("doc_id"), col("lang"), element_at(markerMap, col("wd")).as("ml"))
+      .filter(col("ml").isNotNull)
   }
+
+  /** Per-document language guess (doc_id, lang, guess) — the
+    * composable form used by pipeline queries; [[langIdConfusion]] is
+    * its confusion-matrix aggregation.
+    */
+  def langIdGuesses(docs: DataFrame): DataFrame =
+    guessesFromHits(docs, markerHits(docs), langProfiles.map(_._1))
 
   /** Per-document language guess + confusion matrix vs the labeled lang.
     *
@@ -64,18 +91,8 @@ object TextAnalysis {
     * 100 TB the marker lookup is a narrow map stage and the only
     * shuffle is per-doc score aggregation).
     */
-  def langIdConfusion(docs: DataFrame): DataFrame = {
-    val langs = langProfiles.map(_._1)
-    // marker words are globally unique across profiles, so one map works
-    val markerMap = map(langProfiles.flatMap { case (l, ms) =>
-      ms.flatMap(m => Seq(lit(m), lit(l)))
-    }: _*)
-    val hits = docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("wd"))
-      .select(col("doc_id"), col("lang"), element_at(markerMap, col("wd")).as("ml"))
-      .filter(col("ml").isNotNull)
-    confusionFromHits(docs, hits, langs)
-  }
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    confusionFromHits(docs, markerHits(docs), langProfiles.map(_._1))
 
   /** Characteristic char trigrams per language, derived
     * deterministically from the marker lexicon: every trigram of each

@@ -48,6 +48,29 @@ object DataPipeline {
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
+    // end-to-end training-data pipeline: quality filter → exact dedup
+    // among survivors → per-doc language ID → corpus stats per guessed
+    // language. One oracle over the whole composition proves the stages
+    // agree with their SQL definitions AND compose without drift.
+    "q36_pipeline_e2e" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      // gate on token count, not the (English-specific) stopword ratio:
+      // the stopword gate would empty every non-en language before the
+      // langid stage gets to see it
+      val quality = TextAnalysis.qualityScore(docs).filter($"n_tokens" >= 20)
+        .select($"doc_id", $"n_tokens")
+      val qualityDocs = docs.join(quality.select($"doc_id"), Seq("doc_id"))
+      val kept = TextDedup.exactDedup(qualityDocs)
+        .select($"keep_id".as("doc_id"))
+      val guesses = TextAnalysis.langIdGuesses(docs)
+        .select($"doc_id", $"guess")
+      quality.join(kept, Seq("doc_id"))
+        .join(guesses, Seq("doc_id"))
+        .groupBy($"guess")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"guess")
+    },
     "q33_langid_ngram" -> { (s, dir) =>
       TextAnalysis.langIdCharNgram(Tables.load(s, dir, "documents"))
     },
@@ -206,8 +229,35 @@ object DataPipeline {
        |FROM g2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  private val pipelineSql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (l, ms) =>
+      s"${duckStopScore(ms)} AS score_$l"
+    }.mkString(",\n    ")
+    val gm = TextAnalysis.langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")
+    val cases = TextAnalysis.langProfiles.map { case (l, _) =>
+      s"WHEN score_$l = greatest($gm) THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+       |q AS (SELECT doc_id, text, len(w) AS n_tokens FROM d
+       |      WHERE len(w) >= 20),
+       |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+       |s AS (SELECT doc_id,
+       |    $scores
+       |  FROM d),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN greatest($gm) <= 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS guess
+       |  FROM s)
+       |SELECT g.guess, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(q.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM q JOIN k USING (doc_id) JOIN g USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q33_langid_ngram" -> langidNgramSql,
+    "q36_pipeline_e2e" -> pipelineSql,
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
