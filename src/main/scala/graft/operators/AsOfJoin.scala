@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for every left row, attach the most recent right row
-  * (same key) with time ≤ the left row's time — the canonical
+  * (same key) with time ≤ the left row's time (direction "backward"),
+  * or the earliest right row with time ≥ it ("forward") — the canonical
   * market-data/event-attribution operator Spark lacks natively.
   *
   * Implementation is the scalable union-window formulation, not a range
@@ -17,34 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Join `left` to the latest earlier `right` row per key.
+  /** Join `left` to the nearest `right` row per key in the given
+    * direction (inclusive at equal times on both directions).
     *
     * @param valueCols right-side columns to carry (returned as
-    *                  `asof_<name>`, null when no earlier right row)
+    *                  `asof_<name>`, null when no matching right row)
+    * @param direction "backward" (latest right row at-or-before the
+    *                  left time) or "forward" (earliest at-or-after)
     */
   def join(left: DataFrame, right: DataFrame, key: String, time: String,
-           valueCols: Seq[String], tieBreaker: Option[String] = None): DataFrame = {
+           valueCols: Seq[String], tieBreaker: Option[String] = None,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val backward = direction == "backward"
     val leftCols = left.columns
     val keep = Set(key, time) ++ tieBreaker
-    // tag: right rows sort before left rows at equal time, so a right
-    // row at exactly t is visible to a left row at t
-    val l = left.withColumn("_tag", lit(1))
+    // tag order puts the right row at exactly time t inside the left
+    // row's frame: backward = right first (frame ends at current row),
+    // forward = left first (frame starts at current row)
+    val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
+    val l = left.withColumn("_tag", lit(lTag))
       .select((leftCols.map(col) :+ col("_tag")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
-    val r = right.withColumn("_tag", lit(0))
+    val r = right.withColumn("_tag", lit(rTag))
       .select((leftCols.map(c =>
         (if (keep(c)) col(c) else lit(null).cast(left.schema(c).dataType))
           .as(c)) :+ col("_tag")) ++
         valueCols.map(c => col(c).as(s"_v_$c")): _*)
     val orderCols = Seq(col(time).asc, col("_tag").asc) ++
       tieBreaker.map(col(_).asc)
-    val w = Window.partitionBy(col(key))
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val w =
+      if (backward) base.rowsBetween(Window.unboundedPreceding, 0)
+      else base.rowsBetween(0, Window.unboundedFollowing)
+    def fill(c: String): Column =
+      if (backward) last(col(s"_v_$c"), ignoreNulls = true).over(w)
+      else first(col(s"_v_$c"), ignoreNulls = true).over(w)
     val filled = l.unionByName(r)
-      .select(Seq(col("*")) ++ valueCols.map(c =>
-        last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
-    filled.filter(col("_tag") === 1)
+      .select(Seq(col("*")) ++ valueCols.map(c => fill(c).as(s"asof_$c")): _*)
+    filled.filter(col("_tag") === lTag)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 }

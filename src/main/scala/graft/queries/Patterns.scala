@@ -51,6 +51,27 @@ object Patterns {
           round(sum($"x" * $"x"), 4).as("sum_xx"))
     },
 
+    // forward as-of join: each view matched to the user's NEXT purchase
+    // at-or-after it (conversion-lag attribution, the mirror of q46).
+    "q37_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .withColumn("sec", unix_timestamp($"ts"))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"sec")
+      val views = e.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"sec")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"sec", $"value")
+      graft.operators.AsOfJoin.join(views, purchases,
+          key = "user_id", time = "sec", valueCols = Seq("value"),
+          tieBreaker = Some("event_id"), direction = "forward")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when($"asof_value".isNotNull, 1L).otherwise(0L)).as("n_converted"),
+          round(sum(coalesce($"asof_value", lit(0d))), 4).as("sum_next_purchase"))
+        .orderBy($"user_id")
+    },
+
     // as-of join: each purchase attributed to the user's most recent
     // prior view (union-window formulation — one shuffle, no range join).
     "q46_asof_join" -> { (s, dir) =>
@@ -106,6 +127,26 @@ object Patterns {
         |  round(sum(x * x), 4) AS sum_xx
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x, value
         |      FROM events)""".stripMargin,
+
+    "q37_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |j AS (
+        |  SELECT event_id, user_id, sec, event_type,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY sec, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+        |                     event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_value
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN asof_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  round(sum(coalesce(asof_value, 0)), 4) AS sum_next_purchase
+        |FROM j WHERE event_type = 'view'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q46_asof_join" ->
       """WITH e AS (

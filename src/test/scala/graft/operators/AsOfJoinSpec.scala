@@ -28,6 +28,29 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> None))
   }
 
+  test("forward direction: earliest later row, exact-time visibility, no-match null") {
+    val left = Seq(
+      (1L, 100L, 10L),  // purchases at 5,8 are earlier -> null
+      (2L, 100L, 5L),   // exactly at right@5 -> sees v5 (inclusive)
+      (3L, 100L, 3L),   // next right is @5 -> v5
+      (4L, 200L, 50L)   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "sec")
+    val right = Seq(
+      (90L, 100L, 5L, 5.5),
+      (91L, 100L, 8L, 8.8),
+      (92L, 300L, 1L, 1.1)
+    ).toDF("event_id", "user_id", "sec", "value")
+    val got = AsOfJoin.join(left, right, "user_id", "sec", Seq("value"),
+        tieBreaker = Some("event_id"), direction = "forward")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> None,       // nothing at-or-after 10
+      2L -> Some(5.5),  // equal-time right row visible
+      3L -> Some(5.5),
+      4L -> None))
+  }
+
   test("one shuffle: plan contains a single Exchange for the window") {
     val left = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "sec")
     val right = Seq((2L, 1L, 1L, 1.0)).toDF("event_id", "user_id", "sec", "value")
