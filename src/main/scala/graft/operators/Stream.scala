@@ -120,10 +120,19 @@ object Stream {
     * managed `BroadcastExchangeExec` instead of an eager driver
     * `collect()` here at construction time.
     */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def planned(df: DataFrame, side: Option[DataFrame], cmd: String,
                       format: StreamFormat, chunkSize: Int,
                       outSchema: StructType): DataFrame = {
     val spark = df.sparkSession
+    // speculative execution runs DUPLICATE children for slow tasks: for
+    // a side-effecting command both copies execute (only one's output is
+    // kept). The reference has no analog (its host never re-runs an
+    // instance's chunk); surface the hazard instead of silently racing.
+    if (spark.sparkContext.getConf.getBoolean("spark.speculation", defaultValue = false))
+      log.warn(s"spark.speculation is enabled: slow stream() tasks fork duplicate " +
+        s"child processes for '$cmd'; disable speculation for side-effecting commands")
     StreamStrategy.ensureRegistered(spark)
     val attrs = outSchema.fields.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
