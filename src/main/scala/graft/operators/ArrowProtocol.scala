@@ -124,67 +124,85 @@ object ArrowProtocol {
     } finally root.close()
   }
 
-  /** Encode a slice of a Spark `ColumnarBatch` — the columnar INPUT
-    * path: when the operator's child is itself columnar (vectorized
-    * parquet scan, another Arrow pipe), values move column-at-a-time
-    * from the child vectors into the Arrow builders with no
-    * `InternalRow` materialization, no per-row `copy()`, and no
-    * per-value virtual dispatch on the schema (one type match per
-    * column, then a tight primitive loop).
+  /** Accumulating encoder for the columnar INPUT path: when the
+    * operator's child is itself columnar (vectorized parquet scan,
+    * another Arrow pipe), values move column-at-a-time from the child
+    * vectors into the Arrow builders with no `InternalRow`
+    * materialization, no per-row `copy()`, and no per-value virtual
+    * dispatch on the schema (one type match per column, then a tight
+    * primitive loop). `append` copies, so the source batch may be
+    * recycled by the scan after the call — which is what lets one
+    * protocol frame span several scan batches and honor the operator's
+    * `chunkSize` exactly, like the row path does.
     */
-  def writeColumnarSlice(out: OutputStream, allocator: BufferAllocator,
-                         schema: StructType,
-                         batch: org.apache.spark.sql.vectorized.ColumnarBatch,
-                         start: Int, n: Int): Unit = {
-    val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
-    try {
-      root.allocateNew()
+  final class ColumnarFrameBuffer(schema: StructType, allocator: BufferAllocator) {
+    private var root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+    root.allocateNew()
+    private var n = 0
+
+    def rowCount: Int = n
+
+    def append(batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+               start: Int, len: Int): Unit = {
       var col = 0
       while (col < schema.length) {
         val cv = batch.column(col)
         root.getVector(col) match {
           case v: BigIntVector =>
             var i = 0
-            while (i < n) {
-              if (cv.isNullAt(start + i)) v.setNull(i)
-              else v.setSafe(i, cv.getLong(start + i))
+            while (i < len) {
+              if (cv.isNullAt(start + i)) v.setNull(n + i)
+              else v.setSafe(n + i, cv.getLong(start + i))
               i += 1
             }
           case v: IntVector =>
             var i = 0
-            while (i < n) {
-              if (cv.isNullAt(start + i)) v.setNull(i)
-              else v.setSafe(i, cv.getInt(start + i))
+            while (i < len) {
+              if (cv.isNullAt(start + i)) v.setNull(n + i)
+              else v.setSafe(n + i, cv.getInt(start + i))
               i += 1
             }
           case v: Float8Vector =>
             var i = 0
-            while (i < n) {
-              if (cv.isNullAt(start + i)) v.setNull(i)
-              else v.setSafe(i, cv.getDouble(start + i))
+            while (i < len) {
+              if (cv.isNullAt(start + i)) v.setNull(n + i)
+              else v.setSafe(n + i, cv.getDouble(start + i))
               i += 1
             }
           case v: VarCharVector =>
             var i = 0
-            while (i < n) {
-              if (cv.isNullAt(start + i)) v.setNull(i)
-              else v.setSafe(i, cv.getUTF8String(start + i).getBytes)
+            while (i < len) {
+              if (cv.isNullAt(start + i)) v.setNull(n + i)
+              else v.setSafe(n + i, cv.getUTF8String(start + i).getBytes)
               i += 1
             }
           case v: VarBinaryVector =>
             var i = 0
-            while (i < n) {
-              if (cv.isNullAt(start + i)) v.setNull(i)
-              else v.setSafe(i, cv.getBinary(start + i))
+            while (i < len) {
+              if (cv.isNullAt(start + i)) v.setNull(n + i)
+              else v.setSafe(n + i, cv.getBinary(start + i))
               i += 1
             }
           case v => throw new IllegalStateException(s"unexpected vector $v")
         }
         col += 1
       }
+      n += len
+    }
+
+    /** Frame the buffered rows as one message and reset for the next. */
+    def writeAndReset(out: OutputStream): Unit = {
       root.setRowCount(n)
-      writeRoot(out, root)
-    } finally root.close()
+      try writeRoot(out, root)
+      finally {
+        root.close()
+        root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
+        root.allocateNew()
+        n = 0
+      }
+    }
+
+    def close(): Unit = root.close()
   }
 
   /** Frame one filled root as a length-prefixed single-batch IPC stream. */

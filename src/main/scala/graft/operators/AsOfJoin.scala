@@ -34,30 +34,35 @@ object AsOfJoin {
     val backward = direction == "backward"
     val leftCols = left.columns
     val keep = Set(key, time) ++ tieBreaker
-    // tag order puts the right row at exactly time t inside the left
-    // row's frame: backward = right first (frame ends at current row),
-    // forward = left first (frame starts at current row)
-    val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
-    val l = left.withColumn("_tag", lit(lTag))
+    // both directions use the RUNNING frame (unboundedPreceding..current
+    // row) so WindowExec streams each key group in O(n); forward is the
+    // same formulation traversed in reverse time order. A
+    // (current..unboundedFollowing) frame would re-scan the frame per
+    // row — O(n²) per key group, fatal for a hot key at corpus scale.
+    // Tag 0 sorts the right rows before left rows at equal time in
+    // either traversal, so a right row at exactly t stays visible.
+    val l = left.withColumn("_tag", lit(1))
       .select((leftCols.map(col) :+ col("_tag")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
-    val r = right.withColumn("_tag", lit(rTag))
+    val r = right.withColumn("_tag", lit(0))
       .select((leftCols.map(c =>
         (if (keep(c)) col(c) else lit(null).cast(left.schema(c).dataType))
           .as(c)) :+ col("_tag")) ++
         valueCols.map(c => col(c).as(s"_v_$c")): _*)
-    val orderCols = Seq(col(time).asc, col("_tag").asc) ++
-      tieBreaker.map(col(_).asc)
-    val base = Window.partitionBy(col(key)).orderBy(orderCols: _*)
-    val w =
-      if (backward) base.rowsBetween(Window.unboundedPreceding, 0)
-      else base.rowsBetween(0, Window.unboundedFollowing)
-    def fill(c: String): Column =
-      if (backward) last(col(s"_v_$c"), ignoreNulls = true).over(w)
-      else first(col(s"_v_$c"), ignoreNulls = true).over(w)
+    // forward flips time and tie-break: the running `last` then yields
+    // the EARLIEST right row at-or-after the left time (ties -> the
+    // smallest tie-breaker, because it is traversed last descending)
+    val orderCols =
+      (if (backward) Seq(col(time).asc, col("_tag").asc)
+       else Seq(col(time).desc, col("_tag").asc)) ++
+        tieBreaker.map(c => if (backward) col(c).asc else col(c).desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val filled = l.unionByName(r)
-      .select(Seq(col("*")) ++ valueCols.map(c => fill(c).as(s"asof_$c")): _*)
-    filled.filter(col("_tag") === lTag)
+      .select(Seq(col("*")) ++ valueCols.map(c =>
+        last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    filled.filter(col("_tag") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 }

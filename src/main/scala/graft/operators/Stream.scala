@@ -37,6 +37,8 @@ import graft.plans.{StreamFormat, StreamPlan, StreamStrategy}
   */
 object Stream {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Commands must be allowlisted when `spark.graft.stream.allowedCommands`
     * is set (comma-separated), mirroring the reference's
     * `stream_allowed` file gate (`src/LogicalStream.cpp:97-118`).
@@ -120,8 +122,6 @@ object Stream {
     * managed `BroadcastExchangeExec` instead of an eager driver
     * `collect()` here at construction time.
     */
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   private def planned(df: DataFrame, side: Option[DataFrame], cmd: String,
                       format: StreamFormat, chunkSize: Int,
                       outSchema: StructType): DataFrame = {

@@ -28,10 +28,10 @@ object TextAnalysis {
   private def scoreExpr(markers: Seq[String]): String =
     markers.map(m => s"size(filter(w, x -> x = '$m'))").mkString(" + ")
 
-  /** Shared confusion-matrix tail: per-doc marker hits (doc_id, lang,
-    * ml = matched language) → pivot-count scores → deterministic argmax
+  /** Per-document classification from marker hits (doc_id, lang, ml =
+    * matched language): pivot-count scores → deterministic argmax
     * (ordered when-chain, alphabetically first language wins ties, no
-    * hits → 'und') → (lang, guess, n).
+    * hits → 'und') → one row per doc (doc_id, lang, guess).
     */
   private def guessesFromHits(docs: DataFrame, hits: DataFrame,
                               langs: Seq[String]): DataFrame = {

@@ -309,15 +309,43 @@ case class StreamExec(
         val child = new ChildProcess(command, Option(ctx))
         kids += 1
         val allocator = new RootAllocator(Long.MaxValue)
-        val frames = batches.flatMap { b =>
-          // O16: a 0-row batch yields no slices (0-frames mean EOF)
-          (0 until b.numRows by chunk).iterator.map { s =>
-            val len = math.min(chunk, b.numRows - s)
-            () => ArrowProtocol.writeColumnarSlice(
-              child.stdin, allocator, inSchema, b, s, len)
+        val buf = new ArrowProtocol.ColumnarFrameBuffer(inSchema, allocator)
+        // one frame = exactly `chunk` rows (the declared chunk_size),
+        // accumulated across scan batches — `append` copies into the
+        // Arrow builders, so pulling the next (buffer-recycling) scan
+        // batch mid-frame is safe. Filling only happens between
+        // exchanges: the previous frame's writer thread has already
+        // been joined when the protocol loop asks for the next thunk.
+        val frames = new Iterator[() => Unit] {
+          private var cur: ColumnarBatch = null
+          private var off = 0
+          private var ready = false
+          private def fill(): Unit = {
+            while (buf.rowCount < chunk && (cur != null || batches.hasNext)) {
+              if (cur == null) { cur = batches.next(); off = 0 }
+              val take = math.min(chunk - buf.rowCount, cur.numRows - off)
+              if (take > 0) { buf.append(cur, off, take); off += take }
+              if (off >= cur.numRows) cur = null
+            }
+          }
+          def hasNext: Boolean = {
+            if (!ready) { fill(); ready = buf.rowCount > 0 } // O16: no empty frames
+            ready
+          }
+          def next(): () => Unit = {
+            if (!hasNext) throw new NoSuchElementException("input exhausted")
+            ready = false
+            () => buf.writeAndReset(child.stdin)
           }
         }
-        partitionIterator(frames, child, allocator, ctx, pid)
+        val it = partitionIterator(frames, child, allocator, ctx, pid)
+        // registered AFTER partitionIterator's allocator-close listener:
+        // completion listeners run LIFO, so the buffer's root closes
+        // before the allocator it was allocated from
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          try buf.close() catch { case _: Throwable => () }
+        }
+        it
       }
     } else {
       input.execute().mapPartitions { iter =>

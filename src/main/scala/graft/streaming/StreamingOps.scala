@@ -125,13 +125,14 @@ object StreamingOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    within: String = "15 minutes",
-                   watermark: String = "30 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).alias("l")
-    val r = right.withWatermark("ts", watermark).alias("r")
+                   watermark: String = "30 minutes",
+                   leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
-        col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
   /** Run the pipe operator on each micro-batch of a stream: the

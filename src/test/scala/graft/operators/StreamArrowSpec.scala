@@ -146,4 +146,23 @@ class StreamArrowSpec extends SparkSpec {
     assert(stream.input.supportsColumnar,
       s"expected a columnar child under StreamExec, got:\n${stream.input}")
   }
+
+  test("columnar frames honor chunkSize across scan batches") {
+    // scan batches (50 rows) smaller than the declared chunk (120):
+    // one protocol frame must accumulate rows from several batches,
+    // exactly like the row path groups its iterator
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    spark.range(0, 300).select($"id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "50")
+    try {
+      val in = spark.read.parquet(dir)
+      val declared = StructType(Seq(StructField("id", LongType)))
+      val out = Stream.arrow(in, echoCmd, declared, chunkSize = 120).collect()
+      assert(out.length == 300)
+      val perChunk = out.groupBy(_.getAs[Long]("chunk_no"))
+        .map { case (c, rs) => c -> rs.length }
+      assert(perChunk == Map(0L -> 120, 1L -> 120, 2L -> 60), perChunk.toString)
+    } finally spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+  }
 }
