@@ -65,4 +65,29 @@ object AsOfJoin {
     filled.filter(col("_tag") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Nearest-match as-of join: for each left row, the right row (same
+    * key) with the smallest absolute time distance, ties to the earlier
+    * side (pandas `merge_asof(direction="nearest")` semantics). Composed
+    * from one backward and one forward pass — two O(n) running-window
+    * shuffles on the same key, still no range-join blowup. `time` must
+    * be numeric (epoch seconds/millis), as subtraction decides the
+    * winner.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String, time: String,
+                  valueCols: Seq[String], tieBreaker: Option[String] = None): DataFrame = {
+    val leftCols = left.columns
+    val carry = (time +: valueCols).distinct
+    def renamed(df: DataFrame, pfx: String): DataFrame =
+      carry.foldLeft(df)((d, c) => d.withColumnRenamed(s"asof_$c", s"$pfx$c"))
+    val back = renamed(
+      join(left, right, key, time, carry, tieBreaker, "backward"), "_b_")
+    val both = renamed(
+      join(back, right, key, time, carry, tieBreaker, "forward"), "_f_")
+    val backWins = col(s"_b_$time").isNotNull &&
+      (col(s"_f_$time").isNull ||
+        col(time) - col(s"_b_$time") <= col(s"_f_$time") - col(time))
+    both.select(leftCols.map(col) ++ valueCols.map(c =>
+      when(backWins, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(s"asof_$c")): _*)
+  }
 }

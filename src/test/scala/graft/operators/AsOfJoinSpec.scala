@@ -51,6 +51,27 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> None))
   }
 
+  test("nearest direction: closest side wins, ties go backward") {
+    val left = Seq(
+      (1L, 100L, 6L),   // right@5 (d=1) beats right@9 (d=3)
+      (2L, 100L, 7L),   // equidistant from 5 and 9 -> tie -> backward (5)
+      (3L, 100L, 20L),  // only earlier rows exist -> right@9
+      (4L, 100L, 1L),   // only later rows exist -> right@5
+      (5L, 200L, 9L)    // no right rows -> null
+    ).toDF("event_id", "user_id", "sec")
+    val right = Seq(
+      (90L, 100L, 5L, 5.5),
+      (91L, 100L, 9L, 9.9)
+    ).toDF("event_id", "user_id", "sec", "value")
+    val got = AsOfJoin.joinNearest(left, right, "user_id", "sec", Seq("value"),
+        tieBreaker = Some("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> Some(5.5), 2L -> Some(5.5), 3L -> Some(9.9),
+      4L -> Some(5.5), 5L -> None))
+  }
+
   test("one shuffle: plan contains a single Exchange for the window") {
     val left = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "sec")
     val right = Seq((2L, 1L, 1L, 1.0)).toDF("event_id", "user_id", "sec", "value")
