@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-shaping operators.
+  *
+  * All randomness is hash-derived (the reference's reproducible-RNG
+  * contract, `r_pkg/vignettes/poLCA.Rmd:34-43`, mapped to per-row seed
+  * hashing): md5 over a seed column gives decisions that are identical
+  * on any engine, any partitioning, any cluster size — and replayable
+  * by the DuckDB oracles bit-for-bit.
+  */
+object Sampling {
+
+  /** u in [0,1) from the first 8 hex digits of a 32-hex hash string:
+    * Σ digit_i / 16^i — binary-exact arithmetic, so portable bit-for-bit.
+    * The hash is computed once into a column named by `hashCol`.
+    */
+  private def u01FromHash(hashCol: String, strpos: (String, String) => String): String = {
+    val digits = (1 to 8).map { i =>
+      s"(${strpos(s"substr($hashCol, $i, 1)", "'0123456789abcdef'")} - 1) / ${math.pow(16, i).toLong}.0"
+    }
+    digits.mkString("(", " + ", ")")
+  }
+
+  /** Spark SQL flavor (`position(c IN alphabet)`). */
+  def u01Spark(hashCol: String): String =
+    u01FromHash(hashCol, (c, alpha) => s"position($c IN $alpha)")
+
+  /** DuckDB flavor (`strpos(alphabet, c)`) — for oracle SQL only. */
+  def u01Duck(hashCol: String): String =
+    u01FromHash(hashCol, (c, alpha) => s"strpos($alpha, $c)")
+
+  /** Seeded mixture resampling: keep each row iff its hash-uniform
+    * u < rate(stratum) — the corpus-rebalancing primitive (downsample
+    * boilerplate-heavy sources, upweight scarce ones) every
+    * training-data pipeline runs before tokenization. Pure narrow
+    * filter: no shuffle, no state, reproducible under retries and
+    * repartitioning because the decision depends only on `seedCol`.
+    */
+  def seededMixture(df: DataFrame, stratumCol: String, seedCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double): DataFrame = {
+    val rateExpr = rates.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (k, v)) => acc.when(col(stratumCol) === k, lit(v))
+    }.otherwise(lit(defaultRate))
+    df.withColumn("_h", md5(col(seedCol).cast("string").cast("binary")))
+      .withColumn("_u", expr(u01Spark("_h")))
+      .filter(col("_u") < rateExpr)
+      .drop("_h", "_u")
+  }
+
+  /** Fixed-boundary sequence packing: within each `partitionCol` group
+    * ordered by `orderCol`, a row's bin is
+    * `floor(tokens_before_it / budget)` — consecutive docs pack into
+    * ~budget-token bins (a bin may overflow by its last doc, the
+    * standard streaming-packing tolerance). This is deliberately NOT
+    * greedy reset-based packing: a greedy packer's bin boundary depends
+    * on every earlier decision (inherently sequential state), while the
+    * fixed-boundary variant is one window cumsum — embarrassingly
+    * parallel per group, which is what survives a 100 TB corpus.
+    * Returns the input plus a `bin` column.
+    */
+  def packByTokenBudget(df: DataFrame, tokensCol: String, budget: Long,
+                        partitionCol: String, orderCol: String): DataFrame = {
+    require(budget > 0)
+    val before = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokensCol)).over(before), lit(0L)) / lit(budget))
+        .cast("long"))
+  }
+}

@@ -19,22 +19,17 @@ import graft.Tables
   */
 object Patterns {
 
-  /** u in [0,1) from the first 8 hex digits of a 32-hex hash string:
-    * Σ digit_i / 16^i — binary-exact arithmetic, so portable bit-for-bit.
-    * The hash is computed once into a column named by `hashCol`.
-    */
-  private def u01FromHash(hashCol: String, strpos: (String, String) => String): String = {
-    val digits = (1 to 8).map { i =>
-      s"(${strpos(s"substr($hashCol, $i, 1)", "'0123456789abcdef'")} - 1) / ${math.pow(16, i).toLong}.0"
-    }
-    digits.mkString("(", " + ", ")")
-  }
-
+  // hash-uniform helpers shared with the Sampling operators — one
+  // source of truth so the operator and its oracle can never drift
   private def u01Spark(hashCol: String): String =
-    u01FromHash(hashCol, (c, alpha) => s"position($c IN $alpha)")
+    graft.operators.Sampling.u01Spark(hashCol)
 
   private def u01Duck(hashCol: String): String =
-    u01FromHash(hashCol, (c, alpha) => s"strpos($alpha, $c)")
+    graft.operators.Sampling.u01Duck(hashCol)
+
+  /** The q66 mixture: downsample src0 hard, upweight src1, default the rest. */
+  private val mixtureRates = Map("src0" -> 0.05, "src1" -> 0.5)
+  private val mixtureDefault = 0.25
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P8: regression sufficient statistics value ~ k (map-side partials
@@ -104,6 +99,34 @@ object Patterns {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
         .orderBy($"event_type")
+    },
+
+    // corpus mixture resampling: per-source seeded keep rates (the
+    // rebalancing step before tokenization). Decision = hash of doc_id
+    // only, so the sample is partitioning- and cluster-size-invariant.
+    "q66_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Sampling.seededMixture(docs, "source", "doc_id",
+          mixtureRates, mixtureDefault)
+        .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"source")
+    },
+
+    // fixed-boundary sequence packing: ~500-token bins per source
+    // (window cumsum — the parallelizable packing; greedy reset packing
+    // is sequential state and does not scale).
+    "q67_token_packing" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.packByTokenBudget(docs, "n_tokens",
+          budget = 500L, partitionCol = "source", orderCol = "doc_id")
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"source", $"bin")
     },
 
     // Skew-mitigation path under the gate: the two-phase salted
@@ -179,6 +202,33 @@ object Patterns {
     "q62_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_mixture_sample" -> {
+      val rateCase = mixtureRates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString("CASE source ", " ", s" ELSE $mixtureDefault END")
+      s"""WITH h AS (SELECT source, doc_id, text,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |u AS (SELECT source, doc_id, text, ${u01Duck("h")} AS u FROM h),
+         |kept AS (SELECT source, len(string_split(text, ' ')) AS n_tokens
+         |         FROM u WHERE u < $rateCase)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q67_token_packing" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |b AS (SELECT source, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500)
+        |      AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
