@@ -87,7 +87,12 @@ object AsOfJoin {
     val backWins = col(s"_b_$time").isNotNull &&
       (col(s"_f_$time").isNull ||
         col(time) - col(s"_b_$time") <= col(s"_f_$time") - col(time))
+    // a left row with no timestamp has no defensible nearest match: the
+    // forward pass's DESC sort parks nulls last, where the running
+    // last() would hand them the earliest right row — force null instead
     both.select(leftCols.map(col) ++ valueCols.map(c =>
-      when(backWins, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(s"asof_$c")): _*)
+      when(col(time).isNull, lit(null))
+        .when(backWins, col(s"_b_$c"))
+        .otherwise(col(s"_f_$c")).as(s"asof_$c")): _*)
   }
 }

@@ -43,13 +43,19 @@ object Sampling {
   def seededMixture(df: DataFrame, stratumCol: String, seedCol: String,
                     rates: Map[String, Double],
                     defaultRate: Double): DataFrame = {
+    // distinctive scratch names, and an explicit error on collision:
+    // withColumn would silently overwrite (and drop would then delete)
+    // a caller's column of the same name
+    val (h, u) = ("_graft_mixture_h", "_graft_mixture_u")
+    require(!df.columns.contains(h) && !df.columns.contains(u),
+      s"input already has a $h/$u column; rename it before seededMixture")
     val rateExpr = rates.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (k, v)) => acc.when(col(stratumCol) === k, lit(v))
     }.otherwise(lit(defaultRate))
-    df.withColumn("_h", md5(col(seedCol).cast("string").cast("binary")))
-      .withColumn("_u", expr(u01Spark("_h")))
-      .filter(col("_u") < rateExpr)
-      .drop("_h", "_u")
+    df.withColumn(h, md5(col(seedCol).cast("string").cast("binary")))
+      .withColumn(u, expr(u01Spark(h)))
+      .filter(col(u) < rateExpr)
+      .drop(h, u)
   }
 
   /** Fixed-boundary sequence packing: within each `partitionCol` group
@@ -61,7 +67,10 @@ object Sampling {
     * on every earlier decision (inherently sequential state), while the
     * fixed-boundary variant is one window cumsum — embarrassingly
     * parallel per group, which is what survives a 100 TB corpus.
-    * Returns the input plus a `bin` column.
+    * Returns the input plus a `bin` column. A single doc larger than
+    * `budget` advances the cumsum past several boundaries, so bin ids
+    * within a group are nondecreasing but NOT necessarily contiguous —
+    * consumers must iterate the bins that exist, not `0..max`.
     */
   def packByTokenBudget(df: DataFrame, tokensCol: String, budget: Long,
                         partitionCol: String, orderCol: String): DataFrame = {

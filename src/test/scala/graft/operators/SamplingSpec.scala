@@ -35,13 +35,20 @@ class SamplingSpec extends SparkSpec {
     // a bin holds < budget tokens before its last doc was added, so its
     // total is < budget + that doc's size
     assert(sums.forall(r => r.getLong(2) < 100L + r.getLong(3)))
-    // bins are contiguous 0..max per source (no gaps from the floor)
-    val bins = packed.groupBy($"source")
-      .agg(collect_set($"bin").as("bs")).as[(String, Seq[Long])].collect()
-    assert(bins.forall { case (_, bs) => bs.sorted == (0L to bs.max).toSeq })
     // order within a group is what packs: doc_id order -> nondecreasing bins
     val perDoc = packed.filter($"source" === "src0")
       .orderBy($"doc_id").select($"bin").as[Long].collect()
     assert(perDoc.sameElements(perDoc.sorted))
+  }
+
+  test("packByTokenBudget skips bin ids when one doc overflows the budget") {
+    // a 250-token doc with budget 100 advances the boundary past bins
+    // 0-2 at once: the next doc lands in bin 2, bins are NOT contiguous
+    val t = Seq(("s", 1L, 250L), ("s", 2L, 10L), ("s", 3L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val bins = Sampling.packByTokenBudget(t, "n_tokens", budget = 100L,
+        partitionCol = "source", orderCol = "doc_id")
+      .orderBy($"doc_id").select($"bin").as[Long].collect().toSeq
+    assert(bins == Seq(0L, 2L, 2L), bins.toString)
   }
 }
