@@ -114,7 +114,7 @@ class StreamArrowSpec extends SparkSpec {
 
   test("columnar parquet input encodes straight from the scan vectors") {
     // the vectorized parquet scan feeds StreamExec as ColumnarBatches;
-    // writeColumnarSlice must slice multi-chunk batches and carry every
+    // ColumnarFrameBuffer must slice multi-chunk batches and carry every
     // type (incl. nulls) without an InternalRow detour
     val dir = java.nio.file.Files.createTempDirectory("graft_colin").toString
     spark.range(0, 300).select(
