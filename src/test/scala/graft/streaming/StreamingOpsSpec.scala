@@ -142,6 +142,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("seeded mixture sampling is stream/batch identical (stateless narrow filter)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sampled = graft.operators.Sampling.seededMixture(
+      mem.toDF(), stratumCol = "event_type", seedCol = "event_id",
+      rates = Map("view" -> 0.2), defaultRate = 0.6)
+    val q = sampled.writeStream.outputMode("append").format("memory")
+      .queryName("mix_out").start()
+    val events = loadEvents.take(2000)
+    mem.addData(events)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mix_out").select($"event_id").as[Long]
+      .collect().sorted.toSeq
+    val batch = graft.operators.Sampling.seededMixture(
+        events.toDF(), "event_type", "event_id",
+        Map("view" -> 0.2), defaultRate = 0.6)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("pipe operator runs inside foreachBatch on a micro-batched stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
