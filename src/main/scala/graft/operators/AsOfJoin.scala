@@ -44,7 +44,10 @@ object AsOfJoin {
     val l = left.withColumn("_tag", lit(1))
       .select((leftCols.map(col) :+ col("_tag")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
-    val r = right.withColumn("_tag", lit(0))
+    // a right row with no timestamp can never be "at or before/after"
+    // anything — drop it so the running last() cannot pick it up (desc
+    // sorts nulls last, where it would otherwise shadow real matches)
+    val r = right.filter(col(time).isNotNull).withColumn("_tag", lit(0))
       .select((leftCols.map(c =>
         (if (keep(c)) col(c) else lit(null).cast(left.schema(c).dataType))
           .as(c)) :+ col("_tag")) ++
@@ -62,8 +65,13 @@ object AsOfJoin {
     val filled = l.unionByName(r)
       .select(Seq(col("*")) ++ valueCols.map(c =>
         last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    // a null-time left row has no defensible match in either direction
+    // (desc parks it last, where the running last() would hand it the
+    // earliest right row) — force its asof_* to null
     filled.filter(col("_tag") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c =>
+        when(col(time).isNull, lit(null)).otherwise(col(s"asof_$c"))
+          .as(s"asof_$c")): _*)
   }
 
   /** Nearest-match as-of join: for each left row, the right row (same

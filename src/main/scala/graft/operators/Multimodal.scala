@@ -131,7 +131,11 @@ object Multimodal {
           if (meta.isNullAt(0) || !meta.getBoolean(5)) null
           else {
             val (w, h, c) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-            if (w == 0 || h == 0) null
+            // a header whose dims exceed the actual payload (e.g. a
+            // well-formed container packed with arbitrary dims) is
+            // invalid raster data, not a crash: yield null like other
+            // invalid containers
+            if (w == 0 || h == 0 || bytes.length - HeaderLen < w.toLong * h * c) null
             else {
               val payload = bytes.drop(HeaderLen)
               val outBytes = new Array[Byte](outWidth * outHeight * c)

@@ -73,11 +73,15 @@ object Sampling {
     * consumers must iterate the bins that exist, not `0..max`.
     */
   def packByTokenBudget(df: DataFrame, tokensCol: String, budget: Long,
-                        partitionCol: String, orderCol: String): DataFrame = {
+                        partitionCol: String, orderCol: String,
+                        binCol: String = "bin"): DataFrame = {
     require(budget > 0)
+    // same hazard seededMixture guards: withColumn silently overwrites
+    require(!df.columns.contains(binCol),
+      s"input already has a $binCol column; pass a different binCol")
     val before = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("bin",
+    df.withColumn(binCol,
       floor(coalesce(sum(col(tokensCol)).over(before), lit(0L)) / lit(budget))
         .cast("long"))
   }

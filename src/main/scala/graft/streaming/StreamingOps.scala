@@ -46,11 +46,20 @@ object StreamingOps {
     * (A processing-time timeout would also force the engine to schedule
     * wall-clock batches, making `processAllAvailable` block for the
     * whole gap.)
+    *
+    * @param lateness watermark delay: events arriving in a later
+    *                 micro-batch with ts below (max seen ts − lateness)
+    *                 are DROPPED before the stateful operator. The
+    *                 default "0 seconds" keeps state minimal but loses
+    *                 any cross-batch out-of-order event; feeds with
+    *                 disorder should pass their real lateness bound and
+    *                 pay the extra state.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 lateness: String = "0 seconds"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -72,6 +72,26 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(5.5), 5L -> None))
   }
 
+  test("null-time rows: null match for null-time left, null-time right ignored") {
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val left = Seq(
+      (L(1), L(100), L(10)),
+      (L(2), L(100), null.asInstanceOf[java.lang.Long]) // no defensible match
+    ).toDF("event_id", "user_id", "sec")
+    val right = Seq(
+      (L(90), L(100), L(5), 5.5),
+      (L(91), L(100), null.asInstanceOf[java.lang.Long], 99.9) // must never match
+    ).toDF("event_id", "user_id", "sec", "value")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOfJoin.join(left, right, "user_id", "sec", Seq("value"),
+          tieBreaker = Some("event_id"), direction = dir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val expect1 = if (dir == "backward") Some(5.5) else None
+      assert(got == Map(1L -> expect1, 2L -> None), s"direction=$dir")
+    }
+  }
+
   test("one shuffle: plan contains a single Exchange for the window") {
     val left = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "sec")
     val right = Seq((2L, 1L, 1L, 1.0)).toDF("event_id", "user_id", "sec", "value")

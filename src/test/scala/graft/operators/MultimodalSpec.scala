@@ -74,6 +74,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter($"id" === 2).select($"resized").head.isNullAt(0))
   }
 
+  test("resize treats header dims exceeding the payload as invalid, not a crash") {
+    // well-formed container (length field matches payload) whose declared
+    // raster 50x50x3 needs 7500 bytes but the payload has 16
+    val lying = Multimodal.pack(50, 50, 3, 0, Array.tabulate[Byte](16)(_.toByte))
+    val df = Seq((1L, lying)).toDF("id", "blob")
+    assert(Multimodal.decodeHeader(df, "blob").select($"meta.valid").head.getBoolean(0))
+    val out = Multimodal.resize(df, "blob", outWidth = 2, outHeight = 2)
+    assert(out.select($"resized").head.isNullAt(0))
+  }
+
   test("binary payloads survive the Arrow pipe round-trip") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)

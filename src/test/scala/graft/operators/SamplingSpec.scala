@@ -51,4 +51,16 @@ class SamplingSpec extends SparkSpec {
       .orderBy($"doc_id").select($"bin").as[Long].collect().toSeq
     assert(bins == Seq(0L, 2L, 2L), bins.toString)
   }
+
+  test("packByTokenBudget refuses to overwrite an existing bin column") {
+    val t = Seq(("s", 1L, 10L, "mine")).toDF("source", "doc_id", "n_tokens", "bin")
+    intercept[IllegalArgumentException] {
+      Sampling.packByTokenBudget(t, "n_tokens", 100L, "source", "doc_id")
+    }
+    // a caller-chosen output name routes around the collision
+    val out = Sampling.packByTokenBudget(t, "n_tokens", 100L, "source", "doc_id",
+      binCol = "pack_bin")
+    assert(out.columns.contains("pack_bin") &&
+      out.select($"bin").head.getString(0) == "mine")
+  }
 }

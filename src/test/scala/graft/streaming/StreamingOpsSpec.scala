@@ -95,6 +95,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("end_sec") == base + 10)
   }
 
+  test("sessionize lateness bound decides whether cross-batch stragglers count") {
+    implicit val sq = spark.sqlContext
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    def run(lateness: String, name: String): Long = {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.sessionize(mem.toDS(), gapSeconds = 600, lateness = lateness)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      // batch 1 advances the watermark to (base+100 - lateness)
+      mem.addData(Seq(
+        Event(1L, new java.sql.Timestamp(base * 1000), 7L, "view", 1.0),
+        Event(2L, new java.sql.Timestamp((base + 100) * 1000), 7L, "view", 2.0)))
+      q.processAllAvailable()
+      // batch 2: a straggler 50s behind the max seen event time
+      mem.addData(Seq(
+        Event(3L, new java.sql.Timestamp((base + 50) * 1000), 7L, "view", 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(StreamingOps.drainSentinel(base + 100).copy(user_id = 7L)))
+      q.processAllAvailable(); q.stop()
+      spark.table(name).filter($"user_id" === 7L)
+        .agg(sum($"n_events")).head.getLong(0)
+    }
+    // 0s watermark: the straggler is below it and silently dropped
+    assert(run("0 seconds", "late_strict") == 2L)
+    // a real lateness bound keeps it, at the price of more state
+    assert(run("5 minutes", "late_lenient") == 3L)
+  }
+
   test("streaming exact dedup drops within-watermark duplicates, keeps state on the hash") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
