@@ -114,28 +114,38 @@ object TextAnalysis {
     * [[langIdConfusion]] but scored on character trigrams of the
     * space-padded text — the classic n-gram profile heuristic, robust
     * to languages without whitespace tokenization (the zh markers only
-    * ever match here via their padded single-char grams). Topology is
-    * identical: narrow trigram explode + map lookup, one keyed
-    * aggregation.
+    * ever match here via their padded single-char grams).
+    *
+    * Scores are substring-occurrence counts (non-overlapping,
+    * left-to-right — `replace` semantics, identical in the JVM and
+    * DuckDB) summed over each language's gram set, computed as ONE
+    * whole-stage-codegen projection per document: no per-position
+    * explode (which costs a row per character), no hit-table shuffle,
+    * no pivot — the scan is the only pass over the corpus and the lone
+    * shuffle is the tiny (lang, guess) aggregation. That plan shape is
+    * flat in corpus size, which is what survives 100 TB.
     */
   def langIdCharNgram(docs: DataFrame): DataFrame = {
     val langs = charTrigramProfiles.map(_._1)
-    // map-literal lookup: measured faster than a broadcast hash join of
-    // the ~90-gram table at this profile size (the join's build/probe
-    // plumbing costs more than a short literal scan)
-    val gramMap = map(charTrigramProfiles.flatMap { case (l, gs) =>
-      gs.flatMap(g => Seq(lit(g), lit(l)))
-    }: _*)
-    val hits = docs
-      .select(col("doc_id"), col("lang"),
-        concat(lit(" "), col("text"), lit(" ")).as("t"))
-      .filter(length(col("t")) >= 3) // sequence(1,0) would count backwards
-      .select(col("doc_id"), col("lang"), col("t"),
-        explode(expr("sequence(1, length(t) - 2)")).as("i"))
-      .select(col("doc_id"), col("lang"),
-        element_at(gramMap, expr("substring(t, i, 3)")).as("ml"))
-      .filter(col("ml").isNotNull)
-    confusionFromHits(docs, hits, langs)
+    // materialize the padded text once: inlining it into each of the
+    // ~90 gram counters would blow the codegen'd expression tree up
+    // ~200× (multi-second janino compile for zero runtime gain)
+    val padded = docs.select(col("doc_id"), col("lang"),
+      concat(lit(" "), col("text"), lit(" ")).as("_t"))
+    val t = col("_t")
+    val scores = charTrigramProfiles.map { case (l, gs) =>
+      gs.map(g => (length(t) - length(replace(t, lit(g)))).divide(3))
+        .reduce(_ + _).cast("long").as(s"score_$l")
+    }
+    val scored = padded.select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val guessCol = langs.foldLeft(when(maxScore <= 0, lit("und"))) {
+      case (acc, l) => acc.when(col(s"score_$l") === maxScore, lit(l))
+    }.otherwise(lit("und"))
+    scored.withColumn("guess", guessCol)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
   }
 
   /** Quality metrics per document — integer components plus a boolean

@@ -200,26 +200,25 @@ object DataPipeline {
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // mirrors TextAnalysis.langIdCharNgram: per-language score = sum of
+  // non-overlapping substring-occurrence counts over its gram set
+  // (`replace` counting — same left-to-right semantics both engines),
+  // one projection, no per-position unnest
   private val langidNgramSql: String = {
     val langs = TextAnalysis.charTrigramProfiles.map(_._1)
-    val values = TextAnalysis.charTrigramProfiles.flatMap { case (l, gs) =>
-      gs.map(g => s"('${g.replace("'", "''")}', '$l')")
+    val scoreCols = TextAnalysis.charTrigramProfiles.map { case (l, gs) =>
+      gs.map { g0 =>
+        val g = g0.replace("'", "''")
+        s"(length(t) - length(replace(t, '$g', ''))) // 3"
+      }.mkString("(", " + ", s") AS score_$l")
     }.mkString(",\n    ")
-    val scoreCols = langs.map(l =>
-      s"count(*) FILTER (h.l = '$l') AS score_$l").mkString(",\n    ")
     val gm = langs.map(l => s"score_$l").mkString(", ")
     val cases = langs.map(l =>
       s"WHEN score_$l = greatest($gm) THEN '$l'").mkString("\n    ")
-    s"""WITH m(g, l) AS (VALUES
-       |    $values),
-       |t AS (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents),
-       |gr AS (SELECT doc_id, lang, substr(t, i, 3) AS g
-       |       FROM (SELECT doc_id, lang, t, unnest(range(1, length(t) - 1)) AS i
-       |             FROM t WHERE length(t) >= 3)),
-       |h AS (SELECT gr.doc_id, m.l FROM gr JOIN m ON gr.g = m.g),
-       |s AS (SELECT t.doc_id, t.lang,
+    s"""WITH t AS (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents),
+       |s AS (SELECT doc_id, lang,
        |    $scoreCols
-       |  FROM t LEFT JOIN h ON t.doc_id = h.doc_id GROUP BY 1, 2),
+       |  FROM t),
        |g2 AS (SELECT lang,
        |  CASE WHEN greatest($gm) <= 0 THEN 'und'
        |    $cases

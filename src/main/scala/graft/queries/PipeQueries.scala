@@ -75,7 +75,13 @@ object PipeQueries {
     "q43_pipe_arrow_echo" -> { (s, dir) =>
       import s.implicits._
       val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
-      val in = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      // one child JVM forks per partition: coalesce so each child gets
+      // ~75k rows and its ~300ms startup amortizes (32 children on 600k
+      // rows would be spawn-dominated — same sizing rule as a real
+      // cluster, where the pipe partition count should track input
+      // volume, not core count)
+      val in = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity").coalesce(8)
       val declared = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
       Stream.arrow(in, cmd, declared, chunkSize = 8192)
