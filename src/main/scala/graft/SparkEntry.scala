@@ -15,7 +15,8 @@ object SparkEntry {
       (qmod.Relational.queries, qmod.Relational.oracleSql),
       (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql),
       (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql),
-      (qmod.Patterns.queries, qmod.Patterns.oracleSql)
+      (qmod.Patterns.queries, qmod.Patterns.oracleSql),
+      (qmod.Corpus.queries, qmod.Corpus.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -14,24 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** u in [0,1) from the first 8 hex digits of a 32-hex hash string:
-    * Σ digit_i / 16^i — binary-exact arithmetic, so portable bit-for-bit.
+  /** u in [0,1) from the first 13 hex digits (52 bits — exact in an
+    * IEEE double) of a 32-hex hash string: prefix / 16^13. One hex
+    * parse per row instead of the earlier 16-term per-digit expansion,
+    * whose ~50-node expression tree cost multi-second janino compiles
+    * per query for identical semantics. Binary-exact both engines.
     * The hash is computed once into a column named by `hashCol`.
     */
-  private def u01FromHash(hashCol: String, strpos: (String, String) => String): String = {
-    val digits = (1 to 8).map { i =>
-      s"(${strpos(s"substr($hashCol, $i, 1)", "'0123456789abcdef'")} - 1) / ${math.pow(16, i).toLong}.0"
-    }
-    digits.mkString("(", " + ", ")")
-  }
+  private val U01Denom = "4503599627370496.0" // 16^13 = 2^52
 
-  /** Spark SQL flavor (`position(c IN alphabet)`). */
+  /** Spark SQL flavor (`conv(hex, 16, 10)`). */
   def u01Spark(hashCol: String): String =
-    u01FromHash(hashCol, (c, alpha) => s"position($c IN $alpha)")
+    s"(cast(conv(substr($hashCol, 1, 13), 16, 10) as bigint) / $U01Denom)"
 
-  /** DuckDB flavor (`strpos(alphabet, c)`) — for oracle SQL only. */
+  /** DuckDB flavor (`'0x…'::BIGINT` hex cast) — for oracle SQL only. */
   def u01Duck(hashCol: String): String =
-    u01FromHash(hashCol, (c, alpha) => s"strpos($alpha, $c)")
+    s"(CAST(('0x' || substr($hashCol, 1, 13)) AS BIGINT) / $U01Denom)"
 
   /** Seeded mixture resampling: keep each row iff its hash-uniform
     * u < rate(stratum) — the corpus-rebalancing primitive (downsample
@@ -56,6 +54,35 @@ object Sampling {
       .withColumn(u, expr(u01Spark(h)))
       .filter(col(u) < rateExpr)
       .drop(h, u)
+  }
+
+  /** Deterministic weighted sampling without replacement: keep the `k`
+    * rows per stratum with the largest `ln(u) / w` key (the
+    * Efraimidis–Spirakis A-ES scheme under a log transform — order-
+    * equivalent to `u^(1/w)`, numerically tamer). Heavier rows win
+    * proportionally more often, yet the draw is a pure function of the
+    * seed column: identical on any engine, partitioning, or cluster
+    * size, and replayable under retries. One window shuffle on the
+    * stratum key; at corpus scale swap the row_number window for a
+    * bounded per-partition top-k heap + final merge if strata are huge.
+    *
+    * Rows with null/non-positive weight are excluded (they have no
+    * defensible inclusion probability).
+    */
+  def weightedTopK(df: DataFrame, stratumCol: String, seedCol: String,
+                   weightCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val (h, key, rn) = ("_graft_ws_h", "_graft_ws_key", "_graft_ws_rn")
+    require(Seq(h, key, rn).forall(!df.columns.contains(_)),
+      s"input already has a $h/$key/$rn column; rename it before weightedTopK")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(key).desc, col(seedCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(h, md5(col(seedCol).cast("string").cast("binary")))
+      .withColumn(key, log(expr(u01Spark(h))) / col(weightCol))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(h, key, rn)
   }
 
   /** Fixed-boundary sequence packing: within each `partitionCol` group

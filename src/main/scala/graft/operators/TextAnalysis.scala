@@ -209,6 +209,99 @@ object TextAnalysis {
         max(col("n_bpeish")).as("max_bpeish_tokens"))
       .orderBy(col("source"))
 
+  /** Within-document repetition statistics per source — the Gopher-style
+    * "duplicate word fraction" quality signal, computed entirely from
+    * narrow array expressions (`size` / `array_distinct` per doc, no
+    * explode, no per-word shuffle): the scan is the only pass over the
+    * corpus and the lone shuffle is the tiny per-source aggregation.
+    * Outputs integer sums only (consumers derive ratios), keeping the
+    * oracle comparison float-free.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"),
+        size(col("w")).cast("long").as("n"),
+        size(array_distinct(col("w"))).cast("long").as("d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_words"),
+        sum(col("n") - col("d")).as("sum_dup_words"),
+        max(col("n") - col("d")).as("max_dup_words"))
+      .orderBy(col("source"))
+
+  /** PII-shaped patterns for corpus scrubbing. Constructs restricted to
+    * the regex subset Java and RE2 share (no lookarounds, no backrefs)
+    * so the same pattern runs in Spark, DuckDB, and any RE2-based
+    * scrubber unchanged.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Redact every match of `pattern` in `column`, adding
+    * `<column>_redacted` and a `<column>_n_redactions` count. A narrow
+    * projection (regexp_replace + regexp_extract_all are both
+    * codegen'd): at 100 TB this is a pure map stage that pipelines with
+    * the scan — redact close to the data, never shuffle raw text to a
+    * scrubbing service.
+    */
+  def redactPattern(df: DataFrame, column: String, pattern: String,
+                    replacement: String = "[REDACTED]"): DataFrame =
+    df.withColumn(s"${column}_redacted",
+        regexp_replace(col(column), pattern, replacement))
+      .withColumn(s"${column}_n_redactions",
+        size(regexp_extract_all(col(column), lit(pattern), lit(0))).cast("long"))
+
+  /** Apply every [[PiiPatterns]] rule in sequence (each tag replaced by
+    * its own marker, counts per rule).
+    */
+  def redactPii(df: DataFrame, column: String): DataFrame =
+    PiiPatterns.foldLeft(
+      df.withColumn(s"${column}_pii", col(column))) { case (d, (tag, pat)) =>
+      d.withColumn(s"${column}_n_$tag",
+          size(regexp_extract_all(col(s"${column}_pii"), lit(pat), lit(0))).cast("long"))
+        .withColumn(s"${column}_pii",
+          regexp_replace(col(s"${column}_pii"), pat, s"[${tag.toUpperCase}]"))
+    }
+
+  /** Benchmark-contamination report: for each non-benchmark source, how
+    * many docs share at least one word `n`-gram with the benchmark set
+    * (the decontamination check every training pipeline runs against
+    * eval suites). The benchmark gram table is the small side and is
+    * broadcast — the corpus side stays a narrow shingle projection +
+    * one semi join + one per-source count, with output proportional to
+    * contaminated docs, not candidate pairs.
+    */
+  def contaminationStats(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
+    val benchGrams = TextDedup.wordShingles(bench, n)
+      .select(col("sh")).distinct()
+    val docGrams = TextDedup.wordShingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val contaminated = docGrams
+      .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus-wide hot n-grams by document frequency — the C4-style
+    * boilerplate-discovery pass (grams that appear in many distinct
+    * docs are headers/footers/licence text to strip). Per-doc distinct
+    * shingles keep the count a true document frequency and the explode
+    * output ∝ corpus grams; one hash aggregation, then a top-k sort on
+    * the (tiny) gram table.
+    */
+  def hotNgrams(docs: DataFrame, n: Int = 3, topK: Int = 10): DataFrame =
+    TextDedup.wordShingles(docs, n)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(topK)
+
   /** Document fingerprint: full-text hash plus min/max rolling window
     * hash over word 5-grams (the winnowing-style sketch primitives).
     */

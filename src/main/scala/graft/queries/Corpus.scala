@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Sampling, Sketches, TextAnalysis}
+
+/** Corpus-curation queries (round 4): repetition signals, PII-style
+  * scrubbing, benchmark decontamination, boilerplate discovery, sketch
+  * cardinalities, weighted sampling. Every query is backed by an
+  * operator in `graft.operators` and replayed bit-for-bit by a DuckDB
+  * oracle (hash-uniform draws via the shared md5-prefix u01, integer
+  * sums instead of cross-engine float averages).
+  */
+object Corpus {
+
+  private val u01 = Sampling.u01Duck("h")
+
+  // DuckDB word-3-gram list of ws (1-indexed; range(a,b) excludes b)
+  private val duckGrams3 =
+    "list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"))
+    },
+
+    // numeric-scrub flavor of PII redaction over the JSON props column
+    // (the synthetic corpus carries no email/phone-shaped tokens; the
+    // pattern machinery is identical — PiiPatterns are exercised in
+    // TextAnalysisSpec on adversarial strings)
+    "q69_scrub" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.redactPattern(
+          Tables.load(s, dir, "events"), "props", "[0-9]+", "#")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"props_n_redactions").as("sum_redactions"),
+          sum(length($"props_redacted")).as("sum_scrubbed_len"),
+          min($"props_redacted").as("min_scrubbed"),
+          max($"props_redacted").as("max_scrubbed"))
+        .orderBy($"event_type")
+    },
+
+    // decontamination report: src0 plays the eval benchmark, every
+    // other source is checked for 3-gram overlap against it
+    "q70_contamination" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.contaminationStats(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 3)
+    },
+
+    // KMV sketch vs exact count-distinct, side by side: the oracle
+    // recomputes the sketch estimate from the same hash prefix, so a
+    // hash-match proves the mergeable aggregation path (partial state
+    // per partition -> merge -> finish) computes the textbook estimator
+    "q71_distinct_sketch" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("h", md5($"o_custkey".cast("string").cast("binary")))
+        .withColumn("u", expr(Sampling.u01Spark("h")))
+        .groupBy($"o_orderstatus")
+        .agg(Sketches.kmvDistinct($"u", 64).as("est_distinct"),
+          countDistinct($"o_custkey").as("exact_distinct"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"o_orderstatus")
+    },
+
+    "q72_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.weightedTopK(Tables.load(s, dir, "documents"),
+          "source", "doc_id", "n_chars", k = 3)
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+
+    "q73_boilerplate" -> { (s, dir) =>
+      TextAnalysis.hotNgrams(Tables.load(s, dir, "documents"), n = 3, topK = 10)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q68_repetition" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_words,
+        |  CAST(sum(n - d) AS BIGINT) AS sum_dup_words,
+        |  CAST(max(n - d) AS BIGINT) AS max_dup_words
+        |FROM (SELECT source, len(string_split(text, ' ')) AS n,
+        |             len(list_distinct(string_split(text, ' '))) AS d
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_scrub" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS sum_redactions,
+        |  CAST(sum(len(scrubbed)) AS BIGINT) AS sum_scrubbed_len,
+        |  min(scrubbed) AS min_scrubbed, max(scrubbed) AS max_scrubbed
+        |FROM (SELECT event_type, props,
+        |        regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_contamination" ->
+      s"""WITH g AS (SELECT doc_id, source, $duckGrams3 AS gs
+         |           FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |                 FROM documents)
+         |           WHERE len(ws) >= 3),
+         |bg AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE source = 'src0'),
+         |dg AS (SELECT doc_id, source, unnest(gs) AS sh FROM g WHERE source <> 'src0'),
+         |cont AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+         |         FROM (SELECT DISTINCT doc_id, source FROM dg
+         |               WHERE sh IN (SELECT sh FROM bg))
+         |         GROUP BY 1),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM documents WHERE source <> 'src0' GROUP BY 1)
+         |SELECT tot.source, tot.n_docs,
+         |  CAST(COALESCE(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated
+         |FROM tot LEFT JOIN cont USING (source) ORDER BY 1""".stripMargin,
+
+    "q71_distinct_sketch" -> {
+      val k = 64
+      s"""WITH u AS (SELECT o_orderstatus, o_custkey,
+         |    $u01 AS u
+         |  FROM (SELECT o_orderstatus, o_custkey,
+         |          md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders)),
+         |d AS (SELECT DISTINCT o_orderstatus, u FROM u),
+         |r AS (SELECT o_orderstatus, u,
+         |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY u) AS rn,
+         |        count(*) OVER (PARTITION BY o_orderstatus) AS cnt FROM d),
+         |est AS (SELECT o_orderstatus,
+         |          CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+         |               ELSE ${k - 1}.0 / u END AS est_distinct
+         |        FROM r WHERE rn = CASE WHEN cnt < $k THEN cnt ELSE $k END),
+         |ex AS (SELECT o_orderstatus,
+         |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+         |         CAST(count(*) AS BIGINT) AS n_rows
+         |       FROM orders GROUP BY 1)
+         |SELECT ex.o_orderstatus, est.est_distinct, ex.exact_distinct, ex.n_rows
+         |FROM ex JOIN est USING (o_orderstatus) ORDER BY 1""".stripMargin
+    },
+
+    "q72_weighted_sample" ->
+      s"""WITH h AS (SELECT source, doc_id, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |k AS (SELECT source, doc_id, ln($u01) / n_chars AS key FROM h),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
+         |      FROM k)
+         |SELECT source, doc_id FROM r WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+    "q73_boilerplate" ->
+      s"""WITH g AS (SELECT doc_id, $duckGrams3 AS gs
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |                 FROM documents)
+         |           WHERE len(ws) >= 3)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM (SELECT unnest(gs) AS gram FROM g)
+         |GROUP BY 1 ORDER BY doc_freq DESC, gram ASC LIMIT 10""".stripMargin
+  )
+}
