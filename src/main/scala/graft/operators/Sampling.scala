@@ -63,8 +63,10 @@ object Sampling {
     * proportionally more often, yet the draw is a pure function of the
     * seed column: identical on any engine, partitioning, or cluster
     * size, and replayable under retries. One window shuffle on the
-    * stratum key; at corpus scale swap the row_number window for a
-    * bounded per-partition top-k heap + final merge if strata are huge.
+    * stratum key — and because the filter is `row_number() <= k`,
+    * Spark plans a WindowGroupLimit that trims every partition to its
+    * local top-k BEFORE the exchange (asserted in PlanQualitySpec), so
+    * only k rows per stratum per partition ever shuffle.
     *
     * Rows with null/non-positive weight are excluded (they have no
     * defensible inclusion probability).

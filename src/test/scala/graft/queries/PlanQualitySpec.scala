@@ -139,6 +139,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Stream "), plan)
   }
 
+  test("q70 broadcasts the benchmark gram set into the semi join") {
+    val plan = formatted("q70_contamination")
+    // the corpus-side explode must probe a broadcast of the (small)
+    // benchmark grams — a shuffled semi join here would move the whole
+    // exploded corpus gram table at 100 TB
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin [sh"), plan)
+  }
+
+  test("q71 KMV sketch aggregates map-side before any exchange") {
+    val plan = SparkEntryAccess.query("q71_distinct_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial sketch state per partition, k doubles per group over the
+    // wire — the mergeable-aggregation contract of the KMV design
+    assert(plan.contains("partial_kmvdistinct"), plan)
+  }
+
+  test("q72 weighted sampling pushes top-k below the shuffle") {
+    val plan = SparkEntryAccess.query("q72_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit(Partial) trims each partition to k rows before
+    // the stratum exchange: the bounded per-partition top-k the
+    // operator's scale story relies on
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("stream input columns survive column pruning (black-box operator)") {
     import spark.implicits._
     // regression: ColumnPruning's generic case once inserted an empty
