@@ -302,6 +302,32 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(topK)
 
+  /** Context-length chunking: split each document into overlapping
+    * ~`chunkTokens`-token windows (stride = chunkTokens − overlap) —
+    * the pre-tokenization pass that turns long documents into
+    * training-sequence-sized pieces. Chunk starts are
+    * `1, 1+stride, …` up to `max(n − overlap, 1)`, so every token is
+    * covered, the final chunk may run short, and a doc shorter than one
+    * chunk yields exactly one chunk. Narrow explode: output rows ∝
+    * chunks, no shuffle, deterministic chunk numbering — at 100 TB
+    * this pipelines with the scan and the (doc_id, chunk_no) key is
+    * stable under retries.
+    */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), col("w"),
+        posexplode(expr(
+          s"sequence(1, greatest(size(w) - $overlap, 1), $stride)"))
+          .as(Seq("chunk_no", "st")))
+      .select(col("doc_id"), col("source"),
+        col("chunk_no").cast("long").as("chunk_no"),
+        array_join(slice(col("w"), col("st"), lit(chunkTokens)), " ").as("chunk"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   /** Document fingerprint: full-text hash plus min/max rolling window
     * hash over word 5-grams (the winnowing-style sketch primitives).
     */

@@ -77,6 +77,27 @@ object Corpus {
 
     "q73_boilerplate" -> { (s, dir) =>
       TextAnalysis.hotNgrams(Tables.load(s, dir, "documents"), n = 3, topK = 10)
+    },
+
+    // context-length chunking: every chunk's exact text is pinned by
+    // its md5, so the oracle checks content, boundaries and numbering
+    "q74_chunking" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.chunkByTokens(Tables.load(s, dir, "documents"),
+          chunkTokens = 32, overlap = 8)
+        .select($"doc_id", $"chunk_no", $"n_chunk_tokens",
+          md5($"chunk".cast("binary")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_no")
+    },
+
+    // dup-cluster resolution: connected components over the verified
+    // MinHash near-dup pairs (same pair set the q21 oracle defines);
+    // the recursive-CTE oracle proves the distributed label-propagation
+    // fixpoint equals the true transitive closure
+    "q75_dup_clusters" -> { (s, dir) =>
+      val pairs = graft.operators.TextDedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), threshold = 0.5)
+      graft.operators.Components.dupClusters(pairs)
     }
   )
 
@@ -157,6 +178,52 @@ object Corpus {
          |           WHERE len(ws) >= 3)
          |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM (SELECT unnest(gs) AS gram FROM g)
-         |GROUP BY 1 ORDER BY doc_freq DESC, gram ASC LIMIT 10""".stripMargin
+         |GROUP BY 1 ORDER BY doc_freq DESC, gram ASC LIMIT 10""".stripMargin,
+
+    // chunk starts 1, 1+stride, ... up to max(n-overlap, 1); inclusive
+    // end-capped list_slice == Spark's length-capped slice
+    "q74_chunking" -> {
+      val (chunk, overlap) = (32, 8)
+      val stride = chunk - overlap
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, w,
+         |        range(1, greatest(len(w) - $overlap, 1) + 1, $stride) AS starts
+         |      FROM w),
+         |c AS (SELECT doc_id,
+         |        CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_no,
+         |        array_to_string(list_slice(w, unnest(starts),
+         |          unnest(starts) + ${chunk - 1}), ' ') AS chunk
+         |      FROM s)
+         |SELECT doc_id, chunk_no,
+         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+         |  md5(chunk) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+    },
+
+    // edges = the q21 oracle's verified Jaccard >= 0.5 pairs; the
+    // recursive closure then labels every clustered doc with the min
+    // reachable doc_id
+    "q75_dup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |       FROM w),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |dup AS (SELECT da, db
+        |        FROM cand JOIN sizes sa ON da = sa.doc_id
+        |                  JOIN sizes sb ON db = sb.doc_id
+        |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da AS a, db AS b FROM dup
+        |      UNION SELECT db, da FROM dup),
+        |reach(a, b) AS (SELECT a, a FROM e
+        |                UNION
+        |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
