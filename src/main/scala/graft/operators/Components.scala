@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge table — the cluster-resolution
@@ -13,19 +14,42 @@ import org.apache.spark.sql.functions._
   * neighbors (one shuffle on the edge key), then labels chase their own
   * label's label (`comp := comp(comp)`, a second self-join) — the
   * pointer-jumping step that collapses chains in O(log n) rounds where
-  * plain propagation needs O(diameter). Lineage is truncated with
-  * `localCheckpoint` every round, so the loop is safe for the tens of
-  * rounds a pathological graph needs (on a cluster, use
-  * `spark.cleaner.referenceTracking` defaults and checkpoint dirs).
-  * All state is (vertex, label) pairs — memory ∝ vertices, never
-  * pairs², and every step is a keyed shuffle Catalyst plans with
-  * map-side partial `min`.
+  * plain propagation needs O(diameter). All state is (vertex, label)
+  * pairs — memory ∝ vertices, never pairs², and every step is a keyed
+  * shuffle Catalyst plans with map-side partial `min`.
+  *
+  * Loop cost: exactly ONE Spark action per round. Each round's result
+  * carries a `changed` flag computed in the same plan, is marked for a
+  * lazy `localCheckpoint`, and a single `count(changed)` aggregation
+  * both materializes the checkpoint (truncating lineage for the tens of
+  * rounds a pathological graph needs) and returns the convergence
+  * signal — no separate fixpoint join, no second eager materialization.
+  * Superseded rounds' checkpoint blocks are unpersisted immediately, so
+  * executor storage holds at most two rounds of (vertex, label) state
+  * regardless of round count. The edge table is checkpointed once up
+  * front (it is re-joined every round) and released before returning.
+  *
+  * Caller contract: the returned DataFrame is backed by the final
+  * round's local checkpoint (∝ vertices). It stays pinned in executor
+  * storage until the session ends or the caller is done with it.
   *
   * The reference has no graph operator; this is the Spark-native
   * closure of its dedup-pipeline capability (SURVEY §2 "beyond
   * reference"). Deterministic: labels are ids, min is order-free.
   */
 object Components {
+
+  /** Release the storage blocks behind a `localCheckpoint`ed DataFrame.
+    * These blocks do NOT live in the SQL cache manager (so `unpersist()`
+    * on the Dataset is a no-op for them); the pinned RDD sits inside the
+    * plan's `LogicalRDD` leaf. After release the DataFrame is no longer
+    * computable — only call on state that has been superseded.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _             => ()
+    }
 
   /** @return (id, component) for every vertex appearing in `edges`,
     *         where component = min vertex id reachable from `id`.
@@ -35,8 +59,10 @@ object Components {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
+    // joined every round — materialize the distinct union exactly once
     val undirected = sym.union(sym.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = undirected.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -49,23 +75,28 @@ object Components {
         .agg(min(col("comp")).as("nbr_comp"))
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev_comp"))
       // pointer jumping: comp := comp(comp)
       val byId = propagated.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val jumped = propagated.join(byId, propagated("comp") === byId("cid"), "left")
-        .select(propagated("id"),
-          least(propagated("comp"), coalesce(col("ccomp"), propagated("comp")))
-            .as("comp"))
-        .localCheckpoint(true) // truncate lineage before the fixpoint test
-      converged = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = jumped
+      val jumpedComp =
+        least(propagated("comp"), coalesce(col("ccomp"), propagated("comp")))
+      val next = propagated.join(byId, propagated("comp") === byId("cid"), "left")
+        .select(propagated("id"), jumpedComp.as("comp"),
+          (jumpedComp =!= col("prev_comp")).as("changed"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the checkpoint (the
+      // aggregation touches every partition) AND returns the fixpoint test
+      val nChanged = next.agg(count(when(col("changed"), 1)).as("n"))
+        .first().getLong(0)
+      releaseLocalCheckpoint(labels) // superseded round's blocks
+      labels = next
+      converged = nChanged == 0L
       i += 1
     }
+    releaseLocalCheckpoint(undirected)
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    labels.select(col("id"), col("comp"))
   }
 
   /** Dedup-cluster convenience: components of a near-dup pair table,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected components: correctness on known graphs + the storage
+  * contract (superseded per-round checkpoints are released; only the
+  * final labels stay pinned).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to min label in O(log n) rounds") {
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = labelsOf(chain)
+    assert(got.size == 20)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("two components + star keep separate min labels") {
+    // component {1,2,3,4} (star on 1) and {10,11,12} (path)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (11L, 12L))
+    val got = labelsOf(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("direction and duplicate edges are irrelevant") {
+    val got = labelsOf(Seq((5L, 2L), (2L, 5L), (5L, 2L), (9L, 5L)))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
+  test("superseded round state is released; only final labels stay pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Components.connectedComponents(
+      (1L until 40L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b")
+    assert(out.count() == 40)
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    // at most the final round's checkpoint remains (edge table + all
+    // superseded rounds were unpersisted inside the loop)
+    assert(pinned.size <= 1, s"leaked checkpoint RDDs: $pinned")
+  }
+}
