@@ -28,4 +28,12 @@ object Tables {
   /** Register every table as a temp view so queries can use spark.sql. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Release every operator-internal `cache()` (see the cache contract
+    * in [[graft.operators.TextDedup]]). Call after the terminal action
+    * of a query whose operators cache intermediates — long-lived
+    * sessions that skip this accumulate storage until eviction.
+    */
+  def releaseOperatorCaches(spark: SparkSession): Unit =
+    spark.catalog.clearCache()
 }

@@ -93,10 +93,11 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.8): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    // materialise vectors+norms once: both join sides reuse the cache
+    // deliberately uncached: norms are one codegen'd dot per row, and at
+    // corpus scale pinning every vector in executor storage is worse
+    // than re-scanning columnar parquet for the join's second side
     val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .cache()
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -141,9 +142,10 @@ object Similarity {
                       bits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     requireDim(emb, dim)
+    // uncached for the same reason as [[nearDupPairs]]: three narrow
+    // re-scans beat pinning the whole embedding corpus in storage
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-      .cache() // bucketing + both verification sides
     val bucketCols = (0 until tables).map { t =>
       val bucketBits = (0 until bits).map(b => planeBit(t * bits + b, b, dim))
       struct(lit(t).as("t"), bucketBits.reduce(_ + _).as("b")).as(s"bk$t")

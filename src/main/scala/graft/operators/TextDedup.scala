@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   * banding at extreme scale — `maxShingleFreq` implements that cap,
   * keeping a corpus-wide hot shingle from winning permutations and
   * bucketing unrelated docs together.
+  *
+  * Cache contract: [[minhashLshPairs]] and [[blockedNgramJaccard]]
+  * `cache()` their per-doc shingle-set table, which three plan branches
+  * reuse (signatures + both verification join sides; measured 1.6-2×
+  * at sf0.1). The cache is NOT unpersisted here — the returned
+  * DataFrame is lazy and still needs it. Callers must release it after
+  * their terminal action (`spark.catalog.clearCache()` or
+  * `graft.Tables.releaseOperatorCaches`); `graft.Verify`/`graft.Bench`
+  * do exactly that between queries. On memory-constrained clusters the
+  * scale-correct alternative is simply re-scanning columnar parquet —
+  * the projection is narrow — so eviction is safe, never wrong.
   */
 object TextDedup {
   val NumHashes = 32
@@ -222,7 +233,6 @@ object TextDedup {
     val keyed = simhash(docs).select(
       col("doc_id") +: col("simhash") +:
         (0 until 4).map(j => expr(s"shiftright(simhash, ${j * 4}) % 16").as(s"k$j")): _*)
-      .cache()
     val perBand = (0 until 4).map { j =>
       val firstMatch = (0 until j)
         .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
