@@ -70,6 +70,13 @@ object Sampling {
     *
     * Rows with null/non-positive weight are excluded (they have no
     * defensible inclusion probability).
+    *
+    * u is clamped to ≥ 2⁻⁵³ before the log: an all-zero 13-digit hash
+    * prefix (p ≈ 2⁻⁵² per row — real money across trillions of rows)
+    * would otherwise make Spark's `log(0)` null (row silently sorts
+    * last, never sampled) while DuckDB's `ln(0)` throws. The clamp is
+    * sub-resolution (every non-zero u is ≥ 2⁻⁵²) and exact in both
+    * engines, so it changes no draw except un-excluding the u=0 row.
     */
   def weightedTopK(df: DataFrame, stratumCol: String, seedCol: String,
                    weightCol: String, k: Int): DataFrame = {
@@ -81,7 +88,8 @@ object Sampling {
       .orderBy(col(key).desc, col(seedCol).asc)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn(h, md5(col(seedCol).cast("string").cast("binary")))
-      .withColumn(key, log(expr(u01Spark(h))) / col(weightCol))
+      .withColumn(key,
+        log(greatest(expr(u01Spark(h)), lit(math.pow(2, -53)))) / col(weightCol))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) <= k)
       .drop(h, key, rn)

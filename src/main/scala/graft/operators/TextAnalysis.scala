@@ -268,18 +268,32 @@ object TextAnalysis {
   /** Benchmark-contamination report: for each non-benchmark source, how
     * many docs share at least one word `n`-gram with the benchmark set
     * (the decontamination check every training pipeline runs against
-    * eval suites). The benchmark gram table is the small side and is
-    * broadcast — the corpus side stays a narrow shingle projection +
+    * eval suites). The corpus side stays a narrow shingle projection +
     * one semi join + one per-source count, with output proportional to
     * contaminated docs, not candidate pairs.
+    *
+    * The benchmark gram table is broadcast only while it is verifiably
+    * small: `maxBroadcastGrams` caps a cheap count probe, and past the
+    * cap the semi join falls back to AQE's strategy choice — a real
+    * eval suite can carry tens of millions of distinct n-grams, where
+    * an unconditional broadcast hint would OOM the driver instead of
+    * shuffling.
     */
-  def contaminationStats(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
+  def contaminationStats(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                         maxBroadcastGrams: Long = 2000000L): DataFrame = {
     val benchGrams = TextDedup.wordShingles(bench, n)
       .select(col("sh")).distinct()
+    // bounded probe: limit() short-circuits, so the count job never
+    // scans more than cap+1 grams no matter how big the benchmark is
+    val probe = math.min(maxBroadcastGrams + 1, Int.MaxValue.toLong).toInt
+    val benchSide =
+      if (benchGrams.limit(probe).count() <= maxBroadcastGrams)
+        broadcast(benchGrams)
+      else benchGrams
     val docGrams = TextDedup.wordShingles(docs, n)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     val contaminated = docGrams
-      .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+      .join(benchSide, Seq("sh"), "left_semi")
       .select(col("doc_id"), col("source")).distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
     docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))

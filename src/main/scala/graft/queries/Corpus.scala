@@ -165,7 +165,8 @@ object Corpus {
       s"""WITH h AS (SELECT source, doc_id, n_chars,
          |    md5(CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-         |k AS (SELECT source, doc_id, ln($u01) / n_chars AS key FROM h),
+         |k AS (SELECT source, doc_id,
+         |        ln(greatest($u01, power(2, -53))) / n_chars AS key FROM h),
          |r AS (SELECT source, doc_id,
          |        row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
          |      FROM k)

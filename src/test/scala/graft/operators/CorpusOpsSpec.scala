@@ -131,6 +131,12 @@ class CorpusOpsSpec extends SparkSpec {
     val out = TextAnalysis.contaminationStats(docs, bench, n = 3)
       .as[(String, Long, Long)].collect().toSeq
     assert(out == Seq(("sA", 2L, 1L), ("sB", 2L, 1L)))
+    // over the broadcast cap the semi join falls back to AQE's choice —
+    // same answer, no unconditional driver-side materialization
+    val shuffled = TextAnalysis
+      .contaminationStats(docs, bench, n = 3, maxBroadcastGrams = 1L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(shuffled == out)
   }
 
   test("hotNgrams ranks grams by document frequency with stable ties") {
