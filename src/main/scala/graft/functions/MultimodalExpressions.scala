@@ -1,0 +1,319 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** GRFT binary-container codec as static helpers callable from
+  * whole-stage-generated Java (top-level Scala objects compile with
+  * static forwarders, so janino code can call
+  * `graft.functions.GrftCodec.meta(bytes)` directly).
+  *
+  * The GRFT header is the deterministic stand-in for JPEG/WAV headers
+  * (the container has no media codecs — see [[graft.operators.Multimodal]]):
+  * magic "GRFT", u16 width, u16 height, u8 channels, u8 kind
+  * (0=image, 1=audio, 2=video), u32 payload length, little-endian.
+  * Mirrors the reference's binary-attribute packing of MNIST images
+  * (`py_pkg/examples/4-machine-learning.py:49-109`).
+  */
+object GrftCodec {
+  val HeaderLen = 14
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("kind", IntegerType),
+    StructField("payload_len", IntegerType), StructField("valid", BooleanType)))
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("payload_bytes", LongType),
+    StructField("payload_checksum", LongType),
+    StructField("mean_byte", DoubleType)))
+
+  def pack(width: Int, height: Int, channels: Int, kind: Int,
+           payload: Array[Byte]): Array[Byte] = {
+    require(width >= 0 && width <= 0xffff && height >= 0 && height <= 0xffff,
+      s"width/height must fit u16, got ${width}x$height")
+    require(channels >= 0 && channels <= 0xff && kind >= 0 && kind <= 0xff,
+      s"channels/kind must fit u8, got channels=$channels kind=$kind")
+    val b = ByteBuffer.allocate(HeaderLen + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GRFT".getBytes("ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(channels.toByte).put(kind.toByte)
+    b.putInt(payload.length)
+    b.put(payload)
+    b.array()
+  }
+
+  private def headerValid(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= HeaderLen &&
+      bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'F' && bytes(3) == 'T'
+
+  /** Typed header metadata; a corrupt container yields null fields with
+    * `valid = false` (never a null struct — corrupt media is data, not
+    * missing data).
+    */
+  def meta(bytes: Array[Byte]): InternalRow = {
+    if (!headerValid(bytes))
+      return InternalRow(null, null, null, null, null, false)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(4)
+    val w = b.getShort & 0xffff
+    val h = b.getShort & 0xffff
+    val c = b.get() & 0xff
+    val k = b.get() & 0xff
+    val len = b.getInt
+    InternalRow(w, h, c, k, len, len == bytes.length - HeaderLen)
+  }
+
+  /** Payload byte stats (count, checksum, mean); nulls for a corrupt
+    * container so garbage blobs never pollute feature statistics.
+    */
+  def stats(bytes: Array[Byte]): InternalRow = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5))
+      return InternalRow(null, null, null)
+    var sum = 0L
+    var i = HeaderLen
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    val n = bytes.length - HeaderLen
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    InternalRow(n.toLong, sum, mean)
+  }
+
+  /** Nearest-neighbour downsample of the fake raster (payload treated
+    * as row-major width×height×channels bytes); re-packs a well-formed
+    * GRFT container with the new dimensions. Returns null for a corrupt
+    * container or a header whose declared raster exceeds the payload
+    * (lying dims are invalid data, not a crash).
+    */
+  def resize(bytes: Array[Byte], outWidth: Int, outHeight: Int): Array[Byte] = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5)) return null
+    val w = m.getInt(0); val h = m.getInt(1); val c = m.getInt(2)
+    if (w == 0 || h == 0 || bytes.length - HeaderLen < w.toLong * h * c) return null
+    val outBytes = new Array[Byte](outWidth * outHeight * c)
+    var y = 0
+    while (y < outHeight) {
+      val sy = y * h / outHeight
+      var x = 0
+      while (x < outWidth) {
+        val sx = x * w / outWidth
+        var ch = 0
+        while (ch < c) {
+          outBytes((y * outWidth + x) * c + ch) =
+            bytes(HeaderLen + (sy * w + sx) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pack(outWidth, outHeight, c, m.getInt(3), outBytes)
+  }
+
+  /** Every `stride`-th `frameSize` slice of the payload, as an array of
+    * frames (index i holds frame number i*stride). Anything without a
+    * payload — null, header-only, too short — yields an empty array.
+    */
+  def frames(bytes: Array[Byte], frameSize: Int, stride: Int): ArrayData = {
+    if (bytes == null || bytes.length <= HeaderLen)
+      return new GenericArrayData(Array.empty[Any])
+    val payloadLen = bytes.length - HeaderLen
+    val nFrames = payloadLen / frameSize
+    val out = (0 until nFrames by stride).map { f =>
+      java.util.Arrays.copyOfRange(bytes,
+        HeaderLen + f * frameSize, HeaderLen + (f + 1) * frameSize): Any
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Base for the GRFT expressions: binary in, static-helper call out.
+  * The generated code is a single call into [[GrftCodec]], so the
+  * 14-byte header parse (a pure projection) stays inside
+  * WholeStageCodegen instead of round-tripping every row through
+  * `df.rdd` + external Rows — the difference between a narrow
+  * columnar scan and a full deserialize at 100 TB.
+  */
+private[graft] trait GrftExpression { self: Expression =>
+  protected def codecCall(argExprs: String*): String =
+    s"graft.functions.GrftCodec.${codecMethod}(${argExprs.mkString(", ")})"
+  protected def codecMethod: String
+}
+
+/** `graft_meta(bin)` → header metadata struct (never null; corrupt
+  * containers yield `valid = false` with null fields).
+  */
+case class GrftMeta(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = GrftCodec.metaSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_meta"
+  override protected def codecMethod: String = "meta"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.meta(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_stats(bin)` → payload stats struct (never null; corrupt
+  * containers yield null fields).
+  */
+case class GrftStats(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = GrftCodec.statsSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_stats"
+  override protected def codecMethod: String = "stats"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.stats(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[graft] object GrftArgs {
+  /** Fold a literal int argument at plan time (the output raster dims /
+    * frame geometry are operator options, not per-row data — exactly
+    * like the reference's mandatory stream settings).
+    */
+  def foldInt(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a literal, got $e")
+    e.eval(null) match {
+      case i: Int   => i
+      case l: Long  => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
+  }
+}
+
+/** `graft_resize(bin, out_width, out_height)` → resized GRFT container
+  * (null for corrupt input — invalid media stays data, not an error).
+  */
+case class GrftResize(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with GrftExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_resize"
+  override protected def codecMethod: String = "resize"
+
+  private lazy val outW = GrftArgs.foldInt(second, prettyName, "out_width")
+  private lazy val outH = GrftArgs.foldInt(third, prettyName, "out_height")
+  private def checkDims(): Unit =
+    require(outW > 0 && outH > 0, s"$prettyName: output dims must be positive, got ${outW}x$outH")
+
+  override def eval(input: InternalRow): Any = {
+    checkDims()
+    GrftCodec.resize(first.eval(input).asInstanceOf[Array[Byte]], outW, outH)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    checkDims()
+    val c = first.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} =
+      |  ${codecCall(s"${c.isNull} ? null : ${c.value}", outW.toString, outH.toString)};
+      |boolean ${ev.isNull} = ${ev.value} == null;
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_frames(bin, frame_size, stride)` → array of every stride-th
+  * frame of the payload (element i = frame number i*stride; empty array
+  * when there is no payload). Compose with `posexplode` for the
+  * row-per-frame view — the explode is Catalyst's, so frame sampling
+  * needs no RDD drop-down at all.
+  */
+case class GrftFrames(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with GrftExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_frames"
+  override protected def codecMethod: String = "frames"
+
+  private lazy val frameSize = GrftArgs.foldInt(second, prettyName, "frame_size")
+  private lazy val stride = GrftArgs.foldInt(third, prettyName, "stride")
+  private def checkGeom(): Unit =
+    require(frameSize > 0 && stride > 0,
+      s"$prettyName: frame_size and stride must be positive, got $frameSize/$stride")
+
+  override def eval(input: InternalRow): Any = {
+    checkGeom()
+    GrftCodec.frames(first.eval(input).asInstanceOf[Array[Byte]], frameSize, stride)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    checkGeom()
+    val c = first.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} =
+      |  ${codecCall(s"${c.isNull} ? null : ${c.value}", frameSize.toString, stride.toString)};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object MultimodalExpressions {
+  val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "graft_meta" -> (
+      new ExpressionInfo(classOf[GrftMeta].getName, "graft_meta"),
+      (args: Seq[Expression]) => GrftMeta(args.head)),
+    "graft_stats" -> (
+      new ExpressionInfo(classOf[GrftStats].getName, "graft_stats"),
+      (args: Seq[Expression]) => GrftStats(args.head)),
+    "graft_resize" -> (
+      new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
+      (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),
+    "graft_frames" -> (
+      new ExpressionInfo(classOf[GrftFrames].getName, "graft_frames"),
+      (args: Seq[Expression]) => GrftFrames(args(0), args(1), args(2)))
+  )
+
+  /** Register the GRFT functions in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

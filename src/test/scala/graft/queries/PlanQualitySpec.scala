@@ -139,6 +139,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Stream "), plan)
   }
 
+  test("GRFT header decode stays inside whole-stage codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.encode
+    // regression for the df.rdd round-trip this operator once used: a
+    // 14-byte header parse is a pure projection and must not leave
+    // WholeStageCodegen (no DeserializeToObject / external-Row scan)
+    val packed = Tables.load(spark, sf, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("blob"))
+      .select($"doc_id", callPacked($"doc_id", $"blob").as("blob"))
+    val decoded = graft.operators.Multimodal.decodeHeader(packed, "blob")
+      .select($"doc_id", $"meta.width", $"meta.valid")
+    decoded.collect()
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\]]*graft_meta""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  private def callPacked = org.apache.spark.sql.functions.udf {
+    (id: Long, payload: Array[Byte]) =>
+      graft.operators.Multimodal.pack(
+        payload.length % 256, payload.length / 256 % 256, 1, 0, payload)
+  }
+
   test("q70 broadcasts the benchmark gram set into the semi join") {
     val plan = formatted("q70_contamination")
     // the corpus-side explode must probe a broadcast of the (small)
