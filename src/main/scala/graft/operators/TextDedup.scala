@@ -193,6 +193,13 @@ object TextDedup {
     * Bit j of a word's hash is derived from hex digit j/4 of md5(word)
     * via character membership (portable across engines: no bit ops).
     * The document bit is the sign of the sum of ±1 contributions.
+    *
+    * NOTE: 16 bits is the ORACLE-FACING variant (q23/q34 replay it hex
+    * digit by hex digit). For corpus-scale pair mining use
+    * [[simhash64]]/[[simhash64Pairs]] — a 16-bit hash gives each 4-bit
+    * band only 16 distinct values, so a corpus-scale band self-join
+    * collapses onto ≤16 keys (a full-shuffle skew bomb), while 64-bit
+    * bands carry 65536 keys each.
     */
   def simhash(docs: DataFrame): DataFrame = {
     def hexBit(j: Int): String = {
@@ -233,6 +240,69 @@ object TextDedup {
     val keyed = simhash(docs).select(
       col("doc_id") +: col("simhash") +:
         (0 until 4).map(j => expr(s"shiftright(simhash, ${j * 4}) % 16").as(s"k$j")): _*)
+    val perBand = (0 until 4).map { j =>
+      val firstMatch = (0 until j)
+        .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
+        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+      keyed.as("a")
+        .join(keyed.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    }
+    perBand.reduce(_ unionAll _)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document — the corpus-scale default.
+    *
+    * The word hash is the first 16 hex digits of md5(word) read as a
+    * signed 64-bit big-endian value (`conv(..., 16, -10)`), so the
+    * DuckDB oracle can replay every bit from the same digest (xxhash64
+    * would be ~3× cheaper but exists in no other engine; md5 keeps the
+    * brute-force oracle honest and is still one digest per word). Bit j
+    * is extracted with a logical shift, and the document bit is the
+    * sign of the summed ±1 contributions — 64 codegen'd long sums in
+    * one HashAggregate with map-side partials.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .withColumn("wh", expr(
+        "cast(conv(substr(md5(cast(wd as binary)), 1, 16), 16, -10) as bigint)"))
+    val bitSums = (0 until 64).map(j =>
+      sum(expr(s"CASE WHEN (shiftrightunsigned(wh, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"b$j"))
+    // constant-folded per-bit weights; bit 63's weight is Long.MinValue
+    // (the signed representation of 2^63), summed in safely because all
+    // other contributions are non-negative
+    val hashExpr = (0 until 64)
+      .map(j => s"(CASE WHEN b$j > 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END)")
+      .mkString(" + ")
+    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(hashExpr))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-duplicate pair mining over the 64-bit hash: all pairs
+    * within `maxHamming` bits, mined with first-match banding over 4
+    * bands of 16 bits (pigeonhole recall = 1 for hamming ≤ 3, same
+    * argument as [[simhashPairs]]) and verified with exact
+    * `bit_count(a ^ b)`.
+    *
+    * This is the pair miner to run at corpus scale: each band key has
+    * 2^16 distinct values, so the band self-joins hash-partition evenly
+    * instead of collapsing onto the 16 keys a 16-bit hash would allow —
+    * candidates stay proportional to true band collisions all the way
+    * up.
+    */
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
+    val keyed = simhash64(docs).select(
+      col("doc_id") +: col("simhash") +:
+        (0 until 4).map(j =>
+          expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as(s"k$j")): _*)
     val perBand = (0 until 4).map { j =>
       val firstMatch = (0 until j)
         .map(k => col(s"a.k$k") =!= col(s"b.k$k"))

@@ -45,6 +45,13 @@ object DataPipeline {
     "q34_simhash_pairs" -> { (s, dir) =>
       TextDedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
     },
+    // 64-bit SimHash pair mining — the corpus-scale default miner (each
+    // 16-bit band key has 2^16 values, so band self-joins partition
+    // evenly instead of collapsing onto 16 keys). Same brute-force
+    // O(n²) oracle shape as q34: recall-1 proof for the banding.
+    "q38_simhash64_pairs" -> { (s, dir) =>
+      TextDedup.simhash64Pairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+    },
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
@@ -180,6 +187,41 @@ object DataPipeline {
        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
        |ORDER BY 1, 2""".stripMargin
 
+  /** CTE prefix computing `s(doc_id, simhash)` for the 64-bit SimHash:
+    * bit j of a word's hash is bit j%4 of hex digit 16 - j/4 of
+    * md5(word) — exactly the bits of the signed big-endian value the
+    * Spark operator builds with `conv(substr(md5(wd), 1, 16), 16, -10)`.
+    */
+  private val simhash64Core: String = {
+    val bitSums = (0 until 64).map { j =>
+      val p = 16 - j / 4 // 1-indexed hex digit holding bit j (big-endian)
+      val ones = "0123456789abcdef"
+        .filter(c => (Integer.parseInt(c.toString, 16) >> (j % 4) & 1) == 1)
+        .map(c => s"'$c'").mkString(", ")
+      s"sum(CASE WHEN substr(h, $p, 1) IN ($ones) THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val hashExpr = (0 until 64).map { j =>
+      // 2^63 as a signed 64-bit value is Long.MinValue; DuckDB rejects
+      // the bare literal, so spell it arithmetically
+      val weight = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN b$j > 0 THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |h AS (SELECT doc_id, substr(md5(wd), 1, 16) AS h FROM wd),
+       |b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash FROM b)""".stripMargin
+  }
+
+  private val simhash64PairsSql: String =
+    s"""$simhash64Core
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+       |FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   private val langidSql: String = {
     val scores = TextAnalysis.langProfiles.map { case (l, ms) =>
       s"${duckStopScore(ms)} AS score_$l"
@@ -308,6 +350,7 @@ object DataPipeline {
 
     "q23_simhash" -> simhashSql,
     "q34_simhash_pairs" -> simhashPairsSql,
+    "q38_simhash64_pairs" -> simhash64PairsSql,
     "q24_langid" -> langidSql,
 
     "q25_quality" -> {

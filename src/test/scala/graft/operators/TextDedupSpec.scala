@@ -56,4 +56,45 @@ class TextDedupSpec extends SparkSpec {
       TextDedup.simhashPairs(docs, maxHamming = 4)
     }
   }
+
+  test("simhash64 word hash equals the first 8 md5 bytes read big-endian") {
+    // the conv(substr(md5, 1, 16), 16, -10) formulation must agree with
+    // an independent digest: one doc per word makes the doc simhash
+    // equal the word hash (every bit sum is ±1 from a single word)
+    val words = Seq("hello", "spark", "graft", "zebra")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextDedup.simhash64(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val expected = java.nio.ByteBuffer.wrap(d.take(8)).getLong
+      assert(got(i.toLong) == expected, s"word $w")
+    }
+  }
+
+  test("simhash64Pairs matches the brute-force hamming join (recall = 1)") {
+    val mined = TextDedup.simhash64Pairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val s = TextDedup.simhash64(docs)
+    val brute = s.as("a").join(s.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        expr("bit_count(a.simhash ^ b.simhash)").as("h"))
+      .filter($"h" <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mined == brute)
+  }
+
+  test("simhash64 band keys span the full 16-bit space, not 16 values") {
+    // the scale rationale for the 64-bit path: band keys must distribute
+    // across 2^16 values; with ~100 docs the 4x100 keys should be nearly
+    // all distinct (the 16-bit variant would cap at 16 per band)
+    val many = (0L until 100L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val keyed = TextDedup.simhash64(many).selectExpr(
+      "shiftrightunsigned(simhash, 0) & 65535 as k0",
+      "shiftrightunsigned(simhash, 16) & 65535 as k1")
+    val distinct = keyed.selectExpr("count(distinct k0) as d0", "count(distinct k1) as d1").head
+    assert(distinct.getLong(0) > 90 && distinct.getLong(1) > 90, distinct.toString)
+  }
 }
