@@ -147,6 +147,102 @@ class StreamArrowSpec extends SparkSpec {
       s"expected a columnar child under StreamExec, got:\n${stream.input}")
   }
 
+  /** The reference python client's read/write/map loop
+    * (`py_pkg/scidbstrm/__init__.py:62-139`), re-typed verbatim in
+    * behavior: u64-LE size prefix, `pyarrow.ipc.open_stream` directly
+    * on stdin (relying on the IPC end-of-stream marker our encoder must
+    * emit), pandas conversion, 0-frame for "no data"/EOF. Runs with
+    * `python3 -u` exactly like the reference's `python_map` command.
+    */
+  private val scidbstrmLoop: String =
+    """import struct, sys
+      |import pyarrow
+      |stdin = sys.stdin.buffer
+      |stdout = sys.stdout.buffer
+      |
+      |def read():
+      |    sz = struct.unpack('<Q', stdin.read(8))[0]
+      |    if sz:
+      |        stream = pyarrow.ipc.open_stream(stdin)
+      |        return stream.read_pandas()
+      |    return None
+      |
+      |def write(df=None):
+      |    if df is None:
+      |        stdout.write(struct.pack('<Q', 0))
+      |        return
+      |    buf = pyarrow.BufferOutputStream()
+      |    table = pyarrow.Table.from_pandas(df)
+      |    table = table.replace_schema_metadata()
+      |    writer = pyarrow.RecordBatchStreamWriter(buf, table.schema)
+      |    writer.write_table(table)
+      |    writer.close()
+      |    byt = buf.getvalue().to_pybytes()
+      |    stdout.write(struct.pack('<Q', len(byt)))
+      |    stdout.write(byt)
+      |
+      |def map_loop(map_fun, finalize_fun=None):
+      |    while True:
+      |        df = read()
+      |        if df is None:
+      |            break
+      |        write(map_fun(df))
+      |    if finalize_fun is None:
+      |        write()
+      |    else:
+      |        write(finalize_fun())
+      |""".stripMargin
+
+  private def pythonArrowAvailable: Boolean =
+    scala.util.Try(
+      new ProcessBuilder("python3", "-c", "import pyarrow, pandas")
+        .start().waitFor() == 0).getOrElse(false)
+
+  private def pythonChild(body: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft_py_child", ".py")
+    java.nio.file.Files.write(f, (scidbstrmLoop + body).getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    s"python3 -u $f"
+  }
+
+  test("reference python client identity map round-trips the Arrow pipe") {
+    assume(pythonArrowAvailable, "python3 with pyarrow+pandas not available")
+    val df = spark.range(0, 200).repartition(2)
+      .select($"id", ($"id" % 5).cast("double").as("d"))
+    val declared = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val out = Stream.arrow(df, pythonChild("map_loop(lambda df: df)\n"),
+      declared, chunkSize = 64)
+    assert(out.count() == 200)
+    assert(out.agg(sum($"id")).head.getLong(0) == (0L until 200L).sum)
+    assert(out.agg(sum($"d")).head.getDouble(0) == (0L until 200L).map(_ % 5).sum.toDouble)
+  }
+
+  test("reference python client empty-map + finalize (ML pattern) works") {
+    assume(pythonArrowAvailable, "python3 with pyarrow+pandas not available")
+    // the reference's distributed-ML shape (4-machine-learning.py):
+    // each chunk answered with a 0-frame ("no data now"), one final
+    // aggregate per instance after EOF
+    val body =
+      """state = {"n": 0, "s": 0}
+        |def m(df):
+        |    state["n"] += len(df)
+        |    state["s"] += int(df["id"].sum())
+        |    return None
+        |def fin():
+        |    import pandas
+        |    return pandas.DataFrame({"n": [state["n"]], "s": [state["s"]]})
+        |map_loop(m, fin)
+        |""".stripMargin
+    val df = spark.range(0, 300).repartition(3).select($"id")
+    val declared = StructType(Seq(
+      StructField("n", LongType), StructField("s", LongType)))
+    val out = Stream.arrow(df, pythonChild(body), declared, chunkSize = 50).collect()
+    assert(out.length == 3) // one aggregate row per partition's child
+    assert(out.map(_.getAs[Long]("n")).sum == 300L)
+    assert(out.map(_.getAs[Long]("s")).sum == (0L until 300L).sum)
+  }
+
   test("columnar frames honor chunkSize across scan batches") {
     // scan batches (50 rows) smaller than the declared chunk (120):
     // one protocol frame must accumulate rows from several batches,
