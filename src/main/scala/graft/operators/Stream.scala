@@ -124,7 +124,7 @@ object Stream {
     */
   private def planned(df: DataFrame, side: Option[DataFrame], cmd: String,
                       format: StreamFormat, chunkSize: Int,
-                      outSchema: StructType): DataFrame = {
+                      outSchema: StructType, sideLocal: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // speculative execution runs DUPLICATE children for slow tasks: for
     // a side-effecting command both copies execute (only one's output is
@@ -138,16 +138,26 @@ object Stream {
       AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
     PlanBridge.ofRows(spark, StreamPlan(
       df.queryExecution.analyzed, side.map(_.queryExecution.analyzed),
-      cmd, format, chunkSize, attrs))
+      cmd, format, chunkSize, attrs, sideLocal))
   }
 
   /** TSV-format stream: rows out as TSV, each response message becomes one
     * output row (`response` holds the whole body, header stripped).
+    *
+    * `sideLocal = false` (default) broadcasts the whole side table to
+    * every child — the reference examples' replicated `_sg(x, 0)`
+    * ARRAY2. `sideLocal = true` is the reference's NON-replicated
+    * ARRAY2 semantics (`src/PhysicalStream.cpp:74-100`): side partition
+    * i is delivered only to input partition i's child, so partition-
+    * aligned side data (per-shard models, per-bucket lookups) never
+    * pays a broadcast. The caller aligns the two partitionings — the
+    * analog of the reference's instance-aligned `_sg(x, 1)`; unequal
+    * partition counts fail fast at execution.
     */
   def tsv(df: DataFrame, cmd: String, chunkSize: Int = 10000,
-          side: Option[DataFrame] = None): DataFrame = {
+          side: Option[DataFrame] = None, sideLocal: Boolean = false): DataFrame = {
     checkAllowed(df.sparkSession, cmd)
-    planned(df, side, cmd, StreamFormat.Tsv, chunkSize, tsvOutputSchema)
+    planned(df, side, cmd, StreamFormat.Tsv, chunkSize, tsvOutputSchema, sideLocal)
   }
 
   def arrowOutputSchema(declared: StructType): StructType =

@@ -48,15 +48,26 @@ case class StreamExec(
     cmd: String,
     format: StreamFormat,
     chunkSize: Int,
-    output: Seq[Attribute]) extends SparkPlan {
+    output: Seq[Attribute],
+    sideLocal: Boolean = false) extends SparkPlan {
+
+  require(!(sideLocal && format.isInstanceOf[StreamFormat.Arrow]),
+    "sideLocal (non-replicated) side input is implemented for the TSV format")
 
   override def children: Seq[SparkPlan] = input +: side.toSeq
 
   override def producedAttributes: AttributeSet = outputSet
 
+  /** Replicated side input declares [[BroadcastDistribution]]; local
+    * mode (the reference's non-replicated ARRAY2, where each instance
+    * streams its local chunks — `src/PhysicalStream.cpp:74-100`) leaves
+    * the side unexchanged and zips side partition i to input partition
+    * i's child at execution.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution +: side.map(_ =>
-      BroadcastDistribution(IdentityBroadcastMode)).toSeq
+      if (sideLocal) UnspecifiedDistribution
+      else BroadcastDistribution(IdentityBroadcastMode)).toSeq
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -366,7 +377,7 @@ case class StreamExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
-    val sideBc = side.map(sideBroadcast)
+    val sideBc = if (sideLocal) None else side.map(sideBroadcast)
     val inSchema = input.schema
     val sideSchema = side.map(_.schema)
     val outSchema = StructType(output.map(a =>
@@ -375,7 +386,11 @@ case class StreamExec(
     val chunk = chunkSize
     format match {
       case StreamFormat.Tsv =>
-        inputRows().mapPartitions { iter =>
+        // one child per task regardless of side mode; `sideLines` is the
+        // pre-formatted side chunk this child sees first (whole table in
+        // broadcast mode, its aligned partition in local mode)
+        def tsvPartition(iter: Iterator[InternalRow],
+                         sideLines: Array[String]): Iterator[InternalRow] = {
           val ctx = TaskContext.get()
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
           val child = new ChildProcess(command, Option(ctx))
@@ -410,11 +425,8 @@ case class StreamExec(
             protected def advance(): Iterator[InternalRow] = {
               if (!sentSide) {
                 sentSide = true
-                val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
-                if (sv.nonEmpty) // O16: never send empty mid-stream chunks
-                  return oneExchange(
-                    sv.iterator.map(TsvProtocol.formatInternalRow(_, sideSchema.get)),
-                    sv.length, last = false)
+                if (sideLines.nonEmpty) // O16: never send empty mid-stream chunks
+                  return oneExchange(sideLines.iterator, sideLines.length, last = false)
               }
               if (lineChunks.hasNext) {
                 val ls = lineChunks.next()
@@ -429,6 +441,23 @@ case class StreamExec(
             }
           }
           out.map { r => outRows += 1; proj(r) }
+        }
+        if (sideLocal && side.isDefined) {
+          val sSchema = sideSchema.get
+          // side partition i feeds input partition i's child — the
+          // caller aligns partitionings; zipPartitions rejects unequal
+          // partition counts with a clear error
+          inputRows().zipPartitions(side.get.execute()) { (iter, sit) =>
+            tsvPartition(iter,
+              sit.map(TsvProtocol.formatInternalRow(_, sSchema)).toArray)
+          }
+        } else {
+          inputRows().mapPartitions { iter =>
+            val sideLines = sideBc.map(_.value.map(
+              TsvProtocol.formatInternalRow(_, sideSchema.get)))
+              .getOrElse(Array.empty[String])
+            tsvPartition(iter, sideLines)
+          }
         }
 
       case StreamFormat.Arrow(_) =>

@@ -26,6 +26,14 @@ object StreamFormat {
   * optional ARRAY2 replayed to every child before its partition rows
   * (`src/PhysicalStream.cpp:74-100`).
   *
+  * `sideLocal = false` (default) replicates the side input to every
+  * child (the reference examples' `_sg(x, 0)` pattern); `true` streams
+  * only side partition i to input partition i's child — the
+  * reference's non-replicated ARRAY2 semantics, where each instance
+  * sees its *local* ARRAY2 chunks (`src/PhysicalStream.cpp:74-100`).
+  * In local mode the caller aligns the two partitionings (the analog
+  * of the reference's instance-aligned `_sg(x, 1)`).
+  *
   * The node is opaque to the optimizer by design — the child program is
   * a black box, so no predicate/projection may be pushed through it
   * (the reference likewise performs no rewrites, SURVEY.md §4.1). Its
@@ -42,7 +50,8 @@ case class StreamPlan(
     cmd: String,
     format: StreamFormat,
     chunkSize: Int,
-    output: Seq[Attribute]) extends LogicalPlan {
+    output: Seq[Attribute],
+    sideLocal: Boolean = false) extends LogicalPlan {
 
   override def children: Seq[LogicalPlan] = input +: side.toSeq
 

@@ -15,7 +15,7 @@ object StreamStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: StreamPlan =>
       StreamExec(planLater(p.input), p.side.map(planLater),
-        p.cmd, p.format, p.chunkSize, p.output) :: Nil
+        p.cmd, p.format, p.chunkSize, p.output, p.sideLocal) :: Nil
     case _ => Nil
   }
 

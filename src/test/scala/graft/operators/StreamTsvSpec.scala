@@ -83,6 +83,48 @@ class StreamTsvSpec extends SparkSpec {
     assert(names == Map("zero" -> 3L, "one" -> 3L, "two" -> 3L))
   }
 
+  test("sideLocal delivers each side partition to exactly one child") {
+    // non-replicated ARRAY2 semantics: with a cat echo child, total
+    // echoed lines = main rows + side rows (each side row exactly once);
+    // broadcast mode would echo main + partitions x side
+    val main = spark.range(0, 30).repartition(3).select($"id")
+    val side = spark.range(100, 106).repartition(3).select($"id")
+    val out = Stream.tsv(main, "cat", chunkSize = 100,
+      side = Some(side), sideLocal = true).collect()
+    val lines = out.map(_.getString(2)).filter(_.nonEmpty)
+      .flatMap(_.split("\n", -1)).map(_.toLong)
+    assert(lines.length == 36, s"expected 30 main + 6 side lines, got ${lines.length}")
+    assert(lines.count(_ >= 100L) == 6)
+    assert(lines.filter(_ < 100L).sorted.toSeq == (0L until 30L).toSeq)
+    // and the plan carries no broadcast for the side input
+    val plan = Stream.tsv(main, "cat", side = Some(side), sideLocal = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("sideLocal side rows arrive before the partition's own data") {
+    // chunk 0 of every child must be the local side chunk (when present)
+    val main = spark.range(0, 12).repartition(2).select($"id")
+    val side = spark.range(100, 104).repartition(2).select($"id")
+    val out = Stream.tsv(main, "cat", chunkSize = 100,
+      side = Some(side), sideLocal = true).collect()
+    val firstChunks = out.filter(_.getAs[Long]("chunk_no") == 0L)
+      .flatMap(_.getString(2).split("\n", -1)).map(_.toLong)
+    assert(firstChunks.forall(_ >= 100L),
+      s"chunk 0 must hold only side rows, got ${firstChunks.mkString(",")}")
+    assert(firstChunks.sorted.toSeq == (100L until 104L).toSeq)
+  }
+
+  test("sideLocal rejects misaligned partition counts at execution") {
+    val main = spark.range(0, 12).repartition(3).select($"id")
+    val side = spark.range(100, 104).repartition(2).select($"id")
+    val e = intercept[Exception] {
+      Stream.tsv(main, "cat", side = Some(side), sideLocal = true).count()
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("partition"),
+      e.getMessage)
+  }
+
   test("child that exits early fails the query") {
     val df = spark.range(0, 10).coalesce(1).toDF("id")
     val e = intercept[SparkException] {
