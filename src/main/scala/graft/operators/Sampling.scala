@@ -95,6 +95,62 @@ object Sampling {
       .drop(h, key, rn)
   }
 
+  /** Deterministic train/validation/test split: each row's hash-uniform
+    * u falls into one of the cumulative weight bands, yielding a
+    * `split` label that is a pure function of the seed column —
+    * identical on any engine or partitioning, stable when the corpus
+    * grows (a doc never migrates between splits unless its band
+    * boundary moves). Pure narrow projection: no shuffle.
+    */
+  def assignSplit(df: DataFrame, seedCol: String,
+                  splits: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains(splitCol),
+      s"input already has a $splitCol column; pass a different splitCol")
+    val h = "_graft_split_h"
+    require(!df.columns.contains(h),
+      s"input already has a $h column; rename it before assignSplit")
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val u = expr(u01Spark(h))
+    // the last band is an unconditional otherwise: u < 1 always, and a
+    // float-summed final cut fractionally below 1 must not leak rows
+    // into a null split
+    val labelled = splits.init.zip(cuts.init)
+      .foldLeft(when(lit(false), lit(null: String))) {
+        case (acc, ((name, _), cut)) => acc.when(u < lit(cut), lit(name))
+      }.otherwise(lit(splits.last._1))
+    df.withColumn(h, md5(col(seedCol).cast("string").cast("binary")))
+      .withColumn(splitCol, labelled)
+      .drop(h)
+  }
+
+  /** Deterministic shard assignment for training-data output: shard =
+    * hash(seed) mod nShards and `shard_pos` = the row's rank within its
+    * shard ordered by (hash, seed) — i.e. the byte layout a writer
+    * produces with `repartition(nShards, shard).sortWithinPartitions`.
+    * Both columns are pure functions of the seed column: retries,
+    * repartitioning, and cluster size cannot reorder a shard. The rank
+    * is one window shuffle keyed on the shard id; at production scale
+    * nShards should be ≥ the write parallelism you want (each shard is
+    * one window partition).
+    */
+  def assignShards(df: DataFrame, seedCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val (h, shard, pos) = ("_graft_shard_h", "shard", "shard_pos")
+    require(Seq(h, shard, pos).forall(!df.columns.contains(_)),
+      s"input already has a $h/$shard/$pos column; rename it before assignShards")
+    val w = Window.partitionBy(col(shard)).orderBy(col(h).asc, col(seedCol).asc)
+    df.withColumn(h, md5(col(seedCol).cast("string").cast("binary")))
+      .withColumn(shard,
+        pmod(expr(s"cast(conv(substr($h, 1, 13), 16, 10) as bigint)"), lit(nShards.toLong)))
+      .withColumn(pos, row_number().over(w).cast("long"))
+      .drop(h)
+  }
+
   /** Fixed-boundary sequence packing: within each `partitionCol` group
     * ordered by `orderCol`, a row's bin is
     * `floor(tokens_before_it / budget)` — consecutive docs pack into

@@ -255,6 +255,79 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric containment pairs — quote/excerpt detection: (contained,
+    * container) where |shingles(contained) ∩ shingles(container)| /
+    * |shingles(contained)| ≥ threshold. Jaccard misses a short doc
+    * quoted inside a long one (the union dilutes it); containment is
+    * the signal eval-set decontamination and quote-chain analysis need.
+    *
+    * Scale shape: same inverted-index self-join as
+    * [[blockedNgramJaccard]] — common counts ∝ actual shingle
+    * collisions, never |corpus|²; sizes ride the narrow per-doc arrays.
+    * Direction falls out for free (each collision pair scores both
+    * ways against each side's own size).
+    *
+    * Cache contract: caches the per-doc sets table like
+    * [[minhashLshPairs]] — callers release via
+    * `graft.Tables.releaseOperatorCaches` after their terminal action.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       k: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, k)
+      .withColumn("n", size(col("set")).cast("long")).cache()
+    val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sets.select(col("doc_id"), col("n")).as("za"), col("da") === col("za.doc_id"))
+      .withColumn("containment", col("common") / col("za.n"))
+      .filter(col("containment") >= threshold)
+      .select(col("da").as("contained"), col("db").as("container"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** Span-level duplicated-content stats — the paragraph-dedup signal
+    * (à la C4/Dolma) with deterministic boundaries: chop each document
+    * into consecutive `spanWords`-word spans (trailing partial span
+    * kept), call a span "duplicated" when its exact text occurs in at
+    * least two distinct documents, and report per-source totals plus
+    * the count of docs at least half made of duplicated spans (the rows
+    * a span-dedup pass would rewrite or drop).
+    *
+    * Scale shape: the span table is ∝ corpus words / spanWords; the
+    * only shuffles are the span-frequency aggregation and a semi join
+    * back on the span key — both proportional to the corpus, never
+    * quadratic, exactly like the q73 doc-frequency scan.
+    */
+  def spanDupStats(docs: DataFrame, spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0)
+    val spans = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${spanWords}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $spanWords + 1, $spanWords), ' '))")).as("span"))
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"))
+    val perDoc = spans.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    spans.groupBy(col("doc_id"), col("source")).agg(count(lit(1)).as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_spans")).as("sum_spans"),
+        sum(col("n_dup")).as("sum_dup_spans"),
+        sum(when(col("n_dup") * 2 >= col("n_spans"), 1L).otherwise(0L))
+          .as("n_docs_half_dup"))
+      .orderBy(col("source"))
+  }
+
   /** 64-bit SimHash per document — the corpus-scale default.
     *
     * The word hash is the first 16 hex digits of md5(word) read as a

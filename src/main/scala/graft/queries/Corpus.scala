@@ -79,6 +79,30 @@ object Corpus {
       TextAnalysis.hotNgrams(Tables.load(s, dir, "documents"), n = 3, topK = 10)
     },
 
+    // deterministic train/val/test split: band membership is a pure
+    // function of md5(doc_id), replayed exactly by the oracle
+    "q52_split_assign" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.assignSplit(Tables.load(s, dir, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    },
+
+    // deterministic shard layout: the oracle recomputes shard AND the
+    // exact within-shard order (pos x id fingerprint pins permutations)
+    "q54_shard_assign" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.assignShards(Tables.load(s, dir, "documents"), "doc_id", nShards = 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          max($"shard_pos").as("max_pos"),
+          sum($"shard_pos" * $"doc_id").as("order_fingerprint"))
+        .orderBy($"shard")
+    },
+
     // context-length chunking: every chunk's exact text is pinned by
     // its md5, so the oracle checks content, boundaries and numbering
     "q74_chunking" -> { (s, dir) =>
@@ -171,6 +195,35 @@ object Corpus {
          |        row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
          |      FROM k)
          |SELECT source, doc_id FROM r WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+    // split cut points spelled as the same float arithmetic the Scala
+    // scanLeft performs (0.8 + 0.1 != 0.9 in IEEE; the literal matters)
+    "q52_split_assign" ->
+      s"""WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+         |          FROM documents),
+         |u AS (SELECT doc_id, n_chars, $u01 AS u FROM h),
+         |s AS (SELECT doc_id, n_chars,
+         |        CASE WHEN u < 0.8 THEN 'train'
+         |             WHEN u < (0.8 + 0.1) THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q54_shard_assign" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard FROM h),
+        |r AS (SELECT doc_id, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos
+        |      FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS order_fingerprint
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_boilerplate" ->
       s"""WITH g AS (SELECT doc_id, $duckGrams3 AS gs

@@ -52,6 +52,15 @@ object DataPipeline {
     "q38_simhash64_pairs" -> { (s, dir) =>
       TextDedup.simhash64Pairs(Tables.load(s, dir, "documents"), maxHamming = 3)
     },
+    // asymmetric containment (quote/excerpt detection): a short doc
+    // quoted inside a long one scores near 1 even when Jaccard is tiny
+    "q48_containment" -> { (s, dir) =>
+      TextDedup.containmentPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
+    },
+    // paragraph-dedup signal with deterministic 10-word span boundaries
+    "q49_span_dup" -> { (s, dir) =>
+      TextDedup.spanDupStats(Tables.load(s, dir, "documents"), spanWords = 10)
+    },
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
@@ -351,6 +360,42 @@ object DataPipeline {
     "q23_simhash" -> simhashSql,
     "q34_simhash_pairs" -> simhashPairsSql,
     "q38_simhash64_pairs" -> simhash64PairsSql,
+
+    "q48_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |       FROM w),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+        |SELECT da AS contained, db AS container,
+        |  round(common * 1.0 / sa.n, 4) AS containment
+        |FROM cand JOIN sizes sa ON da = sa.doc_id
+        |WHERE common * 1.0 / sa.n >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q49_span_dup" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |         unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+        |           i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' '))) AS span
+        |       FROM w),
+        |dup AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) nd
+        |                          FROM sp GROUP BY 1) WHERE nd >= 2),
+        |pd AS (SELECT doc_id, source, count(*) AS n_spans,
+        |         sum(CASE WHEN span IN (SELECT span FROM dup) THEN 1 ELSE 0 END) AS n_dup
+        |       FROM sp GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+        |  CAST(sum(n_dup) AS BIGINT) AS sum_dup_spans,
+        |  CAST(sum(CASE WHEN n_dup * 2 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_half_dup
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q24_langid" -> langidSql,
 
     "q25_quality" -> {

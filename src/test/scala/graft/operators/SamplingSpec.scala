@@ -63,4 +63,43 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.contains("pack_bin") &&
       out.select($"bin").head.getString(0) == "mine")
   }
+
+  test("assignSplit covers every row, respects rough proportions, and is stable") {
+    val df = spark.range(0, 2000).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.assignSplit(df, "id", splits)
+    val counts = got.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("val") > 120 && counts("test") > 120, counts.toString)
+    // membership is a pure function of the seed: any partitioning agrees
+    val again = Sampling.assignSplit(df.repartition(7), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
+  test("assignSplit rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(spark.range(1).toDF("id"), "id",
+        Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
+  test("assignShards gives every shard a contiguous 1..n position order") {
+    val df = spark.range(0, 500).toDF("id")
+    val out = Sampling.assignShards(df, "id", nShards = 8).collect()
+    assert(out.length == 500)
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (_, rows) =>
+      val ps = rows.map(_.getAs[Long]("shard_pos")).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq) // dense rank, no gaps
+    }
+    // stable under repartitioning: same (shard, pos) per id
+    val again = Sampling.assignShards(df.repartition(11), "id", nShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))).toMap
+    val first = out.map(r => r.getLong(0) -> ((r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))).toMap
+    assert(first == again)
+  }
 }

@@ -57,6 +57,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs finds an excerpt Jaccard would miss") {
+    // doc 11 is a verbatim excerpt of doc 10: containment(11 in 10) = 1
+    // while jaccard = 6/14 < 0.5 (the long doc dilutes the union)
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j k l m n o p"), // 14 trigrams
+      (11L, "a b c d e f g h"),                 // 6 trigrams, all in doc 10
+      (12L, "x y z w v u t s r q")
+    ).toDF("doc_id", "text").repartition(2)
+    val pairs = TextDedup.containmentPairs(corpus, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((11L, 10L, 1.0)))
+    // and the symmetric jaccard indeed misses it
+    assert(TextDedup.blockedNgramJaccard(
+      corpus.withColumn("source", lit("s")).withColumn("lang", lit("en")),
+      threshold = 0.5).collect().isEmpty)
+  }
+
+  test("spanDupStats counts spans shared across documents") {
+    // spans of 3 words; docs 1/2 share their first span, doc 3 is clean
+    val corpus = Seq(
+      (1L, "s1", "a b c x y z"),     // spans: "a b c", "x y z"
+      (2L, "s1", "a b c q r t"),     // spans: "a b c", "q r t"
+      (3L, "s2", "h i j k l m")
+    ).toDF("doc_id", "source", "text").repartition(2)
+    val got = TextDedup.spanDupStats(corpus, spanWords = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // s1: 2 docs, 4 spans, 2 duplicated ("a b c" in both), both docs
+    // half-duplicated; s2 clean
+    assert(got("s1") == ((2L, 4L, 2L, 2L)))
+    assert(got("s2") == ((1L, 2L, 0L, 0L)))
+  }
+
   test("simhash64 word hash equals the first 8 md5 bytes read big-endian") {
     // the conv(substr(md5, 1, 16), 16, -10) formulation must agree with
     // an independent digest: one doc per word makes the doc simhash
