@@ -122,6 +122,23 @@ object Corpus {
       val pairs = graft.operators.TextDedup.minhashLshPairs(
         Tables.load(s, dir, "documents"), threshold = 0.5)
       graft.operators.Components.dupClusters(pairs)
+    },
+
+    // cluster-level dedup APPLY: keep each near-dup cluster's minimum
+    // doc_id (plus all unclustered docs). This is the keep policy q75's
+    // components exist for — and it differs from q28's pairwise
+    // drop-every-doc_b rule, which under-drops when a cluster's members
+    // only touch through a third doc
+    "q57_cluster_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.operators.TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      val drop = graft.operators.Components.dupClusters(pairs)
+        .filter($"doc_id" =!= $"component").select($"doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids"))
+        .orderBy($"source")
     }
   )
 
@@ -258,26 +275,45 @@ object Corpus {
     // recursive closure then labels every clustered doc with the min
     // reachable doc_id
     "q75_dup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, len(w) - 1),
-        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |       FROM w),
-        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
-        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |dup AS (SELECT da, db
-        |        FROM cand JOIN sizes sa ON da = sa.doc_id
-        |                  JOIN sizes sb ON db = sb.doc_id
-        |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
-        |e AS (SELECT da AS a, db AS b FROM dup
-        |      UNION SELECT db, da FROM dup),
-        |reach(a, b) AS (SELECT a, a FROM e
-        |                UNION
-        |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
-        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""$dupClosureCte
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // keep = not (clustered with a smaller doc_id): anti-join against
+    // the closure's non-representative members
+    "q57_cluster_dedup_apply" ->
+      s"""$dupClosureCte,
+         |labels AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Shared recursive-CTE prefix: `reach(a, b)` = transitive closure of
+    * the verified MinHash near-dup pairs (the q21 oracle's own pair
+    * definition), used by the q75 cluster labels and the q57 keep
+    * policy.
+    */
+  private lazy val dupClosureCte: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |       FROM w),
+      |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+      |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |dup AS (SELECT da, db
+      |        FROM cand JOIN sizes sa ON da = sa.doc_id
+      |                  JOIN sizes sb ON db = sb.doc_id
+      |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM dup
+      |      UNION SELECT db, da FROM dup),
+      |reach(a, b) AS (SELECT a, a FROM e
+      |                UNION
+      |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)""".stripMargin
 }

@@ -99,6 +99,24 @@ object PipeQueries {
         .select(explode(split($"response", "\n")).as("n_name"))
         .groupBy($"n_name").agg(count(lit(1)).as("n"))
         .orderBy($"n_name")
+    },
+
+    // Non-replicated ARRAY2: both sides hash-partitioned on the join
+    // key with the same partition count, so each child's first message
+    // holds exactly the lookup rows its own data rows will reference —
+    // no broadcast, no replication, and the oracle still proves no key
+    // missed. At 100 TB this is the mode for side data too big to
+    // broadcast but co-partitionable with the stream.
+    "q39_pipe_local_side" -> { (s, dir) =>
+      import s.implicits._
+      val side = Tables.load(s, dir, "nation")
+        .select($"n_nationkey", $"n_name").repartition(8, $"n_nationkey")
+      val in = Tables.load(s, dir, "customer")
+        .select($"c_nationkey").repartition(8, $"c_nationkey")
+      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side), sideLocal = true)
+        .select(explode(split($"response", "\n")).as("n_name"))
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+        .orderBy($"n_name")
     }
   )
 
@@ -113,6 +131,11 @@ object PipeQueries {
       "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem",
 
     "q42_pipe_side_lookup" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q39_pipe_local_side" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
