@@ -88,6 +88,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-nearest-neighbour graph over the whole corpus: for every
+    * vector, its `k` closest others by cosine — the retrieval-index
+    * build / semantic-dedup primitive. Brute force by construction
+    * (this is the oracle-verifiable baseline; at corpus scale block
+    * with [[hyperplaneBuckets]] or an [[IvfIndex]] list assignment
+    * first and run the same ranking within blocks). Norms are computed
+    * once per vector before the join, and the `row_number <= k` filter
+    * plans a WindowGroupLimit that trims each partition to its local
+    * top-k before the per-vector shuffle.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 2): DataFrame = {
+    require(k > 0)
+    VectorExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** Near-duplicate vector pairs within label blocks (cheap exact
     * variant when a blocking key exists).
     */

@@ -316,6 +316,41 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(topK)
 
+  /** Most source-distinctive terms by smoothed tf-idf:
+    * `tf(source, term) * ln((N + 1) / (doc_freq + 1))`, top `topK` per
+    * source — the corpus-profiling pass that surfaces what each crawl
+    * source is actually about (and catches template contamination as
+    * weirdly-high-idf boilerplate tokens).
+    *
+    * Scale shape: two keyed aggregations (corpus doc-frequency ∝
+    * vocabulary; per-source term frequency ∝ source vocabularies), a
+    * broadcast of the single-row total, and a per-source window whose
+    * `row_number <= k` filter plans a WindowGroupLimit — partitions trim
+    * to local top-k before the stratum shuffle, so nothing global ever
+    * sorts the whole vocabulary.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("term"))
+    val docFreq = words.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val tf = words.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * log((col("n_total") + 1).cast("double") / (col("doc_freq") + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("term"), col("tf"), col("doc_freq"),
+        round(col("score"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Context-length chunking: split each document into overlapping
     * ~`chunkTokens`-token windows (stride = chunkTokens − overlap) —
     * the pre-tokenization pass that turns long documents into

@@ -105,6 +105,15 @@ object DataPipeline {
     "q30_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryVecId = 0L, k = 20)
     },
+    // corpus-profiling: most source-distinctive terms by smoothed tf-idf
+    "q55_tfidf_terms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"), topK = 3)
+    },
+    // exact kNN graph (k=2 neighbours per vector) — the brute-force
+    // baseline the blocked/IVF variants are measured against
+    "q56_knn_graph" -> { (s, dir) =>
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"), k = 2)
+    },
     "q31_vec_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.8)
     },
@@ -488,6 +497,37 @@ object DataPipeline {
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, round(cos, 4) AS cos
         |FROM p WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    "q55_tfidf_terms" ->
+      """WITH w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM w GROUP BY 1),
+        |tf AS (SELECT source, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT source, term, tf, doc_freq,
+        |        tf * ln((n + 1) * 1.0 / (doc_freq + 1)) AS score
+        |      FROM tf JOIN dfreq USING (term), tot),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT source, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(doc_freq AS BIGINT) AS doc_freq,
+        |  round(score, 4) AS tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    "q56_knn_graph" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id src, b.vec_id dst,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, cos, row_number() OVER
+        |        (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+        |      FROM p)
+        |SELECT src, dst, round(cos, 4) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 2 ORDER BY src, rank""".stripMargin,
 
     "q50_multimodal_meta" ->
       """SELECT doc_id,
