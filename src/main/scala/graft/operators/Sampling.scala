@@ -95,6 +95,26 @@ object Sampling {
       .drop(h, key, rn)
   }
 
+  /** Temperature-scaled mixture weights per stratum: weight_s =
+    * sqrt(size_s / max_size) — the τ=2 source-rebalancing curve
+    * (upweight scarce sources relative to the dominant one) used to
+    * derive the `rates` fed to [[seededMixture]]. The exponent is
+    * fixed at 1/2 deliberately: IEEE `sqrt` is correctly rounded in
+    * every engine, so the weight is bit-deterministic and oracle-
+    * replayable, where a general `pow(x, alpha)` is not. Normalizing
+    * by the max stratum (exact, order-free) rather than the sum keeps
+    * the result independent of float summation order.
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+                         sizeCol: String): DataFrame = {
+    val totals = df.groupBy(col(stratumCol)).agg(sum(col(sizeCol)).as("total"))
+    val mx = totals.agg(max(col("total")).as("max_total"))
+    totals.crossJoin(broadcast(mx))
+      .withColumn("weight", sqrt(col("total") / col("max_total")))
+      .select(col(stratumCol), col("total"), round(col("weight"), 4).as("weight"))
+      .orderBy(col(stratumCol))
+  }
+
   /** Deterministic train/validation/test split: each row's hash-uniform
     * u falls into one of the cumulative weight bands, yielding a
     * `split` label that is a pure function of the seed column —

@@ -316,6 +316,22 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(topK)
 
+  /** Power-of-two length histogram: bucket = floor(log2(len)), computed
+    * EXACTLY as the bit length of the integer (via its binary-string
+    * representation) rather than a float log that can misbucket exact
+    * powers of two by one ulp. The corpus length profile is the first
+    * chart every data audit draws; one hash aggregation over a narrow
+    * projection.
+    */
+  def lengthLogHistogram(df: DataFrame, lenCol: String): DataFrame =
+    df.filter(col(lenCol) > 0)
+      .withColumn("bucket",
+        (length(conv(col(lenCol).cast("string"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(lenCol)).as("sum_len"),
+        min(col(lenCol)).as("min_len"), max(col(lenCol)).as("max_len"))
+      .orderBy(col("bucket"))
+
   /** Most source-distinctive terms by smoothed tf-idf:
     * `tf(source, term) * ln((N + 1) / (doc_freq + 1))`, top `topK` per
     * source — the corpus-profiling pass that surfaces what each crawl

@@ -124,6 +124,33 @@ object Corpus {
       graft.operators.Components.dupClusters(pairs)
     },
 
+    // temperature-scaled source mixture weights (sqrt curve, exact
+    // cross-engine — see the operator's determinism note)
+    "q53_mixture_weights" -> { (s, dir) =>
+      Sampling.temperatureWeights(Tables.load(s, dir, "documents"),
+        "source", "n_chars")
+    },
+
+    // corpus length profile in exact power-of-two buckets
+    "q58_length_histogram" -> { (s, dir) =>
+      TextAnalysis.lengthLogHistogram(Tables.load(s, dir, "documents"), "n_chars")
+    },
+
+    // inter-source duplication matrix: verified near-dup pairs counted
+    // by unordered source pair — the cross-crawl-snapshot overlap audit
+    "q59_cross_source_dup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.operators.TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      val src = docs.select($"doc_id", $"source")
+      pairs.join(src.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(src.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select(least($"sa.source", $"sb.source").as("source_x"),
+          greatest($"sa.source", $"sb.source").as("source_y"))
+        .groupBy($"source_x", $"source_y").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"source_x", $"source_y")
+    },
+
     // cluster-level dedup APPLY: keep each near-dup cluster's minimum
     // doc_id (plus all unclustered docs). This is the keep policy q75's
     // components exist for — and it differs from q28's pairwise
@@ -271,6 +298,30 @@ object Corpus {
          |FROM c ORDER BY doc_id, chunk_no""".stripMargin
     },
 
+    "q53_mixture_weights" ->
+      """WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+        |           FROM documents GROUP BY 1),
+        |m AS (SELECT max(total) AS max_total FROM t)
+        |SELECT source, total, round(sqrt(total * 1.0 / max_total), 4) AS weight
+        |FROM t, m ORDER BY source""".stripMargin,
+
+    "q58_length_histogram" ->
+      """SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_cross_source_dup" ->
+      s"""$dupPairsCte
+         |SELECT least(da2.source, db2.source) AS source_x,
+         |  greatest(da2.source, db2.source) AS source_y,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM dup JOIN documents da2 ON da = da2.doc_id
+         |         JOIN documents db2 ON db = db2.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // edges = the q21 oracle's verified Jaccard >= 0.5 pairs; the
     // recursive closure then labels every clustered doc with the min
     // reachable doc_id
@@ -291,12 +342,11 @@ object Corpus {
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  /** Shared recursive-CTE prefix: `reach(a, b)` = transitive closure of
-    * the verified MinHash near-dup pairs (the q21 oracle's own pair
-    * definition), used by the q75 cluster labels and the q57 keep
-    * policy.
+  /** Shared CTE prefix: `dup(da, db)` = the verified MinHash near-dup
+    * pairs (the q21 oracle's own pair definition). `WITH RECURSIVE` is
+    * harmless when nothing recursive follows.
     */
-  private lazy val dupClosureCte: String =
+  private lazy val dupPairsCte: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |           WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id,
@@ -310,10 +360,16 @@ object Corpus {
       |dup AS (SELECT da, db
       |        FROM cand JOIN sizes sa ON da = sa.doc_id
       |                  JOIN sizes sb ON db = sb.doc_id
-      |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
-      |e AS (SELECT da AS a, db AS b FROM dup
-      |      UNION SELECT db, da FROM dup),
-      |reach(a, b) AS (SELECT a, a FROM e
-      |                UNION
-      |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)""".stripMargin
+      |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+
+  /** `reach(a, b)` = transitive closure of the near-dup pairs, used by
+    * the q75 cluster labels and the q57 keep policy.
+    */
+  private lazy val dupClosureCte: String =
+    s"""$dupPairsCte,
+       |e AS (SELECT da AS a, db AS b FROM dup
+       |      UNION SELECT db, da FROM dup),
+       |reach(a, b) AS (SELECT a, a FROM e
+       |                UNION
+       |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)""".stripMargin
 }
