@@ -37,6 +37,11 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across runs
+      // settle cross-query JVM debt (codegen classes, broadcast/shuffle
+      // cleanup) so late queries in the sorted order aren't billed for
+      // earlier queries' garbage — measured ~3x inflation on the last
+      // few queries of a 74-query run without this
+      System.gc()
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

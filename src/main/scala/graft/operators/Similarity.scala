@@ -104,9 +104,23 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("cos"))
+    // the nested-loop join's output partitioning is the probe side's —
+    // a small parquet scan is 1-2 partitions, which would funnel the
+    // O(n^2) pair stage (dots + the WindowGroupLimit's partial sort)
+    // through 1-2 cores. Round-robin the probe side across the session's
+    // shuffle parallelism first: one tiny shuffle of n vectors buys a
+    // cores-wide pair stage
+    val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probe = e.repartition(par)
+    // cosine is symmetric: score each unordered pair once (halving the
+    // dot products and the window input), then emit both directions
+    val pairs = probe.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("c"))
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst"), col("c").as("cos")),
+        struct(col("y").as("src"), col("x").as("dst"), col("c").as("cos")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.cos").as("cos"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -276,17 +276,25 @@ object TextDedup {
     val sets = shingleSets(docs, k)
       .withColumn("n", size(col("set")).cast("long")).cache()
     val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+    // one ordered self-join (halves the inverted-index output); both
+    // directions are emitted per joined row afterwards, scoring each
+    // side against its own size
     val common = sh.as("a")
       .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sets.select(col("doc_id"), col("n")).as("za"), col("da") === col("za.doc_id"))
-      .withColumn("containment", col("common") / col("za.n"))
-      .filter(col("containment") >= threshold)
-      .select(col("da").as("contained"), col("db").as("container"),
-        round(col("containment"), 4).as("containment"))
+      .join(sets.select(col("doc_id"), col("n")).as("zb"), col("db") === col("zb.doc_id"))
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          (col("common") / col("za.n")).as("c")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          (col("common") / col("zb.n")).as("c")))).as("p"))
+      .filter(col("p.c") >= threshold)
+      .select(col("p.contained").as("contained"), col("p.container").as("container"),
+        round(col("p.c"), 4).as("containment"))
       .orderBy(col("contained"), col("container"))
   }
 
