@@ -16,7 +16,8 @@ class CacheHygieneSpec extends SparkSpec {
   // queries whose operators cache() an intermediate per the contract
   private val cachingQueries =
     Seq("q21_minhash_lsh", "q22_ngram_jaccard", "q28_dedup_apply",
-      "q36_pipeline_e2e", "q75_dup_clusters")
+      "q36_pipeline_e2e", "q75_dup_clusters", "q48_containment",
+      "q57_cluster_dedup_apply", "q59_cross_source_dup")
 
   for (name <- cachingQueries)
     test(s"$name leaves an empty SQL cache after release") {
