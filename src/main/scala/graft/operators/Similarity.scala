@@ -129,6 +129,40 @@ object Similarity {
       .orderBy(col("src"), col("rank"))
   }
 
+  /** Approximate kNN graph blocked by IVF list assignment — the
+    * corpus-scale variant of [[knnGraph]]: vectors pair only within
+    * their own centroid list, so the pair stage costs O(Σ |list|²)
+    * instead of O(n²) and runs as an ordinary equi-join keyed on
+    * `list_id`. Neighbours whose true match sits across a list
+    * boundary are missed; with `nLists = 1` the result equals the
+    * exact graph bit-for-bit (asserted in AnnRecallSpec, which also
+    * measures recall at useful list counts). Ranking, scoring, and
+    * output schema are identical to the exact operator.
+    */
+  def knnGraphBlocked(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                      k: Int = 2): DataFrame = {
+    require(k > 0)
+    VectorExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val e = IvfIndex.assign(emb, centroids)
+      .withColumn("nrm", norm(col("v")))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("c"))
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst"), col("c").as("cos")),
+        struct(col("y").as("src"), col("x").as("dst"), col("c").as("cos")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.cos").as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** Near-duplicate vector pairs within label blocks (cheap exact
     * variant when a blocking key exists).
     */

@@ -45,6 +45,34 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("blocked kNN graph with one list equals the exact graph bit-for-bit") {
+    val centroids = IvfIndex.train(emb, nLists = 1, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(Similarity.knnGraphBlocked(emb, centroids, k = 2)) ==
+      rows(Similarity.knnGraph(emb, k = 2)))
+  }
+
+  test("blocked kNN graph is sound; recall is measured against the exact graph") {
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    val blocked = Similarity.knnGraphBlocked(emb, centroids, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every blocked edge carries the exact cosine for that pair
+    val n = emb.count().toInt
+    val allScores = Similarity.knnGraph(emb, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    blocked.foreach { case (edge, cos) => assert(allScores(edge) == cos, edge) }
+    // recall: the synthetic embeddings are near-orthogonal (the
+    // adversarial case for any blocking), so the honest expectation is
+    // roughly the in-list mass ~1/nLists; assert a generous floor and
+    // that blocking really did cut the pair space
+    val exactEdges = Similarity.knnGraph(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactEdges.count(blocked.contains).toDouble / exactEdges.size
+    assert(recall >= 0.1, s"recall $recall")
+    assert(blocked.size <= exactEdges.size, "blocked graph cannot have extra edges per src beyond k")
+  }
+
   test("multi-table LSH near-dup mining finds the exact pairs it reports") {
     // unblocked ground truth: exact all-pairs cosine at the threshold
     val e = emb.select(
