@@ -107,6 +107,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("simhash64 pair mining keeps the q34 plan shape on the 64-bit bands") {
+    val plan = formatted("q38_simhash64_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
+  test("containment pairs ride the shingle-keyed inverted index") {
+    val plan = formatted("q48_containment")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tf-idf top terms trim to k per partition before the stratum shuffle") {
+    val plan = SparkEntryAccess.query("q55_tfidf_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("exact kNN graph parallelizes the pair stage and trims before shuffling") {
+    val df = SparkEntryAccess.query("q56_knn_graph")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // probe side re-spread across cores (the O(n^2) stage must not run
+    // on the scan's 1-2 partitions), WindowGroupLimit before the
+    // per-vector exchange, dot product inside codegen
+    assert(plan.toLowerCase.contains("roundrobin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("""\*\(\d+\) Project \[[^\]]*graft_dot""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q39 local-side pipe plans without any broadcast exchange") {
+    val plan = SparkEntryAccess.query("q39_pipe_local_side")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("Stream "), plan)
+  }
+
   test("cube expands grouping sets inside codegen'd HashAggregate") {
     val plan = formatted("q63_cube")
     assert(plan.contains("Expand"), plan)
