@@ -168,12 +168,15 @@ object Stream {
 
   /** Arrow-format stream: columnar batches both directions, declared
     * output schema (the reference's mandatory `types:`/`names:`).
+    * `sideLocal` follows the same contract as [[tsv]]: partition-
+    * aligned side data delivered per child with no broadcast.
     */
   def arrow(df: DataFrame, cmd: String, declared: StructType,
-            chunkSize: Int = 10000, side: Option[DataFrame] = None): DataFrame = {
+            chunkSize: Int = 10000, side: Option[DataFrame] = None,
+            sideLocal: Boolean = false): DataFrame = {
     checkAllowed(df.sparkSession, cmd)
     declared.fields.foreach(f => ArrowProtocol.arrowField(f.name, f.dataType))
     planned(df, side, cmd, StreamFormat.Arrow(declared), chunkSize,
-      arrowOutputSchema(declared))
+      arrowOutputSchema(declared), sideLocal)
   }
 }

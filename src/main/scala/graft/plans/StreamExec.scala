@@ -51,9 +51,6 @@ case class StreamExec(
     output: Seq[Attribute],
     sideLocal: Boolean = false) extends SparkPlan {
 
-  require(!(sideLocal && format.isInstanceOf[StreamFormat.Arrow]),
-    "sideLocal (non-replicated) side input is implemented for the TSV format")
-
   override def children: Seq[SparkPlan] = input +: side.toSeq
 
   override def producedAttributes: AttributeSet = outputSet
@@ -178,7 +175,7 @@ case class StreamExec(
     val StreamFormat.Arrow(declared) = format: @unchecked
     val outRows = longMetric("numOutputRows")
     val kids = longMetric("numChildren")
-    val sideBc = side.map(sideBroadcast)
+    val sideBc = if (sideLocal) None else side.map(sideBroadcast)
     val inSchema = input.schema
     val sideSchema = side.map(_.schema)
     val command = cmd
@@ -193,7 +190,8 @@ case class StreamExec(
     // iterator may reuse row objects across next() calls).
     def partitionIterator(frames: Iterator[() => Unit], child: ChildProcess,
                           allocator: RootAllocator, ctx: TaskContext,
-                          pid: Long): Iterator[ColumnarBatch] = {
+                          pid: Long,
+                          sideRows: IndexedSeq[InternalRow]): Iterator[ColumnarBatch] = {
       val out = new Iterator[ColumnarBatch] {
         private var pendingBatch: ColumnarBatch = null
         private var pendingReader: ArrowStreamReader = null
@@ -270,11 +268,10 @@ case class StreamExec(
         private def advance(): Option[ColumnarBatch] = {
           if (!sentSide) {
             sentSide = true
-            val sv = sideBc.map(_.value).getOrElse(Array.empty[InternalRow])
-            if (sv.nonEmpty) {
+            if (sideRows.nonEmpty) {
               val b = oneExchange(
                 ArrowProtocol.writeBatchInternal(
-                  child.stdin, allocator, sideSchema.get, sv.toIndexedSeq),
+                  child.stdin, allocator, sideSchema.get, sideRows),
                 last = false)
               if (b.isDefined) return b
             }
@@ -313,65 +310,83 @@ case class StreamExec(
       out
     }
 
-    if (input.supportsColumnar) {
-      input.executeColumnar().mapPartitions { batches =>
-        val ctx = TaskContext.get()
-        val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-        val child = new ChildProcess(command, Option(ctx))
-        kids += 1
-        val allocator = new RootAllocator(Long.MaxValue)
-        val buf = new ArrowProtocol.ColumnarFrameBuffer(inSchema, allocator)
-        // one frame = exactly `chunk` rows (the declared chunk_size),
-        // accumulated across scan batches — `append` copies into the
-        // Arrow builders, so pulling the next (buffer-recycling) scan
-        // batch mid-frame is safe. Filling only happens between
-        // exchanges: the previous frame's writer thread has already
-        // been joined when the protocol loop asks for the next thunk.
-        val frames = new Iterator[() => Unit] {
-          private var cur: ColumnarBatch = null
-          private var off = 0
-          private var ready = false
-          private def fill(): Unit = {
-            while (buf.rowCount < chunk && (cur != null || batches.hasNext)) {
-              if (cur == null) { cur = batches.next(); off = 0 }
-              val take = math.min(chunk - buf.rowCount, cur.numRows - off)
-              if (take > 0) { buf.append(cur, off, take); off += take }
-              if (off >= cur.numRows) cur = null
-            }
-          }
-          def hasNext: Boolean = {
-            if (!ready) { fill(); ready = buf.rowCount > 0 } // O16: no empty frames
-            ready
-          }
-          def next(): () => Unit = {
-            if (!hasNext) throw new NoSuchElementException("input exhausted")
-            ready = false
-            () => buf.writeAndReset(child.stdin)
+    def columnarPartition(batches: Iterator[ColumnarBatch],
+                          sideRows: IndexedSeq[InternalRow]): Iterator[ColumnarBatch] = {
+      val ctx = TaskContext.get()
+      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+      val child = new ChildProcess(command, Option(ctx))
+      kids += 1
+      val allocator = new RootAllocator(Long.MaxValue)
+      val buf = new ArrowProtocol.ColumnarFrameBuffer(inSchema, allocator)
+      // one frame = exactly `chunk` rows (the declared chunk_size),
+      // accumulated across scan batches — `append` copies into the
+      // Arrow builders, so pulling the next (buffer-recycling) scan
+      // batch mid-frame is safe. Filling only happens between
+      // exchanges: the previous frame's writer thread has already
+      // been joined when the protocol loop asks for the next thunk.
+      val frames = new Iterator[() => Unit] {
+        private var cur: ColumnarBatch = null
+        private var off = 0
+        private var ready = false
+        private def fill(): Unit = {
+          while (buf.rowCount < chunk && (cur != null || batches.hasNext)) {
+            if (cur == null) { cur = batches.next(); off = 0 }
+            val take = math.min(chunk - buf.rowCount, cur.numRows - off)
+            if (take > 0) { buf.append(cur, off, take); off += take }
+            if (off >= cur.numRows) cur = null
           }
         }
-        val it = partitionIterator(frames, child, allocator, ctx, pid)
-        // registered AFTER partitionIterator's allocator-close listener:
-        // completion listeners run LIFO, so the buffer's root closes
-        // before the allocator it was allocated from
-        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
-          try buf.close() catch { case _: Throwable => () }
+        def hasNext: Boolean = {
+          if (!ready) { fill(); ready = buf.rowCount > 0 } // O16: no empty frames
+          ready
         }
-        it
+        def next(): () => Unit = {
+          if (!hasNext) throw new NoSuchElementException("input exhausted")
+          ready = false
+          () => buf.writeAndReset(child.stdin)
+        }
       }
-    } else {
-      input.execute().mapPartitions { iter =>
-        val ctx = TaskContext.get()
-        val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-        val child = new ChildProcess(command, Option(ctx))
-        kids += 1
-        val allocator = new RootAllocator(Long.MaxValue)
-        val frames = iter.map(_.copy()).grouped(chunk).map { rows =>
-          () => ArrowProtocol.writeBatchInternal(
-            child.stdin, allocator, inSchema, rows)
-        }
-        partitionIterator(frames, child, allocator, ctx, pid)
+      val it = partitionIterator(frames, child, allocator, ctx, pid, sideRows)
+      // registered AFTER partitionIterator's allocator-close listener:
+      // completion listeners run LIFO, so the buffer's root closes
+      // before the allocator it was allocated from
+      if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+        try buf.close() catch { case _: Throwable => () }
       }
+      it
     }
+
+    def rowPartition(iter: Iterator[InternalRow],
+                     sideRows: IndexedSeq[InternalRow]): Iterator[ColumnarBatch] = {
+      val ctx = TaskContext.get()
+      val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+      val child = new ChildProcess(command, Option(ctx))
+      kids += 1
+      val allocator = new RootAllocator(Long.MaxValue)
+      val frames = iter.map(_.copy()).grouped(chunk).map { rows =>
+        () => ArrowProtocol.writeBatchInternal(
+          child.stdin, allocator, inSchema, rows)
+      }
+      partitionIterator(frames, child, allocator, ctx, pid, sideRows)
+    }
+
+    // local mode zips side partition i to input partition i (the side
+    // plan row-executes even under the columnar transition rule:
+    // RowToColumnarExec.doExecute delegates to its child's rows)
+    def withSide[T: scala.reflect.ClassTag](rdd: RDD[T])(
+        f: (Iterator[T], IndexedSeq[InternalRow]) => Iterator[ColumnarBatch]): RDD[ColumnarBatch] =
+      if (sideLocal && side.isDefined)
+        rdd.zipPartitions(side.get.execute()) { (it, sit) =>
+          f(it, sit.map(_.copy()).toIndexedSeq)
+        }
+      else rdd.mapPartitions { it =>
+        f(it, sideBc.map(_.value.toIndexedSeq).getOrElse(IndexedSeq.empty))
+      }
+
+    if (input.supportsColumnar)
+      withSide(input.executeColumnar())(columnarPartition)
+    else
+      withSide(input.execute())(rowPartition)
   }
 
   protected override def doExecute(): RDD[InternalRow] = {

@@ -243,6 +243,38 @@ class StreamArrowSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("s")).sum == (0L until 300L).sum)
   }
 
+  test("Arrow sideLocal delivers each side partition to exactly one child") {
+    // non-replicated ARRAY2 on the Arrow path: echo child, total rows =
+    // main + side (each side row exactly once), side rows in chunk 0
+    val main = spark.range(0, 30).repartition(3).select($"id")
+    val side = spark.range(100, 106).repartition(3).select($"id")
+    val declared = StructType(Seq(StructField("id", LongType)))
+    val out = Stream.arrow(main, echoCmd, declared, chunkSize = 100,
+      side = Some(side), sideLocal = true).collect()
+    assert(out.length == 36)
+    val sideEcho = out.filter(_.getLong(0) >= 100L)
+    assert(sideEcho.length == 6)
+    assert(sideEcho.forall(_.getAs[Long]("chunk_no") == 0L))
+    // and no broadcast exchange in the plan
+    val plan = Stream.arrow(main, echoCmd, declared,
+      side = Some(side), sideLocal = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("Arrow sideLocal works over a columnar (parquet) input child") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidelocal").toString
+    spark.range(0, 40).select($"id").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val in = spark.read.parquet(dir)
+    val nParts = in.rdd.getNumPartitions
+    val side = spark.range(200, 204).repartition(nParts).select($"id")
+    val declared = StructType(Seq(StructField("id", LongType)))
+    val out = Stream.arrow(in, echoCmd, declared, chunkSize = 100,
+      side = Some(side), sideLocal = true).collect()
+    assert(out.length == 44)
+    assert(out.count(_.getLong(0) >= 200L) == 4)
+  }
+
   test("columnar frames honor chunkSize across scan batches") {
     // scan batches (50 rows) smaller than the declared chunk (120):
     // one protocol frame must accumulate rows from several batches,
