@@ -51,7 +51,7 @@ object GraftExtensions {
     "graft_cosine" -> (
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
       cosine _)
-  )
+  ) ++ graft.functions.MultimodalExpressions.builders // graft_meta/stats/resize/frames
 
   private def lit(fn: String)(e: Expression): String = {
     require(e.foldable, s"$fn arguments must be literals, got $e")

@@ -20,6 +20,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("GRFT media functions work from plain SQL") {
+    GraftExtensions.register(spark)
+    val blob = graft.operators.Multimodal.pack(4, 2, 1, 0,
+      Array.tabulate[Byte](8)(_.toByte))
+    Seq(Tuple1(blob)).toDF("b").createOrReplaceTempView("media")
+    val m = spark.sql(
+      "SELECT graft_meta(b).width w, graft_meta(b).valid v, " +
+        "graft_stats(b).payload_bytes n, graft_resize(b, 2, 1) r, " +
+        "size(graft_frames(b, 2, 1)) nf FROM media").head
+    assert(m.getInt(0) == 4 && m.getBoolean(1))
+    assert(m.getLong(2) == 8L)
+    assert(m.getAs[Array[Byte]](3) != null)
+    assert(m.getInt(4) == 4) // 8-byte payload / frame_size 2 = 4 frames
+  }
+
   test("full SQL query over registered test tables") {
     Tables.registerAll(spark, sf)
     val got = spark.sql(
