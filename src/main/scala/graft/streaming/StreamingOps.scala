@@ -122,6 +122,91 @@ object StreamingOps {
       .withWatermark(tsCol, withinDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One banded-signature row per (doc, band) for the streaming
+    * near-dup filter.
+    */
+  case class BandedDoc(doc_id: Long, simhash: Long, band: Int, bkey: Long)
+
+  /** A near-dup candidate emitted by [[nearDupCandidatesStream]]:
+    * `doc_id` collided with earlier `dup_of` in some band at the given
+    * hamming distance. The same pair can surface from several bands —
+    * deduplicate downstream (`groupBy(doc_id).agg(min(dup_of))` is the
+    * keep-earliest policy).
+    */
+  case class DupCandidate(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Per-row 64-bit SimHash, identical bit-for-bit to the batch
+    * `TextDedup.simhash64` (asserted in StreamingOpsSpec): word hashes
+    * from the first 16 md5 hex digits, document bits from the signed
+    * bit sums. The batch operator aggregates exploded words (codegen'd
+    * HashAggregate — right for a scan over a corpus); here each
+    * document is ONE streaming row, so the same math runs as
+    * higher-order array folds over the row's own words — narrow, no
+    * shuffle, no state.
+    */
+  def simhash64Col(textCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, j) ->
+         |  acc + IF(aggregate(
+         |      transform(split($textCol, ' '),
+         |        w -> cast(conv(substr(md5(cast(w as binary)), 1, 16), 16, -10) as bigint)),
+         |      0, (a, h) -> a + IF((shiftrightunsigned(h, j) & 1) = 1, 1, -1)) > 0,
+         |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+
+  /** Streaming near-duplicate candidate mining at ingestion: each
+    * document's 64-bit SimHash is banded into 4×16-bit keys, and a
+    * stateful operator keyed on (band, key) compares every new arrival
+    * against the signatures already seen in that bucket, emitting a
+    * [[DupCandidate]] per hamming-≤`maxHamming` match. The pigeonhole
+    * argument of the batch miner applies unchanged: a true pair within
+    * `maxHamming` ≤ 3 shares at least one band, so no candidate is
+    * missed while both docs' signatures are in state.
+    *
+    * State design for an unbounded feed: one signature (16 bytes) per
+    * doc per band, and each bucket is capped at `maxBucket` signatures
+    * (oldest kept — the keep-earliest policy's natural direction; a
+    * pathological hot bucket, e.g. near-empty documents, stops
+    * accumulating instead of growing forever — the streaming analog of
+    * the batch `maxShingleFreq` cap, with the same recall caveat on
+    * whatever exceeds the cap).
+    */
+  def nearDupCandidatesStream(docs: DataFrame, textCol: String = "text",
+                              maxHamming: Int = 3,
+                              maxBucket: Int = 1024): Dataset[DupCandidate] = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .withColumn("simhash", simhash64Col(textCol))
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), j -> struct(j as band, shiftrightunsigned(simhash, j * 16) & 65535 as bkey))"))
+          .as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[Vector[(Long, Long)], DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[Vector[(Long, Long)]]) =>
+          var bucket = state.getOption.getOrElse(Vector.empty)
+          val out = Seq.newBuilder[DupCandidate]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            bucket.foreach { case (prevId, prevSig) =>
+              if (prevId != d.doc_id) {
+                val hamming = java.lang.Long.bitCount(prevSig ^ d.simhash)
+                if (hamming <= maxHamming)
+                  out += DupCandidate(d.doc_id, prevId, hamming)
+              }
+            }
+            if (bucket.size < maxBucket) bucket :+= (d.doc_id, d.simhash)
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: pair each left event with
     * the right-side events of the same key that occur within
     * `[left.ts, left.ts + within]` — the canonical impression→click

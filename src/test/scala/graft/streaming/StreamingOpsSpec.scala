@@ -210,4 +210,55 @@ class StreamingOpsSpec extends SparkSpec {
     results.forEach(n => total += n)
     assert(total == 150L)
   }
+
+  test("per-row streaming simhash64 equals the batch operator bit-for-bit") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val streaming = docs
+      .withColumn("sh", StreamingOps.simhash64Col("text"))
+      .select($"doc_id", $"sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.TextDedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streaming == batch)
+  }
+
+  test("streaming near-dup candidates find the planted pair across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val candidates = StreamingOps.nearDupCandidatesStream(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = candidates.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    // doc 2 = doc 1 plus one appended word — measured simhash64 hamming
+    // of 1 (a one-word swap in a short doc shifts many bit sums past
+    // zero and lands well above 3; near-dup at 64-bit granularity means
+    // high overlap with margin); doc 3 unrelated; the near-dup arrives
+    // in a LATER micro-batch than the original
+    val base = (0 until 101).map(i => s"word$i").mkString(" ")
+    mem.addData(Seq((1L, base), (3L, "completely different words about query planning engines now")))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, base + " extra1")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_out").as[StreamingOps.DupCandidate].collect()
+    // keep-earliest decision: doc 2 is a dup of doc 1; doc 3 clean
+    val decisions = got.groupBy(_.doc_id).map { case (d, cs) => d -> cs.map(_.dup_of).min }
+    assert(decisions == Map(2L -> 1L), got.mkString(","))
+  }
+
+  test("streaming near-dup bucket cap bounds state on a hot bucket") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // identical docs all land in the same buckets; cap 5 keeps the 5
+    // earliest signatures, so later arrivals still match those
+    val candidates = StreamingOps.nearDupCandidatesStream(
+      mem.toDF().toDF("doc_id", "text"), maxBucket = 5)
+    val q = candidates.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_cap_out").start()
+    mem.addData((1L to 20L).map(i => (i, "same words every single time here")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_cap_out").as[StreamingOps.DupCandidate].collect()
+    // every doc after the first matches the earliest kept signatures
+    val decisions = got.groupBy(_.doc_id).map { case (d, cs) => d -> cs.map(_.dup_of).min }
+    assert((2L to 20L).forall(d => decisions.get(d).contains(1L)), decisions.toString)
+  }
 }
