@@ -151,6 +151,37 @@ object Corpus {
         .orderBy($"source_x", $"source_y")
     },
 
+    // the full curation pipeline in one gated composition: quality gate
+    // -> cluster-level near-dup removal -> eval-set decontamination ->
+    // deterministic split assignment -> per-split stats. One oracle
+    // over the whole chain proves the round-5 operators compose without
+    // drift (the q36 principle, extended to the curation stages)
+    "q76_curate_e2e" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.load(s, dir, "documents")
+      val corpus = all.filter($"source" =!= "src0")
+      val bench = all.filter($"source" === "src0")
+      val quality = TextAnalysis.qualityScore(corpus)
+        .filter($"n_tokens" >= 20).select($"doc_id", $"n_tokens")
+      val qdocs = corpus.join(quality, Seq("doc_id"))
+      val pairs = graft.operators.TextDedup.minhashLshPairs(qdocs, threshold = 0.5)
+      val drop = graft.operators.Components.dupClusters(pairs)
+        .filter($"doc_id" =!= $"component").select($"doc_id")
+      val deduped = qdocs.join(drop, Seq("doc_id"), "left_anti")
+      val benchGrams = graft.operators.TextDedup.wordShingles(bench, 3)
+        .select($"sh").distinct()
+      val contaminated = graft.operators.TextDedup.wordShingles(deduped, 3)
+        .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+        .select($"doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.assignSplit(clean, "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"split")
+    },
+
     // cluster-level dedup APPLY: keep each near-dup cluster's minimum
     // doc_id (plus all unclustered docs). This is the keep policy q75's
     // components exist for — and it differs from q28's pairwise
@@ -322,6 +353,38 @@ object Corpus {
          |         JOIN documents db2 ON db = db2.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q76_curate_e2e" ->
+      s"""${dupPairsCteFor("source <> 'src0' AND len(string_split(text, ' ')) >= 20")},
+         |$closureTail,
+         |labels AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, text
+         |      FROM documents
+         |      WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 20),
+         |dd AS (SELECT * FROM q WHERE doc_id NOT IN
+         |        (SELECT doc_id FROM labels WHERE doc_id <> component)),
+         |bg AS (SELECT DISTINCT unnest($duckGrams3) AS sh
+         |       FROM (SELECT string_split(text, ' ') AS ws FROM documents
+         |             WHERE source = 'src0')
+         |       WHERE len(ws) >= 3),
+         |cont AS (SELECT DISTINCT doc_id
+         |         FROM (SELECT doc_id, unnest($duckGrams3) AS sh
+         |               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dd))
+         |         WHERE sh IN (SELECT sh FROM bg)),
+         |clean AS (SELECT doc_id, n_tokens FROM dd
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |u AS (SELECT doc_id, n_tokens,
+         |        ${Sampling.u01Duck("md5(CAST(doc_id AS VARCHAR))")} AS u
+         |      FROM clean),
+         |sp AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN u < 0.8 THEN 'train'
+         |              WHEN u < (0.8 + 0.1) THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM u)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // edges = the q21 oracle's verified Jaccard >= 0.5 pairs; the
     // recursive closure then labels every clustered doc with the min
     // reachable doc_id
@@ -342,34 +405,38 @@ object Corpus {
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  /** Shared CTE prefix: `dup(da, db)` = the verified MinHash near-dup
-    * pairs (the q21 oracle's own pair definition). `WITH RECURSIVE` is
-    * harmless when nothing recursive follows.
+  /** CTE prefix over a filtered document base: `dup(da, db)` = the
+    * verified MinHash near-dup pairs (the q21 oracle's own pair
+    * definition) restricted to rows matching `baseWhere`.
+    * `WITH RECURSIVE` is harmless when nothing recursive follows.
     */
-  private lazy val dupPairsCte: String =
-    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(w) - 1),
-      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |       FROM w),
-      |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
-      |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |         GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-      |dup AS (SELECT da, db
-      |        FROM cand JOIN sizes sa ON da = sa.doc_id
-      |                  JOIN sizes sb ON db = sb.doc_id
-      |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+  private def dupPairsCteFor(baseWhere: String): String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE ($baseWhere) AND len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |       FROM w),
+       |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+       |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |dup AS (SELECT da, db
+       |        FROM cand JOIN sizes sa ON da = sa.doc_id
+       |                  JOIN sizes sb ON db = sb.doc_id
+       |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+
+  private lazy val dupPairsCte: String = dupPairsCteFor("TRUE")
+
+  private def closureTail: String =
+    """e AS (SELECT da AS a, db AS b FROM dup
+      |      UNION SELECT db, da FROM dup),
+      |reach(a, b) AS (SELECT a, a FROM e
+      |                UNION
+      |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)""".stripMargin
 
   /** `reach(a, b)` = transitive closure of the near-dup pairs, used by
-    * the q75 cluster labels and the q57 keep policy.
+    * the q75 cluster labels and the q57/q76 keep policies.
     */
-  private lazy val dupClosureCte: String =
-    s"""$dupPairsCte,
-       |e AS (SELECT da AS a, db AS b FROM dup
-       |      UNION SELECT db, da FROM dup),
-       |reach(a, b) AS (SELECT a, a FROM e
-       |                UNION
-       |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)""".stripMargin
+  private lazy val dupClosureCte: String = s"$dupPairsCte,\n$closureTail"
 }
