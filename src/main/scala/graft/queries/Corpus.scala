@@ -159,23 +159,8 @@ object Corpus {
     "q76_curate_e2e" -> { (s, dir) =>
       import s.implicits._
       val all = Tables.load(s, dir, "documents")
-      val corpus = all.filter($"source" =!= "src0")
-      val bench = all.filter($"source" === "src0")
-      val quality = TextAnalysis.qualityScore(corpus)
-        .filter($"n_tokens" >= 20).select($"doc_id", $"n_tokens")
-      val qdocs = corpus.join(quality, Seq("doc_id"))
-      val pairs = graft.operators.TextDedup.minhashLshPairs(qdocs, threshold = 0.5)
-      val drop = graft.operators.Components.dupClusters(pairs)
-        .filter($"doc_id" =!= $"component").select($"doc_id")
-      val deduped = qdocs.join(drop, Seq("doc_id"), "left_anti")
-      val benchGrams = graft.operators.TextDedup.wordShingles(bench, 3)
-        .select($"sh").distinct()
-      val contaminated = graft.operators.TextDedup.wordShingles(deduped, 3)
-        .join(broadcast(benchGrams), Seq("sh"), "left_semi")
-        .select($"doc_id").distinct()
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      Sampling.assignSplit(clean, "doc_id",
-          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      graft.operators.Curation.curate(
+          all.filter($"source" =!= "src0"), all.filter($"source" === "src0"))
         .groupBy($"split")
         .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
           sum($"n_tokens").as("sum_tokens"))
