@@ -16,9 +16,12 @@ object Corpus {
 
   private val u01 = Sampling.u01Duck("h")
 
-  // DuckDB word-3-gram list of ws (1-indexed; range(a,b) excludes b)
-  private val duckGrams3 =
-    "list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+  // DuckDB word-n-gram list of ws (1-indexed; range(a,b) excludes b)
+  private def duckGramsN(n: Int): String = {
+    val join = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(ws) - ${n - 2}), i -> $join))"
+  }
+  private val duckGrams3 = duckGramsN(3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_repetition" -> { (s, dir) =>
@@ -159,8 +162,13 @@ object Corpus {
     "q76_curate_e2e" -> { (s, dir) =>
       import s.implicits._
       val all = Tables.load(s, dir, "documents")
+      // 5-gram decontamination: the synthetic corpus draws from a small
+      // vocabulary, so 3-grams saturate (every doc shares one with a
+      // 500-doc benchmark at sf0.1 — the empty-result degenerate);
+      // 5-grams keep the overlap contamination-specific at every SF
       graft.operators.Curation.curate(
-          all.filter($"source" =!= "src0"), all.filter($"source" === "src0"))
+          all.filter($"source" =!= "src0"), all.filter($"source" === "src0"),
+          contaminationNgram = 5)
         .groupBy($"split")
         .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
           sum($"n_tokens").as("sum_tokens"))
@@ -347,12 +355,12 @@ object Corpus {
          |      WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 20),
          |dd AS (SELECT * FROM q WHERE doc_id NOT IN
          |        (SELECT doc_id FROM labels WHERE doc_id <> component)),
-         |bg AS (SELECT DISTINCT unnest($duckGrams3) AS sh
+         |bg AS (SELECT DISTINCT unnest(${duckGramsN(5)}) AS sh
          |       FROM (SELECT string_split(text, ' ') AS ws FROM documents
          |             WHERE source = 'src0')
-         |       WHERE len(ws) >= 3),
+         |       WHERE len(ws) >= 5),
          |cont AS (SELECT DISTINCT doc_id
-         |         FROM (SELECT doc_id, unnest($duckGrams3) AS sh
+         |         FROM (SELECT doc_id, unnest(${duckGramsN(5)}) AS sh
          |               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dd))
          |         WHERE sh IN (SELECT sh FROM bg)),
          |clean AS (SELECT doc_id, n_tokens FROM dd
