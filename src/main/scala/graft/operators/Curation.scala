@@ -3,24 +3,35 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The standard training-corpus curation pipeline as one call: quality
-  * gate → cluster-level near-dup removal → eval-set decontamination →
-  * deterministic split assignment. Each stage is one of the library's
-  * gated operators; the composition itself is gated end-to-end by
-  * q76_curate_e2e (one oracle over the whole chain).
+/** The standard training-corpus curation pipeline as one call:
+  * token-count gate → cluster-level near-dup removal → eval-set
+  * decontamination → deterministic split assignment. Each stage is one
+  * of the library's gated operators; the composition itself is gated
+  * end-to-end by q76_curate_e2e (one oracle over the whole chain).
   *
-  * Scale shape: the quality gate and split assignment are narrow; the
+  * The length gate is deliberately a bare token-count filter (one
+  * narrow projection) — richer signals (stopword ratio, repetition)
+  * live in [[TextAnalysis.qualityScore]]/[[TextAnalysis.repetitionStats]]
+  * and callers compose them in front when they want them; the pipeline
+  * must not silently impose an English-specific stopword gate on a
+  * multilingual corpus (the q36 lesson).
+  *
+  * Scale shape: the token gate and split assignment are narrow; the
   * dedup stage is the LSH pair miner + pointer-jumping components
   * (both documented in their own operators); decontamination is one
-  * semi join against the benchmark gram set (broadcast while small,
-  * see [[TextAnalysis.contaminationStats]] for the guarded variant).
-  * Nothing in the chain is quadratic in the corpus.
+  * semi join against the benchmark gram set, broadcast only while the
+  * benchmark's word count stays under `maxBroadcastGrams` (the same
+  * guarded bound as [[TextAnalysis.contaminationStats]] — an eval
+  * suite with tens of millions of grams must shuffle, not OOM the
+  * driver). Nothing in the chain is quadratic in the corpus.
   *
   * Cache contract: the LSH stage caches its shingle-set table — release
   * with `graft.Tables.releaseOperatorCaches` after the terminal action.
+  * Like the stats operator, the broadcast guard costs one narrow
+  * word-count aggregation over `bench` at CONSTRUCTION time.
   *
   * @return the curated corpus: the input columns plus `n_tokens` and
-  *         `split`, containing only quality-passing, cluster-deduped,
+  *         `split`, containing only gate-passing, cluster-deduped,
   *         uncontaminated documents.
   */
 object Curation {
@@ -29,19 +40,24 @@ object Curation {
              dedupThreshold: Double = 0.5,
              contaminationNgram: Int = 3,
              splits: Seq[(String, Double)] =
-               Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs)
+               Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+             maxBroadcastGrams: Long = 2000000L): DataFrame = {
+    val qdocs = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .filter(col("n_tokens") >= minTokens)
-      .select(col("doc_id"), col("n_tokens"))
-    val qdocs = docs.join(quality, Seq("doc_id"))
     val pairs = TextDedup.minhashLshPairs(qdocs, dedupThreshold)
     val drop = Components.dupClusters(pairs)
       .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
     val deduped = qdocs.join(drop, Seq("doc_id"), "left_anti")
     val benchGrams = TextDedup.wordShingles(bench, contaminationNgram)
       .select(col("sh")).distinct()
+    val wordBound = Option(
+      bench.agg(sum(size(split(col("text"), " ")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val benchSide =
+      if (wordBound <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
     val contaminated = TextDedup.wordShingles(deduped, contaminationNgram)
-      .join(broadcast(benchGrams), Seq("sh"), "left_semi")
+      .join(benchSide, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     Sampling.assignSplit(clean, "doc_id", splits)

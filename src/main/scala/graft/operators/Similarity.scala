@@ -101,7 +101,6 @@ object Similarity {
   def knnGraph(emb: DataFrame, k: Int = 2): DataFrame = {
     require(k > 0)
     VectorExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     // the nested-loop join's output partitioning is the probe side's —
@@ -112,9 +111,21 @@ object Similarity {
     // cores-wide pair stage
     val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val probe = e.repartition(par)
-    // cosine is symmetric: score each unordered pair once (halving the
-    // dot products and the window input), then emit both directions
-    val pairs = probe.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    rankNeighbours(
+      probe.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id")), k)
+  }
+
+  /** Shared tail of the kNN graph builders: score each unordered joined
+    * pair once (cosine is symmetric — halves the dot products and the
+    * window input), emit both directions, rank per src with a
+    * `row_number <= k` filter (plans a WindowGroupLimit that trims each
+    * partition before the per-vector shuffle). Keeping this in one
+    * place is what makes the exact and blocked variants' "identical
+    * ranking, scoring, and output schema" contract structural.
+    */
+  private def rankNeighbours(joined: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = joined
       .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
         try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("c"))
       .select(explode(array(
@@ -143,24 +154,11 @@ object Similarity {
                       k: Int = 2): DataFrame = {
     require(k > 0)
     VectorExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val e = IvfIndex.assign(emb, centroids)
       .withColumn("nrm", norm(col("v")))
-    val pairs = e.as("a")
-      .join(e.as("b"),
-        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
-        try_divide(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")).as("c"))
-      .select(explode(array(
-        struct(col("x").as("src"), col("y").as("dst"), col("c").as("cos")),
-        struct(col("y").as("src"), col("x").as("dst"), col("c").as("cos")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.cos").as("cos"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src"), col("dst"), round(col("cos"), 4).as("cos"),
-        col("rank").cast("long").as("rank"))
-      .orderBy(col("src"), col("rank"))
+    rankNeighbours(
+      e.as("a").join(e.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id")), k)
   }
 
   /** Near-duplicate vector pairs within label blocks (cheap exact

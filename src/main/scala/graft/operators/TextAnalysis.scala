@@ -282,6 +282,11 @@ object TextAnalysis {
     * and AQE picks the strategy — a real eval suite can carry tens of
     * millions of distinct n-grams, where an unconditional broadcast
     * hint would OOM the driver instead of shuffling.
+    *
+    * NOTE: the bound probe is one eager narrow Spark job at DataFrame
+    * CONSTRUCTION time (the join hint must be decided while building
+    * the plan) — merely constructing this operator's result executes
+    * that small aggregation, like `IvfIndex.topK`'s query-row lookup.
     */
   def contaminationStats(docs: DataFrame, bench: DataFrame, n: Int = 3,
                          maxBroadcastGrams: Long = 2000000L): DataFrame = {
@@ -347,6 +352,12 @@ object TextAnalysis {
     * `row_number <= k` filter plans a WindowGroupLimit — partitions trim
     * to local top-k before the stratum shuffle, so nothing global ever
     * sorts the whole vocabulary.
+    *
+    * Ranking is on the ROUNDED score: `ln` is not guaranteed correctly
+    * rounded across engines, so two raw scores within an ulp of each
+    * other could rank differently between Spark and an oracle; rounding
+    * to the output precision first makes such near-ties exact ties,
+    * broken deterministically by term.
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -358,15 +369,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("score").desc, col("term").asc)
+      .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(docFreq, Seq("term"))
       .crossJoin(broadcast(total))
-      .withColumn("score",
-        col("tf") * log((col("n_total") + 1).cast("double") / (col("doc_freq") + 1)))
+      .withColumn("tfidf", round(
+        col("tf") * log((col("n_total") + 1).cast("double") / (col("doc_freq") + 1)), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("source"), col("term"), col("tf"), col("doc_freq"),
-        round(col("score"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
+        col("tfidf"), col("rank").cast("long").as("rank"))
       .orderBy(col("source"), col("rank"))
   }
 

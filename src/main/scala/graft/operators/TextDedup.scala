@@ -233,13 +233,24 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 16 bits only guarantees recall for hamming <= 3")
-    // first-match banding: the band-j self-join additionally requires
-    // bands 0..j-1 to DIFFER, so every candidate pair is emitted by
-    // exactly one join — no exploded band table, no multi-band
-    // duplicates, no distinct shuffle over the candidate set
-    val keyed = simhash(docs).select(
+    bandedSimhashPairs(simhash(docs), bandBits = 4, maxHamming)
+  }
+
+  /** Shared first-match band miner over a `(doc_id, simhash)` table:
+    * the band-j self-join additionally requires bands 0..j-1 to DIFFER,
+    * so every candidate pair is emitted by exactly one join — no
+    * exploded band table, no multi-band duplicates, no distinct shuffle
+    * over the candidate set; exact `bit_count` verification follows.
+    * Used by both the 16-bit (4-bit bands) and 64-bit (16-bit bands)
+    * miners so the subtle predicate lives once.
+    */
+  private def bandedSimhashPairs(sigs: DataFrame, bandBits: Int,
+                                 maxHamming: Int): DataFrame = {
+    val keyed = sigs.select(
       col("doc_id") +: col("simhash") +:
-        (0 until 4).map(j => expr(s"shiftright(simhash, ${j * 4}) % 16").as(s"k$j")): _*)
+        (0 until 4).map(j =>
+          expr(s"shiftrightunsigned(simhash, ${j * bandBits}) & ${(1 << bandBits) - 1}")
+            .as(s"k$j")): _*)
     val perBand = (0 until 4).map { j =>
       val firstMatch = (0 until j)
         .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
@@ -380,22 +391,6 @@ object TextDedup {
   def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
-    val keyed = simhash64(docs).select(
-      col("doc_id") +: col("simhash") +:
-        (0 until 4).map(j =>
-          expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as(s"k$j")): _*)
-    val perBand = (0 until 4).map { j =>
-      val firstMatch = (0 until j)
-        .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
-        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
-      keyed.as("a")
-        .join(keyed.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-    }
-    perBand.reduce(_ unionAll _)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    bandedSimhashPairs(simhash64(docs), bandBits = 16, maxHamming)
   }
 }

@@ -505,14 +505,14 @@ object DataPipeline {
         |tf AS (SELECT source, term, count(*) AS tf FROM w GROUP BY 1, 2),
         |tot AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT source, term, tf, doc_freq,
-        |        tf * ln((n + 1) * 1.0 / (doc_freq + 1)) AS score
+        |        round(tf * ln((n + 1) * 1.0 / (doc_freq + 1)), 4) AS tfidf
         |      FROM tf JOIN dfreq USING (term), tot),
         |r AS (SELECT *, row_number() OVER
-        |        (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+        |        (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
         |      FROM s)
         |SELECT source, term, CAST(tf AS BIGINT) AS tf,
         |  CAST(doc_freq AS BIGINT) AS doc_freq,
-        |  round(score, 4) AS tfidf, CAST(rank AS BIGINT) AS rank
+        |  tfidf, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     "q56_knn_graph" ->

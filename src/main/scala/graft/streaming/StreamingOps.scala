@@ -200,7 +200,11 @@ object StreamingOps {
                   out += DupCandidate(d.doc_id, prevId, hamming)
               }
             }
-            if (bucket.size < maxBucket) bucket :+= (d.doc_id, d.simhash)
+            // an at-least-once source can re-deliver a doc: never store
+            // it twice (duplicates would eat the bucket cap and evict
+            // capacity for distinct signatures)
+            if (bucket.size < maxBucket && !bucket.exists(_._1 == d.doc_id))
+              bucket :+= (d.doc_id, d.simhash)
           }
           state.update(bucket)
           out.result().iterator
