@@ -324,6 +324,38 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(topK)
 
+  /** Tokenizer-prep vocabulary profile: the corpus vocabulary is every
+    * word whose relative frequency is at least 1/`relDenom` of the
+    * token stream (`freq * relDenom >= total_tokens` — an INTEGER
+    * comparison, so the rule is exact in any engine and scale-invariant
+    * where an absolute count cutoff degenerates as the corpus grows).
+    * Reports, per source, total tokens and how many fall outside the
+    * vocabulary — the out-of-vocabulary rate a tokenizer build needs
+    * before committing to a vocab.
+    *
+    * Scale shape: one corpus word-frequency aggregation (∝ vocabulary),
+    * a broadcast of the tiny vocab table into the membership join, and
+    * one per-source aggregation.
+    */
+  def vocabOovStats(docs: DataFrame, relDenom: Long = 1000L): DataFrame = {
+    require(relDenom > 0)
+    val words = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val freqs = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val total = freqs.agg(sum(col("f")).as("total_tokens"))
+    val vocab = freqs.crossJoin(broadcast(total))
+      .filter(col("f") * relDenom >= col("total_tokens"))
+      .select(col("w"), lit(1L).as("in_vocab"))
+    val vocabSize = vocab.agg(count(lit(1)).as("vocab_size"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("vocab_size"))
+      .orderBy(col("source"))
+  }
+
   /** Power-of-two length histogram: bucket = floor(log2(len)), computed
     * EXACTLY as the bit length of the integer (via its binary-string
     * representation) rather than a float log that can misbucket exact

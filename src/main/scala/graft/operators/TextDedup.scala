@@ -115,20 +115,10 @@ object TextDedup {
     // signature aggregation AND both verification join sides — joining
     // the compact sets table (|corpus| rows) beats re-joining the
     // exploded shingle table (Σ|set| rows) twice, and `array_intersect`
-    // on two already-distinct arrays is a per-pair hash probe
-    val setsRaw = shingleSets(docs)
-    val sets = (maxShingleFreq match {
-      case Some(cap) =>
-        // hot shingles (stopword n-grams) are removed from the SETS, so
-        // signatures and verification see the same capped universe
-        val hot = setsRaw.select(explode(col("set")).as("sh"))
-          .groupBy(col("sh")).agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap)
-          .agg(collect_list(col("sh")).as("hot"))
-        setsRaw.crossJoin(broadcast(hot))
-          .select(col("doc_id"), array_except(col("set"), col("hot")).as("set"))
-      case None => setsRaw
-    }).withColumn("n", size(col("set")).cast("long")).cache()
+    // on two already-distinct arrays is a per-pair hash probe. Hot
+    // shingles (stopword n-grams) are removed from the SETS, so
+    // signatures and verification see the same capped universe.
+    val sets = cappedShingleSets(docs, maxShingleFreq).cache()
     val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
     val sigs = minhashSignatures(sh)
     val bands = lshBands(sigs)
@@ -150,6 +140,85 @@ object TextDedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Materialise the MinHash signature index of a corpus: one parquet
+    * row per doc holding its distinct shingle set, set size, and the
+    * 32 signature mins — the state an INCREMENTAL ingestion pipeline
+    * keeps between batches so each new batch dedups against everything
+    * already accepted without re-shingling the historical corpus.
+    * Layout is plain columnar parquet: the band join in
+    * [[nearDupsAgainstIndex]] reads only (doc_id, s0..s31, n) until
+    * verification needs `set`, so column pruning keeps the common scan
+    * narrow.
+    */
+  def writeSignatureIndex(docs: DataFrame, path: String,
+                          maxShingleFreq: Option[Long] = None): Unit = {
+    signatureTable(docs, maxShingleFreq)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** (doc_id, set, n, s0..s31): the per-doc state [[minhashLshPairs]]
+    * derives internally, as a standalone table.
+    */
+  def signatureTable(docs: DataFrame,
+                     maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sets = cappedShingleSets(docs, maxShingleFreq)
+    val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+    // the signature aggregation re-derives |set| as `n`; the sets table
+    // already carries it — drop the duplicate before joining
+    sets.join(minhashSignatures(sh).drop("n"), Seq("doc_id"))
+  }
+
+  private def cappedShingleSets(docs: DataFrame,
+                                maxShingleFreq: Option[Long]): DataFrame = {
+    val setsRaw = shingleSets(docs)
+    (maxShingleFreq match {
+      case Some(cap) =>
+        val hot = setsRaw.select(explode(col("set")).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap)
+          .agg(collect_list(col("sh")).as("hot"))
+        setsRaw.crossJoin(broadcast(hot))
+          .select(col("doc_id"), array_except(col("set"), col("hot")).as("set"))
+      case None => setsRaw
+    }).withColumn("n", size(col("set")).cast("long"))
+  }
+
+  /** Incremental near-dup detection: which NEW documents duplicate a
+    * document already in the signature index at `indexPath`? The LSH
+    * band join runs new-batch bands against index bands (output ∝ true
+    * collisions, exactly like the self-join miner), and candidates are
+    * verified with exact Jaccard from the two stored shingle sets.
+    * The new batch is shingled once; the historical corpus is only ever
+    * READ from its index — the property that makes per-batch ingestion
+    * dedup O(batch), not O(corpus), in compute.
+    *
+    * Output: (doc_id, dup_of, jaccard) — one row per (new doc, indexed
+    * doc) pair at or above the threshold.
+    */
+  def nearDupsAgainstIndex(newDocs: DataFrame, indexPath: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val newSigs = signatureTable(newDocs).cache()
+    val candidates = lshBands(newSigs).as("a")
+      .join(lshBands(index).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col("doc_id"), col("set"), col("n")).as("za"),
+        col("da") === col("za.doc_id"))
+      .join(index.select(col("doc_id"), col("set"), col("n")).as("zb"),
+        col("db") === col("zb.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("za.set"), col("zb.set"))).cast("long"))
+      .withColumn("jac", col("common") / (col("za.n") + col("zb.n") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("da").as("doc_id"), col("db").as("dup_of"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_id"), col("dup_of"))
   }
 
   /** Blocked n-gram Jaccard: exact pairwise Jaccard over word bigrams,

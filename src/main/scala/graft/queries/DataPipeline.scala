@@ -57,6 +57,24 @@ object DataPipeline {
     "q48_containment" -> { (s, dir) =>
       TextDedup.containmentPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
     },
+    // incremental ingestion dedup: half the corpus is written as a
+    // MinHash signature index, the other half dedups AGAINST it (the
+    // per-batch production workflow — new batch shingled once, history
+    // only read from its index). Oracle = direct cross-set Jaccard.
+    "q77_incremental_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = "/tmp/graft_sig_index_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      TextDedup.writeSignatureIndex(docs.filter(col("doc_id") < 250), idxPath)
+      TextDedup.nearDupsAgainstIndex(docs.filter(col("doc_id") >= 250), idxPath,
+        threshold = 0.5)
+    },
+    // tokenizer-prep vocabulary profile: relative-frequency vocab +
+    // per-source out-of-vocabulary token counts (integer-exact rule)
+    "q78_vocab_oov" -> { (s, dir) =>
+      TextAnalysis.vocabOovStats(Tables.load(s, dir, "documents"), relDenom = 1000L)
+    },
     // paragraph-dedup signal with deterministic 10-word span boundaries
     "q49_span_dup" -> { (s, dir) =>
       TextDedup.spanDupStats(Tables.load(s, dir, "documents"), spanWords = 10)
@@ -386,6 +404,36 @@ object DataPipeline {
         |FROM cand JOIN sizes sa ON da = sa.doc_id
         |WHERE common * 1.0 / sa.n >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+
+    "q77_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |       FROM w),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM sh a JOIN sh b
+        |           ON a.sh = b.sh AND a.doc_id >= 250 AND b.doc_id < 250
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |j AS (SELECT da, db, common * 1.0 / (sa.n + sb.n - common) AS jac
+        |      FROM cand JOIN sizes sa ON da = sa.doc_id
+        |                JOIN sizes sb ON db = sb.doc_id)
+        |SELECT da AS doc_id, db AS dup_of, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "q78_vocab_oov" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM w GROUP BY 1),
+        |t AS (SELECT sum(f) AS total FROM f),
+        |v AS (SELECT w FROM f, t WHERE f * 1000 >= total),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM v)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN w.w IN (SELECT w FROM v) THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_oov,
+        |  (SELECT vocab_size FROM vs) AS vocab_size
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_span_dup" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

@@ -17,7 +17,8 @@ class CacheHygieneSpec extends SparkSpec {
   private val cachingQueries =
     Seq("q21_minhash_lsh", "q22_ngram_jaccard", "q28_dedup_apply",
       "q36_pipeline_e2e", "q75_dup_clusters", "q48_containment",
-      "q57_cluster_dedup_apply", "q59_cross_source_dup", "q76_curate_e2e")
+      "q57_cluster_dedup_apply", "q59_cross_source_dup", "q76_curate_e2e",
+      "q77_incremental_dedup")
 
   for (name <- cachingQueries)
     test(s"$name leaves an empty SQL cache after release") {
