@@ -31,7 +31,12 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").selectExpr("sum(l_orderkey)").collect()
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // Materialize the FULL result, not count(): under a count Catalyst
+      // legally prunes final sorts (EliminateSorts) and unreferenced
+      // projections/aggregate expressions (ColumnPruning), so a count-
+      // terminated bench under-measures projection-shaped queries. The
+      // noop sink consumes every row of every column with zero I/O cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
       }
