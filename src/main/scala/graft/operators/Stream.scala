@@ -179,4 +179,24 @@ object Stream {
     planned(df, side, cmd, StreamFormat.Arrow(declared), chunkSize,
       arrowOutputSchema(declared), sideLocal)
   }
+
+  /** R-data-frame-format stream (`format=df`, reference O14/O15): each
+    * chunk crosses the pipe as a valid R `serialize(..., xdr=FALSE,
+    * version=2)` named list, so an UNMODIFIED reference R client —
+    * `R --slave -e 'library(scidbstrm); map(f)'`
+    * (`r_pkg/R/exported.R:84-107`) — runs as the child. Types are the
+    * R data-frame triple int32/double/string; int64 columns must be
+    * cast first (the reference's `types:` keyword has the same rule).
+    * Output and `sideLocal` contracts match [[arrow]].
+    */
+  def df(input: DataFrame, cmd: String, declared: StructType,
+         chunkSize: Int = 10000, side: Option[DataFrame] = None,
+         sideLocal: Boolean = false): DataFrame = {
+    checkAllowed(input.sparkSession, cmd)
+    RdfProtocol.checkSchema(input.schema, "input")
+    RdfProtocol.checkDeclared(declared)
+    side.foreach(sd => RdfProtocol.checkSchema(sd.schema, "side input"))
+    planned(input, side, cmd, StreamFormat.Rdf(declared), chunkSize,
+      arrowOutputSchema(declared), sideLocal)
+  }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{ArrowProtocol, ChildProcess, TsvProtocol}
+import graft.operators.{ArrowProtocol, ChildProcess, RdfProtocol, TsvProtocol}
 
 /** Physical `stream()` operator (reference `PhysicalStream`,
   * `src/PhysicalStream.cpp:59-176`): per partition, fork one child
@@ -472,6 +472,75 @@ case class StreamExec(
               TsvProtocol.formatInternalRow(_, sideSchema.get)))
               .getOrElse(Array.empty[String])
             tsvPartition(iter, sideLines)
+          }
+        }
+
+      case StreamFormat.Rdf(declared) =>
+        // R-DF exchange loop: same half-duplex shape as TSV, but the
+        // response is a typed column set (decoded rows + lineage)
+        // rather than one opaque string row per message
+        def rdfPartition(iter: Iterator[InternalRow],
+                         sideRows: IndexedSeq[InternalRow]): Iterator[InternalRow] = {
+          val ctx = TaskContext.get()
+          val pid = if (ctx == null) 0L else ctx.partitionId().toLong
+          val child = new ChildProcess(command, Option(ctx))
+          kids += 1
+          // copy before grouping: the input iterator may reuse row
+          // objects, and the column-major encoder traverses each chunk
+          // once per column
+          val rowChunks = iter.map(_.copy()).grouped(chunk)
+          val proj = UnsafeProjection.create(outSchema)
+          val out = new ExchangeIterator {
+            private var chunkNo = 0L
+            private var sentSide = false
+            private var sentEof = false
+            private def oneExchange(write: => Unit,
+                                    last: Boolean): Iterator[InternalRow] = {
+              var resp: Array[InternalRow] = null
+              exchange(child)(write) {
+                resp = RdfProtocol.readMessage(child.stdout, child, declared,
+                  lastMessage = last)
+              }
+              if (resp != null) {
+                val cn = chunkNo
+                chunkNo += 1
+                Iterator.tabulate(resp.length) { j =>
+                  new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+                    resp(j), new GenericInternalRow(Array[Any](pid, cn, j.toLong)))
+                }
+              } else Iterator.empty
+            }
+            protected def advance(): Iterator[InternalRow] = {
+              if (!sentSide) {
+                sentSide = true
+                if (sideRows.nonEmpty) // O16: never send empty mid-stream chunks
+                  return oneExchange(
+                    RdfProtocol.writeChunk(child.stdin, sideRows, sideSchema.get),
+                    last = false)
+              }
+              if (rowChunks.hasNext) {
+                val rows = rowChunks.next().toIndexedSeq
+                return oneExchange(
+                  RdfProtocol.writeChunk(child.stdin, rows, inSchema), last = false)
+              }
+              if (!sentEof) {
+                sentEof = true
+                return oneExchange(RdfProtocol.writeEof(child.stdin), last = true)
+              }
+              child.terminate()
+              null
+            }
+          }
+          out.map { r => outRows += 1; proj(r) }
+        }
+        if (sideLocal && side.isDefined) {
+          inputRows().zipPartitions(side.get.execute()) { (iter, sit) =>
+            rdfPartition(iter, sit.map(_.copy()).toIndexedSeq)
+          }
+        } else {
+          inputRows().mapPartitions { iter =>
+            rdfPartition(iter,
+              sideBc.map(_.value.toIndexedSeq).getOrElse(IndexedSeq.empty))
           }
         }
 

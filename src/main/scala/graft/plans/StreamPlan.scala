@@ -5,9 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.StructType
 
 /** Wire format of a [[StreamPlan]] pipe operator (reference
-  * `stream::Settings` format enum, `src/StreamSettings.h:62-324`; the
-  * R-serialization DF format is an intentional non-goal, SURVEY.md §2
-  * O14/O15).
+  * `stream::Settings` format enum, `src/StreamSettings.h:62-324`).
   */
 sealed trait StreamFormat
 object StreamFormat {
@@ -18,6 +16,15 @@ object StreamFormat {
     * `[instance_id, chunk_no, value_no]` lineage.
     */
   final case class Arrow(declared: StructType) extends StreamFormat
+  /** R-serialization data frames (`format=df`, reference O14/O15,
+    * `src/DFInterface.cpp`): every message is a valid R
+    * `serialize(..., xdr=FALSE, version=2)` named list of typed
+    * columns, so an unmodified reference R client
+    * (`r_pkg/R/exported.R` `map`/`getChunk`) works as the child.
+    * Output shape matches [[Arrow]]: declared attributes plus
+    * `[instance_id, chunk_no, value_no]` lineage.
+    */
+  final case class Rdf(declared: StructType) extends StreamFormat
 }
 
 /** Logical `stream()` node (reference `LogicalStream`,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import graft.Tables
 import graft.operators.Stream
 
@@ -90,6 +90,32 @@ object PipeQueries {
              round(sum($"l_quantity"), 4).as("sum_qty"))
     },
 
+    // R-DF wire format end-to-end (O14/O15): every chunk crosses the
+    // pipe as an R serialize(version=2) data frame and comes back
+    // through the same format — the oracle proves the byte layout
+    // (NA sentinels included: l_commitdate-derived nulls survive).
+    "q79_pipe_rdf_echo" -> { (s, dir) =>
+      import s.implicits._
+      val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.RdfEchoChild")
+      // same child-per-partition sizing rule as q43
+      val in = Tables.load(s, dir, "lineitem")
+        .select($"l_linenumber".cast("int").as("ln"),
+          $"l_quantity".cast("double").as("qty"),
+          // null-bearing string column: exercises the len=-1 NA path
+          when($"l_linenumber" === 1, lit(null)).otherwise($"l_returnflag")
+            .as("rf"))
+        .coalesce(8)
+      val declared = StructType(Seq(
+        StructField("ln", IntegerType), StructField("qty", DoubleType),
+        StructField("rf", StringType)))
+      Stream.df(in, cmd, declared, chunkSize = 8192)
+        .agg(count(lit(1)).as("n"),
+          sum($"ln".cast("long")).as("sum_ln"),
+          round(sum($"qty"), 4).as("sum_qty"),
+          count($"rf").as("n_rf"),
+          min($"rf").as("min_rf"))
+    },
+
     // P6: broadcast side input consumed by the child before the stream.
     "q42_pipe_side_lookup" -> { (s, dir) =>
       import s.implicits._
@@ -144,6 +170,15 @@ object PipeQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
         |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem""".stripMargin,
+
+    "q79_pipe_rdf_echo" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(count(CASE WHEN l_linenumber <> 1 THEN l_returnflag END) AS BIGINT)
+        |    AS n_rf,
+        |  min(CASE WHEN l_linenumber <> 1 THEN l_returnflag END) AS min_rf
         |FROM lineitem""".stripMargin
   )
 }

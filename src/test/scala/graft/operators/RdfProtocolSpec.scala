@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level tests of the R-serialization DF wire format against the
+  * reference's constants (`src/DFInterface.cpp:170-179` R_HEADER /
+  * SXP tags / R_TAIL_HDR / R_TAIL; NA sentinels `:116-118,206-216`).
+  * The golden bytes below are the exact stream `writeDF` produces —
+  * and therefore what R's `unserialize` accepts and what
+  * `serialize(..., xdr=FALSE, version=2)` emits for the same list.
+  */
+class RdfProtocolSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("x", IntegerType),
+    StructField("y", DoubleType),
+    StructField("s", StringType)))
+
+  private def rows: IndexedSeq[GenericInternalRow] = IndexedSeq(
+    new GenericInternalRow(Array[Any](1, 2.5, UTF8String.fromString("ab"))),
+    new GenericInternalRow(Array[Any](null, null, null)))
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString(" ")
+
+  private def i32(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def charsxp(s: String): Array[Byte] =
+    i32(0x00040009) ++ i32(s.length) ++ s.getBytes("UTF-8")
+
+  test("writeChunk emits the exact reference byte layout (golden)") {
+    val out = new ByteArrayOutputStream()
+    RdfProtocol.writeChunk(out, rows, schema)
+    val expected =
+      RdfProtocol.Header ++                      // "B\n" v2 R_HEADER
+        i32(0x213) ++ i32(3) ++                  // VECSXP+attrs, 3 columns
+        i32(0x0d) ++ i32(2) ++                   // INTSXP n=2
+        i32(1) ++ i32(Int.MinValue) ++           // 1, NA_integer_
+        i32(0x0e) ++ i32(2) ++                   // REALSXP n=2
+        Array[Byte](0, 0, 0, 0, 0, 0, 4, 0x40) ++          // 2.5 LE
+        Array[Byte](0xa2.toByte, 0x07, 0, 0, 0, 0, 0xf0.toByte, 0x7f) ++ // NA_real_
+        i32(0x10) ++ i32(2) ++                   // STRSXP n=2
+        charsxp("ab") ++
+        i32(0x00040009) ++ i32(-1) ++            // NA_character_
+        i32(0x402) ++ i32(0x01) ++ charsxp("names") ++ // pairlist + symbol
+        i32(0x10) ++ i32(3) ++                   // names STRSXP
+        charsxp("x") ++ charsxp("y") ++ charsxp("s") ++
+        i32(0xfe)                                // NILVALUE terminator
+    assert(hex(out.toByteArray) == hex(expected))
+  }
+
+  test("writeEof emits R's serialize(list()) — the empty handshake") {
+    val out = new ByteArrayOutputStream()
+    RdfProtocol.writeEof(out)
+    assert(hex(out.toByteArray) ==
+      hex(RdfProtocol.Header ++ i32(0x13) ++ i32(0)))
+  }
+
+  test("round trip preserves values, nulls, and non-ASCII strings") {
+    val sch = StructType(Seq(
+      StructField("i", IntegerType), StructField("d", DoubleType),
+      StructField("t", StringType)))
+    val in = IndexedSeq(
+      new GenericInternalRow(Array[Any](Int.MinValue + 1, -0.0, UTF8String.fromString("héllo→"))),
+      new GenericInternalRow(Array[Any](null, Double.NaN, null)),
+      new GenericInternalRow(Array[Any](42, 1e308, UTF8String.fromString(""))))
+    val buf = new ByteArrayOutputStream()
+    RdfProtocol.writeChunk(buf, in, sch)
+    val got = RdfProtocol.readMessage(
+      new ByteArrayInputStream(buf.toByteArray), null, sch, lastMessage = true)
+    assert(got.length == 3)
+    assert(got(0).getInt(0) == Int.MinValue + 1)
+    assert(java.lang.Double.doubleToRawLongBits(got(0).getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(got(0).getUTF8String(2).toString == "héllo→")
+    // NA sentinels decode to null; an ordinary NaN is DATA, not NA
+    assert(got(1).isNullAt(0) && !got(1).isNullAt(1) && got(1).getDouble(1).isNaN)
+    assert(got(1).isNullAt(2))
+    assert(got(2).getInt(0) == 42 && got(2).getDouble(1) == 1e308)
+    assert(got(2).getUTF8String(2).toString == "")
+  }
+
+  test("readMessage returns null for the empty message") {
+    val buf = new ByteArrayOutputStream()
+    RdfProtocol.writeEof(buf)
+    assert(RdfProtocol.readMessage(
+      new ByteArrayInputStream(buf.toByteArray), null, schema, lastMessage = true) == null)
+  }
+
+  test("readMessage rejects a column type drift from the declared schema") {
+    val buf = new ByteArrayOutputStream()
+    RdfProtocol.writeChunk(buf, rows, schema)
+    val wrong = StructType(Seq(
+      StructField("x", DoubleType), // actually arrives as INTSXP
+      StructField("y", DoubleType),
+      StructField("s", StringType)))
+    val e = intercept[java.io.IOException] {
+      RdfProtocol.readMessage(
+        new ByteArrayInputStream(buf.toByteArray), null, wrong, lastMessage = true)
+    }
+    assert(e.getMessage.contains("arrived as SEXP"))
+  }
+
+  test("readDynamic infers names and types like R's data.frame(unserialize(...))") {
+    val buf = new ByteArrayOutputStream()
+    RdfProtocol.writeChunk(buf, rows, schema)
+    val (sch, got) = RdfProtocol.readDynamic(new ByteArrayInputStream(buf.toByteArray))
+    assert(sch.fieldNames.toSeq == Seq("x", "y", "s"))
+    assert(sch.fields.map(_.dataType).toSeq == Seq(IntegerType, DoubleType, StringType))
+    assert(got.length == 2 && got(0).getInt(0) == 1 && got(1).isNullAt(0))
+  }
+
+  test("ShortType input widens to int32 like the reference's TE_UINT16") {
+    val sch = StructType(Seq(StructField("u", ShortType)))
+    val buf = new ByteArrayOutputStream()
+    RdfProtocol.writeChunk(buf,
+      IndexedSeq(new GenericInternalRow(Array[Any](7.toShort))), sch)
+    val (dsch, got) = RdfProtocol.readDynamic(new ByteArrayInputStream(buf.toByteArray))
+    assert(dsch.fields.head.dataType == IntegerType)
+    assert(got.head.getInt(0) == 7)
+  }
+
+  test("schema checks reject int64 with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      RdfProtocol.checkSchema(StructType(Seq(StructField("id", LongType))), "input")
+    }
+    assert(e.getMessage.contains("int64"))
+    intercept[IllegalArgumentException] {
+      RdfProtocol.checkDeclared(StructType(Seq(StructField("id", LongType))))
+    }
+  }
+}
