@@ -171,19 +171,32 @@ object TextDedup {
   }
 
   private def cappedShingleSets(docs: DataFrame,
-                                maxShingleFreq: Option[Long]): DataFrame = {
-    val setsRaw = shingleSets(docs)
-    (maxShingleFreq match {
+                                maxShingleFreq: Option[Long],
+                                k: Int = 3): DataFrame =
+    capHotShingles(shingleSets(docs, k), maxShingleFreq)
+      .withColumn("n", size(col("set")).cast("long"))
+
+  /** Remove corpus-wide hot shingles (document frequency > cap) from a
+    * per-doc `set` array column. The hot list is tiny by construction —
+    * only grams appearing in more than `cap` documents — so it
+    * broadcasts, and the removal stays a narrow projection. Shared by
+    * every inverted-index miner: a single corpus-wide hot gram (licence
+    * boilerplate is the canonical case) otherwise yields
+    * |posting-list|² join output.
+    */
+  private def capHotShingles(setsRaw: DataFrame,
+                             maxShingleFreq: Option[Long]): DataFrame =
+    maxShingleFreq match {
       case Some(cap) =>
         val hot = setsRaw.select(explode(col("set")).as("sh"))
           .groupBy(col("sh")).agg(count(lit(1)).as("f"))
           .filter(col("f") > cap)
           .agg(collect_list(col("sh")).as("hot"))
         setsRaw.crossJoin(broadcast(hot))
-          .select(col("doc_id"), array_except(col("set"), col("hot")).as("set"))
+          .withColumn("set", array_except(col("set"), col("hot")))
+          .drop("hot")
       case None => setsRaw
-    }).withColumn("n", size(col("set")).cast("long"))
-  }
+    }
 
   /** Incremental near-dup detection: which NEW documents duplicate a
     * document already in the signature index at `indexPath`? The LSH
@@ -228,14 +241,22 @@ object TextDedup {
     * proportional to actual shingle collisions, never |block|² pairs —
     * while set sizes come from the narrow per-doc arrays, so there is no
     * separate sizes aggregation.
+    *
+    * `maxShingleFreq` (default off) removes corpus-wide hot bigrams from
+    * the shingle universe before the join — same semantics as
+    * [[minhashLshPairs]]: scores are computed over the capped universe
+    * (sizes shrink with the sets), and a boilerplate gram shared by the
+    * whole corpus can no longer produce |posting-list|² join output.
     */
-  def blockedNgramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sets = docs
+  def blockedNgramJaccard(docs: DataFrame, threshold: Double = 0.5,
+                          maxShingleFreq: Option[Long] = None): DataFrame = {
+    val setsRaw = docs
       .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"), expr(
         "array_distinct(transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' ')))")
         .as("set"))
+    val sets = capHotShingles(setsRaw, maxShingleFreq)
       .withColumn("n", size(col("set")).cast("long"))
       .cache() // reused by the inverted index and both size lookups
     val sh = sets.select(col("doc_id"), col("source"), col("lang"),
@@ -350,11 +371,15 @@ object TextDedup {
     * Cache contract: caches the per-doc sets table like
     * [[minhashLshPairs]] — callers release via
     * `graft.Tables.releaseOperatorCaches` after their terminal action.
+    *
+    * `maxShingleFreq` (default off) caps corpus-wide hot shingles before
+    * the inverted-index join, with [[minhashLshPairs]]'s semantics:
+    * containment is scored over the capped universe.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-                       k: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, k)
-      .withColumn("n", size(col("set")).cast("long")).cache()
+                       k: Int = 3,
+                       maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sets = cappedShingleSets(docs, maxShingleFreq, k).cache()
     val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
     // one ordered self-join (halves the inverted-index output); both
     // directions are emitted per joined row afterwards, scoring each

@@ -74,6 +74,25 @@ class TextDedupSpec extends SparkSpec {
       threshold = 0.5).collect().isEmpty)
   }
 
+  test("hot-shingle cap stops the boilerplate quadratic blowup in containment and blocked jaccard") {
+    // 20 docs that are 9 words of shared licence boilerplate plus one
+    // unique word: every pair collides on the hot grams, so uncapped the
+    // inverted-index joins emit all C(20,2) pairs (the |posting-list|²
+    // shape). Capping at doc-frequency 3 removes the boilerplate grams
+    // from the universe and the candidate set collapses to zero.
+    val bp = "l1 l2 l3 l4 l5 l6 l7 l8 l9"
+    val corpus = (0L until 20L).map(i => (i, "s", "en", s"$bp unique$i"))
+      .toDF("doc_id", "source", "lang", "text").repartition(4)
+    val cUncapped = TextDedup.containmentPairs(corpus, threshold = 0.8).count()
+    assert(cUncapped == 20L * 19L, s"expected all directed pairs, got $cUncapped")
+    assert(TextDedup.containmentPairs(corpus, threshold = 0.8,
+      maxShingleFreq = Some(3)).count() == 0L)
+    val jUncapped = TextDedup.blockedNgramJaccard(corpus, threshold = 0.5).count()
+    assert(jUncapped == 20L * 19L / 2, s"expected all pairs, got $jUncapped")
+    assert(TextDedup.blockedNgramJaccard(corpus, threshold = 0.5,
+      maxShingleFreq = Some(3)).count() == 0L)
+  }
+
   test("spanDupStats counts spans shared across documents") {
     // spans of 3 words; docs 1/2 share their first span, doc 3 is clean
     val corpus = Seq(
