@@ -95,8 +95,26 @@ object GrftCodec {
   def resize(bytes: Array[Byte], outWidth: Int, outHeight: Int): Array[Byte] = {
     val m = meta(bytes)
     if (m.isNullAt(0) || !m.getBoolean(5)) return null
+    // REAL path: a kind=0 container holding a PNM image resizes its
+    // actual raster (dims from the image header) and re-encodes a valid
+    // PNM payload, so resized media decodes like any other image
+    val img = pnmOfContainer(bytes)
+    if (img != null) {
+      val out = nnResize(img.bytes, img.offset, img.width, img.height,
+        img.channels, outWidth, outHeight)
+      return pack(outWidth, outHeight, img.channels, 0,
+        pnmEncode(outWidth, outHeight, img.channels, out))
+    }
+    // declared-stub path: payload treated as a bare row-major raster
     val w = m.getInt(0); val h = m.getInt(1); val c = m.getInt(2)
     if (w == 0 || h == 0 || bytes.length - HeaderLen < w.toLong * h * c) return null
+    val outBytes = nnResize(bytes, HeaderLen, w, h, c, outWidth, outHeight)
+    pack(outWidth, outHeight, c, m.getInt(3), outBytes)
+  }
+
+  /** Nearest-neighbour sampling of a row-major raster at `off`. */
+  private def nnResize(bytes: Array[Byte], off: Int, w: Int, h: Int, c: Int,
+                       outWidth: Int, outHeight: Int): Array[Byte] = {
     val outBytes = new Array[Byte](outWidth * outHeight * c)
     var y = 0
     while (y < outHeight) {
@@ -107,14 +125,115 @@ object GrftCodec {
         var ch = 0
         while (ch < c) {
           outBytes((y * outWidth + x) * c + ch) =
-            bytes(HeaderLen + (sy * w + sx) * c + ch)
+            bytes(off + (sy * w + sx) * c + ch)
           ch += 1
         }
         x += 1
       }
       y += 1
     }
-    pack(outWidth, outHeight, c, m.getInt(3), outBytes)
+    outBytes
+  }
+
+  // ---- real image codec: netpbm P5 (grayscale) / P6 (RGB) ----
+  // The one genuinely decodable image family with zero native deps:
+  // ASCII header ("P5\n<w> <h>\n<maxval>\n") + raw 8-bit raster. This is
+  // the REAL codec path for kind=0 GRFT containers whose payload is a
+  // PGM/PPM image — decode, pixel stats and resize operate on the
+  // actual raster; non-image payloads keep the declared-stub behavior.
+
+  /** Decoded PNM view: channels ∈ {1, 3}, `offset` = raster start in
+    * `bytes`. Null result = not a (supported) PNM payload.
+    */
+  final case class Pnm(width: Int, height: Int, channels: Int, offset: Int,
+                       bytes: Array[Byte])
+
+  def pnmEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"PNM channels must be 1 or 3, got $channels")
+    require(pixels.length >= w * h * channels, "raster shorter than dimensions")
+    val header = s"P${if (channels == 1) 5 else 6}\n$w $h\n255\n".getBytes("ASCII")
+    val out = new Array[Byte](header.length + w * h * channels)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, w * h * channels)
+    out
+  }
+
+  /** Parse a P5/P6 payload starting at `off`; whitespace runs and `#`
+    * comment lines per the netpbm spec; only maxval ≤ 255 (1-byte
+    * samples). Returns null for anything else — undecodable media is
+    * data, not an error.
+    */
+  def pnmDecode(bytes: Array[Byte], off: Int): Pnm = {
+    if (bytes == null || bytes.length < off + 2) return null
+    if (bytes(off) != 'P') return null
+    val channels = bytes(off + 1) match {
+      case '5' => 1
+      case '6' => 3
+      case _ => return null
+    }
+    var p = off + 2
+    def skipSpace(): Boolean = {
+      var sawSpace = false
+      var more = true
+      while (more && p < bytes.length) {
+        val b = bytes(p)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') { sawSpace = true; p += 1 }
+        else if (b == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
+        else more = false
+      }
+      sawSpace
+    }
+    def readInt(): Int = {
+      var v = 0L
+      var any = false
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0'); any = true; p += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    if (!skipSpace()) return null
+    val w = readInt(); if (w <= 0) return null
+    if (!skipSpace()) return null
+    val h = readInt(); if (h <= 0) return null
+    if (!skipSpace()) return null
+    val maxval = readInt(); if (maxval <= 0 || maxval > 255) return null
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (p >= bytes.length) return null
+    val sep = bytes(p)
+    if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return null
+    p += 1
+    if (bytes.length - p < w.toLong * h * channels) return null
+    Pnm(w, h, channels, p, bytes)
+  }
+
+  /** Decode a kind=0 GRFT container whose payload is a PNM image, or
+    * null when the container/image is undecodable.
+    */
+  def pnmOfContainer(bytes: Array[Byte]): Pnm = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 0) return null
+    pnmDecode(bytes, HeaderLen)
+  }
+
+  val imageSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("n_pixels", LongType),
+    StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
+
+  /** REAL pixel statistics over the decoded raster of a kind=0 PNM
+    * container (all-null fields when undecodable).
+    */
+  def pixels(bytes: Array[Byte]): InternalRow = {
+    val img = pnmOfContainer(bytes)
+    if (img == null) return InternalRow(null, null, null, null, null, null)
+    val n = img.width.toLong * img.height * img.channels
+    var sum = 0L
+    var i = img.offset
+    val end = img.offset + n.toInt
+    while (i < end) { sum += (img.bytes(i) & 0xff); i += 1 }
+    InternalRow(img.width, img.height, img.channels, n, sum,
+      if (n == 0) 0.0 else sum.toDouble / n)
   }
 
   /** Every `stride`-th `frameSize` slice of the payload, as an array of
@@ -185,6 +304,34 @@ case class GrftStats(child: Expression)
 
   override def eval(input: InternalRow): Any =
     GrftCodec.stats(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_pixels(bin)` → REAL decoded-raster statistics for a kind=0
+  * GRFT container holding a PNM (P5/P6) image — width/height/channels
+  * from the image header, checksum and mean over the actual pixels.
+  * Undecodable input yields all-null fields (never an error).
+  */
+case class GrftPixels(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = GrftCodec.imageSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pixels"
+  override protected def codecMethod: String = "pixels"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.pixels(child.eval(input).asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -302,6 +449,9 @@ object MultimodalExpressions {
     "graft_stats" -> (
       new ExpressionInfo(classOf[GrftStats].getName, "graft_stats"),
       (args: Seq[Expression]) => GrftStats(args.head)),
+    "graft_pixels" -> (
+      new ExpressionInfo(classOf[GrftPixels].getName, "graft_pixels"),
+      (args: Seq[Expression]) => GrftPixels(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

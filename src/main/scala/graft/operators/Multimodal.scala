@@ -10,12 +10,15 @@ import graft.functions.{GrftCodec, MultimodalExpressions}
   * columns with typed metadata, batch decode / feature-extract /
   * resize / frame-sample plumbing.
   *
-  * The container has no image/audio codecs, so the codec layer parses a
-  * deterministic GRFT container format (our stand-in for JPEG/WAV
-  * headers) and the pixel-level ops are STUBS with real Spark plumbing:
-  * correct schemas, codegen'd per-row decode, bounded memory. Swapping
-  * in a real codec is a one-function change inside
-  * [[graft.functions.GrftCodec]]; the distributed topology (narrow
+  * The codec layer parses a deterministic GRFT container format (our
+  * stand-in for JPEG/WAV headers). For kind=0 containers holding a
+  * netpbm P5/P6 payload the pixel path is REAL — [[decodeImage]] and
+  * [[resize]] decode and resample the actual raster (netpbm being the
+  * one image family with a zero-native-dep decoder). Other payloads
+  * keep the declared STUB behavior with real Spark plumbing: correct
+  * schemas, codegen'd per-row decode, bounded memory; swapping in a
+  * JPEG/WAV codec is a one-function change inside
+  * [[graft.functions.GrftCodec]]. The distributed topology (narrow
   * decode → columnar metadata → keyed shuffles only after size
   * reduction) is what matters at 100 TB, where you decode close to the
   * data and never shuffle raw bytes.
@@ -48,6 +51,18 @@ object Multimodal {
   def decodeHeader(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
     MultimodalExpressions.register(df.sparkSession)
     df.withColumn(out, call_function("graft_meta", col(binCol)))
+  }
+
+  /** REAL image decode for kind=0 containers holding a netpbm P5/P6
+    * payload (the one image family decodable with zero native deps):
+    * dims/channels from the image header, checksum and mean over the
+    * actual raster. Undecodable media yields null fields. Same narrow
+    * codegen'd-projection topology as [[decodeHeader]] — at 100 TB the
+    * decode runs next to the scan and only the (tiny) stats shuffle.
+    */
+  def decodeImage(df: DataFrame, binCol: String, out: String = "image"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_pixels", col(binCol)))
   }
 
   /** STUB pixel decode: summarise the payload instead of rasterising it

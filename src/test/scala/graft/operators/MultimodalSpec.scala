@@ -26,6 +26,35 @@ class MultimodalSpec extends SparkSpec {
       == (28, 28, 1, 0, 10))
   }
 
+  test("real PNM codec: pixel decode, stats, and true raster resize") {
+    // 4x2 grayscale gradient packed as a REAL P5 image in a kind=0 container
+    val pixels = Array.tabulate[Byte](8)(i => (i * 10).toByte)
+    val pgm = graft.functions.GrftCodec.pnmEncode(4, 2, 1, pixels)
+    val df = Seq((1L, Multimodal.pack(4, 2, 1, 0, pgm))).toDF("id", "blob")
+    val img = Multimodal.decodeImage(df, "blob").select($"image.*").head
+    assert((img.getInt(0), img.getInt(1), img.getInt(2)) == ((4, 2, 1)))
+    assert(img.getLong(3) == 8 && img.getLong(4) == pixels.map(_ & 0xff).sum.toLong)
+    // resize 4x2 → 2x1 samples the TRUE raster: pixels (0,0) and (0,2)
+    val rimg = Multimodal.decodeImage(
+      Multimodal.resize(df, "blob", 2, 1), "resized", "rimg")
+      .select($"rimg.*").head
+    assert((rimg.getInt(0), rimg.getInt(1)) == ((2, 1)))
+    assert(rimg.getLong(4) == 0L + 20L)
+    // P6 RGB with a comment in the header decodes too
+    val ppm = "P6 # comment\n2 1\n255\n".getBytes("ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val p = Multimodal.decodeImage(
+      Seq((2L, Multimodal.pack(2, 1, 3, 0, ppm))).toDF("id", "blob"), "blob")
+      .select($"image.*").head
+    assert((p.getInt(0), p.getInt(1), p.getInt(2)) == ((2, 1, 3)))
+    assert(p.getLong(4) == 21L)
+    // a kind=0 container whose payload is NOT an image → null fields
+    val j = Multimodal.decodeImage(
+      Seq((3L, Multimodal.pack(3, 1, 1, 0, Array[Byte](9, 9, 9)))).toDF("id", "blob"),
+      "blob").select($"image.*").head
+    assert(j.isNullAt(0) && j.isNullAt(4))
+  }
+
   test("extractFeatures computes payload stats distributively") {
     val out = Multimodal.extractFeatures(mediaDf, "blob")
     assert(out.count() == 51)
