@@ -118,13 +118,12 @@ object Corpus {
     },
 
     // dup-cluster resolution: connected components over the verified
-    // MinHash near-dup pairs (same pair set the q21 oracle defines);
-    // the recursive-CTE oracle proves the distributed label-propagation
+    // MinHash near-dup pairs (same pair set the q21 oracle defines,
+    // materialized once per process — see SharedArtifacts); the
+    // recursive-CTE oracle proves the distributed label-propagation
     // fixpoint equals the true transitive closure
     "q75_dup_clusters" -> { (s, dir) =>
-      val pairs = graft.operators.TextDedup.minhashLshPairs(
-        Tables.load(s, dir, "documents"), threshold = 0.5)
-      graft.operators.Components.dupClusters(pairs)
+      graft.operators.Components.dupClusters(SharedArtifacts.lshPairs(s, dir))
     },
 
     // temperature-scaled source mixture weights (sqrt curve, exact
@@ -144,7 +143,7 @@ object Corpus {
     "q59_cross_source_dup" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.operators.TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      val pairs = SharedArtifacts.lshPairs(s, dir)
       val src = docs.select($"doc_id", $"source")
       pairs.join(src.as("sa"), $"doc_a" === $"sa.doc_id")
         .join(src.as("sb"), $"doc_b" === $"sb.doc_id")
@@ -183,7 +182,7 @@ object Corpus {
     "q57_cluster_dedup_apply" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.operators.TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      val pairs = SharedArtifacts.lshPairs(s, dir)
       val drop = graft.operators.Components.dupClusters(pairs)
         .filter($"doc_id" =!= $"component").select($"doc_id")
       docs.join(drop, Seq("doc_id"), "left_anti")
