@@ -62,10 +62,18 @@ object Similarity {
     * can never drift apart.
     */
   private def planeBit(plane: Int, bit: Int, dim: Int): Column = {
-    val proj = (0 until dim).map { d =>
-      element_at(col("v"), d + 1).cast("double") *
-        sin(lit((1 + plane * dim + d).toDouble))
-    }.reduce(_ + _)
+    // One codegen'd graft_dot against a LITERAL hyperplane, not a
+    // dim-term element_at sum: the sum form referenced `v` dim times
+    // per plane (2048 references at bits=4/tables=8), and when `v` is
+    // itself a derived expression (e.g. a transform() lambda building a
+    // test fixture) CollapseProject inlines it into every reference —
+    // a ~100k-node tree that took ~170 s to plan/execute on 500 rows.
+    // graft_dot widens each float to double and accumulates in index
+    // order, exactly like the cast-then-multiply left fold it replaces,
+    // and math.sin is the same Math.sin that sin(lit(..)) constant-
+    // folded to — buckets are bit-identical.
+    val planeVec = Array.tabulate(dim)(d => math.sin((1 + plane * dim + d).toDouble))
+    val proj = dot(slice(col("v"), 1, dim), lit(planeVec))
     when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
   }
 
