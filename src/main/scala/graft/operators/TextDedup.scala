@@ -54,15 +54,17 @@ object TextDedup {
 
   /** Narrow per-document distinct shingle sets: (doc_id, set) where
     * `set` = distinct word k-gram strings. Docs with fewer than k words
-    * are dropped (guarded, because Spark's `sequence(1,0)` would count
-    * backwards). Pure projection — no shuffle.
+    * are dropped (the expression yields null for them). Pure projection
+    * — no shuffle, and the codegen'd `graft_shingles` kernel replaces
+    * the interpreted `transform(..., array_join(slice(...)))` lambda
+    * that cost ~2 s per corpus scan at sf0.1.
     */
-  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' ')))")
-        .as("set"))
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(k)).as("set"))
+      .filter(col("set").isNotNull)
+  }
 
   /** Distinct word k-gram shingles per document: (doc_id, sh) — the
     * exploded view of [[shingleSets]] (still narrow: per-doc
@@ -250,12 +252,11 @@ object TextDedup {
     */
   def blockedNgramJaccard(docs: DataFrame, threshold: Double = 0.5,
                           maxShingleFreq: Option[Long] = None): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val setsRaw = docs
-      .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("source"), col("lang"), expr(
-        "array_distinct(transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' ')))")
-        .as("set"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        call_function("graft_shingles", col("text"), lit(2)).as("set"))
+      .filter(col("set").isNotNull)
     val sets = capHotShingles(setsRaw, maxShingleFreq)
       .withColumn("n", size(col("set")).cast("long"))
       .cache() // reused by the inverted index and both size lookups

@@ -50,7 +50,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     "graft_cosine" -> (
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
-      cosine _)
+      cosine _),
+    "graft_shingles" -> (
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => graft.functions.WordShingles(args(0), args(1)))
   ) ++ graft.functions.MultimodalExpressions.builders // graft_meta/stats/resize/frames
 
   private def lit(fn: String)(e: Expression): String = {
