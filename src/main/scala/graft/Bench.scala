@@ -31,12 +31,16 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").selectExpr("sum(l_orderkey)").collect()
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      // Materialize the FULL result, not count(): under a count Catalyst
-      // legally prunes final sorts (EliminateSorts) and unreferenced
-      // projections/aggregate expressions (ColumnPruning), so a count-
-      // terminated bench under-measures projection-shaped queries. The
-      // noop sink consumes every row of every column with zero I/O cost.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+      // Materialize the FULL result, not df.count(): under a logical-plan
+      // count Catalyst legally prunes final sorts (EliminateSorts) and
+      // unreferenced projections/aggregate expressions (ColumnPruning),
+      // so a count-terminated bench under-measures projection-shaped
+      // queries. Executing the query's OWN physical plan via
+      // queryExecution.toRdd computes every column of every row (the
+      // final UnsafeRow projection writes them all) with no pruning —
+      // and, unlike a noop-sink write, adds no V2 write wrapper (the
+      // wrapper measured a flat ~+0.6 s/query on 1-row outputs).
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
       }
@@ -49,11 +53,16 @@ object Bench {
       System.gc()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = once(name, fn)
-      val warm = once(name, fn)
-      (name, warm, cold)
-    }
+    // optional comma-separated name-prefix filter for iterating on a
+    // single query's number without paying the whole suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
+        val cold = once(name, fn)
+        val warm = once(name, fn)
+        (name, warm, cold)
+      }
     val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
