@@ -74,4 +74,88 @@ object Sketches {
   /** Column-level entry point: `df.groupBy(...).agg(kmvDistinct(col("u"), 64))`. */
   def kmvDistinct(u: Column, k: Int): Column =
     udaf(new KmvDistinct(k)).apply(u)
+
+  /** Misra–Gries heavy-hitters state: at most `capacity` (term, count)
+    * entries. Counts are LOWER bounds once decrements have happened;
+    * while the number of distinct terms seen stays ≤ capacity no
+    * decrement ever fires and every count is exact — the regime the
+    * oracle gate runs in (like KMV below saturation). The classic
+    * guarantee either way: any term with true frequency > N/(capacity+1)
+    * is retained, and true_count − count ≤ N/(capacity+1).
+    */
+  final case class MgState(capacity: Int, terms: Array[String],
+                           counts: Array[Long]) {
+    private def indexOf(t: String): Int = {
+      var i = 0
+      while (i < terms.length) { if (terms(i) == t) return i; i += 1 }
+      -1
+    }
+
+    def insert(t: String, w: Long): MgState = {
+      val i = indexOf(t)
+      if (i >= 0) { counts(i) += w; this }
+      else if (terms.length < capacity)
+        MgState(capacity, terms :+ t, counts :+ w)
+      else decrementMerge(Array(t), Array(w))
+    }
+
+    def merge(other: MgState): MgState = {
+      // combine exact-per-state counts first; decrement only if the
+      // union overflows (the standard mergeable-summaries MG merge)
+      var acc = this
+      var overflow: List[(String, Long)] = Nil
+      var i = 0
+      while (i < other.terms.length) {
+        val j = acc.indexOf(other.terms(i))
+        if (j >= 0) acc.counts(j) += other.counts(i)
+        else if (acc.terms.length < capacity)
+          acc = MgState(capacity, acc.terms :+ other.terms(i),
+            acc.counts :+ other.counts(i))
+        else overflow = (other.terms(i), other.counts(i)) :: overflow
+        i += 1
+      }
+      if (overflow.isEmpty) acc
+      else acc.decrementMerge(overflow.map(_._1).toArray, overflow.map(_._2).toArray)
+    }
+
+    /** Union with extra entries, then subtract the (capacity+1)-th
+      * largest combined count from everything and keep the positive
+      * remainder — the decrement step that bounds the state size.
+      */
+    private def decrementMerge(xs: Array[String], ws: Array[Long]): MgState = {
+      val allT = terms ++ xs
+      val allC = counts ++ ws
+      val sortedC = allC.sorted(Ordering[Long].reverse)
+      val dec = if (sortedC.length > capacity) sortedC(capacity) else 0L
+      val kept = allT.indices.filter(i => allC(i) - dec > 0L)
+      MgState(capacity, kept.map(allT).toArray, kept.map(i => allC(i) - dec).toArray)
+    }
+  }
+
+  /** Bounded-memory frequent-terms aggregator: map-side partial MG
+    * summaries, k entries per group over the wire, O(capacity) memory
+    * per group regardless of stream length — the 100 TB answer to
+    * "top words" where an exact groupBy(term) shuffles every distinct
+    * term. Null terms are skipped like count(col) semantics. The
+    * finish sorts by (count desc, term asc) for deterministic output.
+    */
+  final class HeavyHitters(capacity: Int)
+    extends Aggregator[String, MgState, Seq[(String, Long)]] {
+    require(capacity >= 1, s"heavy hitters need capacity >= 1, got $capacity")
+    def zero: MgState = MgState(capacity, Array.empty, Array.empty)
+    def reduce(b: MgState, t: String): MgState =
+      if (t == null) b else b.insert(t, 1L)
+    def merge(b1: MgState, b2: MgState): MgState = b1.merge(b2)
+    def finish(r: MgState): Seq[(String, Long)] =
+      r.terms.zip(r.counts).sortBy { case (t, c) => (-c, t) }.toSeq
+    def bufferEncoder: Encoder[MgState] = Encoders.product[MgState]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** `df.agg(heavyHitters(col("term"), 4096))` → array<struct<_1,_2>>
+    * of (term, count) sorted by count desc, term asc.
+    */
+  def heavyHitters(term: Column, capacity: Int): Column =
+    udaf(new HeavyHitters(capacity)).apply(term)
 }

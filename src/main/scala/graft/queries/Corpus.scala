@@ -54,6 +54,23 @@ object Corpus {
         docs.filter(col("source") === "src0"), n = 3)
     },
 
+    // Misra–Gries heavy hitters: bounded-memory frequent terms (the
+    // 100 TB "top words" shape — capacity entries per partial state
+    // over the wire instead of shuffling every distinct term). Gated
+    // in the sub-capacity regime where MG is provably exact (the
+    // corpus vocabulary < capacity, like KMV below saturation); the
+    // SketchesSpec covers the decrement/lower-bound regime.
+    "q81_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+        .agg(Sketches.heavyHitters($"term", 64).as("hh"))
+        .select(explode($"hh").as("e"))
+        .select($"e._1".as("term"), $"e._2".as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(10)
+    },
+
     // KMV sketch vs exact count-distinct, side by side: the oracle
     // recomputes the sketch estimate from the same hash prefix, so a
     // hash-match proves the mergeable aggregation path (partial state
@@ -212,6 +229,11 @@ object Corpus {
         |        regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_heavy_hitters" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin,
 
     "q70_contamination" ->
       s"""WITH g AS (SELECT doc_id, source, $duckGrams3 AS gs

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mergeable-sketch tests beyond the oracle gates: q71 gates KMV and
+  * q81 gates Misra–Gries in their exact regimes; these cover the
+  * approximation regimes and adversarial partitioning.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavy hitters is exact below capacity under any partitioning") {
+    val terms = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i"))
+    val df = spark.createDataset(scala.util.Random.shuffle(terms))
+      .repartition(13).toDF("term")
+    val got = df.agg(Sketches.heavyHitters($"term", 64).as("hh"))
+      .select(explode($"hh").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toMap
+    assert(got == (1 to 40).map(i => s"t$i" -> i.toLong).toMap)
+  }
+
+  test("heavy hitters over capacity: heavy term survives with a sound lower bound") {
+    // 2000 'hot' + 500 distinct rares, capacity 50: hot's true share
+    // (2000/2500) far exceeds N/(cap+1) ≈ 49, so it MUST survive, with
+    // count in [true - N/(cap+1), true]
+    val rows = Seq.fill(2000)("hot") ++ (1 to 500).map(i => s"rare$i")
+    val df = spark.createDataset(scala.util.Random.shuffle(rows))
+      .repartition(7).toDF("term")
+    val got = df.agg(Sketches.heavyHitters($"term", 50).as("hh"))
+      .select(explode($"hh").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= 50)
+    assert(got.contains("hot"))
+    val bound = 2500L / 51L
+    assert(got("hot") <= 2000L && got("hot") >= 2000L - bound,
+      s"hot count ${got("hot")} outside [${2000L - bound}, 2000]")
+    // every reported count is a lower bound on the true count
+    got.foreach { case (t, c) =>
+      val truth = if (t == "hot") 2000L else 1L
+      assert(c <= truth, s"$t reported $c > true $truth")
+    }
+  }
+
+  test("heavy hitters skips nulls and keeps deterministic output order") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), None, Some("c"), Some("b"))
+      .toDF("term").repartition(3)
+    val got = df.agg(Sketches.heavyHitters($"term", 10).as("hh"))
+      .select(explode($"hh").as("e")).select($"e._1", $"e._2")
+      .as[(String, Long)].collect().toSeq
+    // sorted by count desc then term asc; a=2 b=2 c=1
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+}
