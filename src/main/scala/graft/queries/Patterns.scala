@@ -138,6 +138,19 @@ object Patterns {
       val li = Tables.load(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
       graft.operators.Skew.saltedSumCount(li, "l_returnflag", "l_quantity")
         .orderBy($"l_returnflag")
+    },
+
+    // ordered-sequence conversion funnel: users who viewed, then
+    // clicked strictly after their first view, then purchased strictly
+    // after that — per-step scans + user-sized min aggregates, never a
+    // global sort (see graft.operators.Funnel)
+    "q82_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.operators.Funnel.conversion(
+        Tables.load(s, dir, "events"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
     }
   )
 
@@ -229,6 +242,24 @@ object Patterns {
         |  FROM t)
         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q82_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+        |        (SELECT count(*) FROM s1) AS n
+        |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, step_name, CAST(n AS BIGINT) AS n_users,
+        |  round(CAST(n AS DOUBLE) /
+        |    (SELECT n FROM c WHERE step = 1), 4) AS pct_of_first
+        |FROM c ORDER BY step""".stripMargin
   )
 }
