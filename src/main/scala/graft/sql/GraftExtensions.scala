@@ -112,13 +112,48 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** SQL table function `graft_stream_df('<view>', '<cmd>',
+    * '<types csv>', '<names csv>'[, chunk_size])` — the reference's
+    * `stream(A, 'cmd', format:'df', types:…, names:…)` callable from
+    * plain SQL; same mandatory declared-schema rule as the Arrow form,
+    * restricted to the R data-frame type triple.
+    */
+  private def streamDfPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4 || args.length == 5,
+      "graft_stream_df expects (table_name, command, types_csv, names_csv[, chunk_size]) literals")
+    val str = lit("graft_stream_df") _
+    val types = str(args(2)).split(',').map(_.trim.toLowerCase)
+    val names = str(args(3)).split(',').map(_.trim)
+    require(types.length == names.length,
+      s"types (${types.length}) and names (${names.length}) must have equal arity")
+    val fields = names.zip(types).map { case (n, t) =>
+      val dt = t match {
+        case "int32" | "int"      => org.apache.spark.sql.types.IntegerType
+        case "double" | "float64" => org.apache.spark.sql.types.DoubleType
+        case "string"             => org.apache.spark.sql.types.StringType
+        case other => throw new IllegalArgumentException(
+          s"type $other not supported over the R df stream format " +
+            "(supported: int32, double, string)")
+      }
+      org.apache.spark.sql.types.StructField(n, dt)
+    }
+    val chunkSize = if (args.length == 5) str(args(4)).toInt else 10000
+    val spark = SparkSession.active
+    Stream.df(spark.table(str(args.head)), str(args(1)),
+      org.apache.spark.sql.types.StructType(fields.toSeq), chunkSize)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
       streamTsvPlan _),
     "graft_stream_arrow" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_arrow"),
-      streamArrowPlan _))
+      streamArrowPlan _),
+    "graft_stream_df" -> (
+      new ExpressionInfo(Stream.getClass.getName, "graft_stream_df"),
+      streamDfPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -91,6 +91,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.agg(sum($"id")).head.getLong(0) == (0L until 12L).sum)
   }
 
+  test("graft_stream_df table function speaks the R data-frame wire format") {
+    GraftExtensions.register(spark)
+    spark.range(0, 10)
+      .select($"id".cast("int").as("i"), ($"id" * 0.5).as("d"))
+      .createOrReplaceTempView("tvf_df_in")
+    val cmd = graft.operators.clients.JvmChild
+      .command("graft.operators.clients.RdfEchoChild").replace("'", "\\'")
+    val out = spark.sql(
+      s"SELECT * FROM graft_stream_df('tvf_df_in', '$cmd', 'int32,double', 'i,d')")
+    assert(out.columns.toSeq ==
+      Seq("i", "d", "instance_id", "chunk_no", "value_no"))
+    assert(out.count() == 10)
+    assert(out.agg(sum($"i".cast("long"))).head.getLong(0) == (0L until 10L).sum)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_stream_df('tvf_df_in', 'cat', 'int64', 'x')")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not supported over the R df stream format"),
+      bad.getMessage)
+  }
+
   test("stream table functions reject bad arity and non-literal arguments") {
     GraftExtensions.register(spark)
     spark.range(0, 3).select($"id").createOrReplaceTempView("tvf_bad")
