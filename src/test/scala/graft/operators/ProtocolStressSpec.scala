@@ -29,6 +29,33 @@ class ProtocolStressSpec extends SparkSpec {
     assert(out.count() == 8)
   }
 
+  test("200k mixed rows with NA sentinels stress the R-DF format") {
+    // volume + both NA paths (int32 INT32_MIN, string len -1) + a
+    // multi-chunk exchange per partition, like the TSV stress shape
+    val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.RdfEchoChild")
+    val df = spark.range(0, 200000).repartition(4)
+      .select(
+        when($"id" % 1000 === 0, lit(null)).otherwise($"id").cast("int").as("i"),
+        ($"id" * 0.25).as("d"),
+        when($"id" % 997 === 0, lit(null))
+          .otherwise(concat(lit("s"), $"id")).as("s"))
+    val declared = StructType(Seq(
+      StructField("i", IntegerType), StructField("d", DoubleType),
+      StructField("s", StringType)))
+    val out = Stream.df(df, cmd, declared, chunkSize = 25000).cache()
+    try {
+      assert(out.count() == 200000L)
+      assert(out.filter($"i".isNull).count() == 200L)
+      assert(out.filter($"s".isNull).count() == 201L) // 0 hits both moduli
+      assert(out.agg(sum($"i".cast("long"))).head.getLong(0) ==
+        (0L until 200000L).filter(_ % 1000 != 0).sum)
+      assert(out.agg(sum($"d")).head.getDouble(0) ==
+        (0L until 200000L).map(_ * 0.25).sum)
+      // 4 partitions x 2 chunks each at chunkSize 25000
+      assert(out.select($"instance_id", $"chunk_no").distinct().count() == 8)
+    } finally out.unpersist()
+  }
+
   test("10k strings with one null survive a single Arrow batch") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = spark.range(1, 10001).coalesce(1)

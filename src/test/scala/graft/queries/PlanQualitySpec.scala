@@ -45,6 +45,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[[^\]]*graft_dot""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("shingle sets are one codegen'd narrow projection") {
+    val df = graft.operators.TextDedup.shingleSets(
+      Tables.load(spark, sf, "documents"), k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the graft_shingles kernel stays inside a WholeStageCodegen stage
+    // (the interpreted-lambda formulation it replaced broke the stage)
+    assert("""\*\(\d+\) Project \[[^\]]*graft_shingles""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("Exchange"), plan) // narrow: no shuffle
+  }
+
   test("the pipe operator is a narrow transformation (no Exchange)") {
     import spark.implicits._
     val piped = graft.operators.Stream.tsv(
