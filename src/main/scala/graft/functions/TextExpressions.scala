@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -90,13 +92,103 @@ object TextShingling {
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)
   }
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-document SimHash over `split(text, " ")` words (empty words
+    * included, like the explode it replaces). `bits` is 16 or 64; see
+    * [[WordSimHash]] for the exact bit derivations.
+    */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    require(bits == 16 || bits == 64, s"graft_simhash supports 16 or 64 bits, got $bits")
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Int](bits)
+    val md = md5.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val h = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      if (bits == 64) {
+        var wh = 0L
+        var b = 0
+        while (b < 8) { wh = (wh << 8) | (h(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          if (((wh >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < 16) {
+          val d = j / 4 // hex digit index; even = high nibble of byte d/2
+          val byteV = h(d / 2) & 0xff
+          val nib = if (d % 2 == 0) byteV >>> 4 else byteV & 0xf
+          if (((nib >> (j % 4)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** Native per-document SimHash — one narrow pass over the text instead
+  * of the explode + 16/64-bit-sum groupBy the declarative form needs.
+  * At corpus scale the difference is structural: the old shape
+  * shuffles every WORD of the corpus into a per-doc aggregation; this
+  * computes the signature next to the scan and shuffles nothing.
+  *
+  * Bit-exact with the aggregation it replaces (and with the DuckDB
+  * oracles, which recompute from md5 hex):
+  *  - 64-bit: word hash = first 16 md5 hex chars as a signed int64
+  *    (`conv(substr(md5(w), 1, 16), 16, -10)`) = the first 8 digest
+  *    bytes big-endian; signature bit j set iff Σ_words ±1 on
+  *    (hash >>> j) & 1 is positive.
+  *  - 16-bit: signature bit j set from the same signed vote on bit
+  *    (j%4) of md5 hex DIGIT j/4 (digit 2i = high nibble of byte i).
+  */
+case class WordSimHash(text: Expression, bits: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = bits
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || bits.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects (string, int), got " +
+          s"(${text.dataType.simpleString}, ${bits.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, b: Any): Any =
+    TextShingling.simhash(t.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, b) =>
+      s"${ev.value} = graft.functions.TextShingling.simhash($t, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, bits = newRight)
 }
 
 object TextExpressions {
-  /** Register `graft_shingles` in the session's function registry
+  /** Register the text kernels in the session's function registry
     * (idempotent), for the DataFrame API and SQL alike.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => WordSimHash(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -293,20 +293,17 @@ object TextDedup {
     * bands carry 65536 keys each.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    def hexBit(j: Int): String = {
-      val p = j / 4 + 1
-      val ones = "0123456789abcdef".filter(c => (Integer.parseInt(c.toString, 16) >> (j % 4) & 1) == 1)
-      val inList = ones.map(c => s"'$c'").mkString(", ")
-      s"(CASE WHEN substr(h, $p, 1) IN ($inList) THEN 1 ELSE -1 END)"
-    }
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .withColumn("h", md5(col("wd").cast("binary")))
-    val bitSums = (0 until 16).map(j => sum(expr(hexBit(j))).as(s"b$j"))
-    val hashExpr = (0 until 16)
-      .map(j => s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", expr(hashExpr))
-      .select(col("doc_id"), col("simhash"))
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    // one narrow codegen'd pass per document (graft_simhash) — the
+    // explode + 16-bit-sum groupBy it replaces shuffled every word of
+    // the corpus; bit derivation (md5 hex digit j/4, bit j%4) and the
+    // signed votes are bit-identical, as the unchanged oracle proves.
+    // null-text docs vanish from the output exactly as the old
+    // explode(null-split) dropped them.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_simhash", col("text"), lit(16))
+          .cast("int").as("simhash"))
   }
 
   /** SimHash near-duplicate pair mining: (doc_a, doc_b, hamming) for all
@@ -454,21 +451,13 @@ object TextDedup {
     * one HashAggregate with map-side partials.
     */
   def simhash64(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .withColumn("wh", expr(
-        "cast(conv(substr(md5(cast(wd as binary)), 1, 16), 16, -10) as bigint)"))
-    val bitSums = (0 until 64).map(j =>
-      sum(expr(s"CASE WHEN (shiftrightunsigned(wh, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"b$j"))
-    // constant-folded per-bit weights; bit 63's weight is Long.MinValue
-    // (the signed representation of 2^63), summed in safely because all
-    // other contributions are non-negative
-    val hashExpr = (0 until 64)
-      .map(j => s"(CASE WHEN b$j > 0 THEN shiftleft(cast(1 as bigint), $j) ELSE cast(0 as bigint) END)")
-      .mkString(" + ")
-    words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", expr(hashExpr))
-      .select(col("doc_id"), col("simhash"))
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    // narrow codegen'd per-doc pass; see [[simhash]] — this is the
+    // corpus-scale shape (signatures computed next to the scan, the
+    // only shuffle left in the pair miners is the band self-join)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_simhash", col("text"), lit(64)).as("simhash"))
   }
 
   /** SimHash near-duplicate pair mining over the 64-bit hash: all pairs
