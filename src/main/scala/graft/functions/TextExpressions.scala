@@ -135,6 +135,53 @@ object TextShingling {
     while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  // seed-chain prefixes of xxhash64(lit(seed), sh): hashInt(seed, 42)
+  @volatile private var seedHashes: Array[Long] = Array.empty
+  private def seedHash(numHashes: Int): Array[Long] = {
+    val cached = seedHashes
+    if (cached.length >= numHashes) cached
+    else {
+      val fresh = Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+      seedHashes = fresh
+      fresh
+    }
+  }
+
+  /** MinHash signature mins (`mode` 0) or LSH band keys (`mode` 1) of
+    * a distinct-shingle array; null for null/empty input. See
+    * [[MinHashAgg]] for the exact hash chains.
+    */
+  def minhash(set: org.apache.spark.sql.catalyst.util.ArrayData,
+              numHashes: Int, mode: Int): GenericArrayData = {
+    if (set == null || set.numElements() == 0) return null
+    val seeds = seedHash(numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < set.numElements()) {
+      val sh = set.getUTF8String(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUTF8String(sh, seeds(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    if (mode == 0) new GenericArrayData(mins.map(v => v: Any))
+    else {
+      // band key j = xxhash64(s_{2j}, s_{2j+1}) over the signed mins
+      val keys = new Array[Any](numHashes / 2)
+      var j = 0
+      while (j < numHashes / 2) {
+        keys(j) = XXH64.hashLong(mins(2 * j + 1), XXH64.hashLong(mins(2 * j), 42L))
+        j += 1
+      }
+      new GenericArrayData(keys)
+    }
+  }
 }
 
 /** Native per-document SimHash — one narrow pass over the text instead
@@ -181,6 +228,66 @@ case class WordSimHash(text: Expression, bits: Expression)
     copy(text = newLeft, bits = newRight)
 }
 
+/** Per-document MinHash over a distinct-shingle array, in one narrow
+  * codegen'd pass: the declarative form exploded every shingle of the
+  * corpus into a 32-way min aggregation — a word-level shuffle before
+  * banding even starts. Hashes are bit-identical to
+  * `min(xxhash64(lit(seed), sh))` (`XXH64.hashInt(seed, 42)` chained
+  * into `XXH64.hashUTF8String`, signed min), so stored signature
+  * indexes and band keys are unchanged.
+  *
+  * `mode` selects the output: 0 = the `numHashes` signature mins;
+  * 1 = the `numHashes/2` LSH band keys (`xxhash64(s_{2j}, s_{2j+1})`,
+  * i.e. `XXH64.hashLong` chained from seed 42). Band keys come
+  * straight from the kernel so callers never build 32 `element_at`
+  * references to a DERIVED sig column — CollapseProject would inline
+  * the kernel into every reference (the LSH planeBit lesson).
+  * Null or empty input yields null (the exploded aggregation simply
+  * had no row for such docs).
+  */
+case class MinHashAgg(set: Expression, numHashes: Expression, mode: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = set
+  override def second: Expression = numHashes
+  override def third: Expression = mode
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = set.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!ok || numHashes.dataType != IntegerType || mode.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects (array<string>, int, int), got " +
+          s"(${set.dataType.simpleString}, ${numHashes.dataType.simpleString}, " +
+          s"${mode.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(s: Any, n: Any, m: Any): Any =
+    TextShingling.minhash(
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, m) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.minhash($s, $n, $m);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(set = newFirst, numHashes = newSecond, mode = newThird)
+}
+
 object TextExpressions {
   /** Register the text kernels in the session's function registry
     * (idempotent), for the DataFrame API and SQL alike.
@@ -190,5 +297,7 @@ object TextExpressions {
       "graft_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => WordSimHash(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashAgg(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -79,31 +79,18 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
-  /** MinHash signatures + shingle-set size from an exploded
-    * distinct-shingle table (doc_id, sh): one row per doc with
-    * s0..s15 = min over shingles of xxhash64(seed, shingle) plus
-    * `n` = |shingle set|. ONE groupBy whose aggregates are all
-    * codegen'd min/count (HashAggregateExec with map-side partials).
-    * Measured faster than both (a) a narrow `array_min(transform(...))`
-    * projection — higher-order lambdas fall out of whole-stage codegen —
-    * and (b) folding `collect_set` into this aggregation, which demotes
-    * the whole operator to ObjectHashAggregateExec.
-    */
-  def minhashSignatures(shingles: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { s =>
-      min(xxhash64(lit(s), col("sh"))).as(s"s$s")
-    } :+ count(lit(1)).as("n")
-    shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** LSH banding: (doc_id, band, bkey) with bkey = xxhash64 of the
-    * band's two signature rows (codegen'd long hashing, one `stack`
-    * projection; a cross-band xxhash collision only adds a false
-    * candidate, which exact verification removes).
+  /** LSH banding from a (doc_id, sig) table: (doc_id, band, bkey) with
+    * bkey = xxhash64 of the band's two signature mins (a cross-band
+    * xxhash collision only adds a false candidate, which exact
+    * verification removes). `sig` must be a stored or cached ATTRIBUTE
+    * (parquet column, cached table) — on a derived sig expression
+    * CollapseProject would inline the MinHash kernel into all 32
+    * element references; [[minhashLshPairs]] therefore takes its band
+    * keys straight from the kernel instead of calling this.
     */
   def lshBands(sigs: DataFrame): DataFrame = {
     val stack = (0 until NumBands)
-      .map(j => s"$j, xxhash64(s${2 * j}, s${2 * j + 1})")
+      .map(j => s"$j, xxhash64(sig[${2 * j}], sig[${2 * j + 1}])")
       .mkString(s"stack($NumBands, ", ", ", ") as (band, bkey)")
     sigs.selectExpr("doc_id", stack)
   }
@@ -113,17 +100,23 @@ object TextDedup {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
                       maxShingleFreq: Option[Long] = None): DataFrame = {
-    // one doc-sized row per document: the set array feeds the exploded
-    // signature aggregation AND both verification join sides — joining
+    // one doc-sized row per document: the set array feeds the narrow
+    // MinHash-band kernel AND both verification join sides — joining
     // the compact sets table (|corpus| rows) beats re-joining the
     // exploded shingle table (Σ|set| rows) twice, and `array_intersect`
     // on two already-distinct arrays is a per-pair hash probe. Hot
     // shingles (stopword n-grams) are removed from the SETS, so
-    // signatures and verification see the same capped universe.
+    // signatures and verification see the same capped universe. Band
+    // keys come straight from the codegen'd graft_minhash kernel
+    // (mode 1) — no word-level shuffle anywhere before the band join,
+    // which is the operator's only exchange on corpus-sized data.
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val sets = cappedShingleSets(docs, maxShingleFreq).cache()
-    val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
-    val sigs = minhashSignatures(sh)
-    val bands = lshBands(sigs)
+    val bands = sets
+      .select(col("doc_id"), posexplode(
+        call_function("graft_minhash", col("set"), lit(NumHashes), lit(1))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -146,11 +139,11 @@ object TextDedup {
 
   /** Materialise the MinHash signature index of a corpus: one parquet
     * row per doc holding its distinct shingle set, set size, and the
-    * 32 signature mins — the state an INCREMENTAL ingestion pipeline
-    * keeps between batches so each new batch dedups against everything
-    * already accepted without re-shingling the historical corpus.
-    * Layout is plain columnar parquet: the band join in
-    * [[nearDupsAgainstIndex]] reads only (doc_id, s0..s31, n) until
+    * 32-min signature array — the state an INCREMENTAL ingestion
+    * pipeline keeps between batches so each new batch dedups against
+    * everything already accepted without re-shingling the historical
+    * corpus. Layout is plain columnar parquet: the band join in
+    * [[nearDupsAgainstIndex]] reads only (doc_id, sig) until
     * verification needs `set`, so column pruning keeps the common scan
     * narrow.
     */
@@ -160,16 +153,18 @@ object TextDedup {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** (doc_id, set, n, s0..s31): the per-doc state [[minhashLshPairs]]
-    * derives internally, as a standalone table.
+  /** (doc_id, set, n, sig): the per-doc state [[minhashLshPairs]]
+    * derives internally, as a standalone table — one narrow kernel
+    * pass, no explode/groupBy/join. Docs whose capped set is empty are
+    * dropped (they had no signature row in the aggregated form either).
     */
   def signatureTable(docs: DataFrame,
                      maxShingleFreq: Option[Long] = None): DataFrame = {
-    val sets = cappedShingleSets(docs, maxShingleFreq)
-    val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
-    // the signature aggregation re-derives |set| as `n`; the sets table
-    // already carries it — drop the duplicate before joining
-    sets.join(minhashSignatures(sh).drop("n"), Seq("doc_id"))
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    cappedShingleSets(docs, maxShingleFreq)
+      .withColumn("sig",
+        call_function("graft_minhash", col("set"), lit(NumHashes), lit(0)))
+      .filter(col("sig").isNotNull)
   }
 
   private def cappedShingleSets(docs: DataFrame,
