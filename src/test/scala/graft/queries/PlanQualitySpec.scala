@@ -86,12 +86,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!above.contains("Exchange "), plan)
   }
 
-  test("minhash signature aggregation stays in codegen'd HashAggregate") {
-    // regression for two measured dead ends: collect_set in the
-    // signature groupBy demotes it to ObjectHashAggregate; higher-order
-    // array_min(transform(...)) signatures leave whole-stage codegen
+  test("minhash banding is a narrow codegen'd kernel, not a word shuffle") {
+    // regression for three measured dead ends: collect_set demotes the
+    // old signature groupBy to ObjectHashAggregate; higher-order
+    // array_min(transform(...)) signatures leave whole-stage codegen;
+    // and the explode + 32-min groupBy itself shuffled every word of
+    // the corpus — band keys now come straight from graft_minhash
     val plan = formatted("q21_minhash_lsh")
-    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("graft_minhash"), plan)
     assert(!plan.contains("ObjectHashAggregate"), plan)
     // banding + verification must be equi-joins, never a cross product
     assert(!plan.contains("CartesianProduct"), plan)
