@@ -65,4 +65,33 @@ object Funnel {
         round(try_divide($"n_users", $"n_first"), 4).as("pct_of_first"))
       .orderBy($"step")
   }
+
+  /** Cohort retention matrix: users grouped by the period of their
+    * first activity (the cohort), counted in every later period they
+    * were active — (cohort, period_offset, n_users). All arithmetic is
+    * integer (period = floor(epoch seconds / periodSeconds)), so the
+    * matrix is exact and engine-portable.
+    *
+    * Scale shape: distinct (user, period) pairs via one keyed
+    * aggregation over a narrow projection of the event scan, the
+    * cohort as a user-keyed min, one user-keyed equi-join of those two
+    * user-sized tables, and a final small aggregate. Raw events are
+    * touched once, and nothing ever shuffles on more than (user,
+    * period) cardinality.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       periodSeconds: Long = 604800L): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val active = events.select(col(userCol).as("u"),
+        expr(s"CAST(unix_timestamp($tsCol) DIV $periodSeconds AS BIGINT)").as("p"))
+      .distinct()
+    val cohort = active.groupBy($"u").agg(min($"p").as("cohort"))
+    active.join(cohort, Seq("u"))
+      .groupBy($"cohort", ($"p" - $"cohort").as("period_offset"))
+      .agg(count(lit(1)).as("n_users")) // (u, p) pairs are already distinct
+      .orderBy($"cohort", $"period_offset")
+  }
 }

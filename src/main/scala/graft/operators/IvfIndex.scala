@@ -130,6 +130,22 @@ object IvfIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally add vectors to a materialised index: assignment
+    * uses the STORED centroids (the index geometry is fixed — standard
+    * IVF maintenance; retrain only on drift) and the new rows are
+    * appended into their list partitions without touching existing
+    * data. The ANN counterpart of the incremental dedup index:
+    * ingestion cost is O(batch) — one narrow scan of the batch plus a
+    * broadcast argmin — and the historical corpus is never rewritten.
+    */
+  def appendToIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    assign(newEmb, centroids).write
+      .partitionBy("list_id").mode("append").parquet(s"$path/lists")
+  }
+
   /** Top-k cosine search against a materialised index: the probed lists
     * arrive as a partition-column filter, so only those directories are
     * scanned, and the single scoring pass reuses the collected query

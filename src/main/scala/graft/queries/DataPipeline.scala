@@ -170,6 +170,18 @@ object DataPipeline {
       val centroids = graft.operators.IvfIndex.train(emb, nLists = 4, iters = 1)
       graft.operators.IvfIndex.topK(emb, centroids, queryVecId = 0L, k = 20, nProbe = 4)
     },
+    // incremental IVF maintenance: the index was built on half the
+    // corpus and extended with the other half via appendToIndex (once
+    // per process — SharedArtifacts; the persisted state of an ANN
+    // ingestion pipeline). Probing ALL lists degenerates to exact
+    // search, so the brute-force oracle proves the appended vectors
+    // landed in the right lists (a misassigned or dropped vector would
+    // change the top-20).
+    "q84_ivf_append" -> { (s, dir) =>
+      val path = SharedArtifacts.ivfAppendedIndexPath(s, dir, splitAt = 250)
+      graft.operators.IvfIndex.topKIndexed(s, path, queryVecId = 0L,
+        k = 20, nProbe = 8)
+    },
     "q50_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -566,6 +578,19 @@ object DataPipeline {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q32_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |    list_dot_product(e.v, q.qv) AS dp,
+        |    sqrt(list_dot_product(e.v, e.v)) AS nv,
+        |    sqrt(list_dot_product(q.qv, q.qv)) AS nq
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS cos
+        |FROM d ORDER BY round(dp / (nv * nq), 4) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q84_ivf_append" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -140,6 +140,13 @@ object Patterns {
         .orderBy($"l_returnflag")
     },
 
+    // cohort retention matrix: users bucketed by first-activity week,
+    // counted in each later active week — all-integer arithmetic, one
+    // event scan, user-sized shuffles only (see Funnel.retentionCohorts)
+    "q83_retention" -> { (s, dir) =>
+      graft.operators.Funnel.retentionCohorts(Tables.load(s, dir, "events"))
+    },
+
     // ordered-sequence conversion funnel: users who viewed, then
     // clicked strictly after their first view, then purchased strictly
     // after that — per-step scans + user-sized min aggregates, never a
@@ -243,6 +250,16 @@ object Patterns {
         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q83_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
+        |  FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort FROM wk GROUP BY 1)
+        |SELECT cohort, p - cohort AS period_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q82_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events

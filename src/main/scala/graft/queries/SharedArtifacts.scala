@@ -59,6 +59,26 @@ object SharedArtifacts {
           .filter(org.apache.spark.sql.functions.col("doc_id") < splitAt), path)
     }
 
+  /** IVF-flat index built on the vec_id < `splitAt` half of the
+    * embeddings, then INCREMENTALLY extended with the other half via
+    * [[graft.operators.IvfIndex.appendToIndex]] — the persisted state
+    * of an ANN ingestion pipeline. Built once per process per sf-dir;
+    * the gated query (q84) then probes every list, so the brute-force
+    * oracle proves the appended rows landed in the right lists with
+    * correct lineage.
+    */
+  def ivfAppendedIndexPath(s: SparkSession, dir: String, splitAt: Long,
+                           nLists: Int = 8): String =
+    artifact(dir, s"ivf_index_$splitAt") { path =>
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < splitAt)
+      val centroids = graft.operators.IvfIndex.train(base, nLists)
+      graft.operators.IvfIndex.writeIndex(base, centroids, path)
+      graft.operators.IvfIndex.appendToIndex(
+        emb.filter(col("vec_id") >= splitAt), path)
+    }
+
   private def artifact(dir: String, kind: String)(build: String => Unit): String =
     dirs.computeIfAbsent((dir, kind), { _ =>
       val p = Files.createTempDirectory(s"graft_${kind}_")

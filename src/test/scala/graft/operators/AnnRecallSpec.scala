@@ -45,6 +45,31 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("incremental append extends an index without touching stored rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val base = emb.filter(col("vec_id") < 250)
+    val centroids = IvfIndex.train(base, nLists = 4, iters = 2)
+    IvfIndex.writeIndex(base, centroids, dir)
+    val before = spark.read.parquet(s"$dir/lists")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    IvfIndex.appendToIndex(emb.filter(col("vec_id") >= 250), dir)
+    val after = spark.read.parquet(s"$dir/lists")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // no duplicates, base assignments untouched, every vector present
+    assert(after.size == emb.count())
+    before.foreach { case (id, l) => assert(after(id) == l) }
+    // appended rows follow the SAME stored-centroid geometry
+    val expected = IvfIndex.assign(emb.filter(col("vec_id") >= 250), centroids)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    expected.foreach { case (id, l) => assert(after(id) == l) }
+    // all-probe search over the extended index = brute force over ALL
+    assert(ids(IvfIndex.topKIndexed(spark, dir, 0L, k = 20, nProbe = 4)) == exact)
+  }
+
   test("blocked kNN graph with one list equals the exact graph bit-for-bit") {
     val centroids = IvfIndex.train(emb, nLists = 1, iters = 1)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -42,6 +42,23 @@ class FunnelSpec extends SparkSpec {
     assert(got == Seq((1, "view", 1L, 1.0), (2, "click", 0L, 0.0)))
   }
 
+  test("retention cohorts: exact integer periods, first-activity cohorting") {
+    // periodSeconds = 60 for readability: user 1 active minutes 1,2,4;
+    // user 2 joins at minute 2, active 2,3; user 3 only minute 4
+    val e = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(4), "view"),
+      (1L, ts(2), "view"), // duplicate (user, period) must not double-count
+      (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      (3L, ts(4), "view")
+    ).toDF("user_id", "ts", "event_type").repartition(3)
+    val got = Funnel.retentionCohorts(e, periodSeconds = 60L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 3L, 1L), // user 1 cohort=min1
+      (2L, 0L, 1L), (2L, 1L, 1L),               // user 2 cohort=min2
+      (4L, 0L, 1L)))                            // user 3 cohort=min4
+  }
+
   test("plan shape: per-step aggregates, no global sort of raw events") {
     val plan = Funnel.conversion(events, steps)
       .queryExecution.executedPlan.toString
