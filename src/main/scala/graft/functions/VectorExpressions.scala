@@ -84,11 +84,134 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` hyperplane-LSH bucket codes of a vector in ONE kernel
+  * pass: code t = Σ_b (1<<b) over the sign of the projection onto the
+  * deterministic hyperplane h[d] = sin(1 + (t·bits+b)·dim + d).
+  *
+  * The per-plane formulation referenced the vector column once per
+  * plane (32 references at bits=4/tables=8); when the column is a
+  * DERIVED expression (e.g. a planted test fixture built with
+  * `transform`), CollapseProject inlines it into every reference.
+  * Arithmetic is bit-identical to `graft_dot(slice(v, 1, dim),
+  * lit(planeVec))`: each element widened to double, multiplied by the
+  * same `math.sin` constant, accumulated in index order; a null/short
+  * vector or a null element yields all-zero codes exactly like the
+  * null-projection `otherwise(0)` bits it replaces.
+  */
+case class HyperplaneCodes(v: Expression, bits: Expression, tables: Expression,
+                           dim: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = bits
+  override def third: Expression = tables
+  override def fourth: Expression = dim
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hyperplane"
+
+  private lazy val floatInput: Boolean = v.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_hyperplane expects array<float> or array<double>, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    HyperplaneKernel.codes(vv.asInstanceOf[ArrayData], floatInput,
+      bits.eval(input).asInstanceOf[Int], tables.eval(input).asInstanceOf[Int],
+      dim.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val vCode = v.genCode(ctx)
+    val bCode = bits.genCode(ctx)
+    val tCode = tables.genCode(ctx)
+    val dCode = dim.genCode(ctx)
+    val vArg = ctx.freshName("hpVec")
+    ev.copy(
+      code = code"""
+        |${vCode.code}
+        |${bCode.code}
+        |${tCode.code}
+        |${dCode.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $vArg =
+        |  ${vCode.isNull} ? null : ${vCode.value};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.functions.HyperplaneKernel.codes(
+        |    $vArg, $floatInput, ${bCode.value}, ${tCode.value}, ${dCode.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(v = newFirst, bits = newSecond, tables = newThird, dim = newFourth)
+}
+
+/** Static hyperplane kernel shared by interpreted eval and codegen. */
+object HyperplaneKernel {
+  // sin hyperplane table cache, keyed by (planes, dim)
+  private val tables = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeTable(planes: Int, dim: Int): Array[Double] =
+    tables.computeIfAbsent((planes, dim), { _ =>
+      Array.tabulate(planes * dim)(i => math.sin((1 + i).toDouble))
+    })
+
+  def codes(v: ArrayData, floatInput: Boolean, bits: Int, tables: Int,
+            dim: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nPlanes = bits * tables
+    val out = new Array[Any](tables)
+    // null / short vector / null element → all-zero codes, matching the
+    // null-projection bits of the per-plane formulation
+    var degenerate = v == null || v.numElements() < dim
+    if (!degenerate) {
+      var d = 0
+      while (d < dim && !degenerate) { degenerate = v.isNullAt(d); d += 1 }
+    }
+    if (degenerate) {
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Long.valueOf(0L))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    val h = planeTable(nPlanes, dim)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (floatInput) v.getFloat(d).toDouble else v.getDouble(d)
+          s += x * h(base + d)
+          d += 1
+        }
+        if (s >= 0) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
-  /** Register `graft_dot` in the session's function registry (idempotent),
-    * making it available to both the DataFrame API (via `expr`) and SQL.
+  /** Register the vector kernels in the session's function registry
+    * (idempotent), for the DataFrame API (via `expr`) and SQL alike.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane",
+      exprs => HyperplaneCodes(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+  }
 }

@@ -55,27 +55,20 @@ object Similarity {
     }
   }
 
-  /** Sign-bit column for hyperplane `plane`: the deterministic
-    * "random" hyperplane h[d] = sin(1 + plane * dim + d) — a fixed
-    * quasi-random pattern identical on every executor. Shared by
-    * [[hyperplaneBuckets]] and [[lshNearDupPairs]] so their bucketing
-    * can never drift apart.
+  /** All hyperplane bucket codes for the `v` column in ONE kernel call
+    * (`graft_hyperplane`): the deterministic "random" hyperplane for
+    * absolute plane p is h[d] = sin(1 + p·dim + d), identical on every
+    * executor; table t's code packs the sign bits of planes
+    * t·bits..t·bits+bits−1. Shared by [[hyperplaneBuckets]] and
+    * [[lshNearDupPairs]] so their bucketing can never drift apart.
+    * A single kernel reference matters: per-plane columns referenced
+    * `v` once per plane, and on a DERIVED vector column (a planted
+    * test fixture built with `transform`) CollapseProject inlines the
+    * definition into every reference — the q35 fixture paid the jitter
+    * lambda 32× per row.
     */
-  private def planeBit(plane: Int, bit: Int, dim: Int): Column = {
-    // One codegen'd graft_dot against a LITERAL hyperplane, not a
-    // dim-term element_at sum: the sum form referenced `v` dim times
-    // per plane (2048 references at bits=4/tables=8), and when `v` is
-    // itself a derived expression (e.g. a transform() lambda building a
-    // test fixture) CollapseProject inlines it into every reference —
-    // a ~100k-node tree that took ~170 s to plan/execute on 500 rows.
-    // graft_dot widens each float to double and accumulates in index
-    // order, exactly like the cast-then-multiply left fold it replaces,
-    // and math.sin is the same Math.sin that sin(lit(..)) constant-
-    // folded to — buckets are bit-identical.
-    val planeVec = Array.tabulate(dim)(d => math.sin((1 + plane * dim + d).toDouble))
-    val proj = dot(slice(col("v"), 1, dim), lit(planeVec))
-    when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
-  }
+  private def hyperplaneCodes(bits: Int, tables: Int, dim: Int): Column =
+    call_function("graft_hyperplane", col("v"), lit(bits), lit(tables), lit(dim))
 
   /** Exact top-k nearest neighbours of one query vector (by vec_id) over
     * the whole corpus: the brute-force baseline. The query row is tiny →
@@ -197,9 +190,9 @@ object Similarity {
   def hyperplaneBuckets(emb: DataFrame, bits: Int = 8, dim: Int = 64): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     requireDim(emb, dim)
-    val bucketBits = (0 until bits).map(b => planeBit(b, b, dim))
     emb.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", bucketBits.reduce(_ + _))
+      .withColumn("bucket",
+        element_at(hyperplaneCodes(bits, tables = 1, dim), 1).cast("int"))
   }
 
   /** Embedding near-duplicate MINING without a blocking key: the
@@ -227,16 +220,14 @@ object Similarity {
     // re-scans beat pinning the whole embedding corpus in storage
     val base = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val bucketCols = (0 until tables).map { t =>
-      val bucketBits = (0 until bits).map(b => planeBit(t * bits + b, b, dim))
-      struct(lit(t).as("t"), bucketBits.reduce(_ + _).as("b")).as(s"bk$t")
-    }
     val buckets = base
-      .select(col("vec_id") +: bucketCols: _*)
-      .select(col("vec_id"), explode(array((0 until tables).map(t => col(s"bk$t")): _*)).as("bk"))
+      .select(col("vec_id"), posexplode(hyperplaneCodes(bits, tables, dim)))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "b")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
     candidates
