@@ -68,6 +68,17 @@ class StreamRdfSpec extends SparkSpec {
     assert(out.count() == 104)
   }
 
+  test("child that exits early fails the query with the child diagnosis") {
+    val e = intercept[Exception] {
+      Stream.df(inputDf, "exit 3", declared).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("exited prematurely") || m.contains("closed mid-message")),
+      msgs(e).mkString(" | "))
+  }
+
   test("int64 input is rejected with casting guidance") {
     val e = intercept[IllegalArgumentException] {
       Stream.df(spark.range(5).toDF("id"), echoCmd, declared)
