@@ -93,6 +93,29 @@ object TextShingling {
     new GenericArrayData(out)
   }
 
+  /** Consecutive spans of `spanWords` words, trailing partial kept. */
+  def spans(text: UTF8String, spanWords: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val nSpans = (n + spanWords - 1) / spanWords
+    val out = new Array[Any](nSpans)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nSpans) {
+      sb.setLength(0)
+      var j = i * spanWords
+      val end = math.min(n, (i + 1) * spanWords)
+      while (j < end) {
+        if (j > i * spanWords) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
@@ -182,6 +205,41 @@ object TextShingling {
       new GenericArrayData(keys)
     }
   }
+}
+
+/** Consecutive `spanWords`-word spans of a text (trailing partial span
+  * kept, duplicates kept, document order) — the span-dedup chopper.
+  * Identical to `transform(sequence(0, ceil(n/sw)-1), i ->
+  * array_join(slice(w, i*sw+1, sw), ' '))` over `w = split(text, ' ')`
+  * without the interpreted per-span lambda.
+  */
+case class WordSpans(text: Expression, spanWords: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = spanWords
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_spans"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || spanWords.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_spans expects (string, int), got " +
+          s"(${text.dataType.simpleString}, ${spanWords.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, sw: Any): Any =
+    TextShingling.spans(t.asInstanceOf[UTF8String], sw.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, sw) =>
+      s"${ev.value} = graft.functions.TextShingling.spans($t, $sw);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, spanWords = newRight)
 }
 
 /** Native per-document SimHash — one narrow pass over the text instead
@@ -299,5 +357,7 @@ object TextExpressions {
       "graft_simhash", exprs => WordSimHash(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashAgg(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_spans", exprs => WordSpans(exprs(0), exprs(1)), "built-in")
   }
 }

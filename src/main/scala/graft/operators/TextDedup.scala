@@ -411,11 +411,11 @@ object TextDedup {
     */
   def spanDupStats(docs: DataFrame, spanWords: Int = 10): DataFrame = {
     require(spanWords > 0)
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val spans = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        s"transform(sequence(0, cast(ceil(size(ws) / ${spanWords}.0) as int) - 1), " +
-          s"i -> array_join(slice(ws, i * $spanWords + 1, $spanWords), ' '))")).as("span"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("graft_spans", col("text"), lit(spanWords)))
+          .as("span"))
     val dupSpans = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
