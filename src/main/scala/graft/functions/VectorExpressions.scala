@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for vector math over `array<float>` /
   * `array<double>`.
@@ -110,6 +110,20 @@ case class HyperplaneCodes(v: Expression, bits: Expression, tables: Expression,
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_hyperplane"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = v.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!vOk || bits.dataType != IntegerType || tables.dataType != IntegerType ||
+        dim.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hyperplane expects (array<float>|array<double>, int, int, int), got " +
+          s"(${v.dataType.simpleString}, ${bits.dataType.simpleString}, " +
+          s"${tables.dataType.simpleString}, ${dim.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
 
   private lazy val floatInput: Boolean = v.dataType match {
     case ArrayType(FloatType, _) => true

@@ -85,8 +85,14 @@ object Funnel {
     require(periodSeconds > 0, "periodSeconds must be positive")
     val spark = events.sparkSession
     import spark.implicits._
+    // floor division via pmod (exact in integer arithmetic — DIV
+    // truncates toward zero and is off by one for pre-1970 timestamps)
+    // and the Column API (not a string-built expr, which broke column
+    // names needing backticks)
+    val ts = unix_timestamp(col(tsCol))
     val active = events.select(col(userCol).as("u"),
-        expr(s"CAST(unix_timestamp($tsCol) DIV $periodSeconds AS BIGINT)").as("p"))
+        ((ts - pmod(ts, lit(periodSeconds))) / lit(periodSeconds))
+          .cast("long").as("p"))
       .distinct()
     val cohort = active.groupBy($"u").agg(min($"p").as("cohort"))
     active.join(cohort, Seq("u"))

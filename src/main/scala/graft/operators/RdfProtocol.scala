@@ -352,8 +352,10 @@ object RdfProtocol {
           f"unsupported column SEXP 0x$other%02x in R df message")
       }
       val n = readInt(in, null, lastMessage = true)
-      if (c == 0) numRows = n
-      else if (n != numRows)
+      if (c == 0) {
+        if (n < 0) throw new IOException("received negative number of rows")
+        numRows = n
+      } else if (n != numRows)
         throw new IOException(s"received lists of different sizes ($n vs $numRows)")
       val vals = new Array[Any](n)
       types(c) match {

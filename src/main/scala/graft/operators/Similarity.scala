@@ -162,6 +162,35 @@ object Similarity {
         col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id")), k)
   }
 
+  /** Approximate kNN graph blocked by hyperplane-LSH bucket — the
+    * corpus-scale kNN variant whose blocking needs NO trained artifact:
+    * every vector gets the single-table `graft_hyperplane` code
+    * (deterministic sin-derived planes, identical on every executor),
+    * and pairs form only within a bucket, as an ordinary equi-join
+    * keyed on the code. Pair cost drops from O(n²) to O(Σ bucket²) —
+    * 2^bits buckets, so `bits` is the parallelism/recall dial (more
+    * bits → smaller buckets → less work, more missed cross-bucket
+    * neighbours; scale `bits` with the corpus). With `bits = 0` every
+    * vector lands in bucket 0 and the result equals the exact graph
+    * bit-for-bit (asserted in AnnRecallSpec). Because the planes are a
+    * closed-form function (h[d] = sin(1 + plane·dim + d)), an external
+    * engine can reproduce the exact same blocking — which is what lets
+    * the q56 oracle value-gate this plan rather than a proxy.
+    * Ranking, scoring, and output schema are identical to [[knnGraph]].
+    */
+  def knnGraphLshBlocked(emb: DataFrame, k: Int = 2, bits: Int = 3,
+                         dim: Int = 64): DataFrame = {
+    require(k > 0 && bits >= 0)
+    VectorExpressions.register(emb.sparkSession)
+    if (bits > 0) requireDim(emb, dim)
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bucket", element_at(hyperplaneCodes(bits, tables = 1, dim), 1))
+      .withColumn("nrm", norm(col("v")))
+    rankNeighbours(
+      e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")), k)
+  }
+
   /** Near-duplicate vector pairs within label blocks (cheap exact
     * variant when a blocking key exists).
     */

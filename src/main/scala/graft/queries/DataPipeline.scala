@@ -128,10 +128,17 @@ object DataPipeline {
     "q55_tfidf_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"), topK = 3)
     },
-    // exact kNN graph (k=2 neighbours per vector) — the brute-force
-    // baseline the blocked/IVF variants are measured against
+    // kNN graph on the SCALE-SAFE plan: hyperplane-LSH-blocked pairs
+    // (equi-join on the deterministic sin-plane bucket code, O(Σ
+    // bucket²) not O(n²)). The oracle reproduces the identical
+    // blocking in SQL — sin planes are closed-form — so this
+    // value-gates the approximate plan itself, not a proxy: same
+    // buckets, same within-bucket ranking, bit-equal cosines. The
+    // exact O(n²) knnGraph stays as the AnnRecallSpec baseline, where
+    // bits=0 degenerates this operator to it bit-for-bit.
     "q56_knn_graph" -> { (s, dir) =>
-      Similarity.knnGraph(Tables.load(s, dir, "embeddings"), k = 2)
+      Similarity.knnGraphLshBlocked(Tables.load(s, dir, "embeddings"),
+        k = 2, bits = 3, dim = 64)
     },
     "q31_vec_near_dup" -> { (s, dir) =>
       Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.8)
@@ -229,6 +236,14 @@ object DataPipeline {
       import s.implicits._
       val packPgm = udf { (id: Long, text: String) =>
         val bytes = text.getBytes("UTF-8")
+        // the oracle recomputes pixels with substr() CHARACTER
+        // positions, which equal these byte offsets only while the
+        // corpus is pure ASCII (and pnmEncode's u16 width caps at
+        // 65535) — fail loudly if a future corpus breaks either
+        // assumption rather than silently diverging from the oracle
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q80 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
         if (id % 97 == 0) "not an image".getBytes("UTF-8")
         else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
           graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
@@ -663,10 +678,23 @@ object DataPipeline {
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |bk AS (SELECT vec_id, v,
+        |    (CASE WHEN list_dot_product(v,
+        |       list_transform(range(0,64), d -> sin(1 + 0*64 + d))) >= 0
+        |      THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_dot_product(v,
+        |       list_transform(range(0,64), d -> sin(1 + 1*64 + d))) >= 0
+        |      THEN 2 ELSE 0 END)
+        |  + (CASE WHEN list_dot_product(v,
+        |       list_transform(range(0,64), d -> sin(1 + 2*64 + d))) >= 0
+        |      THEN 4 ELSE 0 END) AS bucket
+        |  FROM e),
+        |n AS (SELECT vec_id, v, bucket,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM bk),
         |p AS (SELECT a.vec_id src, b.vec_id dst,
         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |  FROM n a JOIN n b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
         |r AS (SELECT src, dst, cos, row_number() OVER
         |        (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
         |      FROM p)

@@ -184,18 +184,50 @@ object Relational {
           $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
-    // exact discrete percentiles per group (percentile_disc picks an
-    // actual data value — no cross-engine interpolation arithmetic).
+    // exact discrete percentiles per group (picks an actual data value —
+    // no cross-engine interpolation arithmetic) on the BOUNDED-MEMORY
+    // two-pass plan: Spark's percentile_disc buffers a value→count map
+    // per (group × column) inside the aggregation (memory ∝ distinct
+    // values per group — l_extendedprice is nearly all-distinct, so at
+    // corpus scale that aggregate OOMs). Instead: pass 1 counts each
+    // group (rows per flag — tiny, broadcast back); pass 2 sorts each
+    // ordering once and streams row_number, picking rank ceil(p·n) —
+    // exactly percentile_disc's "smallest value with cume_dist ≥ p"
+    // (x_ceil(pn) has cume_dist ≥ p; anything smaller has < p). One
+    // spill-able sort shuffle per ORDER BY column, zero value buffers.
     "q64_percentiles" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      val cnt = li.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        count($"l_quantity").as("n_qty"),
+        count($"l_extendedprice").as("n_price"))
+      def pickAt(p: Double, n: org.apache.spark.sql.Column) = ceil(lit(p) * n)
+      val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      val qty = li.select($"l_returnflag", $"l_quantity")
+        .filter($"l_quantity".isNotNull)
+        .withColumn("rn", row_number().over(wq))
+        .join(broadcast(cnt.select($"l_returnflag", $"n_qty")), Seq("l_returnflag"))
+        .filter($"rn" === pickAt(0.25, $"n_qty") ||
+          $"rn" === pickAt(0.5, $"n_qty") || $"rn" === pickAt(0.75, $"n_qty"))
         .groupBy($"l_returnflag")
         .agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_qty"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_qty"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
-          count(lit(1)).as("n"))
+          max(when($"rn" === pickAt(0.25, $"n_qty"), $"l_quantity")).as("p25_qty"),
+          max(when($"rn" === pickAt(0.5, $"n_qty"), $"l_quantity")).as("p50_qty"),
+          max(when($"rn" === pickAt(0.75, $"n_qty"), $"l_quantity")).as("p75_qty"))
+      val wp = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      val price = li.select($"l_returnflag", $"l_extendedprice")
+        .filter($"l_extendedprice".isNotNull)
+        .withColumn("rn", row_number().over(wp))
+        .join(broadcast(cnt.select($"l_returnflag", $"n_price")), Seq("l_returnflag"))
+        .filter($"rn" === pickAt(0.5, $"n_price"))
+        .groupBy($"l_returnflag")
+        .agg(max($"l_extendedprice").as("p50_price"))
+      qty.join(price, Seq("l_returnflag"))
+        .join(cnt.select($"l_returnflag", $"n"), Seq("l_returnflag"))
+        .select($"l_returnflag", $"p25_qty", $"p50_qty", $"p75_qty",
+          $"p50_price", $"n")
         .orderBy($"l_returnflag")
     },
 

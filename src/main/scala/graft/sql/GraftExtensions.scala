@@ -53,7 +53,21 @@ object GraftExtensions {
       cosine _),
     "graft_shingles" -> (
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "graft_shingles"),
-      (args: Seq[Expression]) => graft.functions.WordShingles(args(0), args(1)))
+      (args: Seq[Expression]) => graft.functions.WordShingles(args(0), args(1))),
+    "graft_simhash" -> (
+      new ExpressionInfo(classOf[graft.functions.WordSimHash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => graft.functions.WordSimHash(args(0), args(1))),
+    "graft_minhash" -> (
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        graft.functions.MinHashAgg(args(0), args(1), args(2))),
+    "graft_spans" -> (
+      new ExpressionInfo(classOf[graft.functions.WordSpans].getName, "graft_spans"),
+      (args: Seq[Expression]) => graft.functions.WordSpans(args(0), args(1))),
+    "graft_hyperplane" -> (
+      new ExpressionInfo(classOf[graft.functions.HyperplaneCodes].getName, "graft_hyperplane"),
+      (args: Seq[Expression]) =>
+        graft.functions.HyperplaneCodes(args(0), args(1), args(2), args(3)))
   ) ++ graft.functions.MultimodalExpressions.builders // graft_meta/stats/resize/frames
 
   private def lit(fn: String)(e: Expression): String = {

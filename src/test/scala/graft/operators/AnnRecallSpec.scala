@@ -32,7 +32,7 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("materialised IVF layout prunes partitions to the probed lists") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = tempDir("graft_ivf")
     val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
     IvfIndex.writeIndex(emb, centroids, dir)
     // all-probe search over the materialised layout = brute force
@@ -47,7 +47,7 @@ class AnnRecallSpec extends SparkSpec {
 
   test("incremental append extends an index without touching stored rows") {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val dir = tempDir("graft_ivf_app")
     val base = emb.filter(col("vec_id") < 250)
     val centroids = IvfIndex.train(base, nLists = 4, iters = 2)
     IvfIndex.writeIndex(base, centroids, dir)
@@ -68,6 +68,32 @@ class AnnRecallSpec extends SparkSpec {
     expected.foreach { case (id, l) => assert(after(id) == l) }
     // all-probe search over the extended index = brute force over ALL
     assert(ids(IvfIndex.topKIndexed(spark, dir, 0L, k = 20, nProbe = 4)) == exact)
+  }
+
+  test("LSH-blocked kNN graph with bits=0 equals the exact graph bit-for-bit") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(Similarity.knnGraphLshBlocked(emb, k = 2, bits = 0)) ==
+      rows(Similarity.knnGraph(emb, k = 2)))
+  }
+
+  test("LSH-blocked kNN graph (gated bits) is sound and keeps useful recall") {
+    val blocked = Similarity.knnGraphLshBlocked(emb, k = 2, bits = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = emb.count().toInt
+    val allScores = Similarity.knnGraph(emb, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every blocked edge carries the exact cosine for that pair
+    blocked.foreach { case (edge, cos) => assert(allScores(edge) == cos, edge) }
+    // recall vs the exact graph: near-orthogonal corpus is the
+    // adversarial case; expect roughly the in-bucket mass (~1/8 at
+    // bits=3 over 8 buckets) with a generous floor
+    val exactEdges = Similarity.knnGraph(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactEdges.count(blocked.contains).toDouble / exactEdges.size
+    assert(recall >= 0.05, s"recall $recall")
+    val perSrc = blocked.keys.groupBy(_._1).view.mapValues(_.size)
+    assert(perSrc.values.forall(_ <= 2), perSrc.filter(_._2 > 2).toMap.toString)
   }
 
   test("blocked kNN graph with one list equals the exact graph bit-for-bit") {

@@ -116,7 +116,7 @@ class StreamArrowSpec extends SparkSpec {
     // the vectorized parquet scan feeds StreamExec as ColumnarBatches;
     // ColumnarFrameBuffer must slice multi-chunk batches and carry every
     // type (incl. nulls) without an InternalRow detour
-    val dir = java.nio.file.Files.createTempDirectory("graft_colin").toString
+    val dir = tempDir("graft_colin")
     spark.range(0, 300).select(
         $"id",
         when($"id" % 7 === 0, lit(null)).otherwise($"id" * 0.5).as("d"),
@@ -262,7 +262,7 @@ class StreamArrowSpec extends SparkSpec {
   }
 
   test("Arrow sideLocal works over a columnar (parquet) input child") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sidelocal").toString
+    val dir = tempDir("graft_sidelocal")
     spark.range(0, 40).select($"id").repartition(2)
       .write.mode("overwrite").parquet(dir)
     val in = spark.read.parquet(dir)
@@ -279,7 +279,7 @@ class StreamArrowSpec extends SparkSpec {
     // scan batches (50 rows) smaller than the declared chunk (120):
     // one protocol frame must accumulate rows from several batches,
     // exactly like the row path groups its iterator
-    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    val dir = tempDir("graft_chunk")
     spark.range(0, 300).select($"id").coalesce(1)
       .write.mode("overwrite").parquet(dir)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "50")

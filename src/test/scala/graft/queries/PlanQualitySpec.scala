@@ -139,16 +139,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
-  test("exact kNN graph parallelizes the pair stage and trims before shuffling") {
+  test("blocked kNN graph pairs through a bucket equi-join, not a nested loop") {
     val df = SparkEntryAccess.query("q56_knn_graph")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // probe side re-spread across cores (the O(n^2) stage must not run
-    // on the scan's 1-2 partitions), WindowGroupLimit before the
-    // per-vector exchange, dot product inside codegen
-    assert(plan.toLowerCase.contains("roundrobin"), plan)
+    // the pair stage must be keyed on the LSH bucket code — an
+    // equi-join (sort-merge or shuffled-hash) — with no O(n^2)
+    // nested-loop fallback anywhere in the plan; WindowGroupLimit
+    // before the per-vector exchange, dot product inside codegen
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("WindowGroupLimit"), plan)
     assert("""\*\(\d+\) Project \[[^\]]*graft_dot""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("exact percentiles run bounded-memory: no value-buffer aggregate") {
+    val df = SparkEntryAccess.query("q64_percentiles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the two-pass form must plan streaming sorts + row_number picks;
+    // percentile_disc's ObjectHashAggregate value buffers (memory ∝
+    // distinct values per group) must be gone
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("percentile"), plan)
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
   }
 
   test("q39 local-side pipe plans without any broadcast exchange") {

@@ -9,7 +9,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   import spark.implicits._
 
   test("declared-arity TSV load with malformed-row capture") {
-    val dir = Files.createTempDirectory("graft_tsv").toString
+    val dir = tempDir("graft_tsv")
     Files.writeString(Paths.get(dir, "part1.tsv"),
       "1\talpha\tx\n2\tbeta\ty\nbadline\n3\tgamma\tz\ttoomany\n")
     Files.writeString(Paths.get(dir, "part2.tsv"),
@@ -31,7 +31,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   test("regex-special delimiter is treated literally") {
     // '|' is regex alternation: a regex-based split would explode every
     // line into per-character fields and flag every row as an error
-    val dir = Files.createTempDirectory("graft_pipe").toString
+    val dir = tempDir("graft_pipe")
     Files.writeString(Paths.get(dir, "f.psv"), "a|b|\nc|d|e\n")
     val df = spark.read.format("graft.sources.TsvErrorSource")
       .option("numAttributes", "3").option("delimiter", "|")
@@ -42,7 +42,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   }
 
   test("byte-range splits partition a large file without losing or duplicating lines") {
-    val dir = Files.createTempDirectory("graft_split").toString
+    val dir = tempDir("graft_split")
     // variable-length lines so split boundaries land mid-line, at line
     // starts, and inside multi-byte UTF-8 (é is 2 bytes)
     val lines = (0 until 500).map(i => s"$i\tvalué${"x" * (i % 13)}\tz")
@@ -68,7 +68,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   }
 
   test("a split boundary exactly on a line start assigns the line once") {
-    val dir = Files.createTempDirectory("graft_edge").toString
+    val dir = tempDir("graft_edge")
     // every line is exactly 8 bytes ("aaaaaa1\n"), so maxSplitBytes=8
     // puts every boundary precisely at a line start
     val lines = (0 until 32).map(i => f"line$i%03d")
@@ -81,7 +81,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   }
 
   test("multi-path load, globs, and hidden-file exclusion") {
-    val dir = Files.createTempDirectory("graft_multi").toString
+    val dir = tempDir("graft_multi")
     Files.writeString(Paths.get(dir, "a.tsv"), "1\tx\n")
     Files.writeString(Paths.get(dir, "b.tsv"), "2\ty\n")
     Files.writeString(Paths.get(dir, ".hidden.tsv"), "9\tz\n")
@@ -103,7 +103,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   }
 
   test("option keys are case-insensitive") {
-    val dir = Files.createTempDirectory("graft_ci").toString
+    val dir = tempDir("graft_ci")
     Files.writeString(Paths.get(dir, "f.tsv"),
       (0 until 64).map(i => s"$i\tv").mkString("", "\n", "\n"))
     val df = spark.read.format("graft.sources.TsvErrorSource")
@@ -115,7 +115,7 @@ class TsvErrorSourceSpec extends SparkSpec {
   }
 
   test("custom delimiter") {
-    val dir = Files.createTempDirectory("graft_csv").toString
+    val dir = tempDir("graft_csv")
     Files.writeString(Paths.get(dir, "f.csv"), "a,b\nc,d\n")
     val df = spark.read.format("graft.sources.TsvErrorSource")
       .option("numAttributes", "2").option("delimiter", ",")
