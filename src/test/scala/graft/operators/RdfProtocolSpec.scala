@@ -136,4 +136,58 @@ class RdfProtocolSpec extends AnyFunSuite {
       RdfProtocol.checkDeclared(StructType(Seq(StructField("id", LongType))))
     }
   }
+
+  // ---- real-R envelope fixtures (src/test/resources/rdf) ----
+  // Checked-in serialize(xdr=FALSE, version=2) transcripts spanning
+  // what REAL R interpreters emit but our own writer never does:
+  // R 4.4.1 / 3.4.1 writer-version header ints (we pin 3.2.0), and
+  // CHARSXP level-bit variants (ASCII 0x00040009, UTF-8 0x00080009,
+  // bare 0x09). tools/gen_rdf_fixtures.py generates them from the
+  // public GNU-R serialization layout; tools/capture_rdf_fixture.R
+  // validates/re-captures them under a real R when one is installed.
+  // These tests always run — the byte-transcript twin of the
+  // environment-gated Rscript e2e in StreamRdfSpec.
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/rdf/$name")
+    assert(in != null, s"missing test resource /rdf/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("fixture: R 4.4.1 typed response decodes against a declared schema") {
+    val got = RdfProtocol.readMessage(
+      new ByteArrayInputStream(fixture("r441_typed_response.bin")), null,
+      schema, lastMessage = true)
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 1 && got(0).getDouble(1) == 2.5 &&
+      got(0).getUTF8String(2).toString == "ab")
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+
+  test("fixture: older-R envelope (3.4.1 header, UTF-8/bare CHARSXP levels)") {
+    val (sch, got) = RdfProtocol.readDynamic(
+      new ByteArrayInputStream(fixture("r341_envelope_variants.bin")))
+    assert(sch.fieldNames.toSeq == Seq("x", "s"))
+    assert(sch.fields.map(_.dataType).toSeq == Seq(IntegerType, StringType))
+    assert(got.length == 3)
+    assert(got(0).getInt(0) == 7 && got(0).getUTF8String(1).toString == "héllo")
+    assert(got(1).isNullAt(0) && got(1).getUTF8String(1).toString == "ok")
+    assert(got(2).getInt(0) == 9 && got(2).isNullAt(1))
+  }
+
+  test("fixture: R 4.4.1 empty list is the end-of-data marker") {
+    assert(RdfProtocol.readMessage(
+      new ByteArrayInputStream(fixture("r441_eof.bin")), null, schema,
+      lastMessage = true) == null)
+    assert(RdfProtocol.readDynamic(
+      new ByteArrayInputStream(fixture("r441_eof.bin"))) == null)
+  }
+
+  test("fixture: a full session transcript replays message by message") {
+    val in = new ByteArrayInputStream(fixture("r441_transcript.bin"))
+    val first = RdfProtocol.readMessage(in, null, schema, lastMessage = true)
+    assert(first.length == 2 && first(0).getInt(0) == 1)
+    assert(RdfProtocol.readMessage(in, null, schema, lastMessage = true) == null)
+    assert(in.available() == 0) // nothing trailing: the transcript is exact
+  }
 }

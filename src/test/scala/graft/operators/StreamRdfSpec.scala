@@ -86,6 +86,32 @@ class StreamRdfSpec extends SparkSpec {
     assert(e.getMessage.contains("int64"))
   }
 
+  test("pre-captured R transcript drives the full pipe without R installed") {
+    // the checked-in session transcript (real-R envelope: 4.4.1 writer
+    // version, ASCII-level CHARSXPs — see tools/gen_rdf_fixtures.py)
+    // replayed as the child: `cat` streams [typed response][empty
+    // final], exactly what a one-chunk reference `map` session writes
+    // to stdout. This exercises StreamExec's R-df read path end-to-end
+    // with bytes our own writer never produces — the always-running
+    // twin of the environment-gated Rscript e2e below.
+    val url = getClass.getResource("/rdf/r441_transcript.bin")
+    assume(url != null && url.getProtocol == "file", s"fixture not on disk: $url")
+    val path = new java.io.File(url.toURI).getAbsolutePath
+    val sch = StructType(Seq(
+      StructField("x", IntegerType), StructField("y", DoubleType),
+      StructField("s", StringType)))
+    val in = Seq((10, 0.5, "in")).toDF("x", "y", "s").coalesce(1)
+    // emit the transcript, then drain stdin until the parent closes it
+    // (a child that exits the instant its output is written would trip
+    // the liveness check before the exchange completes)
+    val out = Stream.df(in, s"cat $path; cat >/dev/null", sch, chunkSize = 16)
+      .select($"x", $"y", $"s").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(0) == 1 && out(0).getDouble(1) == 2.5 &&
+      out(0).getString(2) == "ab")
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   /** The unmodified reference R client loop (`r_pkg/R/exported.R:84-107`
     * `map`), re-typed with the library boilerplate inlined: binary
     * stdin/stdout connections, `unserialize`/`serialize(..., xdr=FALSE,
