@@ -26,9 +26,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // ad-hoc config experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     // warmup: one small aggregate through the whole stack
     Tables.load(spark, sfDir, "lineitem").selectExpr("sum(l_orderkey)").collect()
+    val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       // Materialize the FULL result, not df.count(): under a logical-plan
@@ -40,9 +44,20 @@ object Bench {
       // final UnsafeRow projection writes them all) with no pruning —
       // and, unlike a noop-sink write, adds no V2 write wrapper (the
       // wrapper measured a flat ~+0.6 s/query on 1-row outputs).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+      try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        val rdd = df.queryExecution.toRdd // forces analysis + physical plan
+        val t2 = System.nanoTime()
+        rdd.count()
+        if (profile) {
+          val t3 = System.nanoTime()
+          System.err.println(f"[profile] $name build=${(t1 - t0) / 1e9}%.3f " +
+            f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f")
+        }
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across runs

@@ -95,15 +95,23 @@ object GrftCodec {
   def resize(bytes: Array[Byte], outWidth: Int, outHeight: Int): Array[Byte] = {
     val m = meta(bytes)
     if (m.isNullAt(0) || !m.getBoolean(5)) return null
-    // REAL path: a kind=0 container holding a PNM image resizes its
-    // actual raster (dims from the image header) and re-encodes a valid
-    // PNM payload, so resized media decodes like any other image
+    // REAL paths: a kind=0 container holding a PNM or BMP image
+    // resizes its actual raster (dims from the image header) and
+    // re-encodes a valid payload in the SAME format, so resized media
+    // decodes like any other image
     val img = pnmOfContainer(bytes)
     if (img != null) {
       val out = nnResize(img.bytes, img.offset, img.width, img.height,
         img.channels, outWidth, outHeight)
       return pack(outWidth, outHeight, img.channels, 0,
         pnmEncode(outWidth, outHeight, img.channels, out))
+    }
+    val bmp = bmpOfContainer(bytes)
+    if (bmp != null) {
+      val out = nnResize(bmp.data, bmp.offset, bmp.width, bmp.height,
+        bmp.channels, outWidth, outHeight)
+      return pack(outWidth, outHeight, bmp.channels, 0,
+        bmpEncode(outWidth, outHeight, out))
     }
     // declared-stub path: payload treated as a bare row-major raster
     val w = m.getInt(0); val h = m.getInt(1); val c = m.getInt(2)
@@ -216,22 +224,127 @@ object GrftCodec {
     pnmDecode(bytes, HeaderLen)
   }
 
+  // ---- real image codec #2: uncompressed 24-bit BMP (BI_RGB) ----
+  // The second zero-native-dep decodable family: BITMAPFILEHEADER (14
+  // bytes, "BM" magic) + BITMAPINFOHEADER (40 bytes, little-endian),
+  // bitCount=24, compression=0, rows padded to 4 bytes, stored
+  // bottom-up (positive height) or top-down (negative height), BGR
+  // sample order. Decode normalizes to a row-major top-down RGB
+  // raster; encode writes the canonical bottom-up form. Other BMP
+  // configurations (paletted 1/4/8-bit, 16/32-bit, RLE) decode to
+  // null — undecodable media is data, not an error.
+
+  /** A decoded raster normalized to row-major top-down RGB/gray:
+    * `data` holds exactly width×height×channels samples from `offset`.
+    */
+  final case class Raster(width: Int, height: Int, channels: Int,
+                          offset: Int, data: Array[Byte])
+
+  private def bmpRowStride(w: Int): Int = (w * 3 + 3) & ~3
+
+  /** Encode a row-major RGB raster as a canonical bottom-up 24-bit
+    * BI_RGB BMP (the form every viewer and library accepts).
+    */
+  def bmpEncode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length >= w * h * 3, "raster shorter than dimensions")
+    val stride = bmpRowStride(w)
+    val dataSize = stride * h
+    val fileSize = 54 + dataSize
+    val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    b.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, no palette
+    val out = b.array()
+    var y = 0
+    while (y < h) {
+      val src = (h - 1 - y) * w * 3 // bottom-up: last raster row first
+      val dst = 54 + y * stride
+      var x = 0
+      while (x < w) {
+        out(dst + x * 3) = pixels(src + x * 3 + 2)     // B
+        out(dst + x * 3 + 1) = pixels(src + x * 3 + 1) // G
+        out(dst + x * 3 + 2) = pixels(src + x * 3)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Parse a 24-bit BI_RGB BMP payload starting at `off` into a
+    * top-down RGB [[Raster]]; null for any other configuration.
+    */
+  def bmpDecode(bytes: Array[Byte], off: Int): Raster = {
+    if (bytes == null || bytes.length < off + 54) return null
+    if (bytes(off) != 'B' || bytes(off + 1) != 'M') return null
+    val pixOff = i32le(bytes, off + 10)
+    val dibSize = i32le(bytes, off + 14)
+    if (dibSize < 40) return null // BITMAPCOREHEADER etc. unsupported
+    val w = i32le(bytes, off + 18)
+    val rawH = i32le(bytes, off + 22)
+    val topDown = rawH < 0
+    val h = if (topDown) -rawH else rawH
+    if (w <= 0 || h == 0) return null
+    if (u16le(bytes, off + 26) != 1) return null // planes
+    if (u16le(bytes, off + 28) != 24) return null // bitCount
+    if (i32le(bytes, off + 30) != 0) return null // BI_RGB only
+    val stride = bmpRowStride(w)
+    if (pixOff < 54 || bytes.length - off - pixOff < stride.toLong * h) return null
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val src = off + pixOff + srcRow * stride
+      val dst = y * w * 3
+      var x = 0
+      while (x < w) {
+        out(dst + x * 3) = bytes(src + x * 3 + 2)     // R
+        out(dst + x * 3 + 1) = bytes(src + x * 3 + 1) // G
+        out(dst + x * 3 + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, 3, 0, out)
+  }
+
+  /** Decode a kind=0 GRFT container whose payload is a 24-bit BMP, or
+    * null when the container/image is undecodable.
+    */
+  def bmpOfContainer(bytes: Array[Byte]): Raster = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 0) return null
+    bmpDecode(bytes, HeaderLen)
+  }
+
   val imageSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("n_pixels", LongType),
     StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
 
-  /** REAL pixel statistics over the decoded raster of a kind=0 PNM
-    * container (all-null fields when undecodable).
+  /** REAL pixel statistics over the decoded raster of a kind=0 PNM or
+    * BMP container (all-null fields when undecodable).
     */
   def pixels(bytes: Array[Byte]): InternalRow = {
-    val img = pnmOfContainer(bytes)
+    val img = pnmOfContainer(bytes) match {
+      case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
+      case null => bmpOfContainer(bytes)
+    }
     if (img == null) return InternalRow(null, null, null, null, null, null)
     val n = img.width.toLong * img.height * img.channels
     var sum = 0L
     var i = img.offset
     val end = img.offset + n.toInt
-    while (i < end) { sum += (img.bytes(i) & 0xff); i += 1 }
+    while (i < end) { sum += (img.data(i) & 0xff); i += 1 }
     InternalRow(img.width, img.height, img.channels, n, sum,
       if (n == 0) 0.0 else sum.toDouble / n)
   }

@@ -256,6 +256,49 @@ object DataPipeline {
           $"image.n_pixels", $"image.pix_checksum",
           round($"image.mean_pixel", 4).as("mean_pixel"))
         .orderBy($"doc_id")
+    },
+    // SECOND real image codec end-to-end: the same decode→resize→
+    // re-encode→decode pixel gate as q80, but through the 24-bit BI_RGB
+    // BMP path (BITMAPFILEHEADER/BITMAPINFOHEADER, 4-byte row padding,
+    // bottom-up BGR rows). Each document's (ASCII) bytes become a w×1
+    // RGB bitmap with gray pixels (b,b,b); graft_resize decodes the
+    // ACTUAL BMP raster, resamples to 16×1, re-encodes a valid BMP;
+    // graft_pixels decodes THAT. The oracle recomputes the sampled
+    // values straight from the text (each sampled byte counts 3× —
+    // once per channel), so the whole BMP chain is value-gated.
+    // (mean_pixel = checksum/48 = 3·S/48 = S/16 exactly — a
+    // terminating binary and decimal fraction, so round(·,4) is the
+    // identity in both engines, like q80.)
+    "q85_bmp_codec" -> { (s, dir) =>
+      import s.implicits._
+      val packBmp = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        // same loud guard as q80: the oracle's substr() character
+        // positions equal byte offsets only for pure-ASCII text, and
+        // the GRFT header's u16 width caps at 65535
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q85 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a bitmap".getBytes("UTF-8")
+        else {
+          val rgb = new Array[Byte](bytes.length * 3)
+          var i = 0
+          while (i < bytes.length) {
+            rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i)
+            rgb(3 * i + 2) = bytes(i); i += 1
+          }
+          graft.operators.Multimodal.pack(bytes.length, 1, 3, 0,
+            graft.functions.GrftCodec.bmpEncode(bytes.length, 1, rgb))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packBmp($"doc_id", $"text").as("blob"))
+      val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
+      graft.operators.Multimodal.decodeImage(resized, "resized")
+        .select($"doc_id", $"image.width", $"image.height", $"image.channels",
+          $"image.n_pixels", $"image.pix_checksum",
+          round($"image.mean_pixel", 4).as("mean_pixel"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -726,6 +769,28 @@ object DataPipeline {
         |  st.s AS pix_checksum,
         |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
         |       ELSE round(st.s / 16.0, 4) END AS mean_pixel
+        |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q85_bmp_codec" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |px AS (SELECT doc_id,
+        |         list_transform(range(0, 16),
+        |           x -> ascii(substr(text, CAST(x * w // 16 AS INT) + 1, 1))) AS pix
+        |       FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id,
+        |         CAST(3 * list_aggregate(pix, 'sum') AS BIGINT) AS s
+        |       FROM px)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 16 END AS width,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS height,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 3 END AS channels,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(48 AS BIGINT) END AS n_pixels,
+        |  st.s AS pix_checksum,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE round(st.s / 48.0, 4) END AS mean_pixel
         |FROM t LEFT JOIN st USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

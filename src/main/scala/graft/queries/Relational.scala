@@ -199,33 +199,34 @@ object Relational {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
-      val cnt = li.groupBy($"l_returnflag").agg(
-        count(lit(1)).as("n"),
-        count($"l_quantity").as("n_qty"),
-        count($"l_extendedprice").as("n_price"))
       def pickAt(p: Double, n: org.apache.spark.sql.Column) = ceil(lit(p) * n)
+      // group sizes ride the same sorted pass as an unbounded-frame
+      // window count (computed once per partition, spill-backed buffer)
+      // instead of a separate aggregate + broadcast join back
+      val cg = Window.partitionBy($"l_returnflag")
       val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
       val qty = li.select($"l_returnflag", $"l_quantity")
         .filter($"l_quantity".isNotNull)
-        .withColumn("rn", row_number().over(wq))
-        .join(broadcast(cnt.select($"l_returnflag", $"n_qty")), Seq("l_returnflag"))
-        .filter($"rn" === pickAt(0.25, $"n_qty") ||
-          $"rn" === pickAt(0.5, $"n_qty") || $"rn" === pickAt(0.75, $"n_qty"))
+        .select($"l_returnflag", $"l_quantity",
+          row_number().over(wq).as("rn"), count(lit(1)).over(cg).as("nv"))
+        .filter($"rn" === pickAt(0.25, $"nv") ||
+          $"rn" === pickAt(0.5, $"nv") || $"rn" === pickAt(0.75, $"nv"))
         .groupBy($"l_returnflag")
         .agg(
-          max(when($"rn" === pickAt(0.25, $"n_qty"), $"l_quantity")).as("p25_qty"),
-          max(when($"rn" === pickAt(0.5, $"n_qty"), $"l_quantity")).as("p50_qty"),
-          max(when($"rn" === pickAt(0.75, $"n_qty"), $"l_quantity")).as("p75_qty"))
+          max(when($"rn" === pickAt(0.25, $"nv"), $"l_quantity")).as("p25_qty"),
+          max(when($"rn" === pickAt(0.5, $"nv"), $"l_quantity")).as("p50_qty"),
+          max(when($"rn" === pickAt(0.75, $"nv"), $"l_quantity")).as("p75_qty"))
       val wp = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
       val price = li.select($"l_returnflag", $"l_extendedprice")
         .filter($"l_extendedprice".isNotNull)
-        .withColumn("rn", row_number().over(wp))
-        .join(broadcast(cnt.select($"l_returnflag", $"n_price")), Seq("l_returnflag"))
-        .filter($"rn" === pickAt(0.5, $"n_price"))
+        .select($"l_returnflag", $"l_extendedprice",
+          row_number().over(wp).as("rn"), count(lit(1)).over(cg).as("nv"))
+        .filter($"rn" === pickAt(0.5, $"nv"))
         .groupBy($"l_returnflag")
         .agg(max($"l_extendedprice").as("p50_price"))
+      val cnt = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
       qty.join(price, Seq("l_returnflag"))
-        .join(cnt.select($"l_returnflag", $"n"), Seq("l_returnflag"))
+        .join(cnt, Seq("l_returnflag"))
         .select($"l_returnflag", $"p25_qty", $"p50_qty", $"p75_qty",
           $"p50_price", $"n")
         .orderBy($"l_returnflag")

@@ -113,6 +113,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select($"resized").head.isNullAt(0))
   }
 
+  test("real BMP codec: roundtrip with row padding, bottom-up and top-down") {
+    import graft.functions.GrftCodec
+    // 3x2 RGB: width 3 → row stride 12 (9 pixel bytes + 3 pad bytes),
+    // so padding and the bottom-up row flip are both exercised
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 11 % 251).toByte)
+    val bmp = GrftCodec.bmpEncode(3, 2, rgb)
+    assert(bmp.length == 54 + 12 * 2)
+    val dec = GrftCodec.bmpDecode(bmp, 0)
+    assert(dec != null && dec.width == 3 && dec.height == 2 && dec.channels == 3)
+    assert(dec.data.toSeq == rgb.toSeq) // decode(encode(x)) == x
+    // a top-down variant (negative height) decodes to the same raster:
+    // flip the stored rows and negate the height field
+    val topDown = bmp.clone()
+    val stride = 12
+    Array.copy(bmp, 54 + stride, topDown, 54, stride)
+    Array.copy(bmp, 54, topDown, 54 + stride, stride)
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    Array.copy(negH, 0, topDown, 22, 4)
+    val dec2 = GrftCodec.bmpDecode(topDown, 0)
+    assert(dec2 != null && dec2.data.toSeq == rgb.toSeq)
+    // unsupported configs are data, not errors
+    val bpp8 = bmp.clone(); bpp8(28) = 8
+    assert(GrftCodec.bmpDecode(bpp8, 0) == null)
+    val rle = bmp.clone(); rle(30) = 1
+    assert(GrftCodec.bmpDecode(rle, 0) == null)
+    assert(GrftCodec.bmpDecode("BMnot really".getBytes, 0) == null)
+  }
+
+  test("real BMP codec: container resize decodes, resamples, re-encodes BMP") {
+    import graft.functions.GrftCodec
+    // 4x1 gray-as-RGB ramp in a kind=0 container
+    val px = Array[Byte](10, 10, 10, 40, 40, 40, 70, 70, 70, 100, 100, 100)
+    val packed = Seq((1L, Multimodal.pack(4, 1, 3, 0, GrftCodec.bmpEncode(4, 1, px))))
+      .toDF("id", "blob")
+    val resized = Multimodal.resize(packed, "blob", 2, 1)
+    val out = Multimodal.decodeImage(resized, "resized")
+      .select($"image.width", $"image.height", $"image.channels",
+        $"image.n_pixels", $"image.pix_checksum").head
+    // nearest-neighbour picks source pixels 0 and 2 → 10 and 70, ×3 channels
+    assert((out.getInt(0), out.getInt(1), out.getInt(2), out.getLong(3),
+      out.getLong(4)) == (2, 1, 3, 6L, 3L * (10 + 70)))
+    // and the re-encoded payload is itself a decodable BMP
+    val blob = resized.select($"resized").head.getAs[Array[Byte]](0)
+    val inner = GrftCodec.bmpDecode(blob, GrftCodec.HeaderLen)
+    assert(inner != null && inner.width == 2 && inner.height == 1)
+  }
+
   test("binary payloads survive the Arrow pipe round-trip") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)
