@@ -57,6 +57,22 @@ object DataPipeline {
     "q48_containment" -> { (s, dir) =>
       TextDedup.containmentPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
     },
+    // the SKEW-SAFE configurations of the two inverted-index miners,
+    // correctness-proven rather than just unit-tested: the hot-shingle
+    // cap (drop grams shared by more than `cap` documents — licence
+    // boilerplate at corpus scale) is folded into the oracle as the
+    // same document-frequency filter, so the gated result proves the
+    // capped universe's sizes, pair counts, and scores all shift
+    // together exactly as designed. Caps chosen to actually bite on
+    // this corpus (hundreds of bigrams above 20 docs, trigrams above 5).
+    "q86_ngram_jaccard_capped" -> { (s, dir) =>
+      TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"),
+        threshold = 0.5, maxShingleFreq = Some(20))
+    },
+    "q87_containment_capped" -> { (s, dir) =>
+      TextDedup.containmentPairs(Tables.load(s, dir, "documents"),
+        threshold = 0.8, maxShingleFreq = Some(5))
+    },
     // incremental ingestion dedup: half the corpus lives in a MinHash
     // signature index (built ONCE per process via SharedArtifacts —
     // the persisted history of a production ingest, not part of the
@@ -521,6 +537,41 @@ object DataPipeline {
         |         unnest(list_transform(range(1, len(w) - 1),
         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |       FROM w),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+        |SELECT da AS contained, db AS container,
+        |  round(common * 1.0 / sa.n, 4) AS containment
+        |FROM cand JOIN sizes sa ON da = sa.doc_id
+        |WHERE common * 1.0 / sa.n >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q86_ngram_jaccard_capped" ->
+      s"""WITH w AS (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+         |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |sh0 AS (SELECT DISTINCT doc_id, source, lang,
+         |         unnest(list_transform(range(1, len(w)),
+         |                i -> w[i] || ' ' || w[i+1])) AS sh
+         |       FROM w),
+         |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 20),
+         |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+         |pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+         |          FROM sh a JOIN sh b
+         |            ON a.source = b.source AND a.lang = b.lang
+         |           AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |$jaccardTail""".stripMargin,
+
+    "q87_containment_capped" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |       FROM w),
+        |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 5),
+        |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
         |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
         |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
         |         GROUP BY 1, 2),
