@@ -10,7 +10,9 @@ object Verify {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args.take(2)
-    val only = args.lift(2)
+    // comma-separated name-prefix filter, same semantics as Bench's
+    // SPARK_GRAFT_ONLY (a query runs if it starts with ANY prefix)
+    val only = args.lift(2).map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -174,24 +174,34 @@ object TextDedup {
       .withColumn("n", size(col("set")).cast("long"))
 
   /** Remove corpus-wide hot shingles (document frequency > cap) from a
-    * per-doc `set` array column. The hot list is tiny by construction —
-    * only grams appearing in more than `cap` documents — so it
-    * broadcasts, and the removal stays a narrow projection. Shared by
+    * per-doc `set` array column: explode, anti-join against the hot
+    * keys, and re-aggregate per doc (carrying every non-set column
+    * through the groupBy). Every step is ∝ corpus shingles — the hot
+    * side can be any size (AQE broadcasts it when small, shuffles the
+    * anti join when not), unlike the tempting `array_except(set, hot)`
+    * against one collected hot-list row, which rebuilds the hot hash
+    * set PER ROW (measured 25 s vs 1 s on a 5-cap trigram corpus) and
+    * caps out when the hot universe outgrows a single array. Shared by
     * every inverted-index miner: a single corpus-wide hot gram (licence
     * boilerplate is the canonical case) otherwise yields
-    * |posting-list|² join output.
+    * |posting-list|² join output. Docs whose every shingle is hot drop
+    * out entirely — no downstream consumer can score an empty set.
+    * Re-aggregated array order is arbitrary; all consumers (MinHash
+    * mins, `array_intersect` sizes, explode joins) are order-invariant.
     */
   private def capHotShingles(setsRaw: DataFrame,
                              maxShingleFreq: Option[Long]): DataFrame =
     maxShingleFreq match {
       case Some(cap) =>
-        val hot = setsRaw.select(explode(col("set")).as("sh"))
-          .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+        val others = setsRaw.columns.filterNot(_ == "set").map(col)
+        val exploded = setsRaw.select(others :+ explode(col("set")).as("sh"): _*)
+        val hot = exploded.groupBy(col("sh")).agg(count(lit(1)).as("f"))
           .filter(col("f") > cap)
-          .agg(collect_list(col("sh")).as("hot"))
-        setsRaw.crossJoin(broadcast(hot))
-          .withColumn("set", array_except(col("set"), col("hot")))
-          .drop("hot")
+          .select(col("sh"))
+        exploded.join(hot, Seq("sh"), "left_anti")
+          .groupBy(others: _*)
+          .agg(collect_list(col("sh")).as("set"))
+          .select(setsRaw.columns.map(col): _*) // original column order
       case None => setsRaw
     }
 
