@@ -113,6 +113,29 @@ object GrftCodec {
       return pack(outWidth, outHeight, bmp.channels, 0,
         bmpEncode(outWidth, outHeight, out))
     }
+    // REAL audio path: a kind=1 container holding a PCM WAV resamples
+    // its actual frames (1-D nearest-neighbour over outWidth frames,
+    // all channels carried; outHeight must be 1 — audio has no second
+    // raster axis) and re-encodes a valid WAV at the original rate
+    val wav = wavOfContainer(bytes)
+    if (wav != null) {
+      if (outHeight != 1 || wav.nFrames == 0) return null
+      val out = new Array[Short](outWidth * wav.channels)
+      var x = 0
+      while (x < outWidth) {
+        val sx = x * wav.nFrames / outWidth
+        var ch = 0
+        while (ch < wav.channels) {
+          val si = wav.offset + (sx * wav.channels + ch) * 2
+          out(x * wav.channels + ch) =
+            ((u16le(wav.bytes, si) << 16) >> 16).toShort
+          ch += 1
+        }
+        x += 1
+      }
+      return pack(outWidth, 1, wav.channels, 1,
+        wavEncode(wav.sampleRate, wav.channels, out))
+    }
     // declared-stub path: payload treated as a bare row-major raster
     val w = m.getInt(0); val h = m.getInt(1); val c = m.getInt(2)
     if (w == 0 || h == 0 || bytes.length - HeaderLen < w.toLong * h * c) return null
@@ -326,6 +349,117 @@ object GrftCodec {
     bmpDecode(bytes, HeaderLen)
   }
 
+  // ---- real audio codec: RIFF/WAVE 16-bit PCM ----
+  // The audio counterpart of the PNM/BMP paths: canonical RIFF
+  // container ("RIFF" u32 size "WAVE"), chunk walk with even-byte
+  // padding, "fmt " chunk (PCM format 1, 16-bit samples, 1-8
+  // channels), "data" chunk of little-endian interleaved frames.
+  // Anything else — compressed formats, 8/24/32-bit samples, a data
+  // chunk before fmt — decodes to null: undecodable media is data,
+  // not an error.
+
+  /** Decoded WAV view: `offset` = start of sample data in `bytes`,
+    * `nFrames` = per-channel frame count.
+    */
+  final case class Wav(sampleRate: Int, channels: Int, offset: Int,
+                       nFrames: Int, bytes: Array[Byte])
+
+  /** Encode interleaved 16-bit frames as a canonical 44-byte-header
+    * PCM WAV (the form every audio tool accepts).
+    */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"sample rate must be positive, got $sampleRate")
+    require(channels >= 1 && channels <= 8, s"WAV channels must be 1-8, got $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not tile ${channels}-channel frames")
+    val dataSize = samples.length * 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("ASCII"))
+    b.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+    b.put("data".getBytes("ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  private def chunkId(b: Array[Byte], off: Int, id: String): Boolean =
+    b(off) == id.charAt(0) && b(off + 1) == id.charAt(1) &&
+      b(off + 2) == id.charAt(2) && b(off + 3) == id.charAt(3)
+
+  /** Parse a 16-bit PCM WAV payload starting at `off` (proper chunk
+    * walk: unknown chunks — LIST, fact, cue — are skipped with the
+    * RIFF even-byte pad; fmt must precede data per spec). Null for any
+    * other configuration.
+    */
+  def wavDecode(bytes: Array[Byte], off: Int): Wav = {
+    if (bytes == null || bytes.length < off + 12) return null
+    if (!chunkId(bytes, off, "RIFF") || !chunkId(bytes, off + 8, "WAVE")) return null
+    var p = off + 12
+    var fmtSeen = false
+    var channels = 0
+    var sampleRate = 0
+    while (p + 8 <= bytes.length) {
+      val size = i32le(bytes, p + 4)
+      val body = p + 8
+      if (size < 0 || size > bytes.length - body) return null
+      if (chunkId(bytes, p, "fmt ")) {
+        if (size < 16) return null
+        if (u16le(bytes, body) != 1) return null // PCM only
+        channels = u16le(bytes, body + 2)
+        sampleRate = i32le(bytes, body + 4)
+        if (u16le(bytes, body + 14) != 16) return null // 16-bit only
+        if (channels < 1 || channels > 8 || sampleRate <= 0) return null
+        fmtSeen = true
+      } else if (chunkId(bytes, p, "data")) {
+        if (!fmtSeen) return null
+        return Wav(sampleRate, channels, body, size / (2 * channels), bytes)
+      }
+      p = body + size + (size & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  /** Decode a kind=1 GRFT container whose payload is a PCM WAV, or
+    * null when the container/audio is undecodable.
+    */
+  def wavOfContainer(bytes: Array[Byte]): Wav = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 1) return null
+    wavDecode(bytes, HeaderLen)
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("n_frames", LongType), StructField("sample_checksum", LongType),
+    StructField("mean_sample", DoubleType), StructField("peak", IntegerType)))
+
+  /** REAL sample statistics over the decoded audio of a kind=1 WAV
+    * container — rate/channels from the fmt chunk, checksum, mean and
+    * peak (max |sample|) over the actual signed 16-bit samples
+    * (all-null fields when undecodable).
+    */
+  def samples(bytes: Array[Byte]): InternalRow = {
+    val wav = wavOfContainer(bytes)
+    if (wav == null) return InternalRow(null, null, null, null, null, null)
+    val n = wav.nFrames * wav.channels
+    var sum = 0L
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = (u16le(wav.bytes, wav.offset + 2 * i) << 16) >> 16 // sign-extend
+      sum += s
+      val a = if (s < 0) -s else s
+      if (a > peak) peak = a
+      i += 1
+    }
+    InternalRow(wav.sampleRate, wav.channels, wav.nFrames.toLong, sum,
+      if (n == 0) 0.0 else sum.toDouble / n, peak)
+  }
+
   val imageSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("n_pixels", LongType),
@@ -459,6 +593,34 @@ case class GrftPixels(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_samples(bin)` → REAL decoded-audio statistics for a kind=1
+  * GRFT container holding a PCM WAV — rate/channels from the fmt
+  * chunk, checksum/mean/peak over the actual 16-bit samples.
+  * Undecodable input yields all-null fields (never an error).
+  */
+case class GrftSamples(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = GrftCodec.audioSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_samples"
+  override protected def codecMethod: String = "samples"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.samples(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 private[graft] object GrftArgs {
   /** Fold a literal int argument at plan time (the output raster dims /
     * frame geometry are operator options, not per-row data — exactly
@@ -565,6 +727,9 @@ object MultimodalExpressions {
     "graft_pixels" -> (
       new ExpressionInfo(classOf[GrftPixels].getName, "graft_pixels"),
       (args: Seq[Expression]) => GrftPixels(args.head)),
+    "graft_samples" -> (
+      new ExpressionInfo(classOf[GrftSamples].getName, "graft_samples"),
+      (args: Seq[Expression]) => GrftSamples(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

@@ -65,6 +65,18 @@ object Multimodal {
     df.withColumn(out, call_function("graft_pixels", col(binCol)))
   }
 
+  /** REAL audio decode for kind=1 containers holding a RIFF/WAVE
+    * 16-bit PCM payload: rate/channels from the fmt chunk, checksum /
+    * mean / peak over the actual samples. Undecodable media yields
+    * null fields. Same narrow codegen'd-projection topology as
+    * [[decodeImage]]; [[resize]] with `outHeight = 1` resamples WAV
+    * payloads to `outWidth` frames (format-preserving re-encode).
+    */
+  def decodeAudio(df: DataFrame, binCol: String, out: String = "audio"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_samples", col(binCol)))
+  }
+
   /** STUB pixel decode: summarise the payload instead of rasterising it
     * (deterministic fake for the missing codec). Real implementation
     * would decompress inside `GrftCodec.stats`; the Spark side — a

@@ -315,6 +315,48 @@ object DataPipeline {
           $"image.n_pixels", $"image.pix_checksum",
           round($"image.mean_pixel", 4).as("mean_pixel"))
         .orderBy($"doc_id")
+    },
+    // REAL audio codec end-to-end — the kind=1 counterpart of q80/q85:
+    // each document's (ASCII) bytes become centered 16-bit PCM samples
+    // ((b-128)·256) inside a genuine mono RIFF/WAVE payload;
+    // graft_resize decodes the ACTUAL wave, resamples to 16 frames
+    // nearest-neighbour (frame x = source frame floor(x·n/16)),
+    // re-encodes a valid WAV; and graft_samples decodes THAT. The
+    // oracle recomputes every sampled value straight from the text, so
+    // the decode→resample→re-encode→decode chain is value-gated like
+    // the image paths. Every 97th doc is corrupted to prove
+    // undecodable audio degrades to nulls, never errors.
+    // (mean_sample = checksum/16 where checksum = 256·(S−2048) — an
+    // exact integer in both engines, so round(·,4) is the identity.)
+    "q88_wav_codec" -> { (s, dir) =>
+      import s.implicits._
+      val packWav = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        // same loud guard as q80/q85: the oracle's substr() character
+        // positions equal byte offsets only for pure-ASCII text, and
+        // the GRFT header's u16 width caps at 65535
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q88 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a wave".getBytes("UTF-8")
+        else {
+          val samples = new Array[Short](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort; i += 1
+          }
+          graft.operators.Multimodal.pack(bytes.length, 1, 1, 1,
+            graft.functions.GrftCodec.wavEncode(8000, 1, samples))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packWav($"doc_id", $"text").as("blob"))
+      val resampled = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
+      graft.operators.Multimodal.decodeAudio(resampled, "resized")
+        .select($"doc_id", $"audio.sample_rate", $"audio.channels",
+          $"audio.n_frames", $"audio.sample_checksum",
+          round($"audio.mean_sample", 4).as("mean_sample"), $"audio.peak")
+        .orderBy($"doc_id")
     }
   )
 
@@ -842,6 +884,31 @@ object DataPipeline {
         |  st.s AS pix_checksum,
         |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
         |       ELSE round(st.s / 48.0, 4) END AS mean_pixel
+        |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q88_wav_codec" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents),
+        |sm AS (SELECT doc_id,
+        |         list_transform(range(0, 16),
+        |           x -> (ascii(substr(text, CAST(x * n // 16 AS INT) + 1, 1))
+        |                 - 128) * 256) AS s
+        |       FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id,
+        |         CAST(list_aggregate(s, 'sum') AS BIGINT) AS cs,
+        |         CAST(list_aggregate(list_transform(s, v -> abs(v)), 'max')
+        |              AS INT) AS pk
+        |       FROM sm)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(16 AS BIGINT) END AS n_frames,
+        |  st.cs AS sample_checksum,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE round(st.cs / 16.0, 4) END AS mean_sample,
+        |  st.pk AS peak
         |FROM t LEFT JOIN st USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

@@ -161,6 +161,60 @@ class MultimodalSpec extends SparkSpec {
     assert(inner != null && inner.width == 2 && inner.height == 1)
   }
 
+  test("real WAV codec: roundtrip, chunk walk, and unsupported configs") {
+    import graft.functions.GrftCodec
+    // stereo roundtrip: interleaved L/R frames incl. negative samples
+    val frames = Array[Short](100, -200, 3000, -4000, 32767, -32768)
+    val wav = GrftCodec.wavEncode(44100, 2, frames)
+    assert(wav.length == 44 + 12)
+    val dec = GrftCodec.wavDecode(wav, 0)
+    assert(dec != null && dec.sampleRate == 44100 && dec.channels == 2 &&
+      dec.nFrames == 3)
+    // an unknown odd-sized chunk before fmt is skipped with its pad byte
+    val extra = java.nio.ByteBuffer.allocate(wav.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12) // RIFF..WAVE
+    extra.put("LIST".getBytes("ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3-byte body + RIFF pad
+    extra.put(wav, 12, wav.length - 12)
+    val dec2 = GrftCodec.wavDecode(extra.array(), 0)
+    assert(dec2 != null && dec2.nFrames == 3 && dec2.channels == 2)
+    // unsupported configs are data, not errors
+    val mulaw = wav.clone(); mulaw(20) = 7 // format tag != PCM
+    assert(GrftCodec.wavDecode(mulaw, 0) == null)
+    val bits8 = wav.clone(); bits8(34) = 8 // bits per sample != 16
+    assert(GrftCodec.wavDecode(bits8, 0) == null)
+    assert(GrftCodec.wavDecode("RIFFnot a wave".getBytes, 0) == null)
+  }
+
+  test("real WAV codec: container resample decodes, resamples, re-encodes WAV") {
+    import graft.functions.GrftCodec
+    val samples = Array[Short](1000, 2000, 3000, 4000)
+    val packed = Seq((1L, Multimodal.pack(4, 1, 1, 1,
+        GrftCodec.wavEncode(8000, 1, samples))))
+      .toDF("id", "blob")
+    val resampled = Multimodal.resize(packed, "blob", 2, 1)
+    val out = Multimodal.decodeAudio(resampled, "resized")
+      .select($"audio.sample_rate", $"audio.channels", $"audio.n_frames",
+        $"audio.sample_checksum", $"audio.peak").head
+    // nearest-neighbour picks source frames 0 and 2 → 1000 and 3000
+    assert((out.getInt(0), out.getInt(1), out.getLong(2), out.getLong(3),
+      out.getInt(4)) == (8000, 1, 2L, 4000L, 3000))
+    // the re-encoded payload is itself a decodable WAV at the same rate
+    val blob = resampled.select($"resized").head.getAs[Array[Byte]](0)
+    val inner = GrftCodec.wavDecode(blob, GrftCodec.HeaderLen)
+    assert(inner != null && inner.sampleRate == 8000 && inner.nFrames == 2)
+    // audio has no second raster axis: outHeight != 1 is undecodable
+    assert(Multimodal.resize(packed, "blob", 2, 2)
+      .select($"resized").head.isNullAt(0))
+    // a kind=0 container with the same payload is NOT audio
+    val asImage = Seq((1L, Multimodal.pack(4, 1, 1, 0,
+        GrftCodec.wavEncode(8000, 1, samples))))
+      .toDF("id", "blob")
+    assert(Multimodal.decodeAudio(asImage, "blob")
+      .select($"audio.sample_rate").head.isNullAt(0))
+  }
+
   test("binary payloads survive the Arrow pipe round-trip") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)
