@@ -158,4 +158,88 @@ object Sketches {
     */
   def heavyHitters(term: Column, capacity: Int): Column =
     udaf(new HeavyHitters(capacity)).apply(term)
+
+  /** Bottom-k-by-hash quantile sample: the k rows with the
+    * lexicographically smallest (u, value) keys, kept as parallel
+    * ascending arrays (duplicates kept — a uniform sample is a
+    * multiset, unlike KMV's distinct-hash set). Because bottom-k of a
+    * multiset is partitioning-invariant and `u` is a pure hash of each
+    * row's key, the sample — and therefore every quantile pick — is
+    * deterministic, so the sketch sits under the oracle hash gate like
+    * KMV.
+    */
+  final case class QsState(k: Int, us: Array[Double], vs: Array[Double]) {
+    def insert(u: Double, v: Double): QsState = {
+      var lo = 0
+      var hi = us.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (us(mid) < u || (us(mid) == u && vs(mid) < v)) lo = mid + 1 else hi = mid
+      }
+      if (lo >= k) this
+      else {
+        val n = math.min(us.length + 1, k)
+        val nu = new Array[Double](n)
+        val nv = new Array[Double](n)
+        System.arraycopy(us, 0, nu, 0, lo)
+        System.arraycopy(vs, 0, nv, 0, lo)
+        nu(lo) = u
+        nv(lo) = v
+        System.arraycopy(us, lo, nu, lo + 1, n - lo - 1)
+        System.arraycopy(vs, lo, nv, lo + 1, n - lo - 1)
+        QsState(k, nu, nv)
+      }
+    }
+
+    def merge(other: QsState): QsState = {
+      var acc = this
+      var i = 0
+      while (i < other.us.length) { acc = acc.insert(other.us(i), other.vs(i)); i += 1 }
+      acc
+    }
+
+    /** percentile_disc(p) over the sample: sorted value at rank
+      * ceil(p·m) (the smallest sampled value with cume_dist ≥ p).
+      */
+    def quantiles(ps: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      val m = sorted.length
+      ps.map { p =>
+        val rank = math.max(math.ceil(p * m).toInt, 1)
+        sorted(math.min(rank, m) - 1)
+      }
+    }
+  }
+
+  /** One-pass mergeable approximate quantiles — the bounded-memory
+    * scale path next to the exact two-pass percentile plan: map-side
+    * partial bottom-k samples, k (u, value) pairs per group over the
+    * wire, O(k) memory per group regardless of group size, no
+    * per-group sort shuffle. Rows with a null value or hash are
+    * skipped like percentile semantics. Output: one pick per
+    * requested p, in order.
+    */
+  final class QuantileSketch(k: Int, ps: Seq[Double])
+    extends Aggregator[(Option[Double], Option[Double]), QsState, Seq[Double]] {
+    require(k >= 1, s"quantile sketch needs k >= 1, got $k")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile probabilities must be in (0, 1], got $ps")
+    def zero: QsState = QsState(k, Array.emptyDoubleArray, Array.emptyDoubleArray)
+    def reduce(b: QsState, a: (Option[Double], Option[Double])): QsState = a match {
+      case (Some(u), Some(v)) => b.insert(u, v)
+      case _ => b
+    }
+    def merge(b1: QsState, b2: QsState): QsState = b1.merge(b2)
+    def finish(r: QsState): Seq[Double] = r.quantiles(ps)
+    def bufferEncoder: Encoder[QsState] = Encoders.product[QsState]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** `df.groupBy(...).agg(quantileSketch(col("u"), col("v"), 100,
+    * Seq(0.5, 0.95)))` → array of one discrete-percentile pick per p
+    * over the deterministic bottom-k-by-hash sample.
+    */
+  def quantileSketch(u: Column, value: Column, k: Int, ps: Seq[Double]): Column =
+    udaf(new QuantileSketch(k, ps)).apply(u, value)
 }

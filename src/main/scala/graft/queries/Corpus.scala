@@ -87,6 +87,28 @@ object Corpus {
         .orderBy($"o_orderstatus")
     },
 
+    // bottom-k-by-hash quantile sketch vs row count, side by side —
+    // the one-pass mergeable scale path next to q64's exact two-pass
+    // percentiles. The sample is the k rows with the smallest
+    // (hash-uniform, value) keys — deterministic and
+    // partitioning-invariant — so the oracle recomputes the identical
+    // sample and the identical discrete-percentile picks, proving the
+    // partial/merge/finish aggregation path end to end.
+    "q89_quantile_sketch" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .withColumn("h", md5(concat($"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string")).cast("binary")))
+        .withColumn("u", expr(Sampling.u01Spark("h")))
+        .groupBy($"l_returnflag")
+        .agg(Sketches.quantileSketch($"u", $"l_extendedprice",
+            k = 100, ps = Seq(0.5, 0.95)).as("qs"),
+          count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"qs" (0).as("p50_est"),
+          $"qs" (1).as("p95_est"), $"n_rows")
+        .orderBy($"l_returnflag")
+    },
+
     "q72_weighted_sample" -> { (s, dir) =>
       import s.implicits._
       Sampling.weightedTopK(Tables.load(s, dir, "documents"),
@@ -273,6 +295,36 @@ object Corpus {
          |SELECT ex.o_orderstatus, est.est_distinct, ex.exact_distinct, ex.n_rows
          |FROM ex JOIN est USING (o_orderstatus) ORDER BY 1""".stripMargin
     },
+
+    // same bottom-k sample: rank all rows by (u, value) per group,
+    // keep the first k, then percentile_disc's rank pick over the
+    // sample's sorted values — ceil(p·m) as the same double
+    // arithmetic the Scala finish performs
+    "q89_quantile_sketch" ->
+      s"""WITH h AS (SELECT l_returnflag, l_extendedprice AS v,
+         |    md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+         |        CAST(l_linenumber AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |u AS (SELECT l_returnflag, v, $u01 AS u FROM h),
+         |r AS (SELECT l_returnflag, v,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |                           ORDER BY u, v) AS rn
+         |      FROM u),
+         |s AS (SELECT l_returnflag, v FROM r WHERE rn <= 100),
+         |o AS (SELECT l_returnflag, v,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |                           ORDER BY v) AS vr,
+         |        count(*) OVER (PARTITION BY l_returnflag) AS m
+         |      FROM s),
+         |p50 AS (SELECT l_returnflag, v FROM o
+         |        WHERE vr = greatest(CAST(ceil(0.5 * m) AS BIGINT), 1)),
+         |p95 AS (SELECT l_returnflag, v FROM o
+         |        WHERE vr = greatest(CAST(ceil(0.95 * m) AS BIGINT), 1)),
+         |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM lineitem GROUP BY 1)
+         |SELECT n.l_returnflag, p50.v AS p50_est, p95.v AS p95_est, n.n_rows
+         |FROM n JOIN p50 USING (l_returnflag) JOIN p95 USING (l_returnflag)
+         |ORDER BY 1""".stripMargin,
 
     "q72_weighted_sample" ->
       s"""WITH h AS (SELECT source, doc_id, n_chars,

@@ -20,6 +20,31 @@ class SketchesSpec extends SparkSpec {
     assert(got == (1 to 40).map(i => s"t$i" -> i.toLong).toMap)
   }
 
+  test("quantile sketch is exact below k and partitioning-invariant above it") {
+    // 60 values, k=100: the sample IS the data, so picks are the exact
+    // discrete percentiles regardless of partitioning
+    val vals = scala.util.Random.shuffle((1 to 60).map(_.toDouble))
+    val small = vals.zipWithIndex
+      .map { case (v, i) => (i / 61.0, v) } // any distinct us
+      .toDF("u", "v").repartition(7)
+    val exact = small
+      .agg(Sketches.quantileSketch($"u", $"v", k = 100, ps = Seq(0.5, 0.9)).as("q"))
+      .select($"q" (0), $"q" (1)).as[(Double, Double)].head()
+    assert(exact == ((30.0, 54.0))) // ceil(.5*60)=30th, ceil(.9*60)=54th
+    // above k: the bottom-k sample (and so the picks) must not depend
+    // on partitioning
+    val big = (1 to 5000).map(i => (((i * 2654435761L) % 9973) / 9973.0, i.toDouble))
+    val byPartitioning = Seq(1, 13, 32).map { p =>
+      big.toDF("u", "v").repartition(p)
+        .agg(Sketches.quantileSketch($"u", $"v", k = 100, ps = Seq(0.25, 0.75)).as("q"))
+        .select($"q" (0), $"q" (1)).as[(Double, Double)].head()
+    }
+    assert(byPartitioning.distinct.size == 1)
+    // and equals the picks over the explicitly computed bottom-100
+    val sample = big.sortBy(identity).take(100).map(_._2).sorted
+    assert(byPartitioning.head == ((sample(24), sample(74))))
+  }
+
   test("heavy hitters over capacity: heavy term survives with a sound lower bound") {
     // 2000 'hot' + 500 distinct rares, capacity 50: hot's true share
     // (2000/2500) far exceeds N/(cap+1) ≈ 49, so it MUST survive, with
