@@ -186,15 +186,17 @@ object Relational {
 
     // exact discrete percentiles per group (picks an actual data value —
     // no cross-engine interpolation arithmetic) on the BOUNDED-MEMORY
-    // two-pass plan: Spark's percentile_disc buffers a value→count map
-    // per (group × column) inside the aggregation (memory ∝ distinct
+    // plan: Spark's percentile_disc buffers a value→count map per
+    // (group × column) inside the aggregation (memory ∝ distinct
     // values per group — l_extendedprice is nearly all-distinct, so at
-    // corpus scale that aggregate OOMs). Instead: pass 1 counts each
-    // group (rows per flag — tiny, broadcast back); pass 2 sorts each
-    // ordering once and streams row_number, picking rank ceil(p·n) —
-    // exactly percentile_disc's "smallest value with cume_dist ≥ p"
-    // (x_ceil(pn) has cume_dist ≥ p; anything smaller has < p). One
-    // spill-able sort shuffle per ORDER BY column, zero value buffers.
+    // corpus scale that aggregate OOMs). Instead: sort each ordering
+    // once and stream row_number, picking rank ceil(p·n) — exactly
+    // percentile_disc's "smallest value with cume_dist ≥ p"
+    // (x_ceil(pn) has cume_dist ≥ p; anything smaller has < p). The
+    // group size n rides the same sorted pass as an unbounded-frame
+    // window count (computed once per partition, spill-backed buffer).
+    // One spill-able sort shuffle per ORDER BY column, zero value
+    // buffers anywhere.
     "q64_percentiles" -> { (s, dir) =>
       import s.implicits._
       val li = t(s, dir, "lineitem")
