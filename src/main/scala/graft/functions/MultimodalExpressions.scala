@@ -136,6 +136,18 @@ object GrftCodec {
       return pack(outWidth, 1, wav.channels, 1,
         wavEncode(wav.sampleRate, wav.channels, out))
     }
+    // REAL video path: a kind=2 container holding an uncompressed AVI
+    // spatially resizes EVERY frame (nearest-neighbour, frame count and
+    // rate preserved) and re-encodes a valid AVI
+    val avi = aviOfContainer(bytes)
+    if (avi != null) {
+      val frames = Array.tabulate(avi.nFrames) { f =>
+        nnResize(aviFrameRgb(avi, f), 0, avi.width, avi.height, 3,
+          outWidth, outHeight)
+      }
+      return pack(outWidth, outHeight, 3, 2,
+        aviEncode(outWidth, outHeight, avi.usPerFrame, frames))
+    }
     // declared-stub path: payload treated as a bare row-major raster
     val w = m.getInt(0); val h = m.getInt(1); val c = m.getInt(2)
     if (w == 0 || h == 0 || bytes.length - HeaderLen < w.toLong * h * c) return null
@@ -460,6 +472,233 @@ object GrftCodec {
       if (n == 0) 0.0 else sum.toDouble / n, peak)
   }
 
+  // ---- real video codec: uncompressed 24-bit AVI (RIFF, DIB frames) ----
+  // The video counterpart of the PNM/BMP/WAV paths, and the third use
+  // of the same two primitives: the RIFF chunk walk (WAV) over DIB
+  // rasters (BMP). Canonical layout: "RIFF" size "AVI ", LIST hdrl
+  // (avih main header + LIST strl with a 'vids' strh and a
+  // BITMAPINFOHEADER strf), LIST movi of '00db'/'00dc' frame chunks —
+  // each frame a 24-bit BI_RGB raster with 4-byte row padding,
+  // bottom-up (positive strf height) or top-down (negative), BGR
+  // sample order. Anything else — compressed streams, paletted or
+  // 16/32-bit frames, movi before hdrl — decodes to null: undecodable
+  // media is data, not an error.
+
+  /** Decoded AVI view: `frameOffsets(i)` = start of frame i's DIB
+    * raster in `bytes`; `usPerFrame` = avih frame interval.
+    */
+  final case class Avi(width: Int, height: Int, usPerFrame: Int,
+                       topDown: Boolean, frameOffsets: Array[Int],
+                       bytes: Array[Byte]) {
+    def nFrames: Int = frameOffsets.length
+  }
+
+  /** Encode row-major top-down RGB frames (each width×height×3 bytes)
+    * as a canonical single-stream 24-bit BI_RGB AVI (bottom-up DIB
+    * frames, the form every player and ffmpeg accept).
+    */
+  def aviEncode(w: Int, h: Int, usPerFrame: Int,
+                frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, s"frame dims must be positive, got ${w}x$h")
+    require(usPerFrame > 0, s"frame interval must be positive, got $usPerFrame")
+    frames.foreach(f => require(f.length >= w * h * 3,
+      "frame raster shorter than dimensions"))
+    val stride = bmpRowStride(w)
+    val frameBytes = stride * h
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val b = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(riffSize).put("AVI ".getBytes("ASCII"))
+    b.put("LIST".getBytes("ASCII")).putInt(hdrlSize).put("hdrl".getBytes("ASCII"))
+    b.put("avih".getBytes("ASCII")).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0) // us/frame, rate, pad, flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes) // total, initial, streams, bufsize
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved
+    b.put("LIST".getBytes("ASCII")).putInt(4 + 64 + 48).put("strl".getBytes("ASCII"))
+    b.put("strh".getBytes("ASCII")).putInt(56)
+      .put("vids".getBytes("ASCII")).put("DIB ".getBytes("ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initial
+      .putInt(usPerFrame).putInt(1000000) // scale/rate = frame interval
+      .putInt(0).putInt(frames.length).putInt(frameBytes).putInt(-1).putInt(0) // start, length, bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    b.put("strf".getBytes("ASCII")).putInt(40)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.put("LIST".getBytes("ASCII")).putInt(moviSize).put("movi".getBytes("ASCII"))
+    val out = b.array()
+    var pos = out.length - frames.length * (8 + frameBytes)
+    var i = 0
+    while (i < frames.length) {
+      out(pos) = '0'; out(pos + 1) = '0'; out(pos + 2) = 'd'; out(pos + 3) = 'b'
+      out(pos + 4) = (frameBytes & 0xff).toByte
+      out(pos + 5) = ((frameBytes >> 8) & 0xff).toByte
+      out(pos + 6) = ((frameBytes >> 16) & 0xff).toByte
+      out(pos + 7) = ((frameBytes >> 24) & 0xff).toByte
+      val pix = frames(i)
+      var y = 0
+      while (y < h) {
+        val src = (h - 1 - y) * w * 3 // bottom-up rows
+        val dst = pos + 8 + y * stride
+        var x = 0
+        while (x < w) {
+          out(dst + x * 3) = pix(src + x * 3 + 2)     // B
+          out(dst + x * 3 + 1) = pix(src + x * 3 + 1) // G
+          out(dst + x * 3 + 2) = pix(src + x * 3)     // R
+          x += 1
+        }
+        y += 1
+      }
+      pos += 8 + frameBytes
+      i += 1
+    }
+    out
+  }
+
+  /** Parse an uncompressed 24-bit AVI starting at `off`; null for any
+    * other configuration. hdrl must precede movi (per spec), the strf
+    * raster must match the avih dims, and every frame chunk must hold
+    * exactly one stride-padded raster.
+    */
+  def aviDecode(bytes: Array[Byte], off: Int): Avi = {
+    if (bytes == null || bytes.length < off + 12) return null
+    if (!chunkId(bytes, off, "RIFF") || !chunkId(bytes, off + 8, "AVI ")) return null
+    val riffSize = i32le(bytes, off + 4)
+    if (riffSize < 4 || riffSize > bytes.length - off - 8) return null
+    val end = off + 8 + riffSize
+    var w = 0; var h = 0; var usPerFrame = 0
+    var topDown = false; var fmtOk = false
+    var frameOffsets: Array[Int] = null
+    var nFrames = 0
+    var p = off + 12
+    while (p + 8 <= end) {
+      val size = i32le(bytes, p + 4)
+      val body = p + 8
+      if (size < 0 || size > end - body) return null
+      if (chunkId(bytes, p, "LIST") && size >= 4) {
+        if (chunkId(bytes, body, "hdrl")) {
+          var q = body + 4
+          val hEnd = body + size
+          while (q + 8 <= hEnd) {
+            val s2 = i32le(bytes, q + 4); val b2 = q + 8
+            if (s2 < 0 || s2 > hEnd - b2) return null
+            if (chunkId(bytes, q, "avih") && s2 >= 40) {
+              usPerFrame = i32le(bytes, b2)
+              w = i32le(bytes, b2 + 32)
+              h = i32le(bytes, b2 + 36)
+            } else if (chunkId(bytes, q, "LIST") && s2 >= 4 &&
+                chunkId(bytes, b2, "strl")) {
+              var r = b2 + 4
+              val sEnd = b2 + s2
+              while (r + 8 <= sEnd) {
+                val s3 = i32le(bytes, r + 4); val b3 = r + 8
+                if (s3 < 0 || s3 > sEnd - b3) return null
+                if (chunkId(bytes, r, "strf") && s3 >= 40) {
+                  val bcH = i32le(bytes, b3 + 8)
+                  topDown = bcH < 0
+                  fmtOk = i32le(bytes, b3 + 4) == w &&
+                    (if (topDown) -bcH else bcH) == h &&
+                    u16le(bytes, b3 + 12) == 1 && // planes
+                    u16le(bytes, b3 + 14) == 24 && // bitCount
+                    i32le(bytes, b3 + 16) == 0 // BI_RGB only
+                }
+                r = b3 + s3 + (s3 & 1)
+              }
+            }
+            q = b2 + s2 + (s2 & 1)
+          }
+        } else if (chunkId(bytes, body, "movi")) {
+          // hdrl must already have declared a decodable stream
+          if (!fmtOk || w <= 0 || h <= 0 || w > 0xffff || h > 0xffff) return null
+          val stride = bmpRowStride(w)
+          if (frameOffsets == null) frameOffsets = new Array[Int](size / (8 + stride * h) + 1)
+          var q = body + 4
+          val mEnd = body + size
+          while (q + 8 <= mEnd) {
+            val s2 = i32le(bytes, q + 4); val b2 = q + 8
+            if (s2 < 0 || s2 > mEnd - b2) return null
+            if (chunkId(bytes, q, "00db") || chunkId(bytes, q, "00dc")) {
+              if (s2 != stride * h) return null // one full raster per frame
+              frameOffsets(nFrames) = b2
+              nFrames += 1
+            }
+            q = b2 + s2 + (s2 & 1)
+          }
+        }
+      }
+      p = body + size + (size & 1)
+    }
+    if (!fmtOk || frameOffsets == null) return null
+    Avi(w, h, usPerFrame, topDown, java.util.Arrays.copyOf(frameOffsets, nFrames), bytes)
+  }
+
+  /** Decode a kind=2 GRFT container whose payload is an uncompressed
+    * AVI, or null when the container/video is undecodable.
+    */
+  def aviOfContainer(bytes: Array[Byte]): Avi = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 2) return null
+    aviDecode(bytes, HeaderLen)
+  }
+
+  /** Frame `idx` of a decoded AVI as a row-major top-down RGB raster
+    * (BGR + padding + row order normalized away, same as [[bmpDecode]]).
+    */
+  def aviFrameRgb(avi: Avi, idx: Int): Array[Byte] = {
+    val w = avi.width; val h = avi.height
+    val stride = bmpRowStride(w)
+    val base = avi.frameOffsets(idx)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (avi.topDown) y else h - 1 - y
+      val src = base + srcRow * stride
+      val dst = y * w * 3
+      var x = 0
+      while (x < w) {
+        out(dst + x * 3) = avi.bytes(src + x * 3 + 2)     // R
+        out(dst + x * 3 + 1) = avi.bytes(src + x * 3 + 1) // G
+        out(dst + x * 3 + 2) = avi.bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("n_frames", LongType),
+    StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
+
+  /** REAL pixel statistics over every decoded frame of a kind=2 AVI
+    * container — dims from the stream header, checksum and mean over
+    * the actual RGB samples of all frames (all-null fields when
+    * undecodable).
+    */
+  def video(bytes: Array[Byte]): InternalRow = {
+    val avi = aviOfContainer(bytes)
+    if (avi == null) return InternalRow(null, null, null, null, null, null)
+    val w = avi.width; val h = avi.height
+    val stride = bmpRowStride(w)
+    var sum = 0L
+    var f = 0
+    while (f < avi.nFrames) {
+      val base = avi.frameOffsets(f)
+      var y = 0
+      while (y < h) {
+        var i = base + y * stride
+        val rowEnd = i + w * 3 // padding bytes excluded from the stats
+        while (i < rowEnd) { sum += (avi.bytes(i) & 0xff); i += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    val n = avi.nFrames.toLong * w * h * 3
+    InternalRow(w, h, 3, avi.nFrames.toLong, sum,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   val imageSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("n_pixels", LongType),
@@ -486,10 +725,22 @@ object GrftCodec {
   /** Every `stride`-th `frameSize` slice of the payload, as an array of
     * frames (index i holds frame number i*stride). Anything without a
     * payload — null, header-only, too short — yields an empty array.
+    *
+    * REAL path: when the container is a decodable kind=2 AVI, each
+    * element is the DECODED width×height×3 top-down RGB raster of
+    * frame i*stride — the frame geometry comes from the stream header,
+    * so `frameSize` is ignored (a real codec knows its own frame size;
+    * the argument only shapes the declared-stub slicing below).
     */
   def frames(bytes: Array[Byte], frameSize: Int, stride: Int): ArrayData = {
     if (bytes == null || bytes.length <= HeaderLen)
       return new GenericArrayData(Array.empty[Any])
+    val avi = aviOfContainer(bytes)
+    if (avi != null) {
+      val out = (0 until avi.nFrames by stride)
+        .map(f => aviFrameRgb(avi, f): Any)
+      return new GenericArrayData(out.toArray)
+    }
     val payloadLen = bytes.length - HeaderLen
     val nFrames = payloadLen / frameSize
     val out = (0 until nFrames by stride).map { f =>
@@ -621,6 +872,32 @@ case class GrftSamples(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_video(bin)` → REAL all-frame pixel statistics of a kind=2
+  * AVI container (all-null fields when undecodable).
+  */
+case class GrftVideo(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = GrftCodec.videoSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_video"
+  override protected def codecMethod: String = "video"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.video(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${c.code}
+      |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 private[graft] object GrftArgs {
   /** Fold a literal int argument at plan time (the output raster dims /
     * frame geometry are operator options, not per-row data — exactly
@@ -730,6 +1007,9 @@ object MultimodalExpressions {
     "graft_samples" -> (
       new ExpressionInfo(classOf[GrftSamples].getName, "graft_samples"),
       (args: Seq[Expression]) => GrftSamples(args.head)),
+    "graft_video" -> (
+      new ExpressionInfo(classOf[GrftVideo].getName, "graft_video"),
+      (args: Seq[Expression]) => GrftVideo(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

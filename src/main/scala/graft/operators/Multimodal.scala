@@ -11,14 +11,18 @@ import graft.functions.{GrftCodec, MultimodalExpressions}
   * resize / frame-sample plumbing.
   *
   * The codec layer parses a deterministic GRFT container format (our
-  * stand-in for JPEG/WAV headers). For kind=0 containers holding a
-  * netpbm P5/P6 payload the pixel path is REAL — [[decodeImage]] and
-  * [[resize]] decode and resample the actual raster (netpbm being the
-  * one image family with a zero-native-dep decoder). Other payloads
-  * keep the declared STUB behavior with real Spark plumbing: correct
-  * schemas, codegen'd per-row decode, bounded memory; swapping in a
-  * JPEG/WAV codec is a one-function change inside
-  * [[graft.functions.GrftCodec]]. The distributed topology (narrow
+  * stand-in for opaque media blobs). Each media kind has a REAL
+  * zero-native-dep codec path: kind=0 images holding netpbm P5/P6 or
+  * uncompressed 24-bit BMP payloads ([[decodeImage]]/[[resize]]
+  * operate on the actual raster), kind=1 audio holding 16-bit PCM WAV
+  * ([[decodeAudio]]/[[resize]] operate on the actual samples), and
+  * kind=2 video holding uncompressed 24-bit AVI
+  * ([[decodeVideo]]/[[resize]]/[[sampleFrames]] operate on the actual
+  * frame rasters). Payloads in any OTHER format keep the declared
+  * STUB behavior with real Spark plumbing: correct schemas, codegen'd
+  * per-row decode, bounded memory; adding a compressed codec (JPEG,
+  * MP3, H.264 would all need native libs this container lacks) is a
+  * one-function change inside [[graft.functions.GrftCodec]]. The distributed topology (narrow
   * decode → columnar metadata → keyed shuffles only after size
   * reduction) is what matters at 100 TB, where you decode close to the
   * data and never shuffle raw bytes.
@@ -77,6 +81,20 @@ object Multimodal {
     df.withColumn(out, call_function("graft_samples", col(binCol)))
   }
 
+  /** REAL video decode for kind=2 containers holding an uncompressed
+    * 24-bit AVI payload (RIFF chunk walk + DIB frame rasters — the
+    * same two primitives as the WAV and BMP paths): dims from the
+    * stream header, checksum / mean over the actual RGB samples of
+    * every frame. Undecodable media yields null fields. [[resize]]
+    * spatially resamples every frame (frame count and rate preserved,
+    * format-preserving re-encode); [[sampleFrames]] returns DECODED
+    * RGB rasters for AVI payloads.
+    */
+  def decodeVideo(df: DataFrame, binCol: String, out: String = "video"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_video", col(binCol)))
+  }
+
   /** STUB pixel decode: summarise the payload instead of rasterising it
     * (deterministic fake for the missing codec). Real implementation
     * would decompress inside `GrftCodec.stats`; the Spark side — a
@@ -111,11 +129,13 @@ object Multimodal {
       call_function("graft_resize", col(binCol), lit(outWidth), lit(outHeight)))
   }
 
-  /** Frame sampling for video-kind payloads: every k-th `frameSize`
-    * slice of the payload becomes one output row (`graft_frames` +
-    * Catalyst posexplode, bounded by stride — at scale this is where
-    * you cut 100 TB of video to the frames you actually train on,
-    * before any shuffle).
+  /** Frame sampling for video-kind payloads: every `stride`-th frame
+    * becomes one output row (`graft_frames` + Catalyst posexplode — at
+    * scale this is where you cut 100 TB of video to the frames you
+    * actually train on, before any shuffle). For a decodable AVI
+    * payload each frame is the DECODED top-down RGB raster (geometry
+    * from the stream header; `frameSize` ignored); other payloads keep
+    * the declared-stub `frameSize` slicing.
     */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
                    stride: Int): DataFrame = {

@@ -357,6 +357,58 @@ object DataPipeline {
           $"audio.n_frames", $"audio.sample_checksum",
           round($"audio.mean_sample", 4).as("mean_sample"), $"audio.peak")
         .orderBy($"doc_id")
+    },
+    // REAL video codec end-to-end — the kind=2 counterpart of
+    // q80/q85/q88, exercising the full RIFF+DIB machinery: each
+    // document's (ASCII) bytes become a 4-frame n×1 RGB AVI where
+    // frame f's pixel x is the gray byte at (x+f) mod n (so every
+    // frame is a distinct rotation of the text and the per-frame
+    // decode order matters); graft_resize decodes EVERY actual frame,
+    // spatially resamples each to 16×1 nearest-neighbour (pixel x =
+    // source pixel floor(x·n/16), frame count and rate preserved),
+    // re-encodes a valid AVI; and graft_video decodes THAT and sums
+    // over all 4 decoded frames. The oracle recomputes every sampled
+    // value straight from the text, so the whole
+    // encode→decode→resize→re-encode→decode chain is value-gated.
+    // Every 97th doc is corrupted to prove undecodable video degrades
+    // to nulls, never errors. (mean_pixel = checksum/192 = 3S/192 =
+    // S/64 — exactly representable and ≤ 6 decimal digits, so
+    // round(·,6) is the identity in both engines.)
+    "q90_avi_codec" -> { (s, dir) =>
+      import s.implicits._
+      val packAvi = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        // same loud guard as q80/q85/q88: the oracle's substr()
+        // character positions equal byte offsets only for pure-ASCII
+        // text, and the GRFT header's u16 width caps at 65535
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q90 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a video".getBytes("UTF-8")
+        else {
+          val n = bytes.length
+          val frames = Array.tabulate(4) { f =>
+            val rgb = new Array[Byte](n * 3)
+            var x = 0
+            while (x < n) {
+              val b = bytes((x + f) % n)
+              rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
+              x += 1
+            }
+            rgb
+          }
+          graft.operators.Multimodal.pack(n, 1, 3, 2,
+            graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
+      val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
+      graft.operators.Multimodal.decodeVideo(resized, "resized")
+        .select($"doc_id", $"video.width", $"video.height", $"video.channels",
+          $"video.n_frames", $"video.pix_checksum",
+          round($"video.mean_pixel", 6).as("mean_pixel"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -909,6 +961,31 @@ object DataPipeline {
         |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
         |       ELSE round(st.cs / 16.0, 4) END AS mean_sample,
         |  st.pk AS peak
+        |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q90_avi_codec" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents),
+        |px AS (SELECT doc_id,
+        |         list_transform(
+        |           flatten(list_transform(range(0, 4), f ->
+        |             list_transform(range(0, 16), x ->
+        |               (CAST(x * n // 16 AS INT) + f) % n))),
+        |           i -> ascii(substr(text, CAST(i AS INT) + 1, 1))) AS pix
+        |       FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id,
+        |         CAST(3 * list_aggregate(pix, 'sum') AS BIGINT) AS s
+        |       FROM px)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 16 END AS width,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS height,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 3 END AS channels,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(4 AS BIGINT) END AS n_frames,
+        |  st.s AS pix_checksum,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE round(st.s / 192.0, 6) END AS mean_pixel
         |FROM t LEFT JOIN st USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

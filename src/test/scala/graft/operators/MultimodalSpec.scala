@@ -215,6 +215,95 @@ class MultimodalSpec extends SparkSpec {
       .select($"audio.sample_rate").head.isNullAt(0))
   }
 
+  test("real AVI codec: roundtrip, chunk walk, and unsupported configs") {
+    import graft.functions.GrftCodec
+    // two 3x2 RGB frames: width 3 → stride 12, so DIB padding and the
+    // bottom-up row flip are exercised per frame
+    val f0 = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 11 % 251).toByte)
+    val f1 = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 % 211).toByte)
+    val avi = GrftCodec.aviEncode(3, 2, 40000, Array(f0, f1))
+    val dec = GrftCodec.aviDecode(avi, 0)
+    assert(dec != null && dec.width == 3 && dec.height == 2 &&
+      dec.nFrames == 2 && dec.usPerFrame == 40000)
+    assert(GrftCodec.aviFrameRgb(dec, 0).toSeq == f0.toSeq) // decode(encode(x)) == x
+    assert(GrftCodec.aviFrameRgb(dec, 1).toSeq == f1.toSeq)
+    // an unknown top-level odd-sized chunk between hdrl and movi is
+    // skipped with its RIFF pad byte
+    def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    val moviAt = {
+      var p = 12
+      while (!(avi(p) == 'L' && avi(p + 8) == 'm')) p += 8 + i32(avi, p + 4)
+      p
+    }
+    val extra = java.nio.ByteBuffer
+      .allocate(avi.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(avi, 0, moviAt)
+    extra.put("JUNK".getBytes("ASCII")).putInt(3).put(Array[Byte](9, 9, 9, 0))
+    extra.put(avi, moviAt, avi.length - moviAt)
+    val padded = extra.array()
+    // patch the RIFF size for the inserted 12 bytes
+    val newSize = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(padded.length - 8).array()
+    Array.copy(newSize, 0, padded, 4, 4)
+    val dec2 = GrftCodec.aviDecode(padded, 0)
+    assert(dec2 != null && dec2.nFrames == 2 &&
+      GrftCodec.aviFrameRgb(dec2, 1).toSeq == f1.toSeq)
+    // unsupported configs are data, not errors: non-24-bit frames,
+    // compressed streams, and a movi with no preceding hdrl
+    val strfAt = {
+      var p = 0
+      while (!(avi(p) == 's' && avi(p + 1) == 't' && avi(p + 2) == 'r' &&
+        avi(p + 3) == 'f')) p += 1
+      p + 8
+    }
+    val bpp8 = avi.clone(); bpp8(strfAt + 14) = 8
+    assert(GrftCodec.aviDecode(bpp8, 0) == null)
+    val rle = avi.clone(); rle(strfAt + 16) = 1
+    assert(GrftCodec.aviDecode(rle, 0) == null)
+    assert(GrftCodec.aviDecode("RIFFnot a video".getBytes, 0) == null)
+  }
+
+  test("real AVI codec: container resize resamples every frame, re-encodes AVI") {
+    import graft.functions.GrftCodec
+    // two 4x1 gray-as-RGB frames in a kind=2 container
+    def gray(bs: Byte*): Array[Byte] = bs.toArray.flatMap(b => Array(b, b, b))
+    val f0 = gray(10, 40, 70, 100)
+    val f1 = gray(20, 50, 80, 110)
+    val packed = Seq((1L, Multimodal.pack(4, 1, 3, 2,
+        GrftCodec.aviEncode(4, 1, 40000, Array(f0, f1)))))
+      .toDF("id", "blob")
+    val resized = Multimodal.resize(packed, "blob", 2, 1)
+    val out = Multimodal.decodeVideo(resized, "resized")
+      .select($"video.width", $"video.height", $"video.channels",
+        $"video.n_frames", $"video.pix_checksum").head
+    // nearest-neighbour picks source pixels 0 and 2 of EACH frame
+    // → (10+70) + (20+80), ×3 channels
+    assert((out.getInt(0), out.getInt(1), out.getInt(2), out.getLong(3),
+      out.getLong(4)) == (2, 1, 3, 2L, 3L * (10 + 70 + 20 + 80)))
+    // the re-encoded payload is itself a decodable AVI with both frames
+    val blob = resized.select($"resized").head.getAs[Array[Byte]](0)
+    val inner = GrftCodec.aviDecode(blob, GrftCodec.HeaderLen)
+    assert(inner != null && inner.width == 2 && inner.nFrames == 2 &&
+      inner.usPerFrame == 40000)
+    assert(GrftCodec.aviFrameRgb(inner, 1).toSeq == gray(20, 80).toSeq)
+    // sampleFrames on a real AVI returns DECODED RGB rasters
+    val frames = Multimodal.sampleFrames(packed, "blob", frameSize = 999,
+        stride = 1)
+      .select($"frame_no", $"frame").collect()
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Array[Byte]](1).toSeq == f0.toSeq)
+    assert(frames(1).getInt(0) == 1 &&
+      frames(1).getAs[Array[Byte]](1).toSeq == f1.toSeq)
+    // a kind=0 container with the same payload is NOT video
+    val asImage = Seq((1L, Multimodal.pack(4, 1, 3, 0,
+        GrftCodec.aviEncode(4, 1, 40000, Array(f0)))))
+      .toDF("id", "blob")
+    assert(Multimodal.decodeVideo(asImage, "blob")
+      .select($"video.width").head.isNullAt(0))
+  }
+
   test("binary payloads survive the Arrow pipe round-trip") {
     val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
     val df = mediaDf.filter($"id" < 10).coalesce(1)
