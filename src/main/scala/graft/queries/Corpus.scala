@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Sampling, Sketches, TextAnalysis}
+import graft.operators.{Sampling, Sketches, TextAnalysis, Tokenizer}
 
 /** Corpus-curation queries (round 4): repetition signals, PII-style
   * scrubbing, benchmark decontamination, boilerplate discovery, sketch
@@ -107,6 +107,30 @@ object Corpus {
         .select($"l_returnflag", $"qs" (0).as("p50_est"),
           $"qs" (1).as("p95_est"), $"n_rows")
         .orderBy($"l_returnflag")
+    },
+
+    // tokenizer-training primitive: round-1 BPE pair statistics (the
+    // vocab-sized aggregation that every merge round repeats) over the
+    // corpus word-frequency table. Char-level round 1 is exactly
+    // SQL-expressible — each adjacent pair is a 2-char substring — so
+    // the oracle reproduces the identical counts and the identical
+    // (count desc, pair asc) merge-priority order; the multi-round
+    // loop (argmax → merge → recount) rides on the same pairCounts and
+    // is fixture-tested in TokenizerSpec
+    "q91_bpe_pairs" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tokenizer.wordFreqs(Tables.load(s, dir, "documents"))
+      val pc = Tokenizer.pairCounts(
+          wf.select($"freq", expr("split(word, '')").as("syms")))
+        .select(concat($"left", $"right").as("pair"), $"pair_count")
+      // round-1 symbols are single chars, so concat(left, right) is
+      // injective and (count desc, pair asc) is a total order
+      val w = Window.orderBy($"pair_count".desc, $"pair".asc)
+      pc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"rank", $"pair", $"pair_count")
+        .orderBy($"rank")
     },
 
     "q72_weighted_sample" -> { (s, dir) =>
@@ -232,6 +256,24 @@ object Corpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q91_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w
+        |       WHERE len(word) >= 2 GROUP BY 1),
+        |pr AS (SELECT unnest(list_transform(range(1, len(word)),
+        |                i -> substr(word, CAST(i AS INT), 2))) AS pair,
+        |              freq
+        |       FROM wf),
+        |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM pr GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+        |            AS BIGINT) AS rank,
+        |       pair, pair_count
+        |FROM pc
+        |QUALIFY rank <= 20
+        |ORDER BY rank""".stripMargin,
+
     "q68_repetition" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS sum_words,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training: pair statistics, the merge loop against a
+  * hand-computed fixture, greedy application, and degenerate inputs.
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairCounts weights by word frequency and counts every adjacent position") {
+    val wf = Seq(("aaa", 2L), ("ab", 3L), ("b", 5L))
+      .toDF("word", "freq")
+      .select($"word", $"freq", expr("split(word, '')").as("syms"))
+    val pc = Tokenizer.pairCounts(wf)
+      .orderBy($"left", $"right")
+      .as[(String, String, Long)].collect().toSeq
+    // "aaa" has TWO (a,a) positions ×freq 2 = 4; "ab" → (a,b) ×3;
+    // single-symbol "b" contributes nothing
+    assert(pc == Seq(("a", "a", 4L), ("a", "b", 3L)))
+  }
+
+  test("bpeTrainMerges reproduces the hand-computed merge sequence") {
+    // classic BPE toy corpus: freq(low)=5, freq(lower)=2, freq(widest)=3
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrainMerges(docs, nMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: pairs lo=7, ow=7, we=2, er=2, wi=3, id=3, de=3, es=3,
+    //          st=3 → tie lo/ow at 7 → lexicographic → (l,o) 7
+    // round 2: "lo" merged → (lo,w)=5+2=7 wins
+    // round 3: "low" merged → remaining (low,e)=2, (e,r)=2 and the
+    //          five widest pairs at 3 → lexicographic among count-3:
+    //          (d,e) < (e,s) < (i,d) < (s,t) < (w,i) → (d,e) 3
+    assert(merges == Seq(
+      (1, "l", "o", "lo", 7L),
+      (2, "lo", "w", "low", 7L),
+      (3, "d", "e", "de", 3L)))
+  }
+
+  test("bpeTrainMerges stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrainMerges(docs, nMerges = 5).collect()
+    assert(merges.isEmpty) // all words are single chars — nothing to merge
+  }
+
+  test("bpeSegment applies merges in rank order, greedily left-to-right") {
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val table = Tokenizer.bpeTrainMerges(docs, nMerges = 2) // lo, low
+    val segs = Tokenizer.bpeSegment(docs, table)
+      .select($"word", $"tokens").distinct()
+      .as[(String, Seq[String])].collect().toMap
+    assert(segs("low") == Seq("low"))
+    assert(segs("lower") == Seq("low", "e", "r"))
+    assert(segs("widest") == Seq("w", "i", "d", "e", "s", "t"))
+  }
+}
