@@ -217,6 +217,149 @@ object HyperplaneKernel {
   }
 }
 
+/** `graft_argmax_cos(v, ids, mat)` → struct(bench_id, cos): the
+  * nearest vector of a PLAN-TIME-LITERAL matrix by cosine, in one
+  * codegen'd kernel call per row.
+  *
+  * This is the whole-row form of the brute-force scan: instead of
+  * exploding n×m candidate rows through a join and aggregating them
+  * back (max over struct is not hash-aggregable — the partial
+  * aggregate would SORT the candidates), the m reference vectors ride
+  * the expression as literals (the same plan-time-constant pattern as
+  * [[HyperplaneCodes]]' sin planes and IvfIndex's collected
+  * centroids), the loop runs in registers, and the operator stays a
+  * narrow projection — no candidate row ever exists. `ids` must be
+  * sorted ascending and `mat` its row-major flattening; a
+  * strictly-greater update then breaks cosine ties toward the
+  * smallest id, matching a (cos DESC, id ASC) window oracle.
+  *
+  * Arithmetic parity with the DuckDB oracles: elements widen to
+  * double and accumulate in index order ([[DotProduct]] semantics),
+  * reference norms are precomputed from the same widened values. A
+  * null/mismatched-dim vector or an empty matrix yields a null
+  * struct — bad geometry is missing data, not a plausible score.
+  */
+case class ArgMaxCosine(v: Expression, ids: Expression, mat: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = ids
+  override def third: Expression = mat
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bench_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cos"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = v.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val idsOk = ids.foldable && ids.dataType == ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+    val matOk = mat.foldable && (mat.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (!vOk || !idsOk || !matOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_argmax_cos expects (array<float>|array<double>, " +
+          "literal array<bigint>, literal array<double>), got " +
+          s"(${v.dataType.simpleString}, ${ids.dataType.simpleString}, " +
+          s"${mat.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val floatInput: Boolean = v.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private lazy val state: ArgMaxCosState = {
+    val idArr = ids.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val matArr = mat.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    require(idArr.length > 0 || matArr.isEmpty,
+      "graft_argmax_cos: matrix without ids")
+    require(idArr.isEmpty || matArr.length % idArr.length == 0,
+      s"graft_argmax_cos: ${matArr.length} matrix values do not tile " +
+        s"${idArr.length} reference rows")
+    require(idArr.indices.tail.forall(i => idArr(i - 1) < idArr(i)),
+      "graft_argmax_cos: ids must be strictly ascending (tie order)")
+    new ArgMaxCosState(idArr, matArr, floatInput)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    if (vv == null) null
+    else state.eval(vv.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stateRef = ctx.addReferenceObj("argmaxCosState", state,
+      classOf[ArgMaxCosState].getName)
+    val vCode = v.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      |${vCode.code}
+      |InternalRow ${ev.value} = ${vCode.isNull} ? null
+      |  : $stateRef.eval(${vCode.value});
+      |boolean ${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(v = newFirst, ids = newSecond, mat = newThird)
+}
+
+/** Precomputed reference matrix shared by interpreted eval and codegen
+  * (one instance per expression, shipped once per task binary).
+  */
+final class ArgMaxCosState(ids: Array[Long], mat: Array[Double],
+                           floatInput: Boolean) extends Serializable {
+  private val m = ids.length
+  private val dim = if (m == 0) 0 else mat.length / m
+  // reference norms from the same widened doubles the oracle uses
+  private val norms: Array[Double] = Array.tabulate(m) { j =>
+    var s = 0.0
+    var d = 0
+    while (d < dim) { val x = mat(j * dim + d); s += x * x; d += 1 }
+    math.sqrt(s)
+  }
+
+  def eval(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (v == null || m == 0 || v.numElements() != dim) return null
+    var vn = 0.0
+    var d = 0
+    while (d < dim) {
+      if (v.isNullAt(d)) return null
+      val x = if (floatInput) v.getFloat(d).toDouble else v.getDouble(d)
+      vn += x * x
+      d += 1
+    }
+    vn = math.sqrt(vn)
+    var bestId = 0L
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < m) {
+      var s = 0.0
+      val base = j * dim
+      var i = 0
+      while (i < dim) {
+        val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * mat(base + i)
+        i += 1
+      }
+      val c = s / (vn * norms(j))
+      if (c > bestCos) { bestCos = c; bestId = ids(j) } // ties keep smallest id
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestId, bestCos)
+  }
+}
+
 object VectorExpressions {
   /** Register the vector kernels in the session's function registry
     * (idempotent), for the DataFrame API (via `expr`) and SQL alike.
@@ -227,5 +370,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane",
       exprs => HyperplaneCodes(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmax_cos",
+      exprs => ArgMaxCosine(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

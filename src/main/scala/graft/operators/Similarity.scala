@@ -89,6 +89,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic decontamination: for every corpus vector, its nearest
+    * BENCHMARK vector by cosine and whether that crosses `threshold` —
+    * the embedding-level counterpart of the n-gram contamination scan
+    * (paraphrased benchmark leakage has no shared n-grams but keeps
+    * high cosine). The benchmark side is small by nature (eval sets
+    * are thousands of rows, the corpus is the 100 TB side), so it
+    * rides the plan as a literal matrix inside the codegen'd
+    * `graft_argmax_cos` kernel — the same driver-side-constants
+    * pattern as IvfIndex centroids. The operator is then ONE narrow
+    * projection: no n×m candidate rows (a join + argmax-aggregate
+    * formulation either sorts the candidates — struct max is not
+    * hash-aggregable — or shuffles them), no exchange at all, and the
+    * whole scan stays inside WholeStageCodegen. Cosine ties break
+    * toward the smallest bench_id, matching the oracle's window order.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double = 0.8): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    // eval-set-sized collect (ids + widened vectors), sorted so the
+    // kernel's strictly-greater update realizes the tie order
+    val rows = bench.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val mat = rows.flatMap(_._2)
+    corpus.select(col("vec_id"),
+        call_function("graft_argmax_cos", col("embedding"),
+          typedLit(ids), typedLit(mat)).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("best_bench_id"),
+        round(col("m.cos"), 4).as("max_cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+  }
+
   /** Exact k-nearest-neighbour graph over the whole corpus: for every
     * vector, its `k` closest others by cosine — the retrieval-index
     * build / semantic-dedup primitive. Brute force by construction

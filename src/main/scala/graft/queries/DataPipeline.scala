@@ -185,6 +185,22 @@ object DataPipeline {
         .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
       Similarity.lshNearDupPairs(base.unionAll(planted), threshold = 0.8)
     },
+    // embedding-level benchmark decontamination: label-0 vectors stand
+    // in for the (small) eval set, the rest are the corpus; for every
+    // corpus vector the nearest benchmark vector and the threshold
+    // flag, computed by the literal-matrix graft_argmax_cos kernel —
+    // one narrow codegen'd projection, no candidate rows. Exact-double
+    // cosine parity with the oracle (same widen-then-sequential-sum
+    // order as q30/q31), so argmax, rounding and the >= 0.8
+    // comparison all hash-match.
+    "q92_semantic_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          emb.filter($"label" =!= 0), emb.filter($"label" === 0),
+          threshold = 0.8)
+        .orderBy($"vec_id")
+    },
     // IVF index probing ALL lists: approximate search degenerates to
     // exact, so the brute-force oracle doubles as an index-correctness
     // proof (assignment loses no vectors, per-list search scores match)
@@ -833,6 +849,26 @@ object DataPipeline {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, round(cos, 4) AS cos
         |FROM pr WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    "q92_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE label <> 0),
+        |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm
+        |      FROM n WHERE label = 0),
+        |j AS (SELECT c.vec_id, b.bench_id,
+        |        list_dot_product(c.v, b.bv) / (c.nrm * b.bnrm) AS cos
+        |      FROM c, b),
+        |r AS (SELECT vec_id, bench_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, bench_id) AS rn
+        |      FROM j)
+        |SELECT vec_id, bench_id AS best_bench_id,
+        |       round(cos, 4) AS max_cos, cos >= 0.8 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q31_vec_near_dup" ->
       """WITH e AS (SELECT vec_id, label,

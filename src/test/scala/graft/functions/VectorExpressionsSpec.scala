@@ -54,4 +54,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ev(Seq(1.0, 2.0), Seq(3.0)) == null)
     assert(ev(Seq(1.0, null), Seq(3.0, 4.0)) == null)
   }
+
+  test("graft_argmax_cos: smallest-id ties, exact argmax, bad geometry → null") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    // bench 10=(1,0) and 20=(1,0) are identical → any query ties them;
+    // 30=(0,1) is orthogonal to the x-axis queries
+    val ids = Array(10L, 20L, 30L)
+    val mat = Array(1.0, 0.0, 1.0, 0.0, 0.0, 1.0)
+    val rows = Seq(
+      (1L, Seq(2.0, 0.0)),   // cos 1 with 10 and 20 → tie → id 10
+      (2L, Seq(0.0, 5.0)),   // exactly bench 30
+      (3L, Seq(1.0, 1.0))    // cos .7071 with all; tie again → id 10
+    ).toDF("vec_id", "v")
+    val out = rows.select(col("vec_id"),
+        call_function("graft_argmax_cos", col("v"),
+          typedLit(ids), typedLit(mat)).as("m"))
+      .select(col("vec_id"), col("m.bench_id"), round(col("m.cos"), 4))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10L, 1.0), (2L, 30L, 1.0), (3L, 10L, 0.7071)))
+    // a dim-mismatched vector yields a null struct, not a wrong score
+    val bad = Seq((9L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+      .select(call_function("graft_argmax_cos", col("v"),
+        typedLit(ids), typedLit(mat)).as("m"))
+    assert(bad.head.isNullAt(0))
+  }
 }

@@ -155,6 +155,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[[^\]]*graft_dot""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("semantic decontamination is one codegen'd narrow scan — no join, no agg") {
+    val df = SparkEntryAccess.query("q92_semantic_decontam")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the benchmark rides the graft_argmax_cos kernel as a literal
+    // matrix: no n×m candidate rows may exist, so the plan must have
+    // no join and no aggregate — just a codegen'd projection over the
+    // corpus scan (the only exchange is the final presentation sort)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+    assert("""\*\(\d+\) Project \[[^\]]*graft_argmax_cos""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("exact percentiles run bounded-memory: no value-buffer aggregate") {
     val df = SparkEntryAccess.query("q64_percentiles")(spark, sf)
     df.collect()
