@@ -360,6 +360,141 @@ final class ArgMaxCosState(ids: Array[Long], mat: Array[Double],
   }
 }
 
+/** `graft_quantize8(v)` → struct(scale, q): symmetric int8 vector
+  * quantization — `scale = max|v_i| / 127`, `q_i = floor(v_i / scale
+  * + 0.5)` packed as one signed byte per dimension in a BINARY column.
+  *
+  * This is the index-compression primitive: an int8 index is 8×
+  * smaller than float64 on disk and in executor memory, and
+  * [[Dot8]] scores it in exact integer arithmetic. `floor(x + 0.5)`
+  * instead of `round` is deliberate — floor has identical semantics
+  * in every engine, while round's half-even/half-away modes differ,
+  * so the quantized bytes are bit-reproducible cross-engine. A
+  * zero/null/empty vector quantizes to scale 0 with all-zero bytes
+  * (never a crash); a null element yields a null struct.
+  */
+case class Quantize8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize8 expects array<float> or array<double>, got " +
+            other.simpleString)
+    }
+
+  private lazy val floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Quantize8Kernel.quantize(input.asInstanceOf[ArrayData], floatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |${ev.value} = graft.functions.Quantize8Kernel.quantize($v, $floatInput);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Quantize8Kernel {
+  /** Shared by interpreted eval and codegen. Null element → null
+    * struct; zero/empty vector → (0.0, all-zero bytes).
+    */
+  def quantize(v: ArrayData, floatInput: Boolean):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = if (x < 0) -x else x
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs == 0.0)
+      return org.apache.spark.sql.catalyst.InternalRow(0.0, out)
+    val scale = maxAbs / 127.0
+    i = 0
+    while (i < n) {
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      // |x/scale| <= 127 by construction, so no clamp is needed:
+      // floor(127.0 + 0.5) = 127, floor(-127.0 + 0.5) = -127
+      out(i) = math.floor(x / scale + 0.5).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, out)
+  }
+}
+
+/** `graft_dot8(a, b)` → bigint: exact integer dot product of two int8
+  * quantized vectors (BINARY columns from [[Quantize8]]). The hot
+  * scoring loop of an int8 ANN index — byte loads, integer
+  * multiply-adds, no floating point until the caller rescales — and
+  * because it is integer-exact, quantized rankings are bit-identical
+  * in every engine. Length mismatch or null → null, like graft_dot.
+  */
+case class Dot8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot8 expects (binary, binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var s = 0L
+    var i = 0
+    while (i < x.length) { s += x(i).toLong * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $s += ((long) $x[$i]) * $y[$i];
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register the vector kernels in the session's function registry
     * (idempotent), for the DataFrame API (via `expr`) and SQL alike.
@@ -373,5 +508,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_argmax_cos",
       exprs => ArgMaxCosine(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize8", exprs => Quantize8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot8", exprs => Dot8(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -123,6 +123,47 @@ object Similarity {
         (col("m.cos") >= threshold).as("contaminated"))
   }
 
+  /** Int8-quantize an embedding table for index compression: per
+    * vector a symmetric scale (max|v_i|/127) and the one-byte-per-dim
+    * BINARY payload — 8× smaller than float64 on disk and in executor
+    * memory, which at 100 TB is the difference between an index that
+    * fits the cluster page cache and one that doesn't. One codegen'd
+    * kernel pass (`graft_quantize8`); compose with IvfIndex's list
+    * layout for a compressed partitioned index.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+        call_function("graft_quantize8", col("embedding")).as("m"))
+      .select(col("vec_id"), col("m.scale").as("scale"), col("m.q").as("qvec"))
+  }
+
+  /** Brute-force top-k over the int8 index by QUANTIZED cosine:
+    * `qd(a,b) / sqrt(qd(a,a)·qd(b,b))` — the symmetric scales cancel,
+    * so the whole ranking is derived from exact integer dot products
+    * (`graft_dot8`) and is bit-reproducible in any engine. Same
+    * narrow broadcast shape as [[bruteForceTopK]], reading 1/8 the
+    * bytes per scored row.
+    */
+  def topKQuantized(emb: DataFrame, queryVecId: Long, k: Int = 20): DataFrame = {
+    val qz = quantizeInt8(emb)
+    val q = qz.filter(col("vec_id") === queryVecId).select(col("qvec").as("qq"))
+    qz.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        call_function("graft_dot8", col("qvec"), col("qq")).as("qd"),
+        call_function("graft_dot8", col("qvec"), col("qvec")).as("qaa"),
+        call_function("graft_dot8", col("qq"), col("qq")).as("qbb"))
+      // |qd| <= 127²·64 and qaa·qbb <= (127²·64)² < 2^53: every value
+      // below is exactly representable, so rounding and order match
+      // the oracle bit-for-bit
+      .select(col("vec_id"),
+        round(col("qd") / sqrt((col("qaa") * col("qbb")).cast("double")), 4)
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Exact k-nearest-neighbour graph over the whole corpus: for every
     * vector, its `k` closest others by cosine — the retrieval-index
     * build / semantic-dedup primitive. Brute force by construction

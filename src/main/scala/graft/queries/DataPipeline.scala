@@ -140,6 +140,15 @@ object DataPipeline {
     "q30_ann_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"), queryVecId = 0L, k = 20)
     },
+    // int8-quantized ANN: q30's brute-force shape over the 8×-compressed
+    // index, ranked by QUANTIZED cosine — scales cancel, so the ranking
+    // derives entirely from exact integer graft_dot8 products and the
+    // oracle reproduces the quantization (floor(x/scale + 0.5): floor,
+    // not round, because round's half-mode differs across engines) and
+    // every score bit-for-bit
+    "q93_quantized_topk" -> { (s, dir) =>
+      Similarity.topKQuantized(Tables.load(s, dir, "embeddings"), queryVecId = 0L, k = 20)
+    },
     // corpus-profiling: most source-distinctive terms by smoothed tf-idf
     "q55_tfidf_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"), topK = 3)
@@ -849,6 +858,30 @@ object DataPipeline {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, round(cos, 4) AS cos
         |FROM pr WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    "q93_quantized_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        |  FROM e),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+        |d AS (SELECT z.vec_id,
+        |    list_dot_product(z.q, qq.qv) AS qd,
+        |    list_dot_product(z.q, z.q) AS qaa,
+        |    list_dot_product(qq.qv, qq.qv) AS qbb
+        |  FROM qz z, qq WHERE z.vec_id <> 0)
+        |SELECT vec_id,
+        |       round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) AS qcos
+        |FROM d
+        |ORDER BY round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) DESC, vec_id
+        |LIMIT 20""".stripMargin,
 
     "q92_semantic_decontam" ->
       """WITH e AS (SELECT vec_id, label,

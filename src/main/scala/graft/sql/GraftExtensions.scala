@@ -67,7 +67,17 @@ object GraftExtensions {
     "graft_hyperplane" -> (
       new ExpressionInfo(classOf[graft.functions.HyperplaneCodes].getName, "graft_hyperplane"),
       (args: Seq[Expression]) =>
-        graft.functions.HyperplaneCodes(args(0), args(1), args(2), args(3)))
+        graft.functions.HyperplaneCodes(args(0), args(1), args(2), args(3))),
+    "graft_argmax_cos" -> (
+      new ExpressionInfo(classOf[graft.functions.ArgMaxCosine].getName, "graft_argmax_cos"),
+      (args: Seq[Expression]) =>
+        graft.functions.ArgMaxCosine(args(0), args(1), args(2))),
+    "graft_quantize8" -> (
+      new ExpressionInfo(classOf[graft.functions.Quantize8].getName, "graft_quantize8"),
+      (args: Seq[Expression]) => graft.functions.Quantize8(args(0))),
+    "graft_dot8" -> (
+      new ExpressionInfo(classOf[graft.functions.Dot8].getName, "graft_dot8"),
+      (args: Seq[Expression]) => graft.functions.Dot8(args(0), args(1)))
   ) ++ graft.functions.MultimodalExpressions.builders // graft_meta/stats/resize/frames
 
   private def lit(fn: String)(e: Expression): String = {

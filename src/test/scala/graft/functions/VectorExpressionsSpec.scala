@@ -79,4 +79,30 @@ class VectorExpressionsSpec extends SparkSpec {
         typedLit(ids), typedLit(mat)).as("m"))
     assert(bad.head.isNullAt(0))
   }
+
+  test("graft_quantize8 / graft_dot8: exact bytes, zero vector, mismatch") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      ("ramp", Seq(0.0, -63.5, 127.0)), // scale 1: bytes 0, -63, 127
+      ("zero", Seq(0.0, 0.0, 0.0))
+    ).toDF("name", "v")
+      .select(col("name"), call_function("graft_quantize8", col("v")).as("m"))
+      .select(col("name"), col("m.scale"), col("m.q"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+    // maxabs 127 → scale 1.0; floor(-63.5 + 0.5) = -63 (floor, not
+    // round-half-even which would give -64 in some engines)
+    assert(rows("ramp") == (1.0, Seq[Byte](0, -63, 127)))
+    assert(rows("zero") == (0.0, Seq[Byte](0, 0, 0)))
+    // integer dot of the quantized payloads: 0·0 + (-63)·(-63) + 127·127
+    val d = Seq((Array[Byte](0, -63, 127), Array[Byte](0, -63, 127)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot8", col("a"), col("b"))).head
+    assert(d.getLong(0) == 63L * 63 + 127L * 127)
+    val mm = Seq((Array[Byte](1, 2), Array[Byte](1)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot8", col("a"), col("b"))).head
+    assert(mm.isNullAt(0))
+  }
 }

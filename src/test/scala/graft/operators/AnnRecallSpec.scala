@@ -14,6 +14,15 @@ class AnnRecallSpec extends SparkSpec {
   private lazy val emb = Tables.load(spark, sf, "embeddings")
   private lazy val exact = ids(Similarity.bruteForceTopK(emb, 0L, k = 20))
 
+  test("int8-quantized top-k keeps near-exact recall at 1/8 the bytes") {
+    val quant = ids(Similarity.topKQuantized(emb, 0L, k = 20))
+    val recall = (quant & exact).size / 20.0
+    // int8 symmetric quantization perturbs each cosine by ~1e-2 at
+    // worst; on the fixed test corpus the top-20 should survive almost
+    // unchanged (measured: see assertion floor)
+    assert(recall >= 0.8, s"quantized recall@20 = $recall")
+  }
+
   test("IVF with all lists probed equals brute force") {
     val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
     val all = ids(IvfIndex.topK(emb, centroids, 0L, k = 20, nProbe = 4))
