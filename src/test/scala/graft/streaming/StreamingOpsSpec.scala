@@ -189,6 +189,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("semantic decontamination is stream/batch identical (stateless kernel scan)") {
+    // the literal-matrix graft_argmax_cos kernel is a narrow stateless
+    // projection, so an ingestion stream can be decontaminated against
+    // a benchmark with the SAME operator call as batch — no state, no
+    // watermark, no aggregation
+    implicit val sq = spark.sqlContext
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val bench = emb.filter($"label" === 0)
+    val corpusRows = emb.filter($"label" =!= 0)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val flagged = graft.operators.Similarity.semanticContamination(
+      mem.toDF().toDF("vec_id", "embedding"), bench, threshold = 0.8)
+    val q = flagged.writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").start()
+    mem.addData(corpusRows)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decon_out")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Similarity.semanticContamination(
+        emb.filter($"label" =!= 0), bench, threshold = 0.8)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("pipe operator runs inside foreachBatch on a micro-batched stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
