@@ -250,6 +250,32 @@ class MultimodalSpec extends SparkSpec {
     val dec2 = GrftCodec.aviDecode(padded, 0)
     assert(dec2 != null && dec2.nFrames == 2 &&
       GrftCodec.aviFrameRgb(dec2, 1).toSeq == f1.toSeq)
+    // a top-down variant (negative strf height) decodes to the same
+    // rasters: flip each frame's stored rows and negate the height
+    val topDown = avi.clone()
+    val strfHAt = {
+      var p = 0
+      while (!(topDown(p) == 's' && topDown(p + 1) == 't' && topDown(p + 2) == 'r' &&
+        topDown(p + 3) == 'f')) p += 1
+      p + 8 + 8
+    }
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    Array.copy(negH, 0, topDown, strfHAt, 4)
+    val stride = 12
+    for (f <- 0 until 2) {
+      val base = {
+        var p = 12
+        while (!(topDown(p) == 'L' && topDown(p + 8) == 'm')) p += 8 + i32(topDown, p + 4)
+        p + 12 + 8 + f * (8 + stride * 2)
+      }
+      val row0 = java.util.Arrays.copyOfRange(topDown, base, base + stride)
+      Array.copy(topDown, base + stride, topDown, base, stride)
+      Array.copy(row0, 0, topDown, base + stride, stride)
+    }
+    val decTd = GrftCodec.aviDecode(topDown, 0)
+    assert(decTd != null && GrftCodec.aviFrameRgb(decTd, 0).toSeq == f0.toSeq &&
+      GrftCodec.aviFrameRgb(decTd, 1).toSeq == f1.toSeq)
     // unsupported configs are data, not errors: non-24-bit frames,
     // compressed streams, and a movi with no preceding hdrl
     val strfAt = {
