@@ -147,6 +147,28 @@ object Patterns {
       graft.operators.Funnel.retentionCohorts(Tables.load(s, dir, "events"))
     },
 
+    // Z-order layout clustering: every event's Morton code over the
+    // (user_id, event-time) grid — the multi-dimensional sort key that
+    // makes min/max file pruning work on BOTH predicate columns at
+    // once (LayoutSpec measures the bounding-box shrink vs a
+    // single-column sort; this query gates the interleave itself).
+    // Grid normalization is closed-form from the global min/max
+    // (recomputed identically by the oracle), and the interleave is
+    // pure integer shifts/masks — bit-for-bit engine-portable.
+    "q94_zorder" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", unix_timestamp($"ts").as("tsec"))
+      val mm = ev.agg(min($"user_id"), max($"user_id"),
+        min($"tsec"), max($"tsec")).head
+      ev.select($"event_id",
+          Layout.zvalue(
+            Layout.gridBucket($"user_id", mm.getLong(0), mm.getLong(1)),
+            Layout.gridBucket($"tsec", mm.getLong(2), mm.getLong(3))).as("z"))
+        .orderBy($"event_id")
+    },
+
     // ordered-sequence conversion funnel: users who viewed, then
     // clicked strictly after their first view, then purchased strictly
     // after that — per-step scans + user-sized min aggregates, never a
@@ -161,7 +183,27 @@ object Patterns {
     }
   )
 
+  /** The 2-dim Morton interleave as a DuckDB bit expression: bit j of
+    * `a` lands at 2j, of `b` at 2j+1 (matching `Layout.zvalue(a, b)`);
+    * disjoint bit positions make + equivalent to OR.
+    */
+  private def duckZ2(a: String, b: String): String =
+    (0 until graft.operators.Layout.Bits).flatMap(j => Seq(
+      s"((($a >> $j) & 1) << ${2 * j})",
+      s"((($b >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "q94_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |mm AS (SELECT min(user_id) umin, max(user_id) umax,
+         |         min(tsec) tmin, max(tsec) tmax FROM e),
+         |g AS (SELECT event_id,
+         |    ((user_id - umin) * 65536) // (umax - umin + 1) AS ga,
+         |    ((tsec - tmin) * 65536) // (tmax - tmin + 1) AS gb
+         |  FROM e, mm)
+         |SELECT event_id, CAST(${duckZ2("ga", "gb")} AS BIGINT) AS z
+         |FROM g ORDER BY event_id""".stripMargin,
     "q60_ml_suffstats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  round(sum(x), 4) AS sum_x,
