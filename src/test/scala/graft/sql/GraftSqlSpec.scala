@@ -20,6 +20,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("round-7 vector kernels work from SQL") {
+    GraftExtensions.register(spark)
+    // argmax over a 2-row literal matrix: (2,0) is exactly bench 10
+    val am = spark.sql(
+      "SELECT graft_argmax_cos(array(2.0D, 0.0D), array(10L, 20L), " +
+        "array(1.0D, 0.0D, 0.0D, 1.0D)) AS m").select("m.bench_id", "m.cos").head
+    assert(am.getLong(0) == 10L && am.getDouble(1) == 1.0)
+    val qz = spark.sql(
+      "SELECT graft_quantize8(array(0.0D, 127.0D)) AS m")
+      .select("m.scale", "m.q").head
+    assert(qz.getDouble(0) == 1.0 &&
+      qz.getAs[Array[Byte]](1).toSeq == Seq[Byte](0, 127))
+    val d8 = spark.sql(
+      "SELECT graft_dot8(graft_quantize8(array(0.0D, 127.0D)).q, " +
+        "graft_quantize8(array(0.0D, 127.0D)).q) AS d").head.getLong(0)
+    assert(d8 == 127L * 127)
+  }
+
   test("GRFT media functions work from plain SQL") {
     GraftExtensions.register(spark)
     val blob = graft.operators.Multimodal.pack(4, 2, 1, 0,
