@@ -16,7 +16,8 @@ object SparkEntry {
       (qmod.PipeQueries.queries, qmod.PipeQueries.oracleSql),
       (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql),
       (qmod.Patterns.queries, qmod.Patterns.oracleSql),
-      (qmod.Corpus.queries, qmod.Corpus.oracleSql)
+      (qmod.Corpus.queries, qmod.Corpus.oracleSql),
+      (qmod.Probabilistic.queries, qmod.Probabilistic.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -63,6 +63,45 @@ case class WordShingles(text: Expression, k: Expression)
     copy(text = newLeft, k = newRight)
 }
 
+/** Multiset k-grams with multiplicity — `graft_grams(text, k)`. Same
+  * tokenization contract as [[WordShingles]] but WITHOUT the distinct:
+  * the n−k+1 consecutive grams in order, for counting uses (n-gram LM
+  * training/scoring, CMS feeds) where multiplicity is the point. Null
+  * for texts with fewer than k words.
+  */
+case class WordGrams(text: Expression, k: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_grams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || k.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_grams expects (string, int), got " +
+          s"(${text.dataType.simpleString}, ${k.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, kk: Any): Any =
+    TextShingling.grams(t.asInstanceOf[UTF8String], kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.grams($t, $kk);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
 /** Static shingling kernel, shared by interpreted eval and codegen. */
 object TextShingling {
   /** Distinct word k-grams of `text` in first-occurrence order, or null
@@ -90,6 +129,30 @@ object TextShingling {
     val it = seen.iterator()
     var p = 0
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Multiset word k-grams: every consecutive k-word join, duplicates
+    * and order kept (the LM/counting flavor of `shingles`, which
+    * dedups for set-similarity). Null when fewer than k words.
+    */
+  def grams(text: UTF8String, k: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k) return null
+    val out = new Array[Any](words.length - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -359,5 +422,7 @@ object TextExpressions {
       "graft_minhash", exprs => MinHashAgg(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_spans", exprs => WordSpans(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_grams", exprs => WordGrams(exprs(0), exprs(1)), "built-in")
   }
 }

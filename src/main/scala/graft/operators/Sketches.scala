@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, element_at, least, typedLit, udaf}
 
 /** Mergeable sketches for corpus-scale statistics.
   *
@@ -242,4 +242,68 @@ object Sketches {
     */
   def quantileSketch(u: Column, value: Column, k: Int, ps: Seq[Double]): Column =
     udaf(new QuantileSketch(k, ps)).apply(u, value)
+
+  /** Count-min sketch: d hash rows × w counters. Each occurrence adds
+    * its weight to one counter per row; the frequency estimate for a
+    * term is the MIN of its d counters — an overestimate by exactly the
+    * colliding mass, never an underestimate. d·w longs of state per
+    * group regardless of distinct-term count: frequency queries over a
+    * 100 TB corpus without the distinct-term shuffle an exact
+    * groupBy(term) pays (the same wire-size argument as KMV/MG above).
+    *
+    * Probe positions come from the same md5-slice family as `Bloom`
+    * (row i = hex slice i mod w), so the DuckDB oracle rebuilds the
+    * identical counter matrix from per-term exact counts — the q96
+    * gate checks the collision arithmetic itself, not just the happy
+    * path.
+    */
+  final case class CmsState(width: Int, counts: Array[Long]) {
+    def add(positions: Seq[Long], weight: Long): CmsState = {
+      var i = 0
+      while (i < positions.length) {
+        counts(i * width + positions(i).toInt) += weight
+        i += 1
+      }
+      this
+    }
+    def merge(other: CmsState): CmsState = {
+      var i = 0
+      while (i < counts.length) { counts(i) += other.counts(i); i += 1 }
+      this
+    }
+  }
+
+  /** Aggregator over a `Bloom.positions(h, d, w)` array column: one
+    * occurrence per input row (weight 1).
+    */
+  final class CmsBuild(d: Int, w: Int) extends Aggregator[Seq[Long], CmsState, Array[Long]] {
+    require(d >= 1 && d <= Bloom.MaxK, s"count-min depth must be in [1, ${Bloom.MaxK}], got $d")
+    def zero: CmsState = CmsState(w, new Array[Long](d * w))
+    def reduce(b: CmsState, a: Seq[Long]): CmsState = if (a == null) b else b.add(a, 1L)
+    def merge(b1: CmsState, b2: CmsState): CmsState = b1.merge(b2)
+    def finish(r: CmsState): Array[Long] = r.counts
+    def bufferEncoder: Encoder[CmsState] = Encoders.product[CmsState]
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelp.arrayLong
+  }
+
+  /** Distributed one-job build over a term column; the d·w counter
+    * matrix comes back row-major (sketch-sized, never row data).
+    */
+  def cmsBuild(terms: DataFrame, term: Column, d: Int, w: Int): Array[Long] =
+    terms.select(Bloom.positions(Bloom.md5Hex(term), d, w).as("p"))
+      .agg(udaf(new CmsBuild(d, w)).apply(col("p")).as("c"))
+      .head().getSeq[Long](0).toArray
+
+  /** Point estimate for a term column against a built counter matrix:
+    * min over the d counters, as pure built-in expressions over one
+    * literal array reference (codegen-friendly, no join).
+    */
+  def cmsEstimate(term: Column, counts: Array[Long], d: Int, w: Int): Column = {
+    val c = typedLit(counts)
+    val pos = Bloom.positions(Bloom.md5Hex(term), d, w)
+    val reads = (0 until d).map { i =>
+      element_at(c, (element_at(pos, i + 1) + i.toLong * w).cast("int") + 1)
+    }
+    if (d == 1) reads.head else least(reads: _*)
+  }
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Bloom, NgramLm, Sketches}
+
+/** Probabilistic / model-fitting pipeline operators under the value
+  * gate. All three use the md5-slice hash family, so the DuckDB oracle
+  * rebuilds the exact probabilistic structure — set bits, counter
+  * collisions, smoothing floors — and the approximation itself is
+  * hash-compared, not just spot-checked (the q56/q71 gating idea).
+  *
+  * q95: Bloom prefilter — membership superset vs the exact semi-join,
+  *      false positives counted by the gate.
+  * q96: Count-min frequency estimates over corpus bigrams — the
+  *      min-of-d-counters arithmetic replayed from exact counts.
+  * q97: Bigram-LM quality scores — the perplexity-filter stage on
+  *      engine-portable integer scores.
+  */
+object Probabilistic {
+
+  // deliberately undersized (256 bits for a ~70-key blocklist at
+  // sf0.01) so the gate EXERCISES false positives: n_bloom_pass >
+  // n_exact rows prove the oracle replays the bloom's actual FP set,
+  // not just the happy path. Production sizing is Bloom.prefilter's
+  // m = 1<<20 default (~1.2 bits... see Bloom scaladoc).
+  private val BloomM = 256
+  private val BloomK = 3
+  private val BlockThreshold = 600L
+
+  private val CmsD = 3
+  private val CmsW = 256
+  private val CmsMinCount = 40L
+
+  private val LmMinCount = 2L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-filter prefilter: big-side events tested against a bit
+    // array built from the high-spend user blocklist. The gate counts,
+    // per event type, total rows, bloom survivors, and exact members —
+    // proving no false negative (n_bloom_pass >= n_exact) and charging
+    // the bloom for every false positive it lets through.
+    "q95_bloom_prefilter" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val bl = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(floor($"value")).cast("long").as("sv"))
+        .filter($"sv" > BlockThreshold)
+        .select($"user_id")
+      val words = Bloom.build(bl, $"user_id", BloomM, BloomK)
+      ev.withColumn("bloom_pass",
+          Bloom.mightContain($"user_id", words, BloomM, BloomK))
+        .join(bl.withColumn("is_member", lit(1)), Seq("user_id"), "left")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"bloom_pass", 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when($"is_member".isNotNull, 1L).otherwise(0L)).as("n_exact"))
+        .orderBy($"event_type")
+    },
+
+    // Count-min sketch: frequency estimates for the corpus's frequent
+    // bigrams from a 3×256 counter matrix. n_est >= n_exact always;
+    // the overestimate equals the colliding mass, which the oracle
+    // recomputes counter-by-counter.
+    "q96_cms_freq" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val bi = NgramLm.bigrams(docs, "doc_id", "text").select($"bg")
+      val counts = Sketches.cmsBuild(bi, $"bg", CmsD, CmsW)
+      bi.groupBy($"bg").agg(count(lit(1)).as("n_exact"))
+        .filter($"n_exact" >= CmsMinCount)
+        .withColumn("n_est", Sketches.cmsEstimate($"bg", counts, CmsD, CmsW))
+        .orderBy($"bg")
+    },
+
+    // Bigram-LM scoring: per-document integer LM scores against the
+    // corpus-fit add-one model with the count floor that keeps the
+    // model broadcastable.
+    "q97_lm_score" -> { (s, dir) =>
+      NgramLm.scoreDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", LmMinCount)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The three md5-slice probes of hex column `h`, as DuckDB SQL. */
+  private def duckProbe(h: String, i: Int, m: Int): String =
+    Bloom.positionDuck(h, i, m)
+
+  val oracleSql: Map[String, String] = Map(
+    "q95_bloom_prefilter" ->
+      s"""WITH bl AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+         |            GROUP BY 1 HAVING sum(floor(value)) > $BlockThreshold),
+         |blh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM bl),
+         |bits AS (SELECT DISTINCT
+         |    (CAST(('0x' || substr(h, 1 + 8 * t.i, 8)) AS BIGINT) % $BloomM) AS pos
+         |  FROM blh CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+         |c AS (SELECT event_type, user_id,
+         |        md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         |p AS (SELECT event_type, user_id,
+         |        (${duckProbe("h", 0, BloomM)} IN (SELECT pos FROM bits)
+         |     AND ${duckProbe("h", 1, BloomM)} IN (SELECT pos FROM bits)
+         |     AND ${duckProbe("h", 2, BloomM)} IN (SELECT pos FROM bits)) AS pass
+         |      FROM c)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM bl)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q96_cms_freq" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w),
+         |t AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+         |ph AS (SELECT bg, c, md5(bg) AS h FROM t),
+         |probes AS (SELECT bg, c, t2.i,
+         |    (CAST(('0x' || substr(h, 1 + 8 * t2.i, 8)) AS BIGINT) % $CmsW) AS pos
+         |  FROM ph CROSS JOIN (VALUES (0), (1), (2)) t2(i)),
+         |counters AS (SELECT i, pos, sum(c) AS tot FROM probes GROUP BY 1, 2),
+         |est AS (SELECT p.bg, min(ct.tot) AS e
+         |        FROM probes p JOIN counters ct ON p.i = ct.i AND p.pos = ct.pos
+         |        GROUP BY 1)
+         |SELECT t.bg AS bg, t.c AS n_exact, CAST(est.e AS BIGINT) AS n_est
+         |FROM t JOIN est ON t.bg = est.bg
+         |WHERE t.c >= $CmsMinCount ORDER BY 1""".stripMargin,
+
+    "q97_lm_score" ->
+      s"""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM u),
+         |wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |       WHERE len(string_split(text, ' ')) >= 2),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |         i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM wd),
+         |m AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bi
+         |      GROUP BY 1 HAVING count(*) >= $LmMinCount),
+         |q AS (SELECT bi.doc_id,
+         |        CAST(floor(1000000 * (coalesce(m.c12, 0) + 1) /
+         |                   (u.c1 + v.vs)) AS BIGINT) AS q
+         |      FROM bi LEFT JOIN m ON bi.bg = m.bg
+         |      JOIN u ON u.w = string_split(bi.bg, ' ')[1]
+         |      CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(q) AS BIGINT) AS lm_sum,
+         |  CAST(sum(q) // count(*) AS BIGINT) AS lm_mean
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

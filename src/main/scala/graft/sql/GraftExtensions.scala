@@ -64,6 +64,9 @@ object GraftExtensions {
     "graft_spans" -> (
       new ExpressionInfo(classOf[graft.functions.WordSpans].getName, "graft_spans"),
       (args: Seq[Expression]) => graft.functions.WordSpans(args(0), args(1))),
+    "graft_grams" -> (
+      new ExpressionInfo(classOf[graft.functions.WordGrams].getName, "graft_grams"),
+      (args: Seq[Expression]) => graft.functions.WordGrams(args(0), args(1))),
     "graft_hyperplane" -> (
       new ExpressionInfo(classOf[graft.functions.HyperplaneCodes].getName, "graft_hyperplane"),
       (args: Seq[Expression]) =>

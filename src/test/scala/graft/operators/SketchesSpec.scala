@@ -76,4 +76,52 @@ class SketchesSpec extends SparkSpec {
     // sorted by count desc then term asc; a=2 b=2 c=1
     assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
+
+  /** JVM-side reference CMS: build from exact term counts. */
+  private def refCms(counts: Map[String, Long], d: Int, w: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](d * w)
+    counts.foreach { case (t, c) =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until d).foreach { i =>
+        val p = java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % w
+        out(i * w + p.toInt) += c
+      }
+      md.reset()
+    }
+    out
+  }
+
+  test("count-min matrix equals the reference and is partitioning-invariant") {
+    val terms = (1 to 40).flatMap(i => Seq.fill(i)(s"term$i"))
+    val truth = terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val expected = refCms(truth, d = 3, w = 64).toSeq
+    Seq(1, 7, 32).foreach { p =>
+      val df = spark.createDataset(scala.util.Random.shuffle(terms))
+        .repartition(p).toDF("term")
+      val got = Sketches.cmsBuild(df, $"term", d = 3, w = 64).toSeq
+      assert(got == expected, s"counter matrix diverged at $p partitions")
+    }
+  }
+
+  test("count-min estimates are >= exact, and exact when collision-free") {
+    val terms = (1 to 40).flatMap(i => Seq.fill(i)(s"term$i"))
+    val df = spark.createDataset(terms).repartition(5).toDF("term")
+    // w=64 forces collisions among 40 terms
+    val narrow = Sketches.cmsBuild(df, $"term", d = 3, w = 64)
+    val est = df.distinct()
+      .select($"term", Sketches.cmsEstimate($"term", narrow, 3, 64).as("e"))
+      .as[(String, Long)].collect().toMap
+    (1 to 40).foreach { i =>
+      assert(est(s"term$i") >= i.toLong, s"term$i underestimated: ${est(s"term$i")} < $i")
+    }
+    assert(est.exists { case (t, e) => e > t.stripPrefix("term").toLong },
+      "w=64 over 40 terms produced no collision — widen the test")
+    // d=4, w=8192: 40 terms almost surely collision-free in min-of-4
+    val wide = Sketches.cmsBuild(df, $"term", d = 4, w = 8192)
+    val exact = df.distinct()
+      .select($"term", Sketches.cmsEstimate($"term", wide, 4, 8192).as("e"))
+      .as[(String, Long)].collect().toMap
+    (1 to 40).foreach(i => assert(exact(s"term$i") == i.toLong))
+  }
 }
