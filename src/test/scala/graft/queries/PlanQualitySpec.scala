@@ -260,6 +260,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_kmvdistinct"), plan)
   }
 
+  test("bloom membership is a filter, not a join — and sketch builds aggregate map-side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.load(spark, sf, "events")
+    val words = graft.operators.Bloom.build(
+      ev.filter($"event_type" === "purchase").select($"user_id"), $"user_id", 256, 3)
+    val probe = ev.where(graft.operators.Bloom.mightContain($"user_id", words, 256, 3))
+      .queryExecution.executedPlan.toString
+    // the probe must be a pure scan-side filter on a literal bit array:
+    // no join, no exchange — the whole point of the runtime-filter shape
+    assert(!probe.contains("Join"), probe)
+    assert(!probe.contains("Exchange"), probe)
+    // and the build must be a partial+final aggregate (m/64 longs per
+    // partition over the wire), like the KMV/MG/CMS mergeable family
+    val build = ev.select(graft.operators.Bloom.positions(
+        graft.operators.Bloom.md5Hex($"user_id"), 3, 256).as("p"))
+      .agg(udaf(new graft.operators.Bloom.BloomBuild(256)).apply($"p"))
+      .queryExecution.executedPlan.toString
+    assert(build.contains("partial_bloombuild"), build)
+  }
+
+  test("cms estimates are a narrow projection over the literal counter matrix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val bi = graft.operators.NgramLm.bigrams(docs, "doc_id", "text").select($"bg")
+    val cms = graft.operators.Sketches.cmsBuild(bi, $"bg", 3, 256)
+    val est = bi.distinct()
+      .select($"bg", graft.operators.Sketches.cmsEstimate($"bg", cms, 3, 256))
+      .queryExecution.executedPlan.toString
+    assert(!est.contains("Join"), est)
+  }
+
   test("q72 weighted sampling pushes top-k below the shuffle") {
     val plan = SparkEntryAccess.query("q72_weighted_sample")(spark, sf)
       .queryExecution.executedPlan.toString

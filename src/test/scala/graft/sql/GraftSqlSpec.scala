@@ -38,6 +38,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(d8 == 127L * 127)
   }
 
+  test("graft_grams multiset k-grams work from SQL") {
+    GraftExtensions.register(spark)
+    val g = spark.sql(
+      "SELECT graft_grams('a b a b c', 2) AS g").head.getSeq[String](0)
+    // multiset: "a b" appears twice (positions 0 and 2)
+    assert(g.sorted == Seq("a b", "a b", "b a", "b c"))
+    val uni = spark.sql(
+      "SELECT graft_grams('x y', 1) AS g").head.getSeq[String](0)
+    assert(uni == Seq("x", "y"))
+  }
+
   test("GRFT media functions work from plain SQL") {
     GraftExtensions.register(spark)
     val blob = graft.operators.Multimodal.pack(4, 2, 1, 0,
