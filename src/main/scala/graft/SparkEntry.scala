@@ -17,7 +17,8 @@ object SparkEntry {
       (qmod.DataPipeline.queries, qmod.DataPipeline.oracleSql),
       (qmod.Patterns.queries, qmod.Patterns.oracleSql),
       (qmod.Corpus.queries, qmod.Corpus.oracleSql),
-      (qmod.Probabilistic.queries, qmod.Probabilistic.oracleSql)
+      (qmod.Probabilistic.queries, qmod.Probabilistic.oracleSql),
+      (qmod.Search.queries, qmod.Search.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

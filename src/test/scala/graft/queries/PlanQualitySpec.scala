@@ -293,6 +293,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!est.contains("Join"), est)
   }
 
+  test("q98 bm25 filters the word stream to the query terms pre-shuffle") {
+    val plan = SparkEntryAccess.query("q98_bm25_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the explode output is cut to the literal term set by a Filter
+    // (output ∝ matches, not corpus size) and the df/corpus-stats
+    // sides ride broadcasts — no corpus-sized sort-merge for them
+    assert(plan.contains("Generate explode"), plan)
+    assert(plan.contains("dup") && plan.contains("vector"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("q72 weighted sampling pushes top-k below the shuffle") {
     val plan = SparkEntryAccess.query("q72_weighted_sample")(spark, sf)
       .queryExecution.executedPlan.toString
