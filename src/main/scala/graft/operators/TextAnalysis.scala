@@ -439,6 +439,50 @@ object TextAnalysis {
       .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
   }
 
+  /** Rule-based quality gate in the Gopher/C4 family (Rae et al. 2021
+    * §A1.1, Raffel et al. 2020 §2.2), adapted to word-level rules for
+    * single-line corpora. Every rule is an integer comparison with
+    * ratio thresholds cross-multiplied away (no division, no floats),
+    * so the flags replay bit-for-bit in any engine:
+    *
+    *   r_word_count: minWords <= n <= maxWords
+    *   r_mean_len:   3 <= mean word length <= 10, as 3n <= chars <= 10n
+    *   r_dup_frac:   duplicate-word fraction <= 30%, as 10(n-d) <= 3n
+    *   r_stopwords:  >= 2 distinct stopwords present
+    *   r_max_word:   longest word <= 20 chars (no unbroken junk runs)
+    *
+    * One narrow projection (split + collection built-ins), no shuffle —
+    * the 100 TB shape is a pure map stage that pipelines with the scan,
+    * exactly like [[qualityScore]].
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 10, maxWords: Int = 100000,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is"))
+      : DataFrame = {
+    docs.select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        // single-space-joined words: chars = sum(word lens) + (n - 1)
+        (length(col("text")) - size(col("w")) + 1).cast("long").as("n_word_chars"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        size(array_intersect(array_distinct(col("w")),
+          lit(stopwords.toArray))).cast("long").as("n_stop_kinds"),
+        expr("aggregate(w, 0, (m, x) -> greatest(m, length(x)))").cast("long")
+          .as("max_word_len"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("r_dup_frac",
+        lit(10L) * (col("n_words") - col("n_distinct")) <= lit(3L) * col("n_words"))
+      .withColumn("r_stopwords", col("n_stop_kinds") >= 2L)
+      .withColumn("r_max_word", col("max_word_len") <= 20L)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_dup_frac") &&
+          col("r_stopwords") && col("r_max_word"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: full-text hash plus min/max rolling window
     * hash over word 5-grams (the winnowing-style sketch primitives).
     */

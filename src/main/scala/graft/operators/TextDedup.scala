@@ -482,4 +482,61 @@ object TextDedup {
       "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
     bandedSimhashPairs(simhash64(docs), bandBits = 16, maxHamming)
   }
+
+  /** Every character window of length `w` of each doc, with its
+    * 1-based start position — the char-level analogue of
+    * [[wordShingles]]. Docs shorter than `w` contribute nothing (the
+    * explicit length filter matters: `sequence(1, n)` with n <= 0
+    * would COUNT DOWN, not return empty).
+    */
+  private def charWindows(docs: DataFrame, w: Int): DataFrame =
+    docs.filter(col("text").isNotNull && length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${w - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $w)").as("g"))
+
+  /** Character-level exact-substring decontamination (the exact-match
+    * discipline of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", re-shaped for Spark): a training doc is
+    * flagged wherever any of its char windows of length `windowChars`
+    * appears verbatim anywhere in the benchmark set. Catches the
+    * contamination word-n-gram overlap misses — split-word boundaries,
+    * punctuation-fused quotes — because the windows slide over raw
+    * characters.
+    *
+    * Plan shape (the 100 TB design): the benchmark side is tiny by
+    * definition (eval sets are MBs), so its distinct windows broadcast;
+    * the corpus side is a narrow Generate (the w-per-char blowup is
+    * transient in the pipeline, never shuffled or stored) feeding a
+    * broadcast left-semi hash join, and only the SURVIVING rows — true
+    * matches — reach the per-doc aggregation shuffle. One scan of the
+    * corpus, shuffle ∝ contamination found. `maxBroadcastChars` guards
+    * the broadcast the same way [[graft.operators.TextAnalysis
+    * .contaminationStats]] does, falling back to a shuffle semi join
+    * for an oversized benchmark.
+    *
+    * Returns one row per contaminated doc: total matching window
+    * positions, distinct matched windows, and the earliest match
+    * position (`first_pos`, 1-based).
+    */
+  def substringMatches(docs: DataFrame, bench: DataFrame,
+                       windowChars: Int = 40,
+                       maxBroadcastChars: Long = 100000000L): DataFrame = {
+    val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
+    val benchChars = Option(
+      bench.agg(sum(length(col("text")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val benchSide =
+      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
+      else benchGrams
+    charWindows(docs, windowChars)
+      .join(benchSide, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_grams"),
+        min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

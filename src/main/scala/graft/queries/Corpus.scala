@@ -252,6 +252,24 @@ object Corpus {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids"))
         .orderBy($"source")
+    },
+
+    // Gopher/C4-family rule-based quality gate: five integer-exact
+    // rules (ratio thresholds cross-multiplied away) in one narrow
+    // projection — the pure map stage that pipelines with the scan
+    "q100_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"))
+    },
+
+    // char-level exact-substring decontamination (Lee et al. 2021
+    // discipline): src0 again plays the eval benchmark; any 40-char
+    // window of a training doc found verbatim in src0 flags it. The
+    // char windows catch what q70's word-3-gram overlap misses.
+    "q101_substr_decontam" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TextDedup.substringMatches(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), windowChars = 40)
     }
   )
 
@@ -510,7 +528,51 @@ object Corpus {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every rule is an integer comparison, so the flags replay exactly;
+    // n_word_chars = sum of word lengths = len(text) - (n_words - 1)
+    // for the single-space-joined corpus
+    "q100_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(text) - len(ws) + 1 AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the', 'a', 'of', 'and', 'to', 'is'])) AS BIGINT) AS n_stop_kinds,
+        |    CAST(list_max(list_transform(ws, x -> length(x))) AS BIGINT)
+        |      AS max_word_len
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |        FROM documents))
+        |SELECT doc_id, n_words, n_word_chars, n_distinct, n_stop_kinds,
+        |  max_word_len,
+        |  (n_words >= 10 AND n_words <= 100000) AS r_word_count,
+        |  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        |    AS r_mean_len,
+        |  (10 * (n_words - n_distinct) <= 3 * n_words) AS r_dup_frac,
+        |  (n_stop_kinds >= 2) AS r_stopwords,
+        |  (max_word_len <= 20) AS r_max_word,
+        |  ((n_words >= 10 AND n_words <= 100000)
+        |    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        |    AND (10 * (n_words - n_distinct) <= 3 * n_words)
+        |    AND (n_stop_kinds >= 2) AND (max_word_len <= 20)) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q101_substr_decontam" ->
+      """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+        |    FROM (SELECT text,
+        |            unnest(generate_series(1, length(text) - 39)) AS i
+        |          FROM documents WHERE source = 'src0')),
+        |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substr(text, CAST(i AS INT), 40) AS g
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 39)) AS i
+        |             FROM documents WHERE source <> 'src0'))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM tr WHERE g IN (SELECT g FROM ev)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the

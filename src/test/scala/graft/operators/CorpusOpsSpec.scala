@@ -150,4 +150,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(top.head == (("common gram here", 3L)))
     assert(top(1)._2 <= 3L)
   }
+
+  // --- Gopher/C4-family rule-based quality gate ---
+
+  test("gopherRules trips each rule independently with integer-exact math") {
+    val df = Seq(
+      // 10 words, mean len in range, 1 dup, stopwords {the, of}: passes
+      (1L, "the cat sat of the mat with nine more word"),
+      (2L, "too few words here"), // < 10 words
+      // one 25-char junk word among 10
+      (3L, "the of aa bb cc dd ee ff gg " + ("x" * 25)),
+      // 10 words, no stopwords
+      (4L, "cat dog fox hen owl pig ram sow yak elk"),
+      // 7/10 words are "the": dup fraction 60% > 30%
+      (5L, "the the the the the the the off aaa bbb")
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TextAnalysis.gopherRules(df, minWords = 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._6 == false)
+    assert(out(3L) == ((true, true, true, true, false, false)))
+    assert(out(4L)._4 == false && out(4L)._6 == false)
+    assert(out(5L)._3 == false && out(5L)._6 == false)
+  }
 }

@@ -149,4 +149,34 @@ class TextDedupSpec extends SparkSpec {
     val distinct = keyed.selectExpr("count(distinct k0) as d0", "count(distinct k1) as d1").head
     assert(distinct.getLong(0) > 90 && distinct.getLong(1) > 90, distinct.toString)
   }
+
+  // --- char-level exact-substring decontamination ---
+
+  // 60 chars, no repeated 40-window (i*7 mod 26 has period 26)
+  private def benchText: String =
+    (0 until 60).map(i => ('a' + (i * 7) % 26).toChar).mkString
+
+  test("substringMatches flags the planted run with exact position math") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text").repartition(2)
+    val train = Seq(
+      // 10-char clean prefix, then a verbatim 50-char run from bench:
+      // windows fit at positions 11 .. 11+(50-40) -> 11 hits
+      (1L, ("X" * 10) + benchText.substring(5, 55)),
+      (2L, "Z" * 80),         // no shared window
+      (3L, benchText.take(30) // shares chars but shorter than the window
+      )).toDF("doc_id", "text").repartition(3)
+    val out = TextDedup.substringMatches(train, bench, windowChars = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 11L, 11L, 11L)))
+  }
+
+  test("substringMatches shuffle fallback equals the broadcast path") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))
+      .toDF("doc_id", "text")
+    val broadcastPath = TextDedup.substringMatches(train, bench, 40).collect()
+    val shufflePath = TextDedup.substringMatches(train, bench, 40,
+      maxBroadcastChars = 0L).collect()
+    assert(broadcastPath.toSeq == shufflePath.toSeq)
+  }
 }
