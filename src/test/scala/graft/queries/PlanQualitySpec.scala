@@ -252,6 +252,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin [sh"), plan)
   }
 
+  test("q100 gopher rules stay one narrow projection over the scan") {
+    val plan = formatted("q100_gopher_rules")
+    // pure map stage: the only exchange is the final presentation sort
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val exchanges = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, plan)
+  }
+
+  test("q101 probes benchmark windows via a broadcast left-semi join") {
+    val plan = formatted("q101_substr_decontam")
+    // the corpus-side char-window Generate must feed a BROADCAST semi
+    // join — a shuffled semi join would move the w-per-char exploded
+    // corpus over the wire at 100 TB; only true matches may shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q71 KMV sketch aggregates map-side before any exchange") {
     val plan = SparkEntryAccess.query("q71_distinct_sketch")(spark, sf)
       .queryExecution.executedPlan.toString
