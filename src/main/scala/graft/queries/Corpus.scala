@@ -270,6 +270,18 @@ object Corpus {
       graft.operators.TextDedup.substringMatches(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), windowChars = 40)
+    },
+
+    // record linkage: all customer-name pairs within edit distance 1,
+    // mined by deletion-neighborhood blocking (equi-join candidates,
+    // recall 1) + exact banded-levenshtein verify — gated against the
+    // oracle's brute-force O(n²) levenshtein join, so the hash match
+    // proves both recall and precision of the sub-quadratic plan
+    "q102_fuzzy_pairs" -> { (s, dir) =>
+      graft.operators.FuzzyMatch
+        .editDistance1Pairs(Tables.load(s, dir, "customer"),
+                            "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -572,7 +584,14 @@ object Corpus {
         |       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
         |       CAST(min(pos) AS BIGINT) AS first_pos
         |FROM tr WHERE g IN (SELECT g FROM ev)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q102_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the
