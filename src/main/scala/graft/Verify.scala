@@ -29,9 +29,9 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          println(s"[verify] $name failed: ${e.getMessage}")
         }
-        System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

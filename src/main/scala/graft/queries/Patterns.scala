@@ -40,9 +40,16 @@ object Patterns {
         .withColumn("x", get_json_object($"props", "$.k").cast("double"))
         .agg(
           count(lit(1)).as("n"),
+          // x is integer-valued and value has 2 decimals: sum x and
+          // x*x as exact integer-in-double (< 2^53), and route the
+          // value-carrying sums through exact decimals so the gate is
+          // independent of partition count / summation order (the
+          // full-corpus sum_xy reaches ~2.5e8 where a double sum only
+          // carries ~1e-7 — too tight for a 4-decimal gate).
           round(sum($"x"), 4).as("sum_x"),
-          round(sum($"value"), 4).as("sum_y"),
-          round(sum($"x" * $"value"), 4).as("sum_xy"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_y"),
+          sum(($"x".cast("decimal(9,0)") * $"value".cast("decimal(18,2)")))
+            .cast("double").as("sum_xy"),
           round(sum($"x" * $"x"), 4).as("sum_xx"))
     },
 
@@ -207,8 +214,9 @@ object Patterns {
     "q60_ml_suffstats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  round(sum(x), 4) AS sum_x,
-        |  round(sum(value), 4) AS sum_y,
-        |  round(sum(x * value), 4) AS sum_xy,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+        |  CAST(sum(CAST(x AS DECIMAL(9,0)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_xy,
         |  round(sum(x * x), 4) AS sum_xx
         |FROM (SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x, value
         |      FROM events)""".stripMargin,

@@ -21,6 +21,12 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P2/P4: TPC-H Q1 style grouped aggregate with partial+final agg.
+    // Money sums go through DECIMAL(18,2): the inputs are 2-decimal
+    // values, so the decimal sum is EXACT and therefore independent of
+    // partition count / summation order — a double sum of ~3e10 only
+    // carries ~1e-5 absolute precision, which is not enough for a
+    // 4-decimal gate (observed flipping at sf0.1). Same casts appear in
+    // the oracle SQL so both engines compute the identical decimal.
     "q01_agg" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -28,8 +34,10 @@ object Relational {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 4).as("sum_qty"),
-          round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+              (lit(1).cast("decimal(4,2)") - $"l_discount".cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -54,7 +62,7 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy($"r_name", $"n_name")
-        .agg(round(sum($"o_totalprice"), 4).as("revenue"),
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy($"r_name", $"n_name")
     },
@@ -79,14 +87,16 @@ object Relational {
         .orderBy($"event_id")
     },
 
-    // P4: two-phase global aggregate (Catalyst partial+final).
+    // P4: two-phase global aggregate (Catalyst partial+final). The
+    // money sum is decimal-exact (see q01) so the gate cannot flip
+    // with partition count.
     "q06_global_agg" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct($"l_orderkey").as("n_orders"),
         round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_price"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
         min($"l_extendedprice").as("min_price"),
         max($"l_extendedprice").as("max_price"))
     },
@@ -371,8 +381,10 @@ object Relational {
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),4) AS sum_qty,
-        |  round(sum(l_extendedprice),4) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -383,7 +395,8 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_join_agg" ->
-      """SELECT r_name, n_name, round(sum(o_totalprice),4) AS revenue,
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -406,7 +419,7 @@ object Relational {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  round(sum(l_quantity),4) AS sum_qty,
-        |  round(sum(l_extendedprice),4) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
