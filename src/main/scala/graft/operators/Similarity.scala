@@ -94,33 +94,91 @@ object Similarity {
     * the embedding-level counterpart of the n-gram contamination scan
     * (paraphrased benchmark leakage has no shared n-grams but keeps
     * high cosine). The benchmark side is small by nature (eval sets
-    * are thousands of rows, the corpus is the 100 TB side), so it
-    * rides the plan as a literal matrix inside the codegen'd
-    * `graft_argmax_cos` kernel — the same driver-side-constants
-    * pattern as IvfIndex centroids. The operator is then ONE narrow
-    * projection: no n×m candidate rows (a join + argmax-aggregate
-    * formulation either sorts the candidates — struct max is not
-    * hash-aggregable — or shuffles them), no exchange at all, and the
-    * whole scan stays inside WholeStageCodegen. Cosine ties break
-    * toward the smallest bench_id, matching the oracle's window order.
+    * are thousands of rows, the corpus is the 100 TB side), so while
+    * it stays under `maxBenchCells` (rows × dim) it rides the plan as
+    * a literal matrix inside the codegen'd `graft_argmax_cos` kernel —
+    * the same driver-side-constants pattern as IvfIndex centroids. The
+    * operator is then ONE narrow projection: no n×m candidate rows, no
+    * exchange at all, and the whole scan stays inside
+    * WholeStageCodegen. Cosine ties break toward the smallest
+    * bench_id, matching the oracle's window order.
+    *
+    * Guarded bound (the same pattern as [[graft.operators.TextAnalysis
+    * .contaminationStats]]' `maxBroadcastGrams`): a 100k-vector ×
+    * 1024-dim eval suite is 100M doubles — embedding that as plan
+    * literals would blow codegen long before the driver OOMs. Past
+    * `maxBenchCells` the operator falls back to a join + map-side
+    * struct-max argmax with IDENTICAL semantics (same widen-then-
+    * sequential-sum cosine, same smallest-id tie-break): a broadcast
+    * nested-loop join while the matrix fits executor memory
+    * (`maxBroadcastCells`), a plain cartesian beyond that — at that
+    * size the n×m scoring work is inherent to the semantics. The size
+    * probe is one narrow eval-set-sized aggregation at construction
+    * time. `strategy` forces a tier explicitly: "literal" throws a
+    * clear error over the bound instead of building the giant plan.
     */
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8,
+                            maxBenchCells: Long = 4000000L,
+                            maxBroadcastCells: Long = 64000000L,
+                            strategy: String = "auto"): DataFrame = {
     VectorExpressions.register(corpus.sparkSession)
-    // eval-set-sized collect (ids + widened vectors), sorted so the
-    // kernel's strictly-greater update realizes the tie order
-    val rows = bench.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val ids = rows.map(_._1)
-    val mat = rows.flatMap(_._2)
-    corpus.select(col("vec_id"),
-        call_function("graft_argmax_cos", col("embedding"),
-          typedLit(ids), typedLit(mat)).as("m"))
-      .select(col("vec_id"), col("m.bench_id").as("best_bench_id"),
-        round(col("m.cos"), 4).as("max_cos"),
-        (col("m.cos") >= threshold).as("contaminated"))
+    require(Seq("auto", "literal", "join").contains(strategy),
+      s"unknown strategy '$strategy' (auto|literal|join)")
+    val probe = bench
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(size(col("embedding"))), lit(0)).as("d")).head()
+    val cells = probe.getLong(0) * probe.getInt(1)
+    val useLiteral = strategy match {
+      case "literal" =>
+        require(cells <= maxBenchCells,
+          s"benchmark matrix has $cells cells (rows × dim), above " +
+            s"maxBenchCells=$maxBenchCells — a literal plan this size " +
+            "would break codegen; use strategy=\"auto\" or \"join\" " +
+            "for the join-based fallback, or raise the bound")
+        true
+      case "join" => false
+      case _      => cells <= maxBenchCells
+    }
+    if (useLiteral) {
+      // eval-set-sized collect (ids + widened vectors), sorted so the
+      // kernel's strictly-greater update realizes the tie order
+      val rows = bench.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val ids = rows.map(_._1)
+      val mat = rows.flatMap(_._2)
+      corpus.select(col("vec_id"),
+          call_function("graft_argmax_cos", col("embedding"),
+            typedLit(ids), typedLit(mat)).as("m"))
+        .select(col("vec_id"), col("m.bench_id").as("best_bench_id"),
+          round(col("m.cos"), 4).as("max_cos"),
+          (col("m.cos") >= threshold).as("contaminated"))
+    } else {
+      // join fallback: norms once per side before the join; the argmax
+      // is max(struct(cos, -bench_id)) — partial map-side aggregation,
+      // so the n×m scored rows never shuffle (only one pre-aggregated
+      // row per corpus vector per partition does). max over the struct
+      // picks the highest cos, ties to the highest -bench_id = the
+      // SMALLEST bench_id — exactly the kernel's order.
+      val b0 = bench
+        .select(col("vec_id").as("bench_id"), toDouble(col("embedding")).as("bv"))
+        .withColumn("bn", norm(col("bv")))
+      val b = if (cells <= maxBroadcastCells) broadcast(b0) else b0
+      corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("vn", norm(col("v")))
+        .crossJoin(b)
+        .select(col("vec_id"),
+          struct(
+            try_divide(dot(col("v"), col("bv")), col("vn") * col("bn")).as("cos"),
+            (-col("bench_id")).as("nid")).as("s"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("s")).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("best_bench_id"),
+          round(col("m.cos"), 4).as("max_cos"),
+          (col("m.cos") >= threshold).as("contaminated"))
+    }
   }
 
   /** Int8-quantize an embedding table for index compression: per

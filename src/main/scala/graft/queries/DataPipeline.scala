@@ -210,6 +210,21 @@ object DataPipeline {
           threshold = 0.8)
         .orderBy($"vec_id")
     },
+    // the guarded fallback tier of the same operator: an eval set too
+    // big for plan literals takes the broadcast-join + map-side
+    // struct-max argmax path instead. Forced here via strategy="join"
+    // (the auto bound never trips at test scale); the oracle is the
+    // identical brute-force window argmax, so the fallback is proven
+    // value-identical to q92's literal-kernel path — same cosine, same
+    // smallest-id tie-break, same threshold flags.
+    "q104_semantic_decontam_join" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semanticContamination(
+          emb.filter($"label" =!= 0), emb.filter($"label" === 0),
+          threshold = 0.8, strategy = "join")
+        .orderBy($"vec_id")
+    },
     // IVF index probing ALL lists: approximate search degenerates to
     // exact, so the brute-force oracle doubles as an index-correctness
     // proof (assignment loses no vectors, per-list search scores match)
@@ -884,6 +899,26 @@ object DataPipeline {
         |LIMIT 20""".stripMargin,
 
     "q92_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE label <> 0),
+        |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bnrm
+        |      FROM n WHERE label = 0),
+        |j AS (SELECT c.vec_id, b.bench_id,
+        |        list_dot_product(c.v, b.bv) / (c.nrm * b.bnrm) AS cos
+        |      FROM c, b),
+        |r AS (SELECT vec_id, bench_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, bench_id) AS rn
+        |      FROM j)
+        |SELECT vec_id, bench_id AS best_bench_id,
+        |       round(cos, 4) AS max_cos, cos >= 0.8 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q104_semantic_decontam_join" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

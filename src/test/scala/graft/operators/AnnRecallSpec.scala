@@ -169,4 +169,27 @@ class AnnRecallSpec extends SparkSpec {
       assert(math.abs(exactScores(r.getLong(0)) - r.getDouble(1)) < 1e-9)
     }
   }
+
+  test("semanticContamination join fallback is value-identical to the literal kernel") {
+    import org.apache.spark.sql.functions.col
+    val corpus = emb.filter(col("label") =!= 0)
+    val bench = emb.filter(col("label") === 0)
+    val literal = Similarity.semanticContamination(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    // auto past the bound takes the join tier — same rows, cosines,
+    // tie-breaks and flags
+    val joined = Similarity.semanticContamination(corpus, bench, maxBenchCells = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(literal == joined)
+  }
+
+  test("semanticContamination forced-literal over the bound fails fast") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+        maxBenchCells = 1L, strategy = "literal")
+    }
+    assert(e.getMessage.contains("maxBenchCells"), e.getMessage)
+  }
 }

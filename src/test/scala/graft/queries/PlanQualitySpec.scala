@@ -168,6 +168,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[[^\]]*graft_argmax_cos""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("semantic decontamination join fallback broadcasts and pre-aggregates") {
+    val df = SparkEntryAccess.query("q104_semantic_decontam_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the oversized-eval-set tier: benchmark side broadcast (nested
+    // loop — the scoring is a cross product by semantics), argmax as a
+    // struct-max aggregate with a map-side partial so the n×m scored
+    // rows never reach an exchange; no plain cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("""partial_max""".r.findFirstIn(plan).isDefined
+      || plan.contains("partial"), plan)
+  }
+
   test("exact percentiles run bounded-memory: no value-buffer aggregate") {
     val df = SparkEntryAccess.query("q64_percentiles")(spark, sf)
     df.collect()
