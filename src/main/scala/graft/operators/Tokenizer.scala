@@ -53,42 +53,117 @@ object Tokenizer {
       .groupBy("left", "right")
       .agg(sum(col("freq")).as("pair_count"))
 
-  /** Replace every adjacent (left, right) by the merged symbol,
-    * left-to-right greedy — the standard BPE merge application. A UDF
-    * is acceptable HERE because it runs over the vocabulary table, not
-    * the corpus: the per-round work is vocab-sized by construction.
+  /** Left-to-right greedy replacement of adjacent (left, right) by the
+    * merged symbol — the standard BPE merge application, shared by the
+    * distributed UDF and the in-memory trainer so the two paths can
+    * never diverge.
+    */
+  private def mergeSyms(syms: Seq[String], left: String, right: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Merge application as a UDF — acceptable HERE because it runs over
+    * the vocabulary table, not the corpus: the per-round work is
+    * vocab-sized by construction.
     */
   private def applyMerge(left: String, right: String): UserDefinedFunction =
-    udf { (syms: Seq[String]) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    udf { (syms: Seq[String]) => mergeSyms(syms, left, right) }
+
+  /** In-memory BPE merge loop over a COLLECTED word-frequency table —
+    * the production path for real vocabularies. A tokenizer needs
+    * 30k–50k merge rounds; at Spark's ~0.3 s/job scheduling floor a
+    * distributed round-loop spends hours on driver latency alone,
+    * while the word-frequency table it iterates over is vocab-sized by
+    * Heaps' law and nearly always fits the driver. So: ONE corpus-
+    * scale pass builds the table, this loop trains on it in memory
+    * with incremental pair-count maintenance (only words containing
+    * the merged pair are touched per round, found via posting lists —
+    * the same bookkeeping real BPE trainers use), and the distributed
+    * loop remains as the bound-checked overflow path.
+    *
+    * Determinism: the argmax is a full (count desc, left asc, right
+    * asc) comparison over the counts map, so hash-iteration order and
+    * the collect order of `words` are both irrelevant — this produces
+    * the IDENTICAL merge table as the distributed loop (asserted by
+    * TokenizerSpec's equivalence property test).
+    */
+  private[operators] def trainMergesLocal(
+      words: Array[(Seq[String], Long)],
+      nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Seq[String]] = words.map(_._1)
+    val freqs: Array[Long] = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair -> word indices that contained the pair at some point;
+    // entries can go stale (cheap), contributions never do
+    val posting = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def eachPair(s: Seq[String])(f: ((String, String)) => Unit): Unit = {
       var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
-          out += left + right
-          i += 2
-        } else {
-          out += syms(i)
-          i += 1
+      while (i + 1 < s.length) { f((s(i), s(i + 1))); i += 1 }
+    }
+    def add(idx: Int): Unit = eachPair(syms(idx)) { p =>
+      counts.update(p, counts.getOrElse(p, 0L) + freqs(idx))
+      posting.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+    }
+    def remove(idx: Int): Unit = eachPair(syms(idx)) { p =>
+      val n = counts(p) - freqs(idx)
+      if (n == 0L) counts.remove(p) else counts.update(p, n)
+    }
+    words.indices.foreach(add)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges && counts.nonEmpty) {
+      var bestPair: (String, String) = null
+      var bestCount = 0L
+      counts.foreach { case (p, c) =>
+        if (bestPair == null || c > bestCount ||
+          (c == bestCount && (p._1 < bestPair._1 ||
+            (p._1 == bestPair._1 && p._2 < bestPair._2)))) {
+          bestPair = p; bestCount = c
         }
       }
-      out.toSeq
+      val (l, r) = bestPair
+      merges += ((rank, l, r, l + r, bestCount))
+      posting.remove(bestPair).foreach(_.foreach { idx =>
+        val s = syms(idx)
+        val hit = (0 until s.length - 1).exists(i => s(i) == l && s(i + 1) == r)
+        if (hit) {
+          remove(idx)
+          syms(idx) = mergeSyms(s, l, r)
+          add(idx)
+        }
+      })
+      counts.remove(bestPair) // all contributions were just removed; belt+braces
+      rank += 1
     }
+    merges.result()
+  }
 
-  /** Train `nMerges` BPE merges over the corpus: one corpus pass for
-    * word frequencies, then one vocab-sized pair-count aggregation +
-    * one-row argmax collect per round (ties broken lexicographically
-    * for determinism, like the round ordering of real BPE trainers).
-    * Returns the merge table (rank, left, right, merged, pair_count) —
-    * the artifact a tokenizer ships.
+  /** Distributed merge loop — the overflow path when the vocabulary
+    * exceeds the driver bound: one vocab-sized pair-count aggregation
+    * + one-row argmax collect per round. Each round's result is
+    * `localCheckpoint`ed (eager), which BOTH materializes it for the
+    * next round's two consumers AND truncates the logical plan —
+    * without that the lineage nests one UDF projection per round and a
+    * multi-thousand-round train dies on plan size long before any data
+    * limit (a chained `cache()` keeps the full plan tree alive).
     */
-  def bpeTrainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wf = wordFreqs(docs)
+  private def trainMergesDistributed(wf: DataFrame, nMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
     var syms = wf.select(col("word"), col("freq"),
       expr("split(word, '')").as("syms"))
-      .cache() // vocab-sized; each round re-reads it
+      .localCheckpoint(true) // vocab-sized; each round re-reads it
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -100,16 +175,41 @@ object Tokenizer {
         case None => exhausted = true // no pairs left to merge
         case Some(Row(left: String, right: String, n: Long)) =>
           merges += ((rank, left, right, left + right, n))
-          val next = syms.withColumn("syms",
-            applyMerge(left, right)(col("syms"))).cache()
-          next.count() // materialize before unpersisting the parent
-          syms.unpersist()
-          syms = next
+          syms = syms.withColumn("syms",
+            applyMerge(left, right)(col("syms"))).localCheckpoint(true)
           rank += 1
       }
     }
-    syms.unpersist()
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+    merges.result()
+  }
+
+  /** Train `nMerges` BPE merges over the corpus: one corpus pass for
+    * word frequencies (THE corpus-scale shuffle), then the merge loop
+    * over the vocab-sized result — in driver memory while the
+    * vocabulary fits `maxLocalVocab` rows (the common case, and ~1000×
+    * faster for real 30k+ merge vocabularies: no per-round job
+    * scheduling), distributed rounds beyond it. Both paths produce the
+    * IDENTICAL merge table (ties broken lexicographically, like the
+    * round ordering of real BPE trainers). Returns the merge table
+    * (rank, left, right, merged, pair_count) — the artifact a
+    * tokenizer ships.
+    */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int,
+                     maxLocalVocab: Long = 2000000L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = wordFreqs(docs).cache() // vocab-sized; probed then iterated
+    try {
+      val vocab = wf.count()
+      val merges =
+        if (vocab <= maxLocalVocab) {
+          val words = wf.collect().map(r =>
+            (r.getString(0).split("").toSeq.filter(_.nonEmpty), r.getLong(1)))
+          trainMergesLocal(words, nMerges)
+        } else trainMergesDistributed(wf, nMerges)
+      merges.toDF("rank", "left", "right", "merged", "pair_count")
+    } finally { wf.unpersist(); () }
   }
 
   /** Segment each document's words with a trained merge table —

@@ -133,6 +133,23 @@ object Corpus {
         .orderBy($"rank")
     },
 
+    // the FULL multi-round BPE training loop (50 merges), gated
+    // end-to-end: the oracle unrolls all 50 rounds in SQL (each round
+    // = pair-count aggregation + deterministic argmax + greedy merge
+    // application on a sentinel-wrapped symbol string, where
+    // left-to-right non-overlapping replace() IS greedy BPE merge), so
+    // the hash gate proves every round's argmax, tie-break and merge
+    // application — not just round 1 like q91. At test vocab size this
+    // runs the driver-local merge loop; TokenizerSpec asserts local ≡
+    // distributed on the same data.
+    "q105_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      Tokenizer.bpeTrainMerges(Tables.load(s, dir, "documents"), nMerges = 50)
+        .select($"rank".cast("int").as("rank"), $"left", $"right",
+          $"merged", $"pair_count")
+        .orderBy($"rank")
+    },
+
     "q72_weighted_sample" -> { (s, dir) =>
       import s.implicits._
       Sampling.weightedTopK(Tables.load(s, dir, "documents"),
@@ -285,7 +302,56 @@ object Corpus {
     }
   )
 
+  /** Round-unrolled DuckDB oracle for the full BPE training loop.
+    *
+    * Representation: each word's symbol sequence is a string with every
+    * symbol wrapped in a chr(1) sentinel — "ab","c" ⇒ ␁ab␁␁c␁ — so a
+    * merge of (l, r) is `replace(s, ␁l␁␁r␁, ␁lr␁)`: left-to-right
+    * non-overlapping replacement is EXACTLY greedy BPE application
+    * ("aaa" merges to ["aa","a"]), and the per-symbol sentinels make
+    * cross-symbol false matches impossible (␁ab␁ never matches inside
+    * ␁xab␁). Each of the `n` rounds is three CTEs — pair-count
+    * aggregation over the re-split symbols, (count desc, left, right)
+    * argmax, merge application — MATERIALIZED so the chain is linear,
+    * not exponential. Generated programmatically; validated against an
+    * independent naive-recount implementation.
+    */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val S = "chr(1)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH s0 AS MATERIALIZED (
+      |  SELECT $S || array_to_string(string_split(word, ''), $S||$S) || $S AS s, freq
+      |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |        WHERE len(word) > 0 GROUP BY 1))""".stripMargin
+    for (k <- 1 to n) {
+      sb ++= s""",
+      |pc$k AS MATERIALIZED (
+      |  SELECT pr.p.l AS l, pr.p.r AS r, CAST(sum(pr.freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+      |                i -> {'l': sy[i], 'r': sy[i+1]})) AS p
+      |        FROM (SELECT freq, string_split(trim(s, $S), $S||$S) AS sy
+      |              FROM s${k - 1})) pr
+      |  GROUP BY 1, 2),
+      |mg$k AS MATERIALIZED (
+      |  SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      if (k < n) sb ++= s""",
+      |s$k AS MATERIALIZED (
+      |  SELECT replace(s, (SELECT $S||l||$S||$S||r||$S FROM mg$k),
+      |                    (SELECT $S||l||r||$S FROM mg$k)) AS s, freq
+      |  FROM s${k - 1})""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to n).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right", """ +
+        s"""l||r AS merged, cnt AS pair_count FROM mg$k""")
+      .mkString("", "\nUNION ALL ", "\nORDER BY rank")
+    sb.result()
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q105_bpe_train" -> bpeTrainOracleSql(50),
+
     "q91_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
         |           FROM documents),

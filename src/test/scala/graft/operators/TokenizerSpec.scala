@@ -48,6 +48,59 @@ class TokenizerSpec extends SparkSpec {
     assert(merges.isEmpty) // all words are single chars — nothing to merge
   }
 
+  test("local and distributed merge loops produce identical tables") {
+    // the real corpus at sf0.001, deep enough that merged symbols of
+    // length 3+ participate in later rounds on both paths (the ≥50
+    // round depth itself is hash-gated by q105 on the local path; the
+    // distributed side runs ~2 Spark jobs per round, so the
+    // equivalence assertion uses a suite-friendly depth)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val local = Tokenizer.bpeTrainMerges(docs, nMerges = 20)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val dist = Tokenizer.bpeTrainMerges(docs, nMerges = 20, maxLocalVocab = 0L)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(local.size == 20)
+    assert(local == dist)
+  }
+
+  test("local trainer matches a naive full-recount reference implementation") {
+    // independent algorithmic path: recount every pair from scratch
+    // each round (no incremental counts, no posting lists)
+    def naive(words: Seq[(Seq[String], Long)], nMerges: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var syms = words.toArray
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (rank <- 1 to nMerges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        syms.foreach { case (s, f) =>
+          (0 until s.length - 1).foreach { i =>
+            counts.update((s(i), s(i + 1)), counts.getOrElse((s(i), s(i + 1)), 0L) + f)
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((rank, l, r, l + r, n))
+          syms = syms.map { case (s, f) =>
+            val m = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { m += l + r; i += 2 }
+              else { m += s(i); i += 1 }
+            }
+            (m.toSeq, f)
+          }
+        }
+      }
+      out.result()
+    }
+    val words = Array(
+      ("banana".split("").toSeq, 4L), ("bandana".split("").toSeq, 3L),
+      ("ananas".split("").toSeq, 2L), ("cabana".split("").toSeq, 5L),
+      ("nab".split("").toSeq, 7L), ("an".split("").toSeq, 11L))
+    val got = Tokenizer.trainMergesLocal(words, nMerges = 12)
+    assert(got == naive(words.toSeq, 12))
+  }
+
   test("bpeSegment applies merges in rank order, greedily left-to-right") {
     val docs = Seq(
       (1L, ("low " * 5).trim),
