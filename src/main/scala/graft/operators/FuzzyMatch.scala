@@ -58,6 +58,16 @@ object FuzzyMatch {
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
                          maxVariantFreq: Option[Int] = None): DataFrame = {
+    // the id is compared with < and carried through equi-joins, so it
+    // is widened to long — which silently casts a non-numeric id
+    // (string UUIDs, ...) to null, and null ids are DROPPED by the
+    // join conditions: the operator would return a partial result with
+    // no error. Fail fast instead.
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"editDistance1Pairs needs an integral id column; '$idCol' is " +
+        s"${idType.sql}. Map non-numeric ids to a surrogate long " +
+        "(e.g. monotonically_increasing_id or a hash) first.")
     val docs = df.select(col(idCol).cast("long").as("_fm_id"),
                          col(strCol).as("_fm_s"))
     val variants = docs

@@ -72,6 +72,36 @@ class FuzzyMatchSpec extends SparkSpec {
       s"fuzzy match must not plan a nested-loop join:\n$physical")
   }
 
+  test("non-integral id columns fail fast instead of silently dropping rows") {
+    val df = Seq(("u-1", "abc"), ("u-2", "abd")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyMatch.editDistance1Pairs(df, "id", "s")
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
+
+  test("shuffle-join regime computes the variant table once (exchange reuse)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the 100 TB regime: both self-join sides shuffle on the variant
+    // key; their subplans canonicalize identically, so the second side
+    // must read the first side's shuffle files (ReusedExchange), never
+    // re-run the deletion-neighborhood Generate
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = FuzzyMatch.editDistance1Pairs(
+        (1L to 200L).map(i => i -> s"str$i").toDF("id", "s"), "id", "s")
+      df.collect()
+      val fin = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      val s = fin.toString
+      assert(s.linesIterator.count(_.contains("+- Generate")) == 1, s)
+      assert(s.contains("ReusedExchange"), s)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Reference Wagner–Fischer distance for the oracle side of tests. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
