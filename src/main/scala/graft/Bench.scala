@@ -71,18 +71,28 @@ object Bench {
     // optional comma-separated name-prefix filter for iterating on a
     // single query's number without paying the whole suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // timed passes per query after the cold pass: the headline number
+    // is the per-query MEDIAN so one scheduler hiccup on a shared VM
+    // cannot masquerade as a plan regression; min/max are emitted so a
+    // reader can tell contention (wide spread) from a real slowdown
+    // (shifted min). SPARK_GRAFT_REPS overrides (1 = the old behavior).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
         val cold = once(name, fn)
-        val warm = once(name, fn)
-        (name, warm, cold)
+        val timed = Seq.fill(reps)(once(name, fn)).sorted
+        (name, timed(timed.size / 2), timed.head, timed.last, cold)
       }
-    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
+    def fmt(v: Double) = f"$v%.6f"
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, med, mn, mx, _) =>
+      "\"" + k + s"""":{"median":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._5).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_sec":$coldTotal,"reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
