@@ -113,6 +113,13 @@ object GrftCodec {
       return pack(outWidth, outHeight, bmp.channels, 0,
         bmpEncode(outWidth, outHeight, out))
     }
+    val png = pngOfContainer(bytes)
+    if (png != null) {
+      val out = nnResize(png.data, png.offset, png.width, png.height,
+        png.channels, outWidth, outHeight)
+      return pack(outWidth, outHeight, png.channels, 0,
+        pngEncode(outWidth, outHeight, png.channels, out))
+    }
     // REAL audio path: a kind=1 container holding a PCM WAV resamples
     // its actual frames (1-D nearest-neighbour over outWidth frames,
     // all channels carried; outHeight must be 1 — audio has no second
@@ -359,6 +366,192 @@ object GrftCodec {
     val m = meta(bytes)
     if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 0) return null
     bmpDecode(bytes, HeaderLen)
+  }
+
+  // ---- real image codec #3: PNG (8-bit gray / RGB, non-interlaced) ----
+  // The most common real-world image format, pure JVM: zlib via
+  // java.util.zip.{Deflater,Inflater}, CRC32 chunk checksums, and the
+  // full five-type scanline filter model (None/Sub/Up/Average/Paeth —
+  // the encoder picks a filter per row, the decoder must reconstruct
+  // whatever it finds). Supported: bit depth 8, color type 0
+  // (grayscale) or 2 (RGB), compression 0, filter method 0,
+  // non-interlaced — the overwhelmingly common configuration.
+  // Paletted/16-bit/alpha/interlaced decode to null — undecodable
+  // media is data, not an error.
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(typeAndData: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    typeAndData.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties a > b > c.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a row-major 8-bit raster (channels 1 = gray, 3 = RGB) as a
+    * valid non-interlaced PNG. `filterType` (0-4) is applied to every
+    * scanline — like a real encoder's per-row filter choice, and the
+    * lever the tests use to gate the decoder's reconstruction of all
+    * five types.
+    */
+  def pngEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte],
+                filterType: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"PNG channels must be 1 or 3, got $channels")
+    require(pixels.length >= w * h * channels, "raster shorter than dimensions")
+    require(filterType >= 0 && filterType <= 4, s"filter type 0-4, got $filterType")
+    val bpp = channels
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (stride + 1)) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val x = pixels(y * stride + i) & 0xff
+        val a = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val c = if (i >= bpp && y > 0) pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val outStream = new java.io.ByteArrayOutputStream
+    while (!deflater.finished())
+      outStream.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = outStream.toByteArray
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put((if (channels == 1) 0 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("ASCII")
+      ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc32(t, data)).array()
+    }
+    val parts = Seq(PngSig, chunk("IHDR", ihdr), chunk("IDAT", idat),
+      chunk("IEND", Array.empty[Byte]))
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  /** Parse a PNG payload at `off` into a top-down [[Raster]]: chunk
+    * walk with CRC32 verification, IDAT concatenation, zlib inflate,
+    * and per-scanline reconstruction of all five filter types. Null
+    * for any unsupported configuration or corrupt stream.
+    */
+  def pngDecode(bytes: Array[Byte], off: Int): Raster = {
+    if (bytes == null || bytes.length < off + 8 + 25) return null
+    var i = 0
+    while (i < 8) { if (bytes(off + i) != PngSig(i)) return null; i += 1 }
+    var p = off + 8
+    var w = 0; var h = 0; var channels = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream
+    while (!sawIend) {
+      if (bytes.length - p < 12) return null
+      val len = ByteBuffer.wrap(bytes, p, 4).getInt
+      if (len < 0 || bytes.length - p < 12 + len) return null
+      val typ = new String(bytes, p + 4, 4, "ASCII")
+      val c = new java.util.zip.CRC32
+      c.update(bytes, p + 4, 4 + len)
+      if (c.getValue.toInt != ByteBuffer.wrap(bytes, p + 8 + len, 4).getInt)
+        return null
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return null
+          sawIhdr = true
+          w = ByteBuffer.wrap(bytes, p + 8, 4).getInt
+          h = ByteBuffer.wrap(bytes, p + 12, 4).getInt
+          if (w <= 0 || h <= 0) return null
+          if (bytes(p + 16) != 8) return null // bit depth
+          channels = bytes(p + 17) match { // color type
+            case 0 => 1
+            case 2 => 3
+            case _ => return null
+          }
+          if (bytes(p + 18) != 0 || bytes(p + 19) != 0 || bytes(p + 20) != 0)
+            return null // compression / filter method / interlace
+        case "IDAT" =>
+          if (!sawIhdr) return null
+          idat.write(bytes, p + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped
+      }
+      p += 12 + len
+    }
+    if (!sawIhdr) return null
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return null // truncated
+        got += n
+      }
+      if (got != raw.length || !inflater.finished()) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inflater.end()
+    val out = new Array[Byte](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return null
+      var j = 0
+      while (j < stride) {
+        val x = raw(y * (stride + 1) + 1 + j) & 0xff
+        val a = if (j >= bpp) out(y * stride + j - bpp) & 0xff else 0
+        val b = if (y > 0) out((y - 1) * stride + j) & 0xff else 0
+        val c = if (j >= bpp && y > 0) out((y - 1) * stride + j - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        out(y * stride + j) = ((x + pred) & 0xff).toByte
+        j += 1
+      }
+      y += 1
+    }
+    Raster(w, h, channels, 0, out)
+  }
+
+  /** Decode a kind=0 GRFT container whose payload is a PNG, or null
+    * when the container/image is undecodable.
+    */
+  def pngOfContainer(bytes: Array[Byte]): Raster = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 0) return null
+    pngDecode(bytes, HeaderLen)
   }
 
   // ---- real audio codec: RIFF/WAVE 16-bit PCM ----
@@ -704,13 +897,16 @@ object GrftCodec {
     StructField("channels", IntegerType), StructField("n_pixels", LongType),
     StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
 
-  /** REAL pixel statistics over the decoded raster of a kind=0 PNM or
-    * BMP container (all-null fields when undecodable).
+  /** REAL pixel statistics over the decoded raster of a kind=0 PNM,
+    * BMP or PNG container (all-null fields when undecodable).
     */
   def pixels(bytes: Array[Byte]): InternalRow = {
     val img = pnmOfContainer(bytes) match {
       case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
-      case null => bmpOfContainer(bytes)
+      case null => bmpOfContainer(bytes) match {
+        case r: Raster => r
+        case null => pngOfContainer(bytes)
+      }
     }
     if (img == null) return InternalRow(null, null, null, null, null, null)
     val n = img.width.toLong * img.height * img.channels

@@ -356,6 +356,40 @@ object DataPipeline {
           round($"image.mean_pixel", 4).as("mean_pixel"))
         .orderBy($"doc_id")
     },
+    // THIRD real image codec end-to-end — PNG, the most common
+    // real-world format, pure JVM (zlib Inflater/Deflater + CRC32 +
+    // scanline filters): same decode→resize→re-encode→decode pixel
+    // gate as q80/q85, with each document's PNG written using filter
+    // type doc_id % 5 — so the gate proves the decoder's
+    // reconstruction of ALL FIVE filter types (None/Sub/Up/Average/
+    // Paeth), the zlib round-trip, and the CRC chunk walk, not just
+    // the happy filter-0 path. The oracle recomputes the sampled
+    // values straight from the text exactly like q80 (grayscale: each
+    // sampled byte counts once; checksum/16 = mean exactly).
+    "q106_png_codec" -> { (s, dir) =>
+      import s.implicits._
+      val packPng = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        // same loud guard as q80/q85: the oracle's substr() character
+        // positions equal byte offsets only for pure-ASCII text, and
+        // the GRFT header's u16 width caps at 65535
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q106 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a png".getBytes("UTF-8")
+        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
+          graft.functions.GrftCodec.pngEncode(bytes.length, 1, 1, bytes,
+            (id % 5).toInt))
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packPng($"doc_id", $"text").as("blob"))
+      val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
+      graft.operators.Multimodal.decodeImage(resized, "resized")
+        .select($"doc_id", $"image.width", $"image.height", $"image.channels",
+          $"image.n_pixels", $"image.pix_checksum",
+          round($"image.mean_pixel", 4).as("mean_pixel"))
+        .orderBy($"doc_id")
+    },
     // REAL audio codec end-to-end — the kind=1 counterpart of q80/q85:
     // each document's (ASCII) bytes become centered 16-bit PCM samples
     // ((b-128)·256) inside a genuine mono RIFF/WAVE payload;
@@ -1040,6 +1074,27 @@ object DataPipeline {
         |  st.s AS pix_checksum,
         |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
         |       ELSE round(st.s / 48.0, 4) END AS mean_pixel
+        |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q106_png_codec" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |px AS (SELECT doc_id,
+        |         list_transform(range(0, 16),
+        |           x -> ascii(substr(text, CAST(x * w // 16 AS INT) + 1, 1))) AS pix
+        |       FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id, CAST(list_aggregate(pix, 'sum') AS BIGINT) AS s
+        |       FROM px)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 16 END AS width,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS height,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(16 AS BIGINT) END AS n_pixels,
+        |  st.s AS pix_checksum,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE round(st.s / 16.0, 4) END AS mean_pixel
         |FROM t LEFT JOIN st USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

@@ -161,6 +161,62 @@ class MultimodalSpec extends SparkSpec {
     assert(inner != null && inner.width == 2 && inner.height == 1)
   }
 
+  test("real PNG codec: roundtrip through zlib + every filter type") {
+    import graft.functions.GrftCodec
+    // 5x3 so Sub/Up/Average/Paeth all have real left/up/up-left
+    // neighbours to predict from; both gray and RGB color types
+    for (channels <- Seq(1, 3); ft <- 0 to 4) {
+      val px = Array.tabulate[Byte](5 * 3 * channels)(i => (i * 37 % 256).toByte)
+      val png = GrftCodec.pngEncode(5, 3, channels, px, ft)
+      val dec = GrftCodec.pngDecode(png, 0)
+      assert(dec != null, s"channels=$channels filter=$ft")
+      assert((dec.width, dec.height, dec.channels) == (5, 3, channels))
+      assert(dec.data.toSeq == px.toSeq,
+        s"decode(encode(x, filter=$ft)) != x for channels=$channels")
+    }
+  }
+
+  test("real PNG codec: corrupt streams are data, not errors") {
+    import graft.functions.GrftCodec
+    val px = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 13).toByte)
+    val png = GrftCodec.pngEncode(4, 2, 3, px)
+    // flip one IDAT byte → CRC mismatch → null (the chunk walk verifies)
+    val bad = png.clone(); bad(45) = (bad(45) ^ 0x5a).toByte
+    assert(GrftCodec.pngDecode(bad, 0) == null)
+    // truncated stream → null
+    assert(GrftCodec.pngDecode(java.util.Arrays.copyOf(png, png.length - 8), 0) == null)
+    // unsupported color type (palette=3) → null, with CRC re-stamped so
+    // only the configuration check can reject it
+    val pal = png.clone(); pal(25) = 3
+    val c = new java.util.zip.CRC32; c.update(pal, 12, 17)
+    java.nio.ByteBuffer.wrap(pal, 29, 4).putInt(c.getValue.toInt)
+    assert(GrftCodec.pngDecode(pal, 0) == null)
+    // not a PNG at all
+    assert(GrftCodec.pngDecode("definitely not a png".getBytes, 0) == null)
+  }
+
+  test("real PNG codec: container resize decodes, resamples, re-encodes PNG") {
+    import graft.functions.GrftCodec
+    // 4x1 grayscale ramp in a kind=0 container, written with the Paeth
+    // filter so the resize path must reconstruct a non-trivial filter
+    val px = Array[Byte](10, 40, 70, 100)
+    val packed = Seq((1L, Multimodal.pack(4, 1, 1, 0,
+        GrftCodec.pngEncode(4, 1, 1, px, filterType = 4))))
+      .toDF("id", "blob")
+    val resized = Multimodal.resize(packed, "blob", 2, 1)
+    val out = Multimodal.decodeImage(resized, "resized")
+      .select($"image.width", $"image.height", $"image.channels",
+        $"image.n_pixels", $"image.pix_checksum").head
+    // nearest-neighbour picks source pixels 0 and 2 → 10 and 70
+    assert((out.getInt(0), out.getInt(1), out.getInt(2), out.getLong(3),
+      out.getLong(4)) == (2, 1, 1, 2L, 80L))
+    // and the re-encoded payload is itself a decodable PNG
+    val blob = resized.select($"resized").head.getAs[Array[Byte]](0)
+    val inner = GrftCodec.pngDecode(blob, GrftCodec.HeaderLen)
+    assert(inner != null && inner.width == 2 && inner.height == 1)
+    assert(inner.data.toSeq == Seq[Byte](10, 70))
+  }
+
   test("real WAV codec: roundtrip, chunk walk, and unsupported configs") {
     import graft.functions.GrftCodec
     // stereo roundtrip: interleaved L/R frames incl. negative samples
