@@ -168,33 +168,38 @@ object Sketches {
     * deterministic, so the sketch sits under the oracle hash gate like
     * KMV.
     */
-  final case class QsState(k: Int, us: Array[Double], vs: Array[Double]) {
+  final case class QsState(k: Int, var n: Int, us: Array[Double], vs: Array[Double]) {
+    // us/vs are fixed k-capacity arrays with the first n entries valid,
+    // mutated IN PLACE (the CmsState pattern): a displacing insert is
+    // one backward arraycopy shift, never a pair of fresh allocations —
+    // the buffer lives across millions of reduce() calls inside
+    // ObjectHashAggregate, so per-insert allocation was the hot cost.
     def insert(u: Double, v: Double): QsState = {
       var lo = 0
-      var hi = us.length
+      var hi = n
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (us(mid) < u || (us(mid) == u && vs(mid) < v)) lo = mid + 1 else hi = mid
       }
       if (lo >= k) this
       else {
-        val n = math.min(us.length + 1, k)
-        val nu = new Array[Double](n)
-        val nv = new Array[Double](n)
-        System.arraycopy(us, 0, nu, 0, lo)
-        System.arraycopy(vs, 0, nv, 0, lo)
-        nu(lo) = u
-        nv(lo) = v
-        System.arraycopy(us, lo, nu, lo + 1, n - lo - 1)
-        System.arraycopy(vs, lo, nv, lo + 1, n - lo - 1)
-        QsState(k, nu, nv)
+        val newN = math.min(n + 1, k)
+        val shift = newN - 1 - lo // elements moved right; the k-th falls off
+        if (shift > 0) {
+          System.arraycopy(us, lo, us, lo + 1, shift)
+          System.arraycopy(vs, lo, vs, lo + 1, shift)
+        }
+        us(lo) = u
+        vs(lo) = v
+        n = newN
+        this
       }
     }
 
     def merge(other: QsState): QsState = {
       var acc = this
       var i = 0
-      while (i < other.us.length) { acc = acc.insert(other.us(i), other.vs(i)); i += 1 }
+      while (i < other.n) { acc = acc.insert(other.us(i), other.vs(i)); i += 1 }
       acc
     }
 
@@ -202,7 +207,7 @@ object Sketches {
       * ceil(p·m) (the smallest sampled value with cume_dist ≥ p).
       */
     def quantiles(ps: Seq[Double]): Seq[Double] = {
-      val sorted = vs.sorted
+      val sorted = vs.take(n).sorted
       val m = sorted.length
       ps.map { p =>
         val rank = math.max(math.ceil(p * m).toInt, 1)
@@ -224,7 +229,7 @@ object Sketches {
     require(k >= 1, s"quantile sketch needs k >= 1, got $k")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile probabilities must be in (0, 1], got $ps")
-    def zero: QsState = QsState(k, Array.emptyDoubleArray, Array.emptyDoubleArray)
+    def zero: QsState = QsState(k, 0, new Array[Double](k), new Array[Double](k))
     def reduce(b: QsState, a: (Option[Double], Option[Double])): QsState = a match {
       case (Some(u), Some(v)) => b.insert(u, v)
       case _ => b
