@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bloom, NgramLm, Sketches}
+import graft.operators.{Bloom, Dsir, NgramLm, Sketches}
 
 /** Probabilistic / model-fitting pipeline operators under the value
   * gate. All three use the md5-slice hash family, so the DuckDB oracle
@@ -34,6 +34,12 @@ object Probabilistic {
   private val CmsMinCount = 40L
 
   private val LmMinCount = 2L
+
+  // deliberately coarse (4096 buckets for ~30k+ distinct bigrams at
+  // sf0.01) so the gate EXERCISES hash collisions: the oracle must
+  // rebuild the collided bucket-count tables, not the per-gram truth —
+  // the q95/q96 undersizing idea applied to the DSIR hashing trick.
+  private val DsirBuckets = 4096
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bloom-filter prefilter: big-side events tested against a bit
@@ -82,6 +88,21 @@ object Probabilistic {
       NgramLm.scoreDocs(Tables.load(s, dir, "documents"),
           "doc_id", "text", LmMinCount)
         .orderBy(col("doc_id"))
+    },
+
+    // DSIR importance weighting: src0 documents play the target
+    // domain/eval set, the rest are the raw corpus; every raw doc gets
+    // the integer hashed-bigram importance a DSIR selection run ranks
+    // and samples by. Collision-heavy bucket count (see DsirBuckets)
+    // puts the hashing trick itself under the hash gate.
+    "q107_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      Dsir.importanceWeights(
+          docs.filter($"source" =!= "src0"),
+          docs.filter($"source" === "src0"),
+          buckets = DsirBuckets)
+        .orderBy($"doc_id")
     }
   )
 
@@ -147,6 +168,35 @@ object Probabilistic {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(q) AS BIGINT) AS lm_sum,
          |  CAST(sum(q) // count(*) AS BIGINT) AS lm_mean
-         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q107_dsir_weights" ->
+      s"""WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |              FROM documents WHERE source <> 'src0'
+         |                AND len(string_split(text, ' ')) >= 2),
+         |tgtd AS (SELECT string_split(text, ' ') AS ws
+         |         FROM documents WHERE source = 'src0'
+         |           AND len(string_split(text, ' ')) >= 2),
+         |rg AS (SELECT doc_id,
+         |         (CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT)
+         |          % $DsirBuckets) AS bucket
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |               i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM rawd)),
+         |tg AS (SELECT
+         |         (CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT)
+         |          % $DsirBuckets) AS bucket
+         |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+         |               i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM tgtd)),
+         |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM rg GROUP BY 1),
+         |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY 1),
+         |model AS (SELECT rb.bucket, rb.cr, coalesce(tb.ct, 0) AS ct
+         |          FROM rb LEFT JOIN tb USING (bucket)),
+         |sc AS (SELECT rg.doc_id,
+         |         ((1000000 * (model.ct + 1)) // (model.cr + 1)) AS q
+         |       FROM rg JOIN model USING (bucket))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(q) AS BIGINT) AS importance,
+         |  CAST(sum(q) // count(*) AS BIGINT) AS imp_mean
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
