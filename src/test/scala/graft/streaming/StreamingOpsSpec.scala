@@ -214,6 +214,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("mergeable sketches run under streaming aggregation, equal to batch") {
+    // the wire-size argument that makes KMV/CMS/quantile sketches the
+    // 100 TB aggregates also makes them streaming-native: partial
+    // states merge associatively, so outputMode(complete) over a
+    // micro-batched stream must land on the exact batch answer no
+    // matter how the rows were batched
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    def sketch(df: DataFrame): DataFrame = df.toDF("id", "v")
+      .withColumn("h", md5($"id".cast("string").cast("binary")))
+      .withColumn("u", expr(graft.operators.Sampling.u01Spark("h")))
+      .agg(graft.operators.Sketches.kmvDistinct($"u", 32).as("est"),
+        graft.operators.Sketches.quantileSketch($"u", $"v", 16,
+          Seq(0.5)).as("qs"))
+    val q = sketch(mem.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_out").start()
+    val rows = (1L to 500L).map(i => (i % 137, (i % 97).toDouble))
+    rows.grouped(83).foreach(g => mem.addData(g)) // uneven micro-batches
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sketch_out").collect().head
+    val batch = sketch(rows.toDF()).collect().head
+    assert(streamed.getDouble(0) == batch.getDouble(0))
+    assert(streamed.getSeq[Double](1) == batch.getSeq[Double](1))
+  }
+
   test("pipe operator runs inside foreachBatch on a micro-batched stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Long]
