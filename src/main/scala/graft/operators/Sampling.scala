@@ -122,6 +122,34 @@ object Sampling {
     * grows (a doc never migrates between splits unless its band
     * boundary moves). Pure narrow projection: no shuffle.
     */
+  /** Near-dup-leakage-safe split: like [[assignSplit]], but every
+    * member of a duplicate cluster draws its band from the CLUSTER
+    * REPRESENTATIVE (the component label), so near-duplicates can
+    * never straddle train/test — the eval-leakage channel a plain
+    * per-doc split leaves open (a test doc whose near-copy sits in
+    * train is a leaked answer, and at corpus scale there are millions
+    * of them). `pairs` = verified near-dup edges (doc_a, doc_b) from
+    * any miner ([[TextDedup.minhashLshPairs]], simhash, embedding
+    * LSH); unclustered docs band on their own id exactly as before,
+    * so this degrades to [[assignSplit]] when `pairs` is empty. Cost
+    * over assignSplit: the pointer-jumping components labeling
+    * (pairs-sized) + one left join of the (clustered-docs-sized)
+    * label table onto the corpus.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, seedCol: String,
+                       splits: Seq[(String, Double)],
+                       splitCol: String = "split"): DataFrame = {
+    val key = "_graft_split_key"
+    require(!docs.columns.contains(key),
+      s"input already has a $key column; rename it before leakageSafeSplit")
+    val labels = Components.dupClusters(pairs)
+      .withColumnRenamed("doc_id", seedCol)
+    val keyed = docs.join(labels, Seq(seedCol), "left")
+      .withColumn(key, coalesce(col("component"), col(seedCol)))
+      .drop("component")
+    assignSplit(keyed, key, splits, splitCol).drop(key)
+  }
+
   def assignSplit(df: DataFrame, seedCol: String,
                   splits: Seq[(String, Double)],
                   splitCol: String = "split"): DataFrame = {

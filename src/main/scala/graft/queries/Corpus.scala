@@ -162,6 +162,24 @@ object Corpus {
       TextAnalysis.hotNgrams(Tables.load(s, dir, "documents"), n = 3, topK = 10)
     },
 
+    // near-dup-leakage-safe split: every member of a dup cluster bands
+    // on the cluster representative instead of its own id, so
+    // near-duplicates can never straddle train/test (the eval-leakage
+    // channel a per-doc split leaves open). The oracle recomputes the
+    // closure labels AND the re-keyed bands, so the gate proves the
+    // clustered docs really did move to their representative's band;
+    // SamplingSpec asserts the no-straddle property directly.
+    "q108_leakage_safe_split" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.leakageSafeSplit(Tables.load(s, dir, "documents"),
+          SharedArtifacts.lshPairs(s, dir), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("sum_ids"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    },
+
     // deterministic train/val/test split: band membership is a pure
     // function of md5(doc_id), replayed exactly by the oracle
     "q52_split_assign" -> { (s, dir) =>
@@ -474,6 +492,23 @@ object Corpus {
          |        row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
          |      FROM k)
          |SELECT source, doc_id FROM r WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+    "q108_leakage_safe_split" ->
+      s"""$dupClosureCte,
+         |labels AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY 1),
+         |k AS (SELECT d.doc_id, d.n_chars,
+         |        md5(CAST(coalesce(l.component, d.doc_id) AS VARCHAR)) AS h
+         |      FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |u AS (SELECT doc_id, n_chars, $u01 AS u FROM k),
+         |s AS (SELECT doc_id, n_chars,
+         |        CASE WHEN u < 0.8 THEN 'train'
+         |             WHEN u < (0.8 + 0.1) THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM u)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // split cut points spelled as the same float arithmetic the Scala
     // scanLeft performs (0.8 + 0.1 != 0.9 in IEEE; the literal matters)

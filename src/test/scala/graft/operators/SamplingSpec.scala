@@ -86,6 +86,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit keeps every dup cluster inside one split") {
+    import org.apache.spark.sql.functions._
+    // 300 docs; edges chain docs into clusters of 3 (0-1-2, 30-31-32, …)
+    val docs = (0L until 300L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val pairs = (0L until 300L by 30L)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i + 2)))
+      .toDF("doc_a", "doc_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    // every doc labeled, exactly once
+    assert(out.count() == 300 && out.filter(col("split").isNull).count() == 0)
+    // the leakage property: no cluster straddles two splits
+    val labels = Components.dupClusters(pairs)
+    val straddle = out.join(labels, Seq("doc_id"))
+      .groupBy("component").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddle == 0)
+    // unclustered docs band exactly as plain assignSplit
+    val clustered = labels.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Sampling.assignSplit(docs, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.collect().filter(r => !clustered(r.getLong(0)))
+      .foreach(r => assert(r.getString(2) == plain(r.getLong(0))))
+  }
+
   test("assignShards gives every shard a contiguous 1..n position order") {
     val df = spark.range(0, 500).toDF("id")
     val out = Sampling.assignShards(df, "id", nShards = 8).collect()
