@@ -84,7 +84,10 @@ object Bench {
         val timed = Seq.fill(reps)(once(name, fn)).sorted
         (name, timed(timed.size / 2), timed.head, timed.last, cold)
       }
-    def fmt(v: Double) = f"$v%.6f"
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale, and a comma-decimal locale (de_DE, ...) would turn the
+    // bench line into invalid JSON ("0,123456").
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, med, mn, mx, _) =>

@@ -18,12 +18,20 @@ object Tables {
   // table), which a long-lived session pays once at registration, not
   // per query — re-reading it per query was ~40% of the per-query
   // bench floor. The cached value is the analyzed DataFrame (a logical
-  // plan, bytes not data); the test tables are immutable. Keyed on the
-  // session so a stopped session's plans aren't resurrected.
+  // plan, bytes not data). CONTRACT: the parquet files under a cached
+  // (dir, table) key must be immutable for the session's lifetime — a
+  // rewritten file would be served from the stale cached listing.
+  // Keyed on the session so a stopped session's plans aren't
+  // resurrected; entries for stopped sessions are evicted on the next
+  // load from any session, so the map cannot grow without bound in a
+  // long-lived multi-session process.
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    loaded.keysIterator
+      .filter { case (s, _, _) => s.sparkContext.isStopped }
+      .foreach(loaded.remove)
     loaded.getOrElseUpdate((spark, sfDir, name), {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
       // default; read it as a long and surface it as a microsecond
@@ -35,6 +43,7 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 
   /** Register every table as a temp view so queries can use spark.sql. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -473,7 +473,10 @@ object GrftCodec {
     while (!sawIend) {
       if (bytes.length - p < 12) return null
       val len = ByteBuffer.wrap(bytes, p, 4).getInt
-      if (len < 0 || bytes.length - p < 12 + len) return null
+      // `len > remaining - 12` instead of `remaining < 12 + len`: the
+      // latter wraps negative for len near Int.MaxValue and lets a
+      // corrupt length through to CRC32.update.
+      if (len < 0 || len > bytes.length - p - 12) return null
       val typ = new String(bytes, p + 4, 4, "ASCII")
       val c = new java.util.zip.CRC32
       c.update(bytes, p + 4, 4 + len)
@@ -503,7 +506,13 @@ object GrftCodec {
       p += 12 + len
     }
     if (!sawIhdr) return null
-    val stride = w * channels
+    // IHDR dims are attacker-controlled; int products overflow for w,h
+    // up to 2^31-1 (negative-size crash or a giant allocation before any
+    // IDAT validation). Raster contract is null-on-corrupt, so bound the
+    // long products by what a JVM array can hold before allocating.
+    val strideL = w.toLong * channels
+    if (strideL > Int.MaxValue - 1 || (strideL + 1) * h > Int.MaxValue - 8) return null
+    val stride = strideL.toInt
     val raw = new Array[Byte]((stride + 1) * h)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(idat.toByteArray)
@@ -511,7 +520,10 @@ object GrftCodec {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return null // truncated
+        // n == 0 with output space left and !finished means the stream
+        // is truncated OR wants a preset dictionary (FDICT) — either way
+        // undecodable; looping again would spin forever on FDICT.
+        if (n == 0) return null
         got += n
       }
       if (got != raw.length || !inflater.finished()) return null

@@ -235,9 +235,13 @@ object RdfProtocol {
   def readMessage(in: InputStream, child: ChildProcess, declared: StructType,
                   lastMessage: Boolean = false): Array[InternalRow] = {
     val head = readFully(in, new Array[Byte](Header.length), child, lastMessage)
-    if (head(0) != 'B' || head(1) != '\n' || readIntAt(head, 2) != 2)
+    if (head(0) != 'B' || head(1) != '\n' || readIntAt(head, 2) != 2) {
+      val printable = head.take(3).map(b => if (b >= 32 && b < 127) b.toChar.toString else "·").mkString
       throw new IOException(
-        s"malformed R serialization header from child (${head.take(3).mkString(",")})")
+        s"malformed R serialization header from child (${head.take(3).mkString(",")} = \"$printable\"); " +
+          "the child wrote non-protocol bytes to stdout — stdout is the reserved data channel, " +
+          "so route diagnostics (including JVM -Xlog output) to stderr")
+    }
     val flags = readInt(in, child, lastMessage)
     if ((flags & 0xff) != VECSXP)
       throw new IOException(f"expected an R list response, got SEXP flags 0x$flags%08x")

@@ -158,11 +158,11 @@ object Tokenizer {
     * without that the lineage nests one UDF projection per round and a
     * multi-thousand-round train dies on plan size long before any data
     * limit (a chained `cache()` keeps the full plan tree alive).
+    * `symSeqs` needs `syms` (array&lt;string&gt;) and `freq` (long).
     */
-  private def trainMergesDistributed(wf: DataFrame, nMerges: Int)
+  private def trainMergesDistributed(symSeqs: DataFrame, nMerges: Int)
       : Seq[(Int, String, String, String, Long)] = {
-    var syms = wf.select(col("word"), col("freq"),
-      expr("split(word, '')").as("syms"))
+    var syms = symSeqs.select(col("syms"), col("freq"))
       .localCheckpoint(true) // vocab-sized; each round re-reads it
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
@@ -195,47 +195,133 @@ object Tokenizer {
     * tokenizer ships.
     */
   def bpeTrainMerges(docs: DataFrame, nMerges: Int,
-                     maxLocalVocab: Long = 2000000L): DataFrame = {
+                     maxLocalVocab: Long = 2000000L): DataFrame =
+    bpeTrainMergesOnSymbols(
+      wordFreqs(docs).select(
+        expr("filter(split(word, ''), s -> length(s) > 0)").as("syms"),
+        col("freq")),
+      nMerges, maxLocalVocab)
+
+  /** Train over explicit symbol sequences — the general entry behind
+    * [[bpeTrainMerges]] (which feeds it char symbols per word). Feeding
+    * WORD symbols per document instead gives word-level BPE over a
+    * pre-tokenized corpus, the shape production trainers consume.
+    * `symSeqs` needs `syms` (array&lt;string&gt;) and `freq` (long);
+    * it must be vocabulary-sized (aggregated upstream), never the raw
+    * corpus rows — the two-tier local/distributed split assumes it.
+    */
+  def bpeTrainMergesOnSymbols(symSeqs: DataFrame, nMerges: Int,
+                              maxLocalVocab: Long = 2000000L): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = docs.sparkSession
+    val spark = symSeqs.sparkSession
     import spark.implicits._
-    val wf = wordFreqs(docs).cache() // vocab-sized; probed then iterated
+    val wf = symSeqs.select(col("syms"), col("freq"))
+      .cache() // vocab-sized; probed then iterated
     try {
       val vocab = wf.count()
       val merges =
         if (vocab <= maxLocalVocab) {
-          val words = wf.collect().map(r =>
-            (r.getString(0).split("").toSeq.filter(_.nonEmpty), r.getLong(1)))
-          trainMergesLocal(words, nMerges)
+          val rows = wf.collect().map(r =>
+            (r.getSeq[String](0), r.getLong(1)))
+          trainMergesLocal(rows, nMerges)
         } else trainMergesDistributed(wf, nMerges)
       merges.toDF("rank", "left", "right", "merged", "pair_count")
     } finally { wf.unpersist(); () }
   }
 
-  /** Segment each document's words with a trained merge table —
-    * the apply side of BPE. Merges are applied in rank order
-    * (standard BPE greedy application); the merge table is collected
-    * to the driver and broadcast inside the UDF closure — it is the
-    * trained artifact (thousands of rows), never corpus-scale data.
+  /** Segment one word against a rank lookup: repeatedly merge the
+    * PRESENT pair with the lowest rank until none of the word's
+    * adjacent pairs is in the table — the standard applier production
+    * BPE tokenizers use. Per-word cost is O(len · merges_applied),
+    * INDEPENDENT of the merge-table size; the old rank-order scan
+    * ([[segmentWordRankScan]]) pays O(nMerges · len) per word — ~30k
+    * mostly-missing passes per word at a production vocabulary.
+    *
+    * Equivalence: for a TRAINED table the two appliers produce
+    * identical output. A merge at rank k can only create adjacencies
+    * involving its merged symbol, and that symbol first exists at
+    * round k, so every pair the trainer records over it has rank > k —
+    * merging the lowest present rank first therefore never applies a
+    * merge the rank-order scan would have missed, and vice versa.
+    * (TokenizerSpec asserts old ≡ new on trained tables; q109 gates
+    * the applier end-to-end against the oracle's rank-order replay.)
+    */
+  private[operators] def segmentWord(
+      word: String,
+      rankOf: java.util.HashMap[(String, String), Integer]): Seq[String] =
+    segmentSyms(word.split("").toSeq.filter(_.nonEmpty), rankOf)
+
+  /** [[segmentWord]]'s engine over an explicit symbol sequence — used
+    * directly for word-level BPE (symbols = words).
+    */
+  private[operators] def segmentSyms(
+      init: Seq[String],
+      rankOf: java.util.HashMap[(String, String), Integer]): Seq[String] = {
+    var syms: Seq[String] = init
+    var done = syms.length < 2 || rankOf.isEmpty
+    while (!done) {
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rankOf.get((syms(i), syms(i + 1)))
+        if (r != null && r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bl == null) done = true
+      else syms = mergeSyms(syms, bl, br)
+    }
+    syms
+  }
+
+  /** The old apply-side algorithm — one full pass over the word per
+    * table entry, in rank order. Kept as the executable spec for
+    * [[segmentWord]]'s equivalence property test; not used by any
+    * query path.
+    */
+  private[operators] def segmentWordRankScan(
+      word: String, ranked: Array[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").toSeq.filter(_.nonEmpty)
+    ranked.foreach { case (l, r) => syms = mergeSyms(syms, l, r) }
+    syms
+  }
+
+  /** Build the segmentation UDF for a trained merge table. The table
+    * is collected to the driver and shipped in the UDF closure as a
+    * pair→rank hash map — it is the trained artifact (thousands of
+    * rows), never corpus-scale data.
+    */
+  private def rankMap(mergeTable: DataFrame): java.util.HashMap[(String, String), Integer] = {
+    val rankOf = new java.util.HashMap[(String, String), Integer]
+    mergeTable.select("rank", "left", "right").collect().foreach { r =>
+      val key = (r.getString(1), r.getString(2))
+      val rank = r.getInt(0)
+      val prev = rankOf.get(key)
+      if (prev == null || rank < prev) rankOf.put(key, rank)
+    }
+    rankOf
+  }
+
+  def bpeApplier(mergeTable: DataFrame): UserDefinedFunction = {
+    val rankOf = rankMap(mergeTable)
+    udf { (word: String) => segmentWord(word, rankOf) }
+  }
+
+  /** [[bpeApplier]] over explicit symbol sequences (array&lt;string&gt;
+    * column) — the apply side of word-level BPE.
+    */
+  def bpeApplierSymbols(mergeTable: DataFrame): UserDefinedFunction = {
+    val rankOf = rankMap(mergeTable)
+    udf { (syms: Seq[String]) => segmentSyms(syms, rankOf) }
+  }
+
+  /** Segment each document's words with a trained merge table — the
+    * apply side of BPE, greedy rank-order semantics (see
+    * [[segmentWord]] for the applier and its equivalence argument).
     */
   def bpeSegment(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
-    val ranked = mergeTable.select("rank", "left", "right")
-      .collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    val segment = udf { (word: String) =>
-      var syms: Seq[String] = word.split("").toSeq.filter(_.nonEmpty)
-      ranked.foreach { case (l, r) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += l + r; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toSeq
-      }
-      syms
-    }
+    val segment = bpeApplier(mergeTable)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .withColumn("tokens", segment(col("word")))

@@ -15,6 +15,13 @@ package graft.operators.clients
   * The same reasoning applies on a real cluster: per-child resource
   * bounds are what keeps `spark.task.cpus=1` honest when tasks fork
   * helpers.
+  *
+  * `-Xlog:disable` is load-bearing, not cosmetic: the child's stdout is
+  * the reserved binary data channel (the reference sinks R stdout for
+  * exactly this reason — `r_pkg/R/internal.R:44-47`), but HotSpot's
+  * unified logging writes `[0.029s][warning][os,thread] ...` lines to
+  * stdout by default. Under full-suite load (32 children forking at
+  * once) those warnings fire and corrupt the protocol stream mid-frame.
   */
 object JvmChild {
   def command(mainClass: String, maxHeapMb: Int = 256): String = {
@@ -22,7 +29,7 @@ object JvmChild {
     "exec java --add-opens=java.base/java.nio=ALL-UNNAMED " +
       "-Dio.netty.tryReflectiveSetAccessible=true " +
       s"-XX:ActiveProcessorCount=1 -XX:+UseSerialGC -Xmx${maxHeapMb}m " +
-      "-XX:TieredStopAtLevel=1 -Xshare:auto " +
+      "-XX:TieredStopAtLevel=1 -Xshare:auto -Xlog:disable " +
       s"-cp '$cp' $mainClass"
   }
 }

@@ -150,6 +150,30 @@ object Corpus {
         .orderBy($"rank")
     },
 
+    // the APPLY side of BPE at a four-digit merge count: train 1000
+    // word-level merges (symbols = words, one sequence per document —
+    // the pre-tokenized shape real trainers consume, and the only one
+    // with ≥1000 trainable merges on this corpus), then segment every
+    // sequence with the rank-map applier whose per-item cost is
+    // independent of table size — the production shape for a 30k-merge
+    // vocabulary. The recursive-CTE oracle independently re-derives
+    // all 1000 training rounds AND their rank-order application, so
+    // the hash gate proves fast-applier ≡ rank-order semantics.
+    "q109_bpe_segment" -> { (s, dir) =>
+      import s.implicits._
+      val seqs = Tables.load(s, dir, "documents")
+        .filter($"doc_id" % 10 === 0)
+        .select($"doc_id",
+          expr("filter(split(text, ' '), w -> length(w) > 0)").as("syms"))
+      val mt = Tokenizer.bpeTrainMergesOnSymbols(
+        seqs.select($"syms", lit(1L).as("freq")), nMerges = 1000)
+      val seg = Tokenizer.bpeApplierSymbols(mt)
+      seqs.select($"doc_id", seg($"syms").as("toks"))
+        .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+          md5(concat_ws("\u0002", $"toks").cast("binary")).as("fp"))
+        .orderBy($"doc_id")
+    },
+
     "q72_weighted_sample" -> { (s, dir) =>
       import s.implicits._
       Sampling.weightedTopK(Tables.load(s, dir, "documents"),
@@ -367,8 +391,57 @@ object Corpus {
     sb.result()
   }
 
+  /** Train-AND-apply replay for the q109 applier gate as ONE recursive
+    * CTE — the round-unrolled q105 shape cannot reach four-digit merge
+    * counts (DuckDB planning cost grows super-linearly past ~10² chained
+    * CTEs), but the recursive form runs `n` rounds as n cheap
+    * iterations. Symbols are WORDS (each document = one symbol
+    * sequence), the pre-tokenized shape real BPE trainers consume —
+    * and the only shape with ≥1000 trainable merges on this corpus
+    * (the char-level word vocabulary is 31 types). Each iteration
+    * recomputes pair counts over the working state, takes the
+    * (count desc, l, r) argmax, and applies it via the q105 sentinel
+    * trick (left-to-right non-overlapping `replace` on chr(1)-wrapped
+    * symbols IS greedy BPE merge). The LEFT JOIN keeps identity rounds
+    * once pairs are exhausted — matching the trainer, which just stops
+    * emitting merges. The gate therefore independently re-derives
+    * training AND rank-order application; the repo side answers with
+    * the O(len·applied) rank-map applier, so a hash match proves the
+    * fast applier ≡ rank-order semantics on a 1000-merge trained table.
+    */
+  private def bpeSegmentOracleSql(n: Int): String = {
+    val S = "chr(1)"
+    s"""WITH RECURSIVE ap AS (
+       |  SELECT doc_id,
+       |         $S || array_to_string(list_filter(string_split(text, ' '),
+       |                                           w -> len(w) > 0), $S||$S) || $S AS s,
+       |         0 AS r
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT d.doc_id,
+       |         CASE WHEN b.l IS NULL THEN d.s
+       |              ELSE replace(d.s, $S||b.l||$S||$S||b.rr||$S, $S||b.l||b.rr||$S) END,
+       |         d.r + 1
+       |  FROM ap d LEFT JOIN (
+       |    SELECT l, rr FROM (
+       |      SELECT pr.p.l AS l, pr.p.r AS rr, count(*) AS cnt
+       |      FROM (SELECT unnest(list_transform(range(1, len(sy)),
+       |                    i -> {'l': sy[i], 'r': sy[i+1]})) AS p
+       |            FROM (SELECT string_split(trim(s, $S), $S||$S) AS sy FROM ap)) pr
+       |      GROUP BY 1, 2)
+       |    ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
+       |  ) b ON TRUE
+       |  WHERE d.r < $n
+       |)
+       |SELECT doc_id,
+       |       CAST(len(string_split(trim(s, $S), $S||$S)) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(string_split(trim(s, $S), $S||$S), chr(2))) AS fp
+       |FROM ap WHERE r = $n ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q105_bpe_train" -> bpeTrainOracleSql(50),
+    "q109_bpe_segment" -> bpeSegmentOracleSql(1000),
 
     "q91_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word

@@ -171,6 +171,75 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  // ---- operator-level table functions: the r7/r8 operator family ----
+  // Same design as the stream TVFs: arguments are literals naming a
+  // registered view plus operator options, the builder delegates to
+  // the operator's DataFrame API and returns its logical plan — SQL
+  // users get the exact gated plan, not a reimplementation.
+
+  /** `graft_fuzzy_pairs('<view>', '<id_col>', '<str_col>'
+    * [, max_variant_freq])` — all row pairs within edit distance 1
+    * (deletion-neighborhood blocking + banded verify, the q102 plan).
+    */
+  private def fuzzyPairsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_fuzzy_pairs expects (table_name, id_col, str_col[, max_variant_freq]) literals")
+    val str = lit("graft_fuzzy_pairs") _
+    val cap = if (args.length == 4) Some(str(args(3)).toInt) else None
+    graft.operators.FuzzyMatch.editDistance1Pairs(
+        SparkSession.active.table(str(args.head)), str(args(1)), str(args(2)), cap)
+      .queryExecution.logical
+  }
+
+  /** `graft_bloom_prefilter('<big_view>', '<big_key>', '<small_view>',
+    * '<small_key>'[, m, k])` — rows of the big side whose key might be
+    * in the small side's key set (the q95 broadcast-bit-array plan;
+    * false positives possible, false negatives not).
+    */
+  private def bloomPrefilterPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 6,
+      "graft_bloom_prefilter expects (big_table, big_key, small_table, small_key[, m, k]) literals")
+    val str = lit("graft_bloom_prefilter") _
+    val spark = SparkSession.active
+    val big = spark.table(str(args.head))
+    val small = spark.table(str(args(2)))
+    val m = if (args.length >= 5) str(args(4)).toInt else 1 << 20
+    val k = if (args.length >= 6) str(args(5)).toInt else 3
+    graft.operators.Bloom.prefilter(big, big(str(args(1))), small, small(str(args(3))), m, k)
+      .queryExecution.logical
+  }
+
+  /** `graft_zorder('<view>', '<dims csv>', num_partitions)` — the
+    * q94 Z-order layout clustering (one range exchange on the Morton
+    * code + in-partition sort).
+    */
+  private def zorderPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "graft_zorder expects (table_name, dims_csv, num_partitions) literals")
+    val str = lit("graft_zorder") _
+    val df = SparkSession.active.table(str(args.head))
+    val dims = str(args(1)).split(',').map(c => df(c.trim)).toSeq
+    graft.operators.Layout.zorder(df, dims, str(args(2)).toInt)
+      .queryExecution.logical
+  }
+
+  /** `graft_dsir('<raw_view>', '<target_view>'[, '<id_col>',
+    * '<text_col>', buckets])` — the q107 DSIR importance weights
+    * (hashed-bigram target/raw likelihood ratio per document).
+    */
+  private def dsirPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 4 || args.length == 5,
+      "graft_dsir expects (raw_table, target_table[, id_col, text_col[, buckets]]) literals")
+    val str = lit("graft_dsir") _
+    val spark = SparkSession.active
+    val id = if (args.length >= 4) str(args(2)) else "doc_id"
+    val text = if (args.length >= 4) str(args(3)) else "text"
+    val buckets = if (args.length == 5) str(args(4)).toInt else 65536
+    graft.operators.Dsir.importanceWeights(
+        spark.table(str(args.head)), spark.table(str(args(1))), id, text, buckets)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -180,7 +249,19 @@ object GraftExtensions {
       streamArrowPlan _),
     "graft_stream_df" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_df"),
-      streamDfPlan _))
+      streamDfPlan _),
+    "graft_fuzzy_pairs" -> (
+      new ExpressionInfo(graft.operators.FuzzyMatch.getClass.getName, "graft_fuzzy_pairs"),
+      fuzzyPairsPlan _),
+    "graft_bloom_prefilter" -> (
+      new ExpressionInfo(graft.operators.Bloom.getClass.getName, "graft_bloom_prefilter"),
+      bloomPrefilterPlan _),
+    "graft_zorder" -> (
+      new ExpressionInfo(graft.operators.Layout.getClass.getName, "graft_zorder"),
+      zorderPlan _),
+    "graft_dsir" -> (
+      new ExpressionInfo(graft.operators.Dsir.getClass.getName, "graft_dsir"),
+      dsirPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -101,6 +101,62 @@ class TokenizerSpec extends SparkSpec {
     assert(got == naive(words.toSeq, 12))
   }
 
+  test("rank-map applier ≡ rank-order scan applier on trained tables") {
+    // the fast applier (merge the lowest-ranked PRESENT pair until
+    // none is in the table) must equal the old one-pass-per-merge scan
+    // on any TRAINED table — char-level over the real corpus, every
+    // distinct word, at a depth where multi-char symbols join later
+    // merges. Also pins the old scan path as the executable spec.
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val table = Tokenizer.bpeTrainMerges(docs, nMerges = 60)
+    val rows = table.select("rank", "left", "right").collect()
+    val ranked = rows.sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val rankOf = new java.util.HashMap[(String, String), Integer]
+    rows.foreach(r => rankOf.put((r.getString(1), r.getString(2)), r.getInt(0)))
+    val words = Tokenizer.wordFreqs(docs).select("word").as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(Tokenizer.segmentWord(w, rankOf) == Tokenizer.segmentWordRankScan(w, ranked),
+        s"appliers diverge on '$w'")
+    }
+    // ... and a padded table (100k never-matching entries at ranks past
+    // the trained ones) must not change the output: per-word work only
+    // touches pairs actually present in the word
+    val padded = new java.util.HashMap[(String, String), Integer](rankOf)
+    (0 until 100000).foreach(i => padded.put((s"x$i", s"y$i"), 1000 + i))
+    words.take(50).foreach { w =>
+      assert(Tokenizer.segmentWord(w, padded) == Tokenizer.segmentWord(w, rankOf))
+    }
+  }
+
+  test("word-level symbols: applier equivalence on a deep trained table") {
+    // the q109 shape — symbols are WORDS, one sequence per document,
+    // trained far past the char-level ceiling; both appliers must
+    // agree on every sequence
+    val seqs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", expr("filter(split(text, ' '), w -> length(w) > 0)").as("syms"))
+    val table = Tokenizer.bpeTrainMergesOnSymbols(
+      seqs.select($"syms", lit(1L).as("freq")), nMerges = 300)
+    val rows = table.select("rank", "left", "right").collect()
+    assert(rows.length == 300, s"expected 300 trained merges, got ${rows.length}")
+    val ranked = rows.sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val rankOf = new java.util.HashMap[(String, String), Integer]
+    rows.foreach(r => rankOf.put((r.getString(1), r.getString(2)), r.getInt(0)))
+    seqs.select("syms").as[Seq[String]].collect().foreach { s0 =>
+      var s: Seq[String] = s0
+      ranked.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.toSeq
+      }
+      assert(Tokenizer.segmentSyms(s0, rankOf) == s)
+    }
+  }
+
   test("bpeSegment applies merges in rank order, greedily left-to-right") {
     val docs = Seq(
       (1L, ("low " * 5).trim),

@@ -106,6 +106,77 @@ class GraftSqlSpec extends SparkSpec {
     assert(chunked.count() == 4)
   }
 
+  test("graft_fuzzy_pairs table function equals the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val api = graft.operators.FuzzyMatch
+      .editDistance1Pairs(Tables.load(spark, sf, "customer"), "c_custkey", "c_name")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val tvf = spark.sql(
+      "SELECT * FROM graft_fuzzy_pairs('customer', 'c_custkey', 'c_name') " +
+        "ORDER BY id_a, id_b").collect().toSeq
+    assert(api.nonEmpty && tvf == api)
+    // the optional cap literal must reach the operator
+    val capped = spark.sql(
+      "SELECT * FROM graft_fuzzy_pairs('customer', 'c_custkey', 'c_name', '1')").count()
+    assert(capped <= api.size)
+  }
+
+  test("graft_bloom_prefilter table function equals the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val orders = Tables.load(spark, sf, "orders")
+    val small = Tables.load(spark, sf, "customer")
+      .select($"c_custkey").orderBy($"c_custkey").limit(40)
+    small.createOrReplaceTempView("bloom_keys")
+    val api = graft.operators.Bloom
+      .prefilter(orders, orders("o_custkey"), small, small("c_custkey"), 1 << 16, 3)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    val tvf = spark.sql(
+      "SELECT o_orderkey FROM graft_bloom_prefilter(" +
+        "'orders', 'o_custkey', 'bloom_keys', 'c_custkey', '65536', '3')")
+      .as[Long].collect().sorted.toSeq
+    assert(api.nonEmpty && tvf == api)
+  }
+
+  test("graft_zorder table function equals the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val api = spark.sql("SELECT * FROM graft_zorder('part', 'p_size,p_partkey', '4')")
+    // layout op: same rows, clustered order; spot-check the clustering
+    // really happened (first partition's z-range disjoint from last's)
+    val base = Tables.load(spark, sf, "part")
+    assert(api.count() == base.count())
+    assert(api.select(sum($"p_partkey")).head.getLong(0) ==
+      base.select(sum($"p_partkey")).head.getLong(0))
+    val z = graft.operators.Layout.zvalue(api("p_size"), api("p_partkey"))
+    val parts = api.select(spark_partition_id().as("p"), z.as("z"))
+      .groupBy($"p").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .orderBy($"p").as[(Int, Long, Long)].collect()
+    parts.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
+
+  test("graft_dsir table function equals the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter($"source" =!= "src0").createOrReplaceTempView("dsir_raw")
+    docs.filter($"source" === "src0").createOrReplaceTempView("dsir_target")
+    val api = graft.operators.Dsir.importanceWeights(
+        spark.table("dsir_raw"), spark.table("dsir_target"), buckets = 4096)
+      .orderBy($"doc_id").collect().toSeq
+    val tvf = spark.sql(
+      "SELECT * FROM graft_dsir('dsir_raw', 'dsir_target', 'doc_id', 'text', '4096') " +
+        "ORDER BY doc_id").collect().toSeq
+    assert(api.nonEmpty && tvf == api)
+    // default-argument form runs too
+    assert(spark.sql(
+      "SELECT * FROM graft_dsir('dsir_raw', 'dsir_target')").count() == api.size)
+  }
+
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
     GraftExtensions.register(spark)
     spark.range(0, 12).select($"id", ($"id" * 1.5).as("v"))
