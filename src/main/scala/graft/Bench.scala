@@ -14,6 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cold-pass total is still emitted as "cold_sec" for transparency.
   * Queries run in sorted name order for stable output.
   */
+/** Per-query scheduler counters for SPARK_GRAFT_PROFILE mode. */
+private[graft] class ProfCounters {
+  import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+  val jobs = new AtomicInteger
+  val stages = new AtomicInteger
+  val tasks = new AtomicInteger
+  val taskMs = new AtomicLong
+  val schedDelayMs = new AtomicLong
+  def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)
+    taskMs.set(0); schedDelayMs.set(0) }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,6 +45,29 @@ object Bench {
     // warmup: one small aggregate through the whole stack
     Tables.load(spark, sfDir, "lineitem").selectExpr("sum(l_orderkey)").collect()
     val profile = sys.env.contains("SPARK_GRAFT_PROFILE")
+    // profile mode: a listener splits each query's wall time into
+    // scheduled work (sum of task run time / 32-way parallelism) vs
+    // driver-side floor (planning, AQE re-optimization, job/stage
+    // submission gaps) — the split that decides whether floor work
+    // should target the plans or the session
+    val prof = if (profile) {
+      val c = new ProfCounters
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            c.jobs.incrementAndGet()
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            c.stages.incrementAndGet()
+            c.tasks.addAndGet(s.stageInfo.numTasks)
+            Option(s.stageInfo.taskMetrics).foreach { m =>
+              c.taskMs.addAndGet(m.executorRunTime)
+              c.schedDelayMs.addAndGet(
+                m.executorDeserializeTime + m.resultSerializationTime)
+            }
+          }
+        })
+      Some(c)
+    } else None
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       // Materialize the FULL result, not df.count(): under a logical-plan
@@ -52,8 +87,13 @@ object Bench {
         rdd.count()
         if (profile) {
           val t3 = System.nanoTime()
+          Thread.sleep(80) // let the async listener bus drain
+          val p = prof.get
           System.err.println(f"[profile] $name build=${(t1 - t0) / 1e9}%.3f " +
-            f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f")
+            f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f " +
+            s"jobs=${p.jobs.get} stages=${p.stages.get} tasks=${p.tasks.get} " +
+            f"taskSec=${p.taskMs.get / 1e3}%.3f schedSec=${p.schedDelayMs.get / 1e3}%.3f")
+          p.reset()
         }
       } catch {
         case e: Throwable =>

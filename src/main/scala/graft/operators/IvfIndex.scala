@@ -146,6 +146,73 @@ object IvfIndex {
       .partitionBy("list_id").mode("append").parquet(s"$path/lists")
   }
 
+  /** Materialise the QUANTIZED IVF-flat layout: the same list-partitioned
+    * parquet as [[writeIndex]], but the stored payload is the int8
+    * quantization (per-vector symmetric `scale` + one-byte-per-dim
+    * BINARY `qvec`) instead of the float64 array — 8× fewer bytes per
+    * row. This composes the two scale levers that were previously
+    * separate: partition pruning (probe only `nProbe`/`nLists`
+    * directories) × payload compression (each scanned row is 1/8 the
+    * size), so probe I/O is ~`nProbe`/(8·`nLists`) of the raw corpus —
+    * at 100 TB the difference between an index that fits the cluster
+    * page cache and one that doesn't. Assignment geometry is identical
+    * to [[writeIndex]] (argmin over the float centroids, computed
+    * before quantization), so lists match the float index row-for-row.
+    */
+  def writeQuantizedIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                          path: String): Unit = {
+    val spark = emb.sparkSession
+    assign(emb, centroids)
+      .select(col("vec_id"), col("list_id"),
+        call_function("graft_quantize8", col("v")).as("m"))
+      .select(col("vec_id"), col("m.scale").as("scale"),
+        col("m.q").as("qvec"), col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k search against a materialised QUANTIZED index, ranked by
+    * quantized cosine exactly as [[Similarity.topKQuantized]]: the
+    * symmetric scales cancel, so every returned score derives from
+    * exact integer `graft_dot8` products over the stored bytes and is
+    * bit-reproducible. The query's dequantized vector (`q·scale ≈ v`)
+    * picks the probed lists — that approximation affects only WHICH
+    * lists are scanned, never a returned score, and at `nProbe` =
+    * `nLists` the ranking degenerates to the exact integer brute force
+    * (the q110 gate). Probed lists arrive as a partition-column filter
+    * (directory pruning, asserted in AnnRecallSpec).
+    */
+  def topKQuantizedIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queryVecId: Long, k: Int = 20, nProbe: Int = 2): DataFrame = {
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+    val q = lists.filter(col("vec_id") === queryVecId)
+      .select(col("qvec"), col("scale")).head
+    val qBytes = q.getAs[Array[Byte]](0)
+    val qScale = q.getDouble(1)
+    val probeLists = nearestLists(centroids,
+      qBytes.toSeq.map(_.toDouble * qScale), nProbe)
+    // |dot8| ≤ 127²·dim and qaa·qbb ≤ (127²·dim)² < 2^53 at dim ≤ 558:
+    // every value is exactly representable, so rounding and order match
+    // the q93 oracle bit-for-bit
+    val qbb = qBytes.map(b => b.toLong * b.toLong).sum
+    lists.filter(col("list_id").isin(probeLists: _*)) // partition pruning
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        call_function("graft_dot8", col("qvec"), lit(qBytes)).as("qd"),
+        call_function("graft_dot8", col("qvec"), col("qvec")).as("qaa"))
+      .select(col("vec_id"),
+        round(col("qd") / sqrt((col("qaa") * lit(qbb)).cast("double")), 4)
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k cosine search against a materialised index: the probed lists
     * arrive as a partition-column filter, so only those directories are
     * scanned, and the single scoring pass reuses the collected query

@@ -245,6 +245,18 @@ object DataPipeline {
       graft.operators.IvfIndex.topKIndexed(s, path, queryVecId = 0L,
         k = 20, nProbe = 8)
     },
+    // quantized IVF: q93's int8 compression inside q32/q84's
+    // list-partitioned pruned layout — the index actually shipped at
+    // 100 TB (probe I/O ≈ nProbe/(8·nLists) of the raw corpus).
+    // Probing ALL lists degenerates to q93's exact integer ranking, so
+    // the quantization-replaying oracle value-gates assignment, int8
+    // storage and integer scoring end-to-end; partial-probe recall and
+    // the partition-pruning plan shape are AnnRecallSpec rows.
+    "q110_quantized_ivf" -> { (s, dir) =>
+      val path = SharedArtifacts.ivfQuantizedIndexPath(s, dir, nLists = 8)
+      graft.operators.IvfIndex.topKQuantizedIndexed(s, path, queryVecId = 0L,
+        k = 20, nProbe = 8)
+    },
     "q50_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -907,6 +919,33 @@ object DataPipeline {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT va AS vec_a, vb AS vec_b, round(cos, 4) AS cos
         |FROM pr WHERE cos >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    // q110 shares q93's oracle: all-probes quantized IVF ≡ exact
+    // integer quantized brute force (the oracle replays the
+    // floor(x/scale+0.5) quantization and integer dots; scales cancel)
+    "q110_quantized_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        |  FROM e),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v,
+        |           x -> CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)) END AS q
+        |  FROM m),
+        |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+        |d AS (SELECT z.vec_id,
+        |    list_dot_product(z.q, qq.qv) AS qd,
+        |    list_dot_product(z.q, z.q) AS qaa,
+        |    list_dot_product(qq.qv, qq.qv) AS qbb
+        |  FROM qz z, qq WHERE z.vec_id <> 0)
+        |SELECT vec_id,
+        |       round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) AS qcos
+        |FROM d
+        |ORDER BY round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) DESC, vec_id
+        |LIMIT 20""".stripMargin,
 
     "q93_quantized_topk" ->
       """WITH e AS (SELECT vec_id,

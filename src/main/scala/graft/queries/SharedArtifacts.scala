@@ -79,6 +79,20 @@ object SharedArtifacts {
         emb.filter(col("vec_id") >= splitAt), path)
     }
 
+  /** Quantized IVF-flat index over the whole embeddings table
+    * ([[graft.operators.IvfIndex.writeQuantizedIndex]]): int8 payloads
+    * inside the list-partitioned layout. Built once per process per
+    * sf-dir; q110's timed query is then the probe itself — the shape a
+    * production search serves from a standing index.
+    */
+  def ivfQuantizedIndexPath(s: SparkSession, dir: String,
+                            nLists: Int = 8): String =
+    artifact(dir, s"ivf_q8_$nLists") { path =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(emb, nLists)
+      graft.operators.IvfIndex.writeQuantizedIndex(emb, centroids, path)
+    }
+
   private def artifact(dir: String, kind: String)(build: String => Unit): String =
     dirs.computeIfAbsent((dir, kind), { _ =>
       val p = Files.createTempDirectory(s"graft_${kind}_")
