@@ -120,6 +120,18 @@ object GrftCodec {
       return pack(outWidth, outHeight, png.channels, 0,
         pngEncode(outWidth, outHeight, png.channels, out))
     }
+    // JPEG input re-encodes LOSSLESS (PNG): a resize re-encoded as
+    // JPEG would stack a second generation of quantization loss on
+    // every transform, so the pipeline decodes lossy media once and
+    // keeps derived artifacts exact — the policy production media
+    // pipelines use
+    val jpg = jpegOfContainer(bytes)
+    if (jpg != null) {
+      val out = nnResize(jpg.data, jpg.offset, jpg.width, jpg.height,
+        jpg.channels, outWidth, outHeight)
+      return pack(outWidth, outHeight, jpg.channels, 0,
+        pngEncode(outWidth, outHeight, jpg.channels, out))
+    }
     // REAL audio path: a kind=1 container holding a PCM WAV resamples
     // its actual frames (1-D nearest-neighbour over outWidth frames,
     // all channels carried; outHeight must be 1 — audio has no second
@@ -566,6 +578,678 @@ object GrftCodec {
     pngDecode(bytes, HeaderLen)
   }
 
+  // ---- real image codec #4: baseline JFIF JPEG (ITU-T T.81) ----
+  // Pure-JVM baseline sequential DCT: marker segment walk, 8-bit DQT,
+  // SOF0, canonical Huffman (DHT), byte-unstuffed entropy decode with
+  // DRI/RST support, dequant + inverse zigzag + double-precision IDCT,
+  // box chroma upsampling (h,v <= 2), JFIF YCbCr->RGB. The encoder
+  // emits 4:4:4 (or single-component grayscale) with the Annex K
+  // quant/Huffman tables under IJG quality scaling — at quality 100
+  // every quant entry is 1, so constant 8x8 blocks round-trip EXACTLY
+  // (DC = 8*(v-128) is integral; every AC term is a full-period cosine
+  // sum that rounds to 0), which is what lets the q111 gate replay the
+  // decode in SQL despite JPEG being lossy in general. Everything else
+  // — progressive/arithmetic/12-bit/16-bit-DQT/sampling >2 — decodes
+  // to null: undecodable media is data, not an error.
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ITU-T T.81 Annex K.1 example quantization tables (the de-facto
+  // standard every encoder scales)
+  private val StdLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+  private val StdChromaQuant: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K.3 typical Huffman tables: (BITS counts per code length
+  // 1..16, HUFFVAL symbols in code order)
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = (0 to 11).map(_.toByte).toArray
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  private val DctCos: Array[Double] = {
+    // cos((2x+1) u pi / 16) indexed [x*8 + u]
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** IJG quality scaling: 100 -> every entry 1 (exact for integral
+    * coefficients), 50 -> the Annex K table verbatim. Input `base` is
+    * in natural (row) order as printed in the spec; the returned table
+    * is in ZIGZAG order — the order DQT streams, coefficients index,
+    * and both codecs use internally.
+    */
+  private def scaleQuant(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    Array.tabulate(64)(i =>
+      math.max(1, math.min(255, (base(ZigZag(i)) * scale + 50) / 100)))
+  }
+
+  /** MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def write(value: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (nBits > 0) { write(0xff, 8 - nBits) }
+  }
+
+  /** (code, length) per symbol from a BITS/HUFFVAL spec (canonical). */
+  private def huffEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[Int] = {
+    // packed: table(sym) = (code << 5) | length; length <= 16, code < 2^16
+    val t = new Array[Int](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        t(vals(k) & 0xff) = (code << 5) | len
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    t
+  }
+
+  private def bitCategory(v: Int): Int = {
+    var cat = 0
+    var a = math.abs(v)
+    while (a != 0) { cat += 1; a >>= 1 }
+    cat
+  }
+
+  /** Forward DCT + quantization of one 8x8 block (`block` holds
+    * level-shifted samples), emitting zigzag-ordered coefficients.
+    */
+  private def fdctQuant(block: Array[Double], quant: Array[Int]): Array[Int] = {
+    val coef = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            sum += block(y * 8 + x) * DctCos(x * 8 + u) * DctCos(y * 8 + v)
+            y += 1
+          }
+          x += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        val zz = ZigZag.indexOf(v * 8 + u)
+        coef(zz) = math.round(sum * cu * cv / 4.0 / quant(zz)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    coef
+  }
+
+  private def encodeBlock(bw: JpegBitWriter, coef: Array[Int], prevDc: Int,
+                          dcTab: Array[Int], acTab: Array[Int]): Int = {
+    val diff = coef(0) - prevDc
+    val dcCat = bitCategory(diff)
+    val dcCode = dcTab(dcCat)
+    bw.write(dcCode >> 5, dcCode & 31)
+    if (dcCat > 0)
+      bw.write(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+    var lastNz = 63
+    while (lastNz > 0 && coef(lastNz) == 0) lastNz -= 1
+    var k = 1
+    var run = 0
+    while (k <= lastNz) {
+      if (coef(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val zrl = acTab(0xf0); bw.write(zrl >> 5, zrl & 31); run -= 16
+        }
+        val cat = bitCategory(coef(k))
+        val sym = acTab((run << 4) | cat)
+        bw.write(sym >> 5, sym & 31)
+        bw.write(if (coef(k) < 0) coef(k) + (1 << cat) - 1 else coef(k), cat)
+        run = 0
+      }
+      k += 1
+    }
+    if (lastNz < 63) { val eob = acTab(0x00); bw.write(eob >> 5, eob & 31) }
+    coef(0)
+  }
+
+  /** Encode a row-major gray (channels=1) or RGB (channels=3) raster as
+    * a baseline JFIF JPEG: 4:4:4 sampling, Annex K tables at IJG
+    * `quality`, optional restart interval (`restartMcus` > 0 emits DRI
+    * + RSTn markers — the corruption-recovery geometry real encoders
+    * ship). `quality=100` makes every quant entry 1, so any block whose
+    * forward-DCT coefficients are integral round-trips exactly.
+    */
+  def jpegEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte],
+                 quality: Int = 90, restartMcus: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      s"JPEG encoder supports gray or RGB, got channels=$channels")
+    require(w > 0 && h > 0, s"dimensions must be positive, got ${w}x$h")
+    require(pixels.length >= w * h * channels, "raster shorter than dimensions")
+    val lumaQ = scaleQuant(StdLumaQuant, quality)
+    val chromaQ = scaleQuant(StdChromaQuant, quality)
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(id: Int, q: Array[Int]): Unit =
+      segment(0xdb, (id.toByte +: ZigZag.indices.map(i => q(i).toByte)).toArray)
+    dqt(0, lumaQ)
+    if (channels == 3) dqt(1, chromaQ)
+    // SOF0: baseline, 8-bit, 1x1 sampling everywhere (4:4:4)
+    val sofBody = new java.io.ByteArrayOutputStream
+    sofBody.write(8)
+    sofBody.write(h >> 8); sofBody.write(h & 0xff)
+    sofBody.write(w >> 8); sofBody.write(w & 0xff)
+    sofBody.write(channels)
+    var c = 0
+    while (c < channels) {
+      sofBody.write(c + 1) // component id
+      sofBody.write(0x11) // h=1, v=1
+      sofBody.write(if (c == 0) 0 else 1) // quant table id
+      c += 1
+    }
+    segment(0xc0, sofBody.toByteArray)
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit =
+      segment(0xc4, (((clazz << 4) | id).toByte +: bits.map(_.toByte)) ++ vals)
+    dht(0, 0, DcLumaBits, DcLumaVals)
+    dht(1, 0, AcLumaBits, AcLumaVals)
+    if (channels == 3) {
+      dht(0, 1, DcChromaBits, DcChromaVals)
+      dht(1, 1, AcChromaBits, AcChromaVals)
+    }
+    if (restartMcus > 0)
+      segment(0xdd, Array[Byte]((restartMcus >> 8).toByte, (restartMcus & 0xff).toByte))
+    val sosBody = new java.io.ByteArrayOutputStream
+    sosBody.write(channels)
+    c = 0
+    while (c < channels) {
+      sosBody.write(c + 1)
+      sosBody.write(if (c == 0) 0x00 else 0x11) // DC/AC table ids
+      c += 1
+    }
+    sosBody.write(0); sosBody.write(63); sosBody.write(0) // Ss, Se, Ah/Al
+    segment(0xda, sosBody.toByteArray)
+    // entropy-coded data: 4:4:4 MCU = one 8x8 block per component
+    val dcLumaT = huffEncodeTable(DcLumaBits, DcLumaVals)
+    val acLumaT = huffEncodeTable(AcLumaBits, AcLumaVals)
+    val dcChromaT = huffEncodeTable(DcChromaBits, DcChromaVals)
+    val acChromaT = huffEncodeTable(AcChromaBits, AcChromaVals)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    var bw = new JpegBitWriter(out)
+    val prevDc = new Array[Int](channels)
+    val block = new Array[Double](64)
+    var mcu = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartMcus > 0 && mcu > 0 && mcu % restartMcus == 0) {
+          bw.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+          bw = new JpegBitWriter(out)
+        }
+        c = 0
+        while (c < channels) {
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              // edge-replicated padding for partial boundary blocks
+              val px = math.min(mx * 8 + bx, w - 1)
+              val py = math.min(my * 8 + by, h - 1)
+              val v =
+                if (channels == 1) pixels(py * w + px) & 0xff
+                else {
+                  val r = pixels((py * w + px) * 3) & 0xff
+                  val g = pixels((py * w + px) * 3 + 1) & 0xff
+                  val b = pixels((py * w + px) * 3 + 2) & 0xff
+                  val d = c match {
+                    case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                    case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+                    case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+                  }
+                  math.max(0, math.min(255, math.round(d).toInt))
+                }
+              block(by * 8 + bx) = v - 128.0
+              bx += 1
+            }
+            by += 1
+          }
+          val coef = fdctQuant(block, if (c == 0) lumaQ else chromaQ)
+          prevDc(c) = encodeBlock(bw, coef, prevDc(c),
+            if (c == 0) dcLumaT else dcChromaT,
+            if (c == 0) acLumaT else acChromaT)
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // Canonical Huffman DECODE table (T.81 F.2.2.3): per code length,
+  // the smallest/largest code and the HUFFVAL index of the smallest.
+  private final class JpegHuffTable(bits: Array[Int], val vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) == 0) { maxCode(len) = -1 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+  }
+
+  private final class JpegDecodeError extends RuntimeException("jpeg", null, false, false)
+
+  /** Entropy-segment bit reader: unstuffs 0xFF00, stops at any real
+    * marker (position left ON the 0xFF).
+    */
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int, limit: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def align(): Unit = { acc = 0; nBits = 0 }
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= limit) throw new JpegDecodeError
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 >= limit) throw new JpegDecodeError
+          val b2 = bytes(pos + 1) & 0xff
+          if (b2 != 0x00) throw new JpegDecodeError // marker mid-coefficient
+          pos += 2
+        } else pos += 1
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuffTable): Int = {
+      var code = readBit()
+      var len = 1
+      while (len <= 16) {
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
+          return t.vals(t.valPtr(len) + code - t.minCode(len)) & 0xff
+        code = (code << 1) | readBit()
+        len += 1
+      }
+      throw new JpegDecodeError
+    }
+    /** T.81 F.2.2.1 EXTEND: sign-extend a magnitude-category value. */
+    def receiveExtend(cat: Int): Int = {
+      if (cat == 0) return 0
+      val v = readBits(cat)
+      if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+    }
+  }
+
+  private def idctBlock(coef: Array[Int], quant: Array[Int],
+                        plane: Array[Byte], planeW: Int, px: Int, py: Int,
+                        planeH: Int): Unit = {
+    // dequant + inverse zigzag
+    val f = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val zz = ZigZag(i)
+      f(zz) = coef(i).toDouble * quant(i)
+      i += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            sum += cu * cv * f(v * 8 + u) * DctCos(x * 8 + u) * DctCos(y * 8 + v)
+            v += 1
+          }
+          u += 1
+        }
+        val ox = px + x
+        val oy = py + y
+        if (ox < planeW && oy < planeH) {
+          val s = math.round(sum / 4.0 + 128.0).toInt
+          plane(oy * planeW + ox) = math.max(0, math.min(255, s)).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Decode a baseline JFIF payload at `off` into a top-down gray or
+    * RGB [[Raster]]; null for progressive/arithmetic/12-bit streams,
+    * sampling factors above 2, 16-bit quant tables, or any truncated /
+    * corrupt structure.
+    */
+  def jpegDecode(bytes: Array[Byte], off: Int): Raster = {
+    try jpegDecodeOrThrow(bytes, off)
+    catch { case _: JpegDecodeError | _: ArrayIndexOutOfBoundsException => null }
+  }
+
+  private def jpegDecodeOrThrow(bytes: Array[Byte], off: Int): Raster = {
+    if (bytes == null || bytes.length < off + 4) return null
+    if ((bytes(off) & 0xff) != 0xff || (bytes(off + 1) & 0xff) != 0xd8) return null
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    // per component: id, hSamp, vSamp, quantId, dcId, acId
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compQ = new Array[Int](3); val compId = new Array[Int](3)
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var p = off + 2
+    def u16(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    while (p + 4 <= bytes.length) {
+      if ((bytes(p) & 0xff) != 0xff) return null
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xd9) return null // EOI before SOS
+      val segLen = u16(p + 2)
+      if (segLen < 2 || p + 2 + segLen > bytes.length) return null
+      val body = p + 4
+      val bodyLen = segLen - 2
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var q = body
+          while (q < body + bodyLen) {
+            val pq = (bytes(q) & 0xff) >> 4
+            val tq = bytes(q) & 0x0f
+            if (pq != 0 || tq > 3 || q + 65 > body + bodyLen) return null
+            quant(tq) = Array.tabulate(64)(i => bytes(q + 1 + i) & 0xff)
+            q += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var q = body
+          while (q < body + bodyLen) {
+            val tc = (bytes(q) & 0xff) >> 4
+            val th = bytes(q) & 0x0f
+            if (tc > 1 || th > 3 || q + 17 > body + bodyLen) return null
+            val bits = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+            val n = bits.sum
+            if (n == 0 || n > 256 || q + 17 + n > body + bodyLen) return null
+            val vals = java.util.Arrays.copyOfRange(bytes, q + 17, q + 17 + n)
+            val t = new JpegHuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            q += 17 + n
+          }
+        case 0xc0 | 0xc1 => // SOF0/1 (baseline + extended sequential)
+          if ((bytes(body) & 0xff) != 8) return null // 8-bit precision only
+          h = u16(body + 1); w = u16(body + 3)
+          nComp = bytes(body + 5) & 0xff
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
+          var c = 0
+          while (c < nComp) {
+            compId(c) = bytes(body + 6 + c * 3) & 0xff
+            val hv = bytes(body + 7 + c * 3) & 0xff
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            compQ(c) = bytes(body + 8 + c * 3) & 0xff
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+              compQ(c) > 3) return null
+            c += 1
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+            0xce | 0xcf =>
+          return null // progressive / arithmetic / hierarchical
+        case 0xdd =>
+          if (bodyLen < 2) return null
+          restartInterval = u16(body)
+        case 0xda => // SOS: scan header then entropy data
+          if (w == 0 || nComp == 0) return null
+          val ns = bytes(body) & 0xff
+          if (ns != nComp) return null // interleaved single-scan only
+          var c = 0
+          while (c < ns) {
+            val cid = bytes(body + 1 + c * 2) & 0xff
+            val tt = bytes(body + 2 + c * 2) & 0xff
+            val idx = compId.indexOf(cid)
+            if (idx < 0 || idx >= nComp) return null
+            compDc(idx) = tt >> 4; compAc(idx) = tt & 0x0f
+            c += 1
+          }
+          return decodeScan(bytes, body + 1 + ns * 2 + 3, w, h, nComp,
+            compH, compV, compQ, compDc, compAc, quant, dcTabs, acTabs,
+            restartInterval)
+        case _ => () // APPn / COM / unknown: skip
+      }
+      p += 2 + segLen
+    }
+    null
+  }
+
+  private def decodeScan(bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
+                         nComp: Int, compH: Array[Int], compV: Array[Int],
+                         compQ: Array[Int], compDc: Array[Int], compAc: Array[Int],
+                         quant: Array[Array[Int]], dcTabs: Array[JpegHuffTable],
+                         acTabs: Array[JpegHuffTable],
+                         restartInterval: Int): Raster = {
+    val hMax = (0 until nComp).map(compH).max
+    val vMax = (0 until nComp).map(compV).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane sized to whole MCU coverage
+    val planeW = new Array[Int](nComp)
+    val planeH = new Array[Int](nComp)
+    val planes = new Array[Array[Byte]](nComp)
+    var c = 0
+    while (c < nComp) {
+      if (quant(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+        acTabs(compAc(c)) == null) return null
+      planeW(c) = mcusX * compH(c) * 8
+      planeH(c) = mcusY * compV(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * planeH(c))
+      c += 1
+    }
+    val br = new JpegBitReader(bytes, scanStart, bytes.length)
+    val prevDc = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align and consume the RSTn marker
+          br.align()
+          if (br.pos + 1 >= bytes.length) throw new JpegDecodeError
+          if ((bytes(br.pos) & 0xff) != 0xff) throw new JpegDecodeError
+          val rm = bytes(br.pos + 1) & 0xff
+          if (rm < 0xd0 || rm > 0xd7) throw new JpegDecodeError
+          br.pos += 2
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        c = 0
+        while (c < nComp) {
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val dcSym = br.decodeHuff(dcTabs(compDc(c)))
+              if (dcSym > 15) throw new JpegDecodeError
+              prevDc(c) += br.receiveExtend(dcSym)
+              coef(0) = prevDc(c)
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val rs = br.decodeHuff(acTabs(compAc(c)))
+                val run = rs >> 4
+                val cat = rs & 0x0f
+                if (cat == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else done = true // EOB
+                } else {
+                  k += run
+                  if (k > 63) throw new JpegDecodeError
+                  coef(k) = br.receiveExtend(cat)
+                  k += 1
+                }
+              }
+              idctBlock(coef, quant(compQ(c)), planes(c), planeW(c),
+                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8, planeH(c))
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // compose the output raster: box upsampling via integer coordinate
+    // scaling per component
+    if (nComp == 1) {
+      val outData = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * planeW(0), outData, y * w, w)
+        y += 1
+      }
+      Raster(w, h, 1, 0, outData)
+    } else {
+      val outData = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + x * compH(0) / hMax) & 0xff
+          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + x * compH(1) / hMax) & 0xff) - 128
+          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + x * compH(2) / hMax) & 0xff) - 128
+          val o = (y * w + x) * 3
+          outData(o) = clamp255(math.round(yy + 1.402 * cr).toInt)
+          outData(o + 1) = clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt)
+          outData(o + 2) = clamp255(math.round(yy + 1.772 * cb).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      Raster(w, h, 3, 0, outData)
+    }
+  }
+
+  private def clamp255(v: Int): Byte = math.max(0, math.min(255, v)).toByte
+
+  /** Decode a kind=0 GRFT container whose payload is a baseline JPEG,
+    * or null when the container/image is undecodable.
+    */
+  def jpegOfContainer(bytes: Array[Byte]): Raster = {
+    val m = meta(bytes)
+    if (m.isNullAt(0) || !m.getBoolean(5) || m.getInt(3) != 0) return null
+    jpegDecode(bytes, HeaderLen)
+  }
+
   // ---- real audio codec: RIFF/WAVE 16-bit PCM ----
   // The audio counterpart of the PNM/BMP paths: canonical RIFF
   // container ("RIFF" u32 size "WAVE"), chunk walk with even-byte
@@ -910,14 +1594,18 @@ object GrftCodec {
     StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
 
   /** REAL pixel statistics over the decoded raster of a kind=0 PNM,
-    * BMP or PNG container (all-null fields when undecodable).
+    * BMP, PNG or baseline-JPEG container (all-null fields when
+    * undecodable).
     */
   def pixels(bytes: Array[Byte]): InternalRow = {
     val img = pnmOfContainer(bytes) match {
       case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
       case null => bmpOfContainer(bytes) match {
         case r: Raster => r
-        case null => pngOfContainer(bytes)
+        case null => pngOfContainer(bytes) match {
+          case r: Raster => r
+          case null => jpegOfContainer(bytes)
+        }
       }
     }
     if (img == null) return InternalRow(null, null, null, null, null, null)

@@ -402,6 +402,54 @@ object DataPipeline {
           round($"image.mean_pixel", 4).as("mean_pixel"))
         .orderBy($"doc_id")
     },
+    // FOURTH real image codec end-to-end — baseline JPEG, the one
+    // remaining common real-world format, pure JVM (marker walk, DQT/
+    // DHT, canonical Huffman entropy decode with byte unstuffing,
+    // dequant + IDCT). JPEG is lossy, so the q80/q85/q106 fixture is
+    // adapted to the structure where the format is EXACT: each of the
+    // 16 sampled text bytes becomes a constant 8x8 block (DC =
+    // 8·(v−128), integral; ACs exactly 0) encoded at quality 100
+    // (all-ones quant tables) — so decode reproduces the input
+    // bit-for-bit and the oracle can replay the chain from the text.
+    // The resize step decodes the ACTUAL JPEG (16-block Huffman scan +
+    // IDCT), NN-samples block corners, and re-encodes LOSSLESS (PNG —
+    // lossy media decodes once, derived artifacts stay exact); every
+    // 97th doc is corrupt to prove undecodable JPEG degrades to nulls.
+    "q111_jpeg_codec" -> { (s, dir) =>
+      import s.implicits._
+      val packJpeg = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q111 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a jpeg".getBytes("UTF-8")
+        else {
+          val n = bytes.length
+          val px = new Array[Byte](128 * 8)
+          var b = 0
+          while (b < 16) {
+            val v = bytes(b * n / 16)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { px(y * 128 + b * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            b += 1
+          }
+          graft.operators.Multimodal.pack(128, 8, 1, 0,
+            graft.functions.GrftCodec.jpegEncode(128, 8, 1, px, quality = 100))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packJpeg($"doc_id", $"text").as("blob"))
+      val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
+      graft.operators.Multimodal.decodeImage(resized, "resized")
+        .select($"doc_id", $"image.width", $"image.height", $"image.channels",
+          $"image.n_pixels", $"image.pix_checksum",
+          round($"image.mean_pixel", 4).as("mean_pixel"))
+        .orderBy($"doc_id")
+    },
     // REAL audio codec end-to-end — the kind=1 counterpart of q80/q85:
     // each document's (ASCII) bytes become centered 16-bit PCM samples
     // ((b-128)·256) inside a genuine mono RIFF/WAVE payload;
@@ -1117,6 +1165,31 @@ object DataPipeline {
         |ORDER BY t.doc_id""".stripMargin,
 
     "q106_png_codec" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |px AS (SELECT doc_id,
+        |         list_transform(range(0, 16),
+        |           x -> ascii(substr(text, CAST(x * w // 16 AS INT) + 1, 1))) AS pix
+        |       FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT doc_id, CAST(list_aggregate(pix, 'sum') AS BIGINT) AS s
+        |       FROM px)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 16 END AS width,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS height,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(16 AS BIGINT) END AS n_pixels,
+        |  st.s AS pix_checksum,
+        |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
+        |       ELSE round(st.s / 16.0, 4) END AS mean_pixel
+        |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // q111 shares q106's oracle shape: the constant-block quality-100
+    // JPEG chain is exact, so the sampled bytes come straight from the
+    // text (block x = byte at floor(x·w/16); NN resize picks block x's
+    // corner pixel)
+    "q111_jpeg_codec" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
         |           FROM documents),
         |px AS (SELECT doc_id,

@@ -217,6 +217,135 @@ class MultimodalSpec extends SparkSpec {
     assert(inner.data.toSeq == Seq[Byte](10, 70))
   }
 
+  test("real JPEG codec: constant blocks round-trip exactly at quality 100") {
+    import graft.functions.GrftCodec
+    // quality 100 → all-ones quant tables; a constant 8x8 block has
+    // DC = 8·(v−128) (integral) and exactly-zero ACs, so the lossy
+    // format becomes exact for this structure — the q111 fixture's
+    // foundation
+    val vals = Array(7, 250, 128, 33)
+    val px = new Array[Byte](32 * 8)
+    for (b <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+      px(y * 32 + b * 8 + x) = vals(b).toByte
+    val jpg = GrftCodec.jpegEncode(32, 8, 1, px, quality = 100)
+    val dec = GrftCodec.jpegDecode(jpg, 0)
+    assert(dec != null && dec.width == 32 && dec.height == 8 && dec.channels == 1)
+    assert(dec.data.toSeq == px.toSeq)
+    // RGB constant blocks: exact in the YCbCr domain; the two color
+    // conversions cost at most ±2 per sample
+    val rgb = new Array[Byte](16 * 8 * 3)
+    for (b <- 0 until 2; y <- 0 until 8; x <- 0 until 8; ch <- 0 until 3)
+      rgb((y * 16 + b * 8 + x) * 3 + ch) = (if (b == 0) 40 + ch * 60 else 200 - ch * 35).toByte
+    val jc = GrftCodec.jpegDecode(GrftCodec.jpegEncode(16, 8, 3, rgb, quality = 100), 0)
+    assert(jc != null && jc.channels == 3)
+    val maxDiff = rgb.indices.map(i => math.abs((jc.data(i) & 0xff) - (rgb(i) & 0xff))).max
+    assert(maxDiff <= 2, s"RGB constant-block max diff $maxDiff")
+  }
+
+  test("real JPEG codec: agrees with the JDK decoder on its own output") {
+    import graft.functions.GrftCodec
+    // smooth gradient, quality 90: both decoders see the same
+    // coefficients, so differences are only IDCT + color rounding
+    val w = 32; val h = 24
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      px((y * w + x) * 3) = (x * 5 + 20).toByte
+      px((y * w + x) * 3 + 1) = (y * 6 + 30).toByte
+      px((y * w + x) * 3 + 2) = ((x + y) * 3 + 40).toByte
+    }
+    val jpg = GrftCodec.jpegEncode(w, h, 3, px, quality = 90)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(jdk != null && jdk.getWidth == w && jdk.getHeight == h)
+    val ours = GrftCodec.jpegDecode(jpg, 0)
+    assert(ours != null)
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = jdk.getRGB(x, y)
+      val theirs = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      for (c <- 0 until 3) {
+        val d = math.abs(theirs(c) - (ours.data((y * w + x) * 3 + c) & 0xff))
+        maxDiff = math.max(maxDiff, d); sumDiff += d
+      }
+    }
+    assert(maxDiff <= 4, s"max per-sample diff vs JDK decoder: $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) <= 1.0,
+      s"mean per-sample diff vs JDK decoder: ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
+  test("real JPEG codec: decodes the JDK encoder's subsampled output") {
+    import graft.functions.GrftCodec
+    // the JDK writer subsamples chroma (4:2:0) by default, so this
+    // exercises the multi-block MCU + upsampling path; our box
+    // upsampler vs the JDK's triangle filter differ most at chroma
+    // edges, so use a smooth gradient and a mean-level bound
+    val w = 40; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 4 + 30) << 16) | ((y * 8 + 40) << 8) | (x * 3 + y * 2 + 50))
+    val baos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpeg", baos))
+    val jpg = baos.toByteArray
+    val ours = GrftCodec.jpegDecode(jpg, 0)
+    assert(ours != null && ours.width == w && ours.height == h && ours.channels == 3)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = jdk.getRGB(x, y)
+      val theirs = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      for (c <- 0 until 3)
+        sumDiff += math.abs(theirs(c) - (ours.data((y * w + x) * 3 + c) & 0xff))
+    }
+    val mean = sumDiff.toDouble / (w * h * 3)
+    assert(mean <= 5.0, s"mean per-sample diff vs JDK decoder on 4:2:0: $mean")
+  }
+
+  test("real JPEG codec: restart markers, corrupt and unsupported streams") {
+    import graft.functions.GrftCodec
+    val vals = Array(10, 60, 110, 160, 210, 250)
+    val px = new Array[Byte](48 * 8)
+    for (b <- 0 until 6; y <- 0 until 8; x <- 0 until 8)
+      px(y * 48 + b * 8 + x) = vals(b).toByte
+    // DRI + RSTn every 2 MCUs must decode identically (and exactly)
+    val jpg = GrftCodec.jpegEncode(48, 8, 1, px, quality = 100, restartMcus = 2)
+    assert(new String(jpg.map(b => f"${b & 0xff}%02x").mkString).contains("ffdd"))
+    val dec = GrftCodec.jpegDecode(jpg, 0)
+    assert(dec != null && dec.data.toSeq == px.toSeq)
+    // truncated entropy data → null, not a crash
+    assert(GrftCodec.jpegDecode(java.util.Arrays.copyOf(jpg, jpg.length - 10), 0) == null)
+    // progressive SOF2 → null (flip the SOF0 marker byte)
+    val prog = jpg.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(GrftCodec.jpegDecode(prog, 0) == null)
+    // not a JPEG at all
+    assert(GrftCodec.jpegDecode("definitely not a jpeg".getBytes, 0) == null)
+  }
+
+  test("real JPEG codec: container resize decodes, resamples, re-encodes lossless") {
+    import graft.functions.GrftCodec
+    // 2 constant 8x8 blocks → NN resize to 2x1 picks pixels (0,0) and
+    // (8,0) = the two block values; the re-encoded payload must be a
+    // PNG (lossy media decodes once, derived artifacts stay exact)
+    val px = new Array[Byte](16 * 8)
+    for (b <- 0 until 2; y <- 0 until 8; x <- 0 until 8)
+      px(y * 16 + b * 8 + x) = (if (b == 0) 25 else 225).toByte
+    val packed = Seq((1L, Multimodal.pack(16, 8, 1, 0,
+        GrftCodec.jpegEncode(16, 8, 1, px, quality = 100))))
+      .toDF("id", "blob")
+    val resized = Multimodal.resize(packed, "blob", 2, 1)
+    val out = Multimodal.decodeImage(resized, "resized")
+      .select($"image.width", $"image.height", $"image.channels",
+        $"image.n_pixels", $"image.pix_checksum").head
+    assert((out.getInt(0), out.getInt(1), out.getInt(2), out.getLong(3),
+      out.getLong(4)) == (2, 1, 1, 2L, 250L))
+    val blob = resized.select($"resized").head.getAs[Array[Byte]](0)
+    val inner = GrftCodec.pngDecode(blob, GrftCodec.HeaderLen)
+    assert(inner != null && inner.data.toSeq == Seq[Byte](25, 225.toByte))
+  }
+
   test("real WAV codec: roundtrip, chunk walk, and unsupported configs") {
     import graft.functions.GrftCodec
     // stereo roundtrip: interleaved L/R frames incl. negative samples
