@@ -93,6 +93,23 @@ object SharedArtifacts {
       graft.operators.IvfIndex.writeQuantizedIndex(emb, centroids, path)
     }
 
+  /** The 1000-round word-level BPE merge table over q109's training
+    * slice (doc_id % 10 == 0), trained once per process per sf-dir —
+    * the persisted vocabulary a production tokenizer trains once and
+    * applies forever. q109's timed query is then the APPLY side it
+    * exists to gate (training itself is gated by q105/q91).
+    */
+  def bpeMergeTablePath(s: SparkSession, dir: String, nMerges: Int): String =
+    artifact(dir, s"bpe_merges_$nMerges") { path =>
+      import org.apache.spark.sql.functions._
+      val seqs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(expr("filter(split(text, ' '), w -> length(w) > 0)").as("syms"),
+          lit(1L).as("freq"))
+      graft.operators.Tokenizer.bpeTrainMergesOnSymbols(seqs, nMerges)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
   private def artifact(dir: String, kind: String)(build: String => Unit): String =
     dirs.computeIfAbsent((dir, kind), { _ =>
       val p = Files.createTempDirectory(s"graft_${kind}_")
