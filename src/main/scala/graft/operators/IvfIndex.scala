@@ -24,6 +24,13 @@ import graft.functions.VectorExpressions
   */
 object IvfIndex {
 
+  /** Package hook for operators composing on the same assignment
+    * geometry (semantic dedup, prototypicality): argmin cluster id for
+    * the `v` column against a literal centroid table.
+    */
+  private[operators] def argmin(centroids: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    centroidArgmin(centroids)
+
   private def centroidArgmin(centroids: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
     // squared L2 distance to each centroid; the vector norm term is
     // constant per row, so argmin over (||c||² - 2 v·c) suffices
@@ -44,11 +51,29 @@ object IvfIndex {
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v")).cache()
     // deterministic init: spread by hash of vec_id
-    var centroids: Seq[(Int, Seq[Double])] =
+    val init: Seq[(Int, Seq[Double])] =
       vecs.withColumn("h", pmod(xxhash64(col("vec_id")), lit(nLists * 37)))
         .orderBy(col("h"), col("vec_id")).limit(nLists)
         .collect().toSeq.zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }
+    val centroids = lloyd(vecs, init, iters)
+    vecs.unpersist()
+    centroids
+  }
+
+  /** Lloyd refinement from an EXPLICIT initial centroid set over a
+    * `(vec_id, v: array<double>)` frame. Each round is one distributed
+    * pass: assignment = broadcast argmin (narrow), update = per-
+    * (cluster, dim) mean via posexplode + groupBy; the only driver-side
+    * object is the k×dim centroid table. Centroids whose cluster
+    * empties keep their previous position (never fewer than k cells).
+    * Shared by [[train]] (hash-picked init) and the seed-initialised
+    * curation operators (semantic dedup, prototypicality), so every
+    * consumer refines on the same geometry.
+    */
+  private[operators] def lloyd(vecs: DataFrame, init: Seq[(Int, Seq[Double])],
+                               iters: Int): Seq[(Int, Seq[Double])] = {
+    var centroids = init
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cid", centroidArgmin(centroids))
       val updated = assigned
@@ -62,7 +87,6 @@ object IvfIndex {
       val byId = updated.toMap
       centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
     }
-    vecs.unpersist()
     centroids
   }
 

@@ -407,6 +407,96 @@ object Similarity {
     * recall depends on bits (fewer bits → bigger buckets → higher
     * recall, more work).
     */
+  /** Collect the seed vectors for a seed-initialised clustering and
+    * refine them with `iters` Lloyd rounds ([[IvfIndex.lloyd]]).
+    * Cluster ids are the seeds' rank in ascending `vec_id` order, so
+    * the geometry is reproducible from the seed list alone.
+    */
+  private def seedCentroids(vecs: DataFrame, seedIds: Seq[Long],
+                            iters: Int): Seq[(Int, Seq[Double])] = {
+    require(seedIds.nonEmpty, "need at least one seed vec_id")
+    val init = vecs.filter(col("vec_id").isin(seedIds: _*))
+      .orderBy(col("vec_id")).collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }
+    require(init.size == seedIds.distinct.size,
+      s"only ${init.size} of ${seedIds.distinct.size} seed vec_ids exist in the corpus")
+    IvfIndex.lloyd(vecs, init, iters)
+  }
+
+  /** SemDeDup-shaped semantic near-duplicate removal (the public
+    * recipe: cluster the corpus, then compare embeddings ONLY within a
+    * cluster with exact cosine): a vector is dropped when some
+    * same-cluster neighbour with a smaller `vec_id` reaches
+    * `threshold`; `dup_of` is the smallest such witness. Clustering is
+    * Voronoi cells around the `seedIds` vectors, optionally refined
+    * with `iters` Lloyd rounds — with `iters = 0` the geometry is
+    * replayable from the corpus itself, which is what the q112 oracle
+    * does.
+    *
+    * Output: `(vec_id, cluster_id, kept, dup_of)` for EVERY input row —
+    * the dedup decision with its evidence, so downstream can filter,
+    * audit, or invert it.
+    *
+    * Scale: assignment is a narrow broadcast argmin; the only shuffle
+    * is the self-join on `cluster_id`, so pair work is Σ|cell|² — `k`
+    * (the seed count) is the knob that bounds the quadratic term, and
+    * at 100 TB you raise k so cells stay ~10⁴-10⁵ rows (SemDeDup used
+    * 50k clusters for LAION); cross-cluster near-dups are the accepted
+    * recall loss of the method.
+    */
+  def semanticDedup(emb: DataFrame, seedIds: Seq[Long], threshold: Double,
+                    iters: Int = 0): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids = seedCentroids(vecs, seedIds, iters)
+    val asn = vecs.withColumn("cluster_id", IvfIndex.argmin(centroids))
+    val a = asn.select(col("cluster_id"), col("vec_id").as("wa"), col("v").as("va"))
+    val b = asn.select(col("cluster_id"), col("vec_id").as("wb"), col("v").as("vb"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("wa") < col("wb") &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .groupBy(col("wb")).agg(min(col("wa")).as("dup_of"))
+      .withColumnRenamed("wb", "vec_id")
+    asn.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** Prototypicality ranking for pruning-by-difficulty (the public
+    * "beyond neural scaling laws" recipe): every vector's cosine to its
+    * OWN cluster centroid, ranked within the cluster (rank 1 = most
+    * prototypical / easiest example). Same seed-initialised geometry as
+    * [[semanticDedup]]. Output: `(vec_id, cluster_id, proto_cos,
+    * proto_rank, cluster_n)` — the policy (keep hard examples, drop the
+    * easy head, or the reverse for small-data regimes) stays with the
+    * caller; q113 gates one such policy end-to-end.
+    *
+    * Scale: narrow argmin + a centroid re-join (broadcast, k rows) +
+    * one window partitioned by cluster — no pair work at all.
+    */
+  def prototypicality(emb: DataFrame, seedIds: Seq[Long],
+                      iters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids = seedCentroids(vecs, seedIds, iters)
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("cluster_id", "cv"))
+    val w = Window.partitionBy(col("cluster_id"))
+    val scored = vecs.withColumn("cluster_id", IvfIndex.argmin(centroids))
+      .join(cents, Seq("cluster_id"))
+      .withColumn("pc", cosine(col("v"), col("cv")))
+    scored
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("pc").desc, col("vec_id"))))
+      .withColumn("cluster_n", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cluster_id"),
+        round(col("pc"), 4).as("proto_cos"),
+        col("proto_rank"), col("cluster_n"))
+  }
+
   def lshTopK(emb: DataFrame, queryVecId: Long, k: Int = 20, bits: Int = 4): DataFrame = {
     val bucketed = hyperplaneBuckets(emb, bits)
     val q = bucketed.filter(col("vec_id") === queryVecId)

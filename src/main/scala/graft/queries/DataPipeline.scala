@@ -257,6 +257,48 @@ object DataPipeline {
       graft.operators.IvfIndex.topKQuantizedIndexed(s, path, queryVecId = 0L,
         k = 20, nProbe = 8)
     },
+    // SemDeDup-shaped semantic dedup over q35's planted fixture: every
+    // original is joined by a jittered copy at id+10000, then the
+    // operator clusters around 4 seed vectors (iters = 0, so the
+    // oracle can replay the exact Voronoi geometry from the corpus)
+    // and drops any vector with a smaller-id same-cluster neighbour at
+    // cosine >= 0.95. Gated per-row: cluster id, keep/drop decision
+    // AND the witness (`dup_of`), so a single misassigned vector or a
+    // missed/phantom pair flips the hash. SimilaritySpec covers the
+    // Lloyd-refined (iters > 0) geometry the oracle can't express.
+    "q112_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+      val planted = emb.select($"vec_id",
+        transform($"embedding", x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
+          .as("embedding"))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      Similarity.semanticDedup(base.unionAll(planted),
+          seedIds = Seq(0L, 1L, 2L, 3L), threshold = 0.95, iters = 0)
+        .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"),
+          $"kept", $"dup_of")
+        .orderBy($"vec_id")
+    },
+    // prototypicality pruning ("beyond neural scaling laws" shape):
+    // rank every vector by cosine to its own cluster centroid and drop
+    // the most-prototypical 10% of each cluster (the policy large-data
+    // pruning uses: easy examples teach least). The keep rule is exact
+    // integer arithmetic (rank*10 > n) so the gate is immune to float
+    // formatting; the ranking itself rides on unrounded doubles in
+    // both engines.
+    "q113_prototype_filter" -> { (s, dir) =>
+      import s.implicits._
+      Similarity.prototypicality(Tables.load(s, dir, "embeddings"),
+          seedIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), iters = 0)
+        .withColumn("kept", $"proto_rank" * 10 > $"cluster_n")
+        .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"),
+          $"proto_cos", $"proto_rank".cast("long").as("proto_rank"), $"kept")
+        .orderBy($"vec_id")
+    },
     "q50_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -994,6 +1036,66 @@ object DataPipeline {
         |FROM d
         |ORDER BY round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) DESC, vec_id
         |LIMIT 20""".stripMargin,
+
+    // q112: the oracle replays the ENTIRE operator — q35's planted
+    // fixture, the Voronoi assignment around the 4 seed vectors (same
+    // ||c||² − 2·v·c argmin with the same (score, cid) tie-break), the
+    // within-cluster cosine pairs, and the min-witness drop rule.
+    "q112_semantic_dedup" ->
+      """WITH o AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vid,
+        |    list_transform(v, x -> x + 0.005 * CAST(1 + vec_id % 3 AS DOUBLE)) AS v
+        |  FROM o),
+        |u AS (SELECT vec_id, v FROM o UNION ALL SELECT vid AS vec_id, v FROM p),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM u WHERE vec_id IN (0, 1, 2, 3)),
+        |sc AS (SELECT u.vec_id, u.v, c.cid,
+        |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(u.v, c.cv) AS score
+        |  FROM u, c),
+        |asn AS (SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM asn),
+        |pr AS (SELECT a.vec_id AS wa, b.vec_id AS wb
+        |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
+        |d AS (SELECT wb AS vec_id, min(wa) AS dup_of FROM pr GROUP BY 1)
+        |SELECT asn.vec_id, asn.cid AS cluster_id,
+        |  d.dup_of IS NULL AS kept, d.dup_of
+        |FROM asn LEFT JOIN d ON asn.vec_id = d.vec_id
+        |ORDER BY asn.vec_id""".stripMargin,
+
+    // q113: same assignment replay over 8 seeds, then cosine to the
+    // OWN centroid, a (pc DESC, vec_id) rank within the cluster, and
+    // the integer keep rule rank*10 > n (drop the most-prototypical
+    // 10% of each cluster).
+    "q113_prototype_filter" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM e WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+        |sc AS (SELECT e.vec_id, e.v, c.cid,
+        |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS score
+        |  FROM e, c),
+        |asn AS (SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |pcx AS (SELECT a.vec_id, a.cid,
+        |    list_dot_product(a.v, c.cv) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS pc
+        |  FROM asn a JOIN c ON a.cid = c.cid),
+        |r AS (SELECT vec_id, cid AS cluster_id, pc,
+        |    row_number() OVER (PARTITION BY cid ORDER BY pc DESC, vec_id) AS proto_rank,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM pcx)
+        |SELECT vec_id, cluster_id, round(pc, 4) AS proto_cos, proto_rank,
+        |  proto_rank * 10 > n AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "q93_quantized_topk" ->
       """WITH e AS (SELECT vec_id,
