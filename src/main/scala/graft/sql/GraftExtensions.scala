@@ -240,6 +240,37 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_semantic_dedup('<view>', '<seed_ids csv>', threshold
+    * [, iters])` — the q112 SemDeDup plan: per-row cluster id,
+    * keep/drop decision and minimal witness.
+    */
+  private def semanticDedupPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_semantic_dedup expects (table_name, seed_ids_csv, threshold[, iters]) literals")
+    val str = lit("graft_semantic_dedup") _
+    val seeds = str(args(1)).split(',').map(_.trim.toLong).toSeq
+    val iters = if (args.length == 4) str(args(3)).toInt else 0
+    graft.operators.Similarity.semanticDedup(
+        SparkSession.active.table(str(args.head)), seeds,
+        str(args(2)).toDouble, iters)
+      .queryExecution.logical
+  }
+
+  /** `graft_prototypes('<view>', '<seed_ids csv>'[, iters])` — the
+    * q113 prototypicality ranking (cosine to own centroid + in-cluster
+    * rank, for prune-by-difficulty policies).
+    */
+  private def prototypesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_prototypes expects (table_name, seed_ids_csv[, iters]) literals")
+    val str = lit("graft_prototypes") _
+    val seeds = str(args(1)).split(',').map(_.trim.toLong).toSeq
+    val iters = if (args.length == 3) str(args(2)).toInt else 0
+    graft.operators.Similarity.prototypicality(
+        SparkSession.active.table(str(args.head)), seeds, iters)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -261,7 +292,13 @@ object GraftExtensions {
       zorderPlan _),
     "graft_dsir" -> (
       new ExpressionInfo(graft.operators.Dsir.getClass.getName, "graft_dsir"),
-      dsirPlan _))
+      dsirPlan _),
+    "graft_semantic_dedup" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_semantic_dedup"),
+      semanticDedupPlan _),
+    "graft_prototypes" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_prototypes"),
+      prototypesPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -155,6 +155,31 @@ class PlanQualitySpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[[^\]]*graft_dot""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("semantic dedup pairs only within clusters via an equi-join on cluster_id") {
+    val df = SparkEntryAccess.query("q112_semantic_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the pair stage must be keyed on cluster_id — an equi-join with no
+    // all-pairs fallback: Σ|cell|² work bounded by the seed count, the
+    // 100 TB contract of the SemDeDup shape; assignment itself is a
+    // narrow broadcast argmin (no exchange below the join inputs)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.toLowerCase.contains("cluster_id"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("prototypicality has no pair stage: argmin, k-row broadcast join, one window") {
+    val df = SparkEntryAccess.query("q113_prototype_filter")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // centroids broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("semantic decontamination is one codegen'd narrow scan — no join, no agg") {
     val df = SparkEntryAccess.query("q92_semantic_decontam")(spark, sf)
     df.collect()

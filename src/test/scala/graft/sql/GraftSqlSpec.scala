@@ -177,6 +177,25 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_dsir('dsir_raw', 'dsir_target')").count() == api.size)
   }
 
+  test("graft_semantic_dedup and graft_prototypes table functions equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val api = graft.operators.Similarity.semanticDedup(
+        emb, Seq(0L, 1L), threshold = 0.9, iters = 0)
+      .orderBy($"vec_id").collect().toSeq
+    val tvf = spark.sql(
+      "SELECT * FROM graft_semantic_dedup('embeddings', '0,1', '0.9') " +
+        "ORDER BY vec_id").collect().toSeq
+    assert(api.nonEmpty && tvf == api)
+    val papi = graft.operators.Similarity.prototypicality(emb, Seq(0L, 1L), iters = 1)
+      .orderBy($"vec_id").collect().toSeq
+    val ptvf = spark.sql(
+      "SELECT * FROM graft_prototypes('embeddings', '0,1', '1') " +
+        "ORDER BY vec_id").collect().toSeq
+    assert(papi.nonEmpty && ptvf == papi)
+  }
+
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
     GraftExtensions.register(spark)
     spark.range(0, 12).select($"id", ($"id" * 1.5).as("v"))
