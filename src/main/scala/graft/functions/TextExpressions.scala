@@ -268,6 +268,75 @@ object TextShingling {
       new GenericArrayData(keys)
     }
   }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Winnowing fingerprint selection (see [[WinnowFingerprints]]):
+    * word k-gram md5-prefix hashes, O(n) monotonic-deque sliding-window
+    * minimum with RIGHTMOST tie-break, distinct selected positions in
+    * ascending order. Null when fewer than k+w-1 words.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    require(k >= 1 && w >= 1, s"graft_winnow requires k >= 1 and w >= 1, got ($k, $w)")
+    val words = text.toString.split(" ", -1)
+    val n = words.length - k + 1 // gram count
+    if (n < w) return null
+    // 12-hex-char md5 prefix per consecutive k-gram (fixed-width
+    // lowercase hex: string order == 48-bit value order)
+    val md = md5.get()
+    val hs = new Array[String](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      val hex = new Array[Char](12)
+      var b = 0
+      while (b < 6) {
+        hex(2 * b) = HexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexDigits(d(b) & 0xf)
+        b += 1
+      }
+      hs(i) = new String(hex)
+      i += 1
+    }
+    // monotonic deque of gram indices with strictly increasing hashes;
+    // `>=` on push keeps the LATER index of equal hashes at the front —
+    // the robust-winnowing rightmost-min rule
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val selected = new java.util.ArrayList[Int]()
+    var last = -1
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        while (deque(head) <= i - w) head += 1
+        val sel = deque(head)
+        if (sel != last) { selected.add(sel); last = sel }
+      }
+      i += 1
+    }
+    val out = new Array[Any](selected.size)
+    var p = 0
+    while (p < selected.size) {
+      val s = selected.get(p)
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(
+        s + 1, UTF8String.fromString(hs(s)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Consecutive `spanWords`-word spans of a text (trailing partial span
@@ -409,6 +478,78 @@ case class MinHashAgg(set: Expression, numHashes: Expression, mode: Expression)
     copy(set = newFirst, numHashes = newSecond, mode = newThird)
 }
 
+/** Winnowing fingerprints — `graft_winnow(text, k, w)`.
+  *
+  * The MOSS local-fingerprinting scheme (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003): hash every consecutive word k-gram, slide a window of
+  * `w` hashes over the sequence, and select each window's minimum
+  * (RIGHTMOST occurrence on ties — robust winnowing, so a long run of
+  * equal hashes re-selects at most once per window). The selected
+  * (position, hash) set is a ~2/(w+1)-density document sketch with the
+  * guarantee that any shared run of k+w-1 words between two documents
+  * shares at least one fingerprint — cross-doc overlap detection
+  * becomes an equi-join on fingerprint hashes instead of an all-pairs
+  * scan.
+  *
+  * The gram hash is the first 12 hex digits of md5(gram), kept AS the
+  * hex string: fixed-width lowercase hex compares identically to the
+  * 48-bit value, and the DuckDB oracle replays every selection
+  * byte-for-byte from the same digests. Returns
+  * `array<struct<pos:int, h:string>>` with 1-based gram positions in
+  * ascending order, or null when the text has fewer than k+w-1 words
+  * (no complete window — the caller's drop condition).
+  *
+  * One narrow per-document kernel pass: an O(n) monotonic deque, no
+  * shuffle, next to the scan — the 100 TB shape (the only shuffle in a
+  * winnowing-based matcher is the fingerprint equi-join, whose size is
+  * the sketch, not the corpus).
+  */
+case class WinnowFingerprints(text: Expression, k: Expression, w: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = k
+  override def third: Expression = w
+  override def dataType: DataType = WinnowFingerprints.OutType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || k.dataType != IntegerType ||
+        w.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects (string, int, int), got " +
+          s"(${text.dataType.simpleString}, ${k.dataType.simpleString}, " +
+          s"${w.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, kk: Any, ww: Any): Any =
+    TextShingling.winnow(t.asInstanceOf[UTF8String],
+      kk.asInstanceOf[Int], ww.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk, ww) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.winnow($t, $kk, $ww);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(text = newFirst, k = newSecond, w = newThird)
+}
+
+object WinnowFingerprints {
+  val OutType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", StringType, nullable = false))),
+    containsNull = false)
+}
+
 object TextExpressions {
   /** Register the text kernels in the session's function registry
     * (idempotent), for the DataFrame API and SQL alike.
@@ -424,5 +565,7 @@ object TextExpressions {
       "graft_spans", exprs => WordSpans(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_grams", exprs => WordGrams(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

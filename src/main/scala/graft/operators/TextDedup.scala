@@ -539,4 +539,39 @@ object TextDedup {
         min(col("pos")).as("first_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003) per document: one row per selected (position, k-gram-hash)
+    * fingerprint, columns `doc_id, pos, h`.
+    *
+    * The selection runs entirely inside the codegen'd
+    * `graft_winnow` kernel (O(n) monotonic deque, rightmost-min
+    * tie-break — see [[graft.functions.WinnowFingerprints]]): a fully
+    * narrow map stage next to the scan, no shuffle. Guarantee: any two
+    * documents sharing a run of `k + w - 1` words share at least one
+    * fingerprint hash, so cross-doc overlap mining is the equi-join on
+    * `h` that [[winnowMatchStats]] performs — sized by the ~2/(w+1)
+    * sketch, never by all pairs.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"), lit(k), lit(w)))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
+  /** Fingerprints annotated with how many distinct documents share
+    * each hash — the winnowing cross-doc overlap signal. One exact
+    * aggregation on `h` (map-side partial) plus one equi-join back;
+    * both shuffles are fingerprint-sized (~2/(w+1) of the gram count).
+    */
+  def winnowMatchStats(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val shared = fps.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    fps.join(shared, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("h"), col("n_docs"))
+  }
 }

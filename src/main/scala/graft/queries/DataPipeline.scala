@@ -585,8 +585,26 @@ object DataPipeline {
           $"video.n_frames", $"video.pix_checksum",
           round($"video.mean_pixel", 6).as("mean_pixel"))
         .orderBy($"doc_id")
+    },
+
+    // winnowing fingerprints (MOSS): positions AND hashes of every
+    // selected k-gram, annotated with cross-doc share counts — the
+    // oracle replays each window's rightmost-min selection from the
+    // same md5 prefixes, so the gate pins the whole sketch, not a
+    // summary of it
+    "q114_winnowing" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.winnowMatchStats(Tables.load(s, dir, "documents"),
+          k = WinnowK, w = WinnowW)
+        .orderBy($"doc_id", $"pos")
     }
   )
+
+  // winnowing parameters: guarantee = any shared run of k+w-1 = 8
+  // words between two docs shares a fingerprint; sketch density
+  // ~2/(w+1) = a third of the gram count
+  private val WinnowK = 4
+  private val WinnowW = 5
 
   // ---- oracle SQL (generated from the same definitions the operators use) ----
 
@@ -1375,6 +1393,33 @@ object DataPipeline {
         |  CASE WHEN doc_id % 97 = 0 THEN NULL
         |       ELSE CAST(octet_length(encode(text)) AS INT) END AS payload_len,
         |  doc_id % 97 <> 0 AS valid
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnowing replay: same md5-prefix gram hashes, same windows, and
+    // the same rightmost-min rule — rightmost position of the window
+    // minimum = i + W - (1-based position of the min in the REVERSED
+    // window slice)
+    "q114_winnowing" -> {
+      val gram = (0 until WinnowK)
+        .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString("||' '||")
+      val slice = s"list_slice(hs, i, i + ${WinnowW - 1})"
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |           WHERE text IS NOT NULL),
+         |g AS (SELECT doc_id, list_transform(range(1, len(ws) - ${WinnowK - 2}),
+         |        i -> substr(md5($gram), 1, 12)) AS hs
+         |      FROM w WHERE len(ws) >= ${WinnowK + WinnowW - 1}),
+         |s AS (SELECT doc_id, hs,
+         |        list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+         |          i -> i + $WinnowW - list_position(list_reverse($slice),
+         |                 list_aggregate($slice, 'min')))) AS sel
+         |      FROM g),
+         |fp AS (SELECT doc_id, CAST(unnest(sel) AS INT) AS pos, hs FROM s),
+         |f2 AS (SELECT doc_id, pos, hs[pos] AS h FROM fp),
+         |sh AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM f2 GROUP BY 1)
+         |SELECT f2.doc_id, f2.pos, f2.h, sh.n_docs
+         |FROM f2 JOIN sh USING (h)
+         |ORDER BY f2.doc_id, f2.pos""".stripMargin
+    }
   )
 }
