@@ -73,4 +73,39 @@ object NgramLm {
         sum(col("q")).as("lm_sum"),
         expr("sum(q) div count(1)").as("lm_mean"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    * scored document assigned to one of `nBuckets` quality tiers
+    * (0 = head … nBuckets-1 = tail) by its position in the corpus
+    * score distribution. Output: (id, lm_mean, bucket).
+    *
+    * The bucket rule is threshold-on-the-score, not rank-on-the-doc:
+    * all docs sharing an integer `lm_mean` land in the same bucket,
+    * assigned from the count of strictly-better-scored docs —
+    * `bucket = min(nBuckets-1, floor(nBuckets * n_better / n))`.
+    * That keeps the global pass SCALABLE: the only unpartitioned
+    * window runs over the aggregated score DISTRIBUTION (distinct
+    * integer scores, ≤ 1e6 rows by construction — a bounded model-size
+    * artifact like the LM itself), never over the corpus; docs then
+    * join the broadcast distribution on their score. A rank-per-doc
+    * rule (ntile) would need a corpus-wide total order — the
+    * single-partition sort this formulation exists to avoid.
+    */
+  def perplexityBuckets(docs: DataFrame, id: String, text: String,
+                        minCount: Long = 2L, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scores = scoreDocs(docs, id, text, minCount)
+    val dist = scores.groupBy(col("lm_mean")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_mean").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val buckets = dist
+      .withColumn("n_better", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over())
+      .select(col("lm_mean"),
+        least(lit(nBuckets - 1L),
+          expr(s"($nBuckets * n_better) div n")).cast("int").as("bucket"))
+    scores.join(broadcast(buckets), Seq("lm_mean"))
+      .select(col(id), col("lm_mean"), col("bucket"))
+  }
 }

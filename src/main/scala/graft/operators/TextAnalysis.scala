@@ -496,4 +496,27 @@ object TextAnalysis {
       .join(sh5, Seq("doc_id"), "left")
       .orderBy(col("doc_id"))
   }
+
+  /** Blocklist phrase counting via one Aho–Corasick scan per document
+    * (see [[graft.functions.AhoCorasickCounts]]): (doc_id, pattern, n)
+    * for every pattern with at least one (possibly overlapping)
+    * char-level occurrence. One narrow kernel pass regardless of
+    * pattern count — the scrubbing/contamination-phrase scan shape for
+    * a 10^4-phrase blocklist over a 100 TB corpus, where per-pattern
+    * `instr`/regex scans would multiply the text touched by |patterns|.
+    */
+  def multiPatternCounts(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    graft.functions.AhoCorasick.register(docs.sparkSession)
+    val delim = graft.functions.AhoCorasick.Delimiter.toString
+    require(patterns.nonEmpty && patterns.forall(p => p.nonEmpty && !p.contains(delim)),
+      "patterns must be non-empty and delimiter-free")
+    val patArray = array(patterns.map(lit): _*)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_ac_count", col("text"),
+          lit(patterns.mkString(delim)))).as(Seq("pidx", "n")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        element_at(patArray, col("pidx") + 1).as("pattern"), col("n"))
+  }
 }

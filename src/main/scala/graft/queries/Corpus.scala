@@ -344,8 +344,26 @@ object Corpus {
         .editDistance1Pairs(Tables.load(s, dir, "customer"),
                             "c_custkey", "c_name")
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // blocklist phrase scan: one Aho-Corasick pass per doc counts
+    // every (possibly overlapping) char-level occurrence of every
+    // pattern; the oracle replays it by brute-force position-by-
+    // position substring comparison, so the hash match proves the
+    // automaton's goto/fail/output construction end to end
+    "q116_multi_pattern" -> { (s, dir) =>
+      TextAnalysis.multiPatternCounts(
+          Tables.load(s, dir, "documents"), AcPatterns)
+        .orderBy(col("doc_id"), col("pattern"))
     }
   )
+
+  // overlap-heavy blocklist: "table" nests inside "value table", "an"
+  // inside "scan", "a a" self-overlaps in "a a a" runs — the cases
+  // where a naive non-overlapping `replace` count and AC disagree
+  private val AcPatterns = Seq(
+    "value table", "table", "a a", "scan scan", "fast",
+    "stream stream", "key agg", "an")
 
   /** Round-unrolled DuckDB oracle for the full BPE training loop.
     *
@@ -768,7 +786,25 @@ object Corpus {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // brute-force AC replay: every text position compared against
+    // every pattern — overlapping occurrences counted, exactly the
+    // automaton's output-link semantics (deliberately O(len·|P|), the
+    // cost the one-pass automaton exists to avoid)
+    "q116_multi_pattern" -> {
+      val pats = AcPatterns.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+      s"""WITH p AS (SELECT unnest([$pats]) AS pattern),
+         |c AS (SELECT d.doc_id, p.pattern,
+         |        CAST(len(list_filter(
+         |          range(1, length(d.text) - length(p.pattern) + 2),
+         |          i -> substr(d.text, i, length(p.pattern)) = p.pattern))
+         |          AS BIGINT) AS n
+         |      FROM documents d, p
+         |      WHERE length(d.text) >= length(p.pattern))
+         |SELECT doc_id, pattern, n FROM c WHERE n > 0
+         |ORDER BY doc_id, pattern""".stripMargin
+    }
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the

@@ -34,6 +34,7 @@ object Probabilistic {
   private val CmsMinCount = 40L
 
   private val LmMinCount = 2L
+  private val PplBuckets = 3
 
   // deliberately coarse (4096 buckets for ~30k+ distinct bigrams at
   // sf0.01) so the gate EXERCISES hash collisions: the oracle must
@@ -90,6 +91,19 @@ object Probabilistic {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style perplexity bucketing: every scored doc assigned to
+    // head/middle/tail (0/1/2) by threshold-on-the-score over the
+    // integer LM-mean distribution — the only global pass runs over
+    // the distinct-score distribution, never a corpus-wide total order
+    "q115_ppl_buckets" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      NgramLm.perplexityBuckets(docs, "doc_id", "text", LmMinCount, PplBuckets)
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .select($"doc_id", $"source", $"lm_mean", $"bucket")
+        .orderBy($"doc_id")
+    },
+
     // DSIR importance weighting: src0 documents play the target
     // domain/eval set, the rest are the raw corpus; every raw doc gets
     // the integer hashed-bigram importance a DSIR selection run ranks
@@ -109,6 +123,28 @@ object Probabilistic {
   /** The three md5-slice probes of hex column `h`, as DuckDB SQL. */
   private def duckProbe(h: String, i: Int, m: Int): String =
     Bloom.positionDuck(h, i, m)
+
+  /** The q97 bigram-LM per-(doc, bigram) integer score chain — the CTE
+    * prefix shared by the q97 gate and the q115 bucketing gate. Ends
+    * at the `q` CTE so callers append either a final SELECT or more
+    * CTEs after a comma.
+    */
+  private val lmScoreCore: String =
+    s"""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM u),
+       |wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |       WHERE len(string_split(text, ' ')) >= 2),
+       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM wd),
+       |m AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bi
+       |      GROUP BY 1 HAVING count(*) >= $LmMinCount),
+       |q AS (SELECT bi.doc_id,
+       |        CAST(floor(1000000 * (coalesce(m.c12, 0) + 1) /
+       |                   (u.c1 + v.vs)) AS BIGINT) AS q
+       |      FROM bi LEFT JOIN m ON bi.bg = m.bg
+       |      JOIN u ON u.w = string_split(bi.bg, ' ')[1]
+       |      CROSS JOIN v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q95_bloom_prefilter" ->
@@ -150,25 +186,31 @@ object Probabilistic {
          |WHERE t.c >= $CmsMinCount ORDER BY 1""".stripMargin,
 
     "q97_lm_score" ->
-      s"""WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
-         |v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM u),
-         |wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |       WHERE len(string_split(text, ' ')) >= 2),
-         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-         |         i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM wd),
-         |m AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bi
-         |      GROUP BY 1 HAVING count(*) >= $LmMinCount),
-         |q AS (SELECT bi.doc_id,
-         |        CAST(floor(1000000 * (coalesce(m.c12, 0) + 1) /
-         |                   (u.c1 + v.vs)) AS BIGINT) AS q
-         |      FROM bi LEFT JOIN m ON bi.bg = m.bg
-         |      JOIN u ON u.w = string_split(bi.bg, ' ')[1]
-         |      CROSS JOIN v)
+      s"""$lmScoreCore
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(q) AS BIGINT) AS lm_sum,
          |  CAST(sum(q) // count(*) AS BIGINT) AS lm_mean
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q97 score chain, then the threshold-on-score bucket rule
+    // replayed over the score distribution: bucket = min(nb-1,
+    // floor(nb * n_strictly_better / n)) per distinct lm_mean
+    "q115_ppl_buckets" ->
+      s"""$lmScoreCore,
+         |sc AS (SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS lm_mean
+         |       FROM q GROUP BY 1),
+         |d AS (SELECT lm_mean, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+         |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM d),
+         |b AS (SELECT lm_mean,
+         |        CAST(least(${PplBuckets - 1},
+         |          ($PplBuckets * coalesce(sum(cnt) OVER (ORDER BY lm_mean DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // nt.n)
+         |          AS INT) AS bucket
+         |      FROM d CROSS JOIN nt)
+         |SELECT sc.doc_id, doc.source, sc.lm_mean, b.bucket
+         |FROM sc JOIN b USING (lm_mean)
+         |JOIN documents doc ON doc.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
 
     "q107_dsir_weights" ->
       s"""WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -51,4 +51,37 @@ class NgramLmSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"), s"model join fell back to SMJ:\n$plan")
   }
+
+  test("perplexity buckets partition by score threshold, best scores to bucket 0") {
+    // nine docs with three distinct score groups (3 docs each) =>
+    // bucket boundaries align exactly with the score groups
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "a b a b a b")) ++   // high-prob bigrams
+      (4 to 6).map(i => (i.toLong, "a c b c a c")) ++   // mixed
+      (7 to 9).map(i => (i.toLong, "x y z w q v"))      // all-rare bigrams
+    ).toDF("doc_id", "text")
+    val got = NgramLm.perplexityBuckets(docs, "doc_id", "text",
+        minCount = 2L, nBuckets = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket.keySet === Set(0, 1, 2))
+    // same text => same score => same bucket; buckets ordered by score
+    assert(byBucket(0) === Set(1L, 2L, 3L) || byBucket(0) === Set(4L, 5L, 6L) ||
+      byBucket(0) === Set(7L, 8L, 9L))
+    val scoreOf = got.map(t => (t._1, t._2)).toMap
+    for (a <- got; b <- got if a._3 < b._3)
+      assert(scoreOf(a._1) > scoreOf(b._1),
+        s"bucket ${a._3} doc ${a._1} must outscore bucket ${b._3} doc ${b._1}")
+  }
+
+  test("docs sharing an lm_mean always share a bucket") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a a"),
+      (4L, "b b"), (5L, "a b")).toDF("doc_id", "text")
+    val got = NgramLm.perplexityBuckets(docs, "doc_id", "text", 2L, 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1)
+    }
+  }
 }
