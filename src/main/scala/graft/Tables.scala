@@ -45,6 +45,43 @@ object Tables {
     })
   }
 
+  // The driver-generated parquet files hold ONE row group each, so a
+  // scan yields ONE input partition no matter what
+  // maxPartitionBytes/openCostInBytes say (splits finer than a row
+  // group stay empty) — and a per-row-expensive narrow kernel (char
+  // windows, shingle/simhash/winnow hashing, per-partition pipe
+  // children) serializes on a single core: profiled, q101's whole
+  // 3.2 task-sec map stage ran on 1 of 32 cores.
+  private val tableKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+  private val ParallelBuckets = 32
+
+  /** [[load]], redistributed by a DETERMINISTIC hash of the table's
+    * primary key into a FIXED 32 buckets — for queries whose first
+    * stage does heavy per-row kernel work (or forks one child process
+    * per partition) over these single-row-group test files. Bucket
+    * content is a pure function of the key values (Murmur3 on the
+    * column, constant bucket count), so results — including
+    * merge-order-sensitive sketch partials — are identical on any
+    * machine and core count; the correctness gates run over both
+    * layouts. Queries whose first stage is cheap keep plain [[load]]:
+    * the extra exchange measured as a net loss there (~0.2-0.4 s of
+    * stage latency against nothing). At production scale a corpus scan
+    * arrives in >= cores splits and this helper is the no-op it is
+    * designed to be — the operators themselves stay scan-shaped; this
+    * is input layout, not plan shape.
+    */
+  def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = tableKeys.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    loaded.getOrElseUpdate((spark, sfDir, name + "!parallel"),
+      load(spark, sfDir, name).repartition(ParallelBuckets, col(key)))
+  }
+
   /** Register every table as a temp view so queries can use spark.sql. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

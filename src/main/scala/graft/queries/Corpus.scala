@@ -161,7 +161,7 @@ object Corpus {
     // the hash gate proves fast-applier ≡ rank-order semantics.
     "q109_bpe_segment" -> { (s, dir) =>
       import s.implicits._
-      val seqs = Tables.load(s, dir, "documents")
+      val seqs = Tables.loadParallel(s, dir, "documents")
         .filter($"doc_id" % 10 === 0)
         .select($"doc_id",
           expr("filter(split(text, ' '), w -> length(w) > 0)").as("syms"))
@@ -328,7 +328,7 @@ object Corpus {
     // window of a training doc found verbatim in src0 flags it. The
     // char windows catch what q70's word-3-gram overlap misses.
     "q101_substr_decontam" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadParallel(s, dir, "documents")
       graft.operators.TextDedup.substringMatches(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), windowChars = 40)

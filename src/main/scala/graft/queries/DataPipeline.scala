@@ -21,7 +21,7 @@ object DataPipeline {
       TextDedup.exactDedup(Tables.load(s, dir, "documents"))
     },
     "q21_minhash_lsh" -> { (s, dir) =>
-      TextDedup.minhashLshPairs(Tables.load(s, dir, "documents"), threshold = 0.5)
+      TextDedup.minhashLshPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.5)
     },
     "q22_ngram_jaccard" -> { (s, dir) =>
       TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"), threshold = 0.5)
@@ -30,7 +30,7 @@ object DataPipeline {
     // verified near-dup pair, keep the rest of the corpus.
     "q28_dedup_apply" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadParallel(s, dir, "documents")
       val drop = TextDedup.minhashLshPairs(docs, threshold = 0.5)
         .select($"doc_b".as("doc_id")).distinct()
       docs.join(drop, Seq("doc_id"), "left_anti")
@@ -43,19 +43,19 @@ object DataPipeline {
     // verify. The brute-force O(n²) oracle proves the 4-band blocking
     // loses no pair at hamming <= 3 (pigeonhole recall = 1).
     "q34_simhash_pairs" -> { (s, dir) =>
-      TextDedup.simhashPairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+      TextDedup.simhashPairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 3)
     },
     // 64-bit SimHash pair mining — the corpus-scale default miner (each
     // 16-bit band key has 2^16 values, so band self-joins partition
     // evenly instead of collapsing onto 16 keys). Same brute-force
     // O(n²) oracle shape as q34: recall-1 proof for the banding.
     "q38_simhash64_pairs" -> { (s, dir) =>
-      TextDedup.simhash64Pairs(Tables.load(s, dir, "documents"), maxHamming = 3)
+      TextDedup.simhash64Pairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 3)
     },
     // asymmetric containment (quote/excerpt detection): a short doc
     // quoted inside a long one scores near 1 even when Jaccard is tiny
     "q48_containment" -> { (s, dir) =>
-      TextDedup.containmentPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
+      TextDedup.containmentPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.8)
     },
     // the SKEW-SAFE configurations of the two inverted-index miners,
     // correctness-proven rather than just unit-tested: the hot-shingle
@@ -66,11 +66,11 @@ object DataPipeline {
     // together exactly as designed. Caps chosen to actually bite on
     // this corpus (hundreds of bigrams above 20 docs, trigrams above 5).
     "q86_ngram_jaccard_capped" -> { (s, dir) =>
-      TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"),
+      TextDedup.blockedNgramJaccard(Tables.loadParallel(s, dir, "documents"),
         threshold = 0.5, maxShingleFreq = Some(20))
     },
     "q87_containment_capped" -> { (s, dir) =>
-      TextDedup.containmentPairs(Tables.load(s, dir, "documents"),
+      TextDedup.containmentPairs(Tables.loadParallel(s, dir, "documents"),
         threshold = 0.8, maxShingleFreq = Some(5))
     },
     // incremental ingestion dedup: half the corpus lives in a MinHash
@@ -123,7 +123,7 @@ object DataPipeline {
         .orderBy($"guess")
     },
     "q33_langid_ngram" -> { (s, dir) =>
-      TextAnalysis.langIdCharNgram(Tables.load(s, dir, "documents"))
+      TextAnalysis.langIdCharNgram(Tables.loadParallel(s, dir, "documents"))
     },
     "q25_quality" -> { (s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
@@ -162,11 +162,11 @@ object DataPipeline {
     // exact O(n²) knnGraph stays as the AnnRecallSpec baseline, where
     // bits=0 degenerates this operator to it bit-for-bit.
     "q56_knn_graph" -> { (s, dir) =>
-      Similarity.knnGraphLshBlocked(Tables.load(s, dir, "embeddings"),
+      Similarity.knnGraphLshBlocked(Tables.loadParallel(s, dir, "embeddings"),
         k = 2, bits = 3, dim = 64)
     },
     "q31_vec_near_dup" -> { (s, dir) =>
-      Similarity.nearDupPairs(Tables.load(s, dir, "embeddings"), threshold = 0.8)
+      Similarity.nearDupPairs(Tables.loadParallel(s, dir, "embeddings"), threshold = 0.8)
     },
     // no-blocking-key embedding near-dup MINING (multi-table hyperplane
     // LSH + exact-cosine verify) on a derived fixture with planted
@@ -181,7 +181,7 @@ object DataPipeline {
     // unplanted corpus.
     "q35_lsh_vec_dup" -> { (s, dir) =>
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
+      val emb = Tables.loadParallel(s, dir, "embeddings")
       val base = emb.select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("embedding"))
       // jitter BEFORE offsetting the id: a lateral column alias would
@@ -268,7 +268,7 @@ object DataPipeline {
     // Lloyd-refined (iters > 0) geometry the oracle can't express.
     "q112_semantic_dedup" -> { (s, dir) =>
       import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
+      val emb = Tables.loadParallel(s, dir, "embeddings")
       val base = emb.select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("embedding"))
       val planted = emb.select($"vec_id",
@@ -594,7 +594,7 @@ object DataPipeline {
     // summary of it
     "q114_winnowing" -> { (s, dir) =>
       import s.implicits._
-      TextDedup.winnowMatchStats(Tables.load(s, dir, "documents"),
+      TextDedup.winnowMatchStats(Tables.loadParallel(s, dir, "documents"),
           k = WinnowK, w = WinnowW)
         .orderBy($"doc_id", $"pos")
     }

@@ -50,7 +50,9 @@ object PipeQueries {
     // any framing/escaping/loss bug breaks the hash.
     "q40_pipe_echo" -> { (s, dir) =>
       import s.implicits._
-      val in = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber")
+      // 8 awk children in parallel (see q43's sizing note)
+      val in = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber").repartition(8, $"l_orderkey")
       Stream.tsv(in, awkEcho, chunkSize = 5000)
         .select(explode(split($"response", "\n")).as("line"))
         .select(split($"line", "\t").as("f"))
@@ -65,7 +67,9 @@ object PipeQueries {
     // finalize message), combined to a global sum by Spark.
     "q41_pipe_partial_agg" -> { (s, dir) =>
       import s.implicits._
-      val in = Tables.load(s, dir, "lineitem").select($"l_quantity".cast("long").as("q"))
+      val in = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+        .repartition(8, $"l_orderkey").select($"q")
       Stream.tsv(in, awkSum, chunkSize = 5000)
         .agg(sum($"response".cast("long")).as("sum_qty"))
     },
@@ -75,13 +79,16 @@ object PipeQueries {
     "q43_pipe_arrow_echo" -> { (s, dir) =>
       import s.implicits._
       val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.ArrowEchoChild")
-      // one child JVM forks per partition: coalesce so each child gets
-      // ~75k rows and its ~300ms startup amortizes (32 children on 600k
-      // rows would be spawn-dominated — same sizing rule as a real
-      // cluster, where the pipe partition count should track input
-      // volume, not core count)
+      // one child JVM forks per partition: size to 8 children so each
+      // gets ~75k rows and its ~300ms startup amortizes (32 children
+      // would be spawn-dominated — same sizing rule as a real cluster,
+      // where the pipe partition count should track input volume, not
+      // core count). repartition, NOT coalesce: the single-row-group
+      // test parquet scans as ONE partition and coalesce can only
+      // shrink — it silently left one child processing all 600k rows
+      // serially. Hash by key keeps the content deterministic.
       val in = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_quantity").coalesce(8)
+        .select($"l_orderkey", $"l_quantity").repartition(8, $"l_orderkey")
       val declared = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
       Stream.arrow(in, cmd, declared, chunkSize = 8192)
@@ -97,14 +104,16 @@ object PipeQueries {
     "q79_pipe_rdf_echo" -> { (s, dir) =>
       import s.implicits._
       val cmd = graft.operators.clients.JvmChild.command("graft.operators.clients.RdfEchoChild")
-      // same child-per-partition sizing rule as q43
+      // same child-per-partition sizing rule (and coalesce-vs-
+      // repartition trap) as q43
       val in = Tables.load(s, dir, "lineitem")
-        .select($"l_linenumber".cast("int").as("ln"),
+        .select($"l_orderkey",
+          $"l_linenumber".cast("int").as("ln"),
           $"l_quantity".cast("double").as("qty"),
           // null-bearing string column: exercises the len=-1 NA path
           when($"l_linenumber" === 1, lit(null)).otherwise($"l_returnflag")
             .as("rf"))
-        .coalesce(8)
+        .repartition(8, $"l_orderkey").select($"ln", $"qty", $"rf")
       val declared = StructType(Seq(
         StructField("ln", IntegerType), StructField("qty", DoubleType),
         StructField("rf", StringType)))

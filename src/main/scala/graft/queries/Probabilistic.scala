@@ -73,7 +73,7 @@ object Probabilistic {
     // recomputes counter-by-counter.
     "q96_cms_freq" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadParallel(s, dir, "documents")
       val bi = NgramLm.bigrams(docs, "doc_id", "text").select($"bg")
       val counts = Sketches.cmsBuild(bi, $"bg", CmsD, CmsW)
       bi.groupBy($"bg").agg(count(lit(1)).as("n_exact"))
@@ -111,7 +111,7 @@ object Probabilistic {
     // puts the hashing trick itself under the hash gate.
     "q107_dsir_weights" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadParallel(s, dir, "documents")
       Dsir.importanceWeights(
           docs.filter($"source" =!= "src0"),
           docs.filter($"source" === "src0"),
