@@ -508,4 +508,49 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Greedy k-center (farthest-point-first) diverse selection — the
+    * coreset/diversity-sampling primitive of a training-data pipeline
+    * (pick k maximally-spread exemplars; 2-approximation to the
+    * optimal k-center cover, Gonzalez 1985). Returns one row per
+    * selection round: (round, vec_id, dist) where `dist` is the
+    * round's winning min-squared-L2 distance to the already-selected
+    * set, rounded to 4 decimals (the q30 cross-engine float currency;
+    * the seed row reports 0).
+    *
+    * Each round is one corpus pass: candidates cross-join the
+    * BROADCAST selected set (≤ k×dim doubles — a bounded driver
+    * artifact like IVF centroids), take the exact-double min distance
+    * per point map-side, and a top-1 sort picks the farthest
+    * (ties → smallest vec_id). Squared distances come from
+    * aa − 2ab + bb over the widening `graft_dot` kernel — the same
+    * sequential double sums the DuckDB oracle computes, so the gate
+    * replays every round's argmax bit-for-bit. k passes over the
+    * corpus is the honest greedy cost at any scale; nothing driver-side
+    * ever exceeds k rows.
+    */
+  def kCenterSelect(emb: DataFrame, k: Int, startId: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    VectorExpressions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]((1, startId, 0.0))
+    for (r <- 2 to k) {
+      val ids = picks.map(_._2).toSeq
+      val sel = e.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("sid"), col("v").as("sv"))
+      val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("sv")) +
+        dot(col("sv"), col("sv"))
+      val w = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"), d2.as("d2"))
+        .groupBy(col("vec_id")).agg(round(min(col("d2")), 4).as("dmin"))
+        .orderBy(col("dmin").desc, col("vec_id").asc)
+        .limit(1)
+        .collect()(0) // 1 row per round — bounded like IVF's centroid pull
+      picks += ((r, w.getLong(0), w.getDouble(1)))
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", "vec_id", "dist")
+  }
 }

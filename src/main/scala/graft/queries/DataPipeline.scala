@@ -299,6 +299,17 @@ object DataPipeline {
           $"proto_cos", $"proto_rank".cast("long").as("proto_rank"), $"kept")
         .orderBy($"vec_id")
     },
+
+    // greedy k-center diverse selection: the oracle unrolls all k
+    // rounds in SQL — each round's min-distance table, argmax and
+    // tie-break replayed from the same double arithmetic — so the gate
+    // pins the entire farthest-point-first trajectory, not just the
+    // final set
+    "q117_kcenter" -> { (s, dir) =>
+      Similarity.kCenterSelect(Tables.loadParallel(s, dir, "embeddings"),
+          k = KCenterK, startId = 0L)
+        .orderBy(col("round"))
+    },
     "q50_multimodal_meta" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -605,6 +616,8 @@ object DataPipeline {
   // ~2/(w+1) = a third of the gram count
   private val WinnowK = 4
   private val WinnowW = 5
+
+  private val KCenterK = 8
 
   // ---- oracle SQL (generated from the same definitions the operators use) ----
 
@@ -1394,6 +1407,40 @@ object DataPipeline {
         |       ELSE CAST(octet_length(encode(text)) AS INT) END AS payload_len,
         |  doc_id % 97 <> 0 AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // k-center replay: every greedy round unrolled — round i's CTE
+    // computes each remaining point's exact-double min squared L2 to
+    // the accumulated selected set (aa - 2ab + bb, the same sequential
+    // sums graft_dot performs), rounds to the shared 4-decimal
+    // currency, and re-derives the (dmin DESC, vec_id) winner
+    "q117_kcenter" -> {
+      val rounds = (2 to KCenterK).map { i =>
+        val prev = s"a${i - 1}"
+        s"""d$i AS (SELECT e.vec_id,
+           |    round(min(list_dot_product(e.v, e.v)
+           |      - 2 * list_dot_product(e.v, s.v)
+           |      + list_dot_product(s.v, s.v)), 4) AS dmin
+           |  FROM e, e s
+           |  WHERE s.vec_id IN (SELECT vec_id FROM $prev)
+           |    AND e.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY e.vec_id),
+           |w$i AS (SELECT CAST($i AS INT) AS round, vec_id, dmin AS dist
+           |  FROM d$i ORDER BY dmin DESC, vec_id LIMIT 1),
+           |a$i AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM w$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = (1 to KCenterK)
+        .map(i => s"SELECT round, vec_id, dist FROM w$i").mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |w1 AS (SELECT CAST(1 AS INT) AS round, vec_id,
+         |    CAST(0.0 AS DOUBLE) AS dist FROM e WHERE vec_id = 0),
+         |a1 AS (SELECT vec_id FROM w1),
+         |$rounds
+         |$union
+         |ORDER BY round""".stripMargin
+    },
 
     // winnowing replay: same md5-prefix gram hashes, same windows, and
     // the same rightmost-min rule — rightmost position of the window
