@@ -67,6 +67,14 @@ object GraftExtensions {
     "graft_grams" -> (
       new ExpressionInfo(classOf[graft.functions.WordGrams].getName, "graft_grams"),
       (args: Seq[Expression]) => graft.functions.WordGrams(args(0), args(1))),
+    "graft_winnow" -> (
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName, "graft_winnow"),
+      (args: Seq[Expression]) =>
+        graft.functions.WinnowFingerprints(args(0), args(1), args(2))),
+    "graft_ac_count" -> (
+      new ExpressionInfo(classOf[graft.functions.AhoCorasickCounts].getName, "graft_ac_count"),
+      (args: Seq[Expression]) =>
+        graft.functions.AhoCorasickCounts(args(0), args(1))),
     "graft_hyperplane" -> (
       new ExpressionInfo(classOf[graft.functions.HyperplaneCodes].getName, "graft_hyperplane"),
       (args: Seq[Expression]) =>

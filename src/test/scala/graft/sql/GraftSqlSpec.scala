@@ -49,6 +49,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(uni == Seq("x", "y"))
   }
 
+  test("graft_winnow and graft_ac_count work from SQL") {
+    GraftExtensions.register(spark)
+    // winnow: k=1, w=2 over "b a c" — gram hashes are md5 prefixes of
+    // the words; each 2-window's min is selected
+    val fps = spark.sql(
+      "SELECT graft_winnow('b a c', 1, 2) AS f").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(fps.nonEmpty && fps.forall(_.getString(1).length == 12))
+    assert(fps.map(_.getInt(0)) == fps.map(_.getInt(0)).sorted)
+    // short text: null
+    assert(spark.sql("SELECT graft_winnow('a', 4, 5) AS f").head.isNullAt(0))
+    // AC counts: overlapping occurrences, pattern order preserved
+    val ac = spark.sql(
+      "SELECT graft_ac_count('a a a', concat('a a', char(1), 'b')) AS c")
+      .head.getSeq[Long](0)
+    assert(ac == Seq(2L, 0L))
+  }
+
   test("GRFT media functions work from plain SQL") {
     GraftExtensions.register(spark)
     val blob = graft.operators.Multimodal.pack(4, 2, 1, 0,

@@ -312,4 +312,46 @@ class StreamingOpsSpec extends SparkSpec {
     val decisions = got.groupBy(_.doc_id).map { case (d, cs) => d -> cs.map(_.dup_of).min }
     assert((2L to 20L).forall(d => decisions.get(d).contains(1L)), decisions.toString)
   }
+
+  test("winnowing fingerprints are stream/batch identical (stateless kernel scan)") {
+    // graft_winnow is a narrow per-document kernel with no state, so an
+    // ingestion stream can be fingerprinted with the SAME operator
+    // call as batch; cross-doc matching then rides any streaming join
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val fps = graft.operators.TextDedup.winnowFingerprints(
+      mem.toDF().toDF("doc_id", "text"), k = 4, w = 5)
+    val q = fps.writeStream.outputMode("append").format("memory")
+      .queryName("winnow_out").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("winnow_out")
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.operators.TextDedup.winnowFingerprints(
+        docs.toDF("doc_id", "text"), k = 4, w = 5)
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("Aho-Corasick blocklist counts are stream/batch identical (stateless kernel scan)") {
+    implicit val sq = spark.sqlContext
+    val pats = Seq("a a", "table", "scan")
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val counts = graft.operators.TextAnalysis.multiPatternCounts(
+      mem.toDF().toDF("doc_id", "text"), pats)
+    val q = counts.writeStream.outputMode("append").format("memory")
+      .queryName("ac_out").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ac_out")
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.operators.TextAnalysis.multiPatternCounts(
+        docs.toDF("doc_id", "text"), pats)
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
