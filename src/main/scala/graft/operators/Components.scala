@@ -108,4 +108,40 @@ object Components {
     connectedComponents(pairs, aCol, bCol)
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
+
+  /** Fixed-point integer PageRank over an undirected pair graph — the
+    * centrality signal for canonical-document selection inside dup
+    * clusters (the hub of a near-dup cluster is its best "keep", and
+    * rank also feeds quality propagation across the duplication graph).
+    *
+    * Arithmetic is EXACT fixed-point so any engine replays it: scores
+    * are integers scaled by 1e6; one iteration is
+    * `pr' = 150000 + (850000 * Σ_u (pr(u) div deg(u))) div 1000000`
+    * (damping 0.85, truncating integer division at both steps; an
+    * undirected graph has no dangling nodes, so no residual mass
+    * term). Every iteration is one keyed shuffle with a map-side
+    * partial integer sum — the Pregel shape at any scale; state is
+    * (vertex, score), never edges². `iters` fixed rounds, not
+    * convergence-tested: the gate pins a deterministic trajectory.
+    * Returns (id, deg, pr) for every vertex of the pair graph.
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", iters: Int = 5): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    var pr = deg.select(col("id"), col("deg"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = pr
+        .join(edges, pr("id") === edges("src"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = deg.join(contribs, Seq("id"))
+        .select(col("id"), col("deg"),
+          (lit(150000L) + expr("(850000 * s) div 1000000")).as("pr"))
+    }
+    pr.orderBy(col("id"))
+  }
 }

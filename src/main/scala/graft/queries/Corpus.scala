@@ -251,6 +251,16 @@ object Corpus {
       graft.operators.Components.dupClusters(SharedArtifacts.lshPairs(s, dir))
     },
 
+    // fixed-point integer PageRank over the verified near-dup graph:
+    // the oracle unrolls all 5 damped iterations in SQL from the same
+    // q21 pair definition, so the gate pins degree tables, every
+    // iteration's truncating-division mass passing, and the final
+    // centrality ranking
+    "q118_pagerank" -> { (s, dir) =>
+      graft.operators.Components.pageRank(
+        SharedArtifacts.lshPairs(s, dir), iters = PageRankIters)
+    },
+
     // temperature-scaled source mixture weights (sqrt curve, exact
     // cross-engine — see the operator's determinism note)
     "q53_mixture_weights" -> { (s, dir) =>
@@ -726,6 +736,8 @@ object Corpus {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q118_pagerank" -> pageRankSql,
+
     // keep = not (clustered with a smaller doc_id): anti-join against
     // the closure's non-representative members
     "q57_cluster_dedup_apply" ->
@@ -841,4 +853,33 @@ object Corpus {
     * the q75 cluster labels and the q57/q76 keep policies.
     */
   private lazy val dupClosureCte: String = s"$dupPairsCte,\n$closureTail"
+
+  // `final val` literal => compile-time constant, inlined at use
+  // sites — this is REQUIRED, not style: oracleSql initializes before
+  // this line runs (declaration order), and a plain val would read 0
+  // inside the lazy SQL builder
+  private final val PageRankIters = 5
+
+  /** The q118 oracle: the q21 pair definition, then every PageRank
+    * iteration unrolled — truncating integer division at the
+    * per-vertex mass split AND the damped recombination, exactly the
+    * operator's fixed-point arithmetic.
+    */
+  private lazy val pageRankSql: String = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""p$i AS (SELECT dg.id, dg.deg,
+         |    CAST(150000 + (850000 * s.s) // 1000000 AS BIGINT) AS pr
+         |  FROM dg JOIN (SELECT e.dst AS id, sum(p.pr // p.deg) AS s
+         |                FROM p${i - 1} p JOIN ed e ON p.id = e.src
+         |                GROUP BY 1) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""$dupPairsCte,
+       |ed AS (SELECT da AS src, db AS dst FROM dup
+       |       UNION ALL SELECT db, da FROM dup),
+       |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+       |       FROM ed GROUP BY 1),
+       |p0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS pr FROM dg),
+       |$rounds
+       |SELECT id, deg, pr FROM p$PageRankIters ORDER BY id""".stripMargin
+  }
 }
