@@ -96,7 +96,7 @@ object Corpus {
     // partial/merge/finish aggregation path end to end.
     "q89_quantile_sketch" -> { (s, dir) =>
       import s.implicits._
-      Tables.load(s, dir, "lineitem")
+      Tables.loadParallel(s, dir, "lineitem")
         .withColumn("h", md5(concat($"l_orderkey".cast("string"), lit(":"),
           $"l_linenumber".cast("string")).cast("binary")))
         .withColumn("u", expr(Sampling.u01Spark("h")))
@@ -351,7 +351,7 @@ object Corpus {
     // proves both recall and precision of the sub-quadratic plan
     "q102_fuzzy_pairs" -> { (s, dir) =>
       graft.operators.FuzzyMatch
-        .editDistance1Pairs(Tables.load(s, dir, "customer"),
+        .editDistance1Pairs(Tables.loadParallel(s, dir, "customer"),
                             "c_custkey", "c_name")
         .orderBy(col("id_a"), col("id_b"))
     },

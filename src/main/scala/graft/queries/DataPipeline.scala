@@ -24,7 +24,7 @@ object DataPipeline {
       TextDedup.minhashLshPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.5)
     },
     "q22_ngram_jaccard" -> { (s, dir) =>
-      TextDedup.blockedNgramJaccard(Tables.load(s, dir, "documents"), threshold = 0.5)
+      TextDedup.blockedNgramJaccard(Tables.loadParallel(s, dir, "documents"), threshold = 0.5)
     },
     // end-to-end dedup application: remove the higher-id member of every
     // verified near-dup pair, keep the rest of the corpus.
