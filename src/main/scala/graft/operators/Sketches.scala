@@ -311,4 +311,79 @@ object Sketches {
     }
     if (d == 1) reads.head else least(reads: _*)
   }
+
+  /** HyperLogLog registers per group — 64 buckets, every bit derived
+    * from md5 so it is *engine-portable*, unlike engine-native HLLs
+    * (the reason KMV was this library's first distinct sketch; this is
+    * the register-pipeline counterpart, under the same gate idea). For
+    * key hash hex `h`: bucket = first byte mod 64; rho = 1 + leading
+    * zero bits of the next 52 bits (53 when all zero). Register j =
+    * max rho over its keys — idempotent and order-free, so duplicates
+    * need no pre-distinct and merge is elementwise max: 64 ints per
+    * group over the wire, the same mergeable-partials wire-size
+    * argument as KMV/MG/CMS.
+    *
+    * The estimate stays INTEGER-EXACT end to end (no libm, the q97
+    * rule): Z's harmonic sum is the exact integer
+    * Zint = Σ_j 2^(53 − M[j])  (≤ 64·2^53 < 2^63),
+    * and the raw HLL estimate α·m²/Z becomes
+    * est = floor(709·4096·2^53 / (1000·Zint)) computed in BigInt —
+    * the DuckDB oracle replays it with HUGEINT division. Output:
+    * (registers, zint, est). The raw estimator is gated as-is; the
+    * small-range linear-counting correction is deliberately omitted
+    * (it needs log; KMV/q71 already covers the exact-below-saturation
+    * regime).
+    */
+  final case class HllState(regs: Array[Int]) {
+    def insert(hex: String): HllState = {
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16) % 64
+      var i = 0
+      while (i < 13 && hex.charAt(2 + i) == '0') i += 1
+      val rho =
+        if (i == 13) 53
+        else {
+          val d = Character.digit(hex.charAt(2 + i), 16)
+          val nib = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+          i * 4 + nib + 1
+        }
+      if (rho > regs(bucket)) regs(bucket) = rho
+      this
+    }
+
+    def merge(other: HllState): HllState = {
+      var j = 0
+      while (j < 64) {
+        if (other.regs(j) > regs(j)) regs(j) = other.regs(j)
+        j += 1
+      }
+      this
+    }
+  }
+
+  final case class HllResult(registers: Seq[Int], zint: Long, est: Long)
+
+  /** `est` numerator: 709 · 4096 · 2^53 (α₆₄ = 0.709 as 709/1000). */
+  val HllEstNumerator: BigInt = BigInt(709L * 4096L) << 53
+
+  final class HllSketch extends Aggregator[String, HllState, HllResult] {
+    def zero: HllState = HllState(new Array[Int](64))
+    def reduce(b: HllState, a: String): HllState =
+      if (a == null) b else b.insert(a)
+    def merge(b1: HllState, b2: HllState): HllState = b1.merge(b2)
+    def finish(r: HllState): HllResult = {
+      var zint = 0L
+      var j = 0
+      while (j < 64) { zint += 1L << (53 - r.regs(j)); j += 1 }
+      val est = (HllEstNumerator / (BigInt(1000) * zint)).toLong
+      HllResult(r.regs.toSeq, zint, est)
+    }
+    def bufferEncoder: Encoder[HllState] = Encoders.product[HllState]
+    def outputEncoder: Encoder[HllResult] = Encoders.product[HllResult]
+  }
+
+  /** `df.groupBy(...).agg(hllSketch(md5hex_col))` — pass the 32-char
+    * md5 hex of the key (see [[Bloom.md5Hex]]).
+    */
+  def hllSketch(hashHex: Column): Column =
+    udaf(new HllSketch).apply(hashHex)
 }

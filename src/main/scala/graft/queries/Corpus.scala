@@ -87,6 +87,25 @@ object Corpus {
         .orderBy($"o_orderstatus")
     },
 
+    // HLL registers + integer-exact raw estimate vs exact distinct,
+    // side by side with q71's KMV: every register derives from md5
+    // bits and the estimator is pure integer division, so the oracle
+    // rebuilds the full 64-register state AND the estimate — the
+    // sketch structure itself sits under the hash gate
+    "q119_hll_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("h", md5($"o_custkey".cast("string").cast("binary")))
+        .groupBy($"o_orderstatus")
+        .agg(Sketches.hllSketch($"h").as("hll"),
+          countDistinct($"o_custkey").as("exact_distinct"),
+          count(lit(1)).as("n_rows"))
+        .select($"o_orderstatus", $"hll.registers".as("registers"),
+          $"hll.zint".as("zint"), $"hll.est".as("est_distinct"),
+          $"exact_distinct", $"n_rows")
+        .orderBy($"o_orderstatus")
+    },
+
     // bottom-k-by-hash quantile sketch vs row count, side by side —
     // the one-pass mergeable scale path next to q64's exact two-pass
     // percentiles. The sample is the k rows with the smallest
@@ -554,6 +573,49 @@ object Corpus {
          |       FROM orders GROUP BY 1)
          |SELECT ex.o_orderstatus, est.est_distinct, ex.exact_distinct, ex.n_rows
          |FROM ex JOIN est USING (o_orderstatus) ORDER BY 1""".stripMargin
+    },
+
+    // HLL register replay: bucket = first md5 byte mod 64; rho = 1 +
+    // leading-zero bits of the next 13 hex chars (string-derived, no
+    // libm); Zint = Σ 2^(53-reg) via bit shifts; the raw-estimate
+    // integer division runs in HUGEINT exactly like the JVM BigInt
+    "q119_hll_distinct" -> {
+      val num = graft.operators.Sketches.HllEstNumerator.toString
+      s"""WITH c AS (SELECT o_orderstatus AS grp, o_custkey,
+         |    md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+         |w0 AS (SELECT grp, h, substr(h, 3, 13) AS w,
+         |    CAST(length(regexp_extract(substr(h, 3, 13), '^0*')) AS INT) AS lzc
+         |  FROM c),
+         |r AS (SELECT grp,
+         |    CAST(('0x' || substr(h, 1, 2)) AS INT) % 64 AS bucket,
+         |    CASE WHEN lzc = 13 THEN 53
+         |         ELSE lzc * 4 +
+         |           CASE WHEN substr(w, lzc + 1, 1) >= '8' THEN 0
+         |                WHEN substr(w, lzc + 1, 1) >= '4' THEN 1
+         |                WHEN substr(w, lzc + 1, 1) >= '2' THEN 2
+         |                ELSE 3 END + 1 END AS rho
+         |  FROM w0),
+         |m AS (SELECT grp, bucket, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT grp FROM c),
+         |bks AS (SELECT g.grp, b.b FROM g
+         |        CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b),
+         |f AS (SELECT bks.grp, bks.b AS bucket,
+         |        CAST(coalesce(m.mr, 0) AS INT) AS mr
+         |      FROM bks LEFT JOIN m ON bks.grp = m.grp AND bks.b = m.bucket),
+         |a AS (SELECT grp, list(mr ORDER BY bucket) AS registers,
+         |        CAST(sum(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT) AS zint
+         |      FROM f GROUP BY 1),
+         |x AS (SELECT grp, registers, zint,
+         |        CAST(CAST('$num' AS HUGEINT)
+         |             // (1000 * CAST(zint AS HUGEINT)) AS BIGINT)
+         |          AS est_distinct
+         |      FROM a),
+         |e AS (SELECT o_orderstatus AS grp,
+         |        CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+         |        CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1)
+         |SELECT x.grp AS o_orderstatus, x.registers, x.zint, x.est_distinct,
+         |  e.exact_distinct, e.n_rows
+         |FROM x JOIN e USING (grp) ORDER BY 1""".stripMargin
     },
 
     // same bottom-k sample: rank all rows by (u, value) per group,

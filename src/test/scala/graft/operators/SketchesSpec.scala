@@ -124,4 +124,43 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     (1 to 40).foreach(i => assert(exact(s"term$i") == i.toLong))
   }
+
+  test("HLL registers match a reference derivation and merge by max") {
+    def refState(keys: Seq[Long]): (Seq[Int], Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = new Array[Int](64)
+      keys.foreach { k =>
+        val hex = md.digest(k.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        md.reset()
+        val bucket = Integer.parseInt(hex.substring(0, 2), 16) % 64
+        val w = hex.substring(2, 15)
+        val lz = w.takeWhile(_ == '0').length
+        val rho = if (lz == 13) 53 else {
+          val d = Character.digit(w(lz), 16)
+          val nib = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+          lz * 4 + nib + 1
+        }
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      (regs.toSeq, regs.map(r => 1L << (53 - r)).sum)
+    }
+    val keys = (1L to 500L)
+    // duplicates must be idempotent: feed every key three times,
+    // adversarially partitioned so merge() does real work
+    val df = spark.createDataset(keys ++ keys ++ keys).repartition(13)
+      .toDF("k")
+      .select(md5($"k".cast("string").cast("binary")).as("h"))
+    val got = df.agg(Sketches.hllSketch($"h").as("hll"))
+      .select($"hll.registers", $"hll.zint", $"hll.est").head
+    val (regs, zint) = refState(keys)
+    assert(got.getSeq[Int](0) == regs)
+    assert(got.getLong(1) == zint)
+    val est = got.getLong(2)
+    val expectedEst =
+      (Sketches.HllEstNumerator / (BigInt(1000) * zint)).toLong
+    assert(est == expectedEst)
+    // raw HLL at n=500 >> m=64 should land within ~30% of truth
+    assert(est > 350 && est < 650, s"est=$est")
+  }
 }
