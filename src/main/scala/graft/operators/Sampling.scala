@@ -226,4 +226,49 @@ object Sampling {
       floor(coalesce(sum(col(tokensCol)).over(before), lit(0L)) / lit(budget))
         .cast("long"))
   }
+
+  /** Token-budget subset selection: keep the best-scoring documents
+    * whose token counts fit a budget of `budgetNum/budgetDen` of the
+    * corpus total — the "fill N tokens with the highest-quality data"
+    * step of training-set assembly. Ordering is (score desc, id asc).
+    *
+    * The scalable trick is the q115 one: no corpus-wide total order.
+    * The cutoff comes from the aggregated SCORE DISTRIBUTION (one
+    * unpartitioned window over distinct integer scores — a bounded
+    * model-sized artifact): every score group whose cumulative tokens
+    * fit keeps ALL its docs; at most ONE boundary group needs doc
+    * granularity, and its running sum is a window PARTITIONED by that
+    * single score value — never a global sort. All arithmetic is
+    * integer (token counts, integer scores, one integer
+    * multiply/divide for the budget), so any engine replays the exact
+    * kept set. Returns (id, score, tokens, kept).
+    */
+  def tokenBudgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetNum: Long,
+                        budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0 with positive denominator, got $budgetNum/$budgetDen")
+    val id = col(idCol); val score = col(scoreCol); val tokens = col(tokensCol)
+    val dist = scored.groupBy(score.as("s"))
+      .agg(sum(tokens).as("st"))
+    val before = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = dist
+      .withColumn("cum_before", coalesce(sum(col("st")).over(before), lit(0L)))
+      .withColumn("total", sum(col("st")).over())
+      .withColumn("budget", expr(s"($budgetNum * total) div $budgetDen"))
+      .select(col("s"), col("cum_before"), col("budget"),
+        (col("cum_before") + col("st") <= col("budget")).as("keep_all"),
+        (col("cum_before") < col("budget") &&
+          col("cum_before") + col("st") > col("budget")).as("boundary"))
+    val inGroup = Window.partitionBy(score).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.join(broadcast(groups), score === col("s"))
+      .withColumn("kept",
+        col("keep_all") ||
+          (col("boundary") &&
+            col("cum_before") + coalesce(sum(tokens).over(inGroup), lit(0L)) +
+              tokens <= col("budget")))
+      .select(id, score, tokens, col("kept"))
+  }
 }

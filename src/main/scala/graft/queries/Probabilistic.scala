@@ -104,6 +104,20 @@ object Probabilistic {
         .orderBy($"doc_id")
     },
 
+    // token-budget subset selection: fill 6/10 of the corpus tokens
+    // with the best lm_mean-scored docs; the cutoff comes from the
+    // score distribution (q115's no-global-sort trick) and only the
+    // single boundary score group needs doc-granular packing
+    "q120_token_budget" -> { (s, dir) =>
+      import s.implicits._
+      val scored = NgramLm.scoreDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", LmMinCount)
+        .select($"doc_id", $"lm_mean", ($"n_bigrams" + 1L).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSelect(scored,
+          "doc_id", "lm_mean", "n_tokens", budgetNum = 6L, budgetDen = 10L)
+        .orderBy($"doc_id")
+    },
+
     // DSIR importance weighting: src0 documents play the target
     // domain/eval set, the rest are the raw corpus; every raw doc gets
     // the integer hashed-bigram importance a DSIR selection run ranks
@@ -211,6 +225,39 @@ object Probabilistic {
          |FROM sc JOIN b USING (lm_mean)
          |JOIN documents doc ON doc.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin,
+
+    // budget replay: the same distribution windows, the same single
+    // boundary-group doc packing, all integer
+    "q120_token_budget" ->
+      s"""$lmScoreCore,
+         |sc AS (SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_tokens,
+         |        CAST(sum(q) // count(*) AS BIGINT) AS lm_mean
+         |       FROM q GROUP BY 1),
+         |d AS (SELECT lm_mean AS s, CAST(sum(n_tokens) AS BIGINT) AS st
+         |      FROM sc GROUP BY 1),
+         |g AS (SELECT s, st,
+         |        CAST(coalesce(sum(st) OVER (ORDER BY s DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_before,
+         |        CAST(sum(st) OVER () AS BIGINT) AS total
+         |      FROM d),
+         |g2 AS (SELECT s, cum_before, (6 * total) // 10 AS budget,
+         |         (cum_before + st <= (6 * total) // 10) AS keep_all,
+         |         (cum_before < (6 * total) // 10
+         |          AND cum_before + st > (6 * total) // 10) AS boundary
+         |       FROM g),
+         |f AS (SELECT sc.doc_id, sc.lm_mean, sc.n_tokens,
+         |        CASE WHEN g2.keep_all THEN TRUE
+         |             WHEN g2.boundary THEN
+         |               g2.cum_before
+         |                 + coalesce(sum(sc.n_tokens) OVER (
+         |                     PARTITION BY sc.lm_mean ORDER BY sc.doc_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                 + sc.n_tokens <= g2.budget
+         |             ELSE FALSE END AS kept
+         |      FROM sc JOIN g2 ON sc.lm_mean = g2.s)
+         |SELECT doc_id, lm_mean, n_tokens, kept FROM f
+         |ORDER BY doc_id""".stripMargin,
 
     "q107_dsir_weights" ->
       s"""WITH rawd AS (SELECT doc_id, string_split(text, ' ') AS ws

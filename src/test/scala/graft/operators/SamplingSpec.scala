@@ -128,4 +128,28 @@ class SamplingSpec extends SparkSpec {
     val first = out.map(r => r.getLong(0) -> ((r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))).toMap
     assert(first == again)
   }
+
+  test("token-budget selection fills greedily by score, exact at the boundary") {
+    import spark.implicits._
+    // scores with a multi-doc boundary group: budget = 60% of 100 = 60
+    // tokens; score 3 group (30 tokens) fits, score 2 group (40) fits
+    // partially: docs 4,5 (10+10) fit, doc 6 (20) would overflow
+    val scored = Seq(
+      (1L, 3L, 10L), (2L, 3L, 10L), (3L, 3L, 10L),
+      (4L, 2L, 10L), (5L, 2L, 10L), (6L, 2L, 20L),
+      (7L, 1L, 30L)
+    ).toDF("doc_id", "score", "tokens")
+    val got = Sampling.tokenBudgetSelect(scored, "doc_id", "score", "tokens",
+        budgetNum = 6L, budgetDen = 10L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val kept = got.filter(_._4).map(_._1)
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L), got.toString)
+    // budget respected and maximal: kept tokens <= 60, next candidate overflows
+    assert(got.filter(_._4).map(_._3).sum <= 60L)
+    // partitioning-invariant
+    val again = Sampling.tokenBudgetSelect(scored.repartition(7),
+        "doc_id", "score", "tokens", 6L, 10L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
 }
