@@ -529,6 +529,67 @@ object Similarity {
     * corpus is the honest greedy cost at any scale; nothing driver-side
     * ever exceeds k rows.
     */
+  /** Product quantization (Jégou et al., TPAMI 2011): every vector
+    * compressed to `m` centroid ids (one per contiguous subspace) plus
+    * the asymmetric-distance (ADC) estimate to a query vector — the
+    * RAM-resident index layout production ANN serves at 100 TB (64
+    * float32 dims → m bytes, 32× smaller at m=8).
+    *
+    * The codebook is the subvectors of the first `kCode` vectors
+    * (seed-codebook, the q112/q113 geometry convention — a Lloyd
+    * refinement would ride [[IvfIndex.lloyd]] per subspace, but the
+    * GATE pins the seeded assignment). It rides the plan as a
+    * `m·kCode·(dim/m)`-double literal (IVF-centroid pattern), so the
+    * encode is ONE narrow codegen'd projection, no shuffle. ADC
+    * distances are INTEGER micro-units — `floor(1e6 · subdist)` per
+    * (subspace, centroid), summed over the m looked-up cells — so the
+    * per-vector estimate is an order-free integer sum any engine
+    * replays exactly. Returns (vec_id, c0..c{m-1}, adc).
+    */
+  def pqEncodeAdc(emb: DataFrame, m: Int = 8, kCode: Int = 16,
+                  queryVecId: Long = 0L): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val seeds = emb.filter(col("vec_id") < kCode)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // flat [m][k][sub] codebook — centroid (ms,kk) = subvector ms of seed kk
+    val flat = Array.tabulate(m * kCode * sub) { idx =>
+      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+      seeds(kk)(ms * sub + i).toDouble
+    }
+    val query = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()
+    require(query.nonEmpty, s"query vector $queryVecId not found")
+    val qv = query(0).getSeq[Float](0).toArray
+    // integer ADC cell table: floor(1e6 * subdist(query_sub, centroid))
+    val qd = Array.tabulate(m * kCode) { idx =>
+      val ms = idx / kCode; val kk = idx % kCode
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < sub) {
+        val a = qv(ms * sub + i).toDouble
+        val c = flat((ms * kCode + kk) * sub + i)
+        aa += a * a; ab += a * c; bb += c * c
+        i += 1
+      }
+      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
+    }
+    val codes = emb.select(col("vec_id"),
+      call_function("graft_pq_encode",
+        col("embedding"), typedLit(flat), lit(m), lit(kCode)).as("codes"))
+    val codeCols = (0 until m).map(ms => element_at(col("codes"), ms + 1).as(s"c$ms"))
+    val qdLit = typedLit(qd)
+    val adc = (0 until m).map(ms =>
+        element_at(qdLit, lit(ms * kCode) + element_at(col("codes"), ms + 1) + 1))
+      .reduce(_ + _)
+    codes.select((col("vec_id") +: codeCols) :+ adc.as("adc"): _*)
+  }
+
   def kCenterSelect(emb: DataFrame, k: Int, startId: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     VectorExpressions.register(emb.sparkSession)

@@ -257,6 +257,17 @@ object DataPipeline {
       graft.operators.IvfIndex.topKQuantizedIndexed(s, path, queryVecId = 0L,
         k = 20, nProbe = 8)
     },
+
+    // product quantization: every vector's m=8 codebook ids (seeded
+    // subspace codebooks, plan-literal like IVF centroids) plus the
+    // integer ADC estimate against query vec 0; the oracle re-derives
+    // every subspace argmin and every micro-unit ADC cell from the
+    // same exact-double arithmetic, so one flipped code breaks the gate
+    "q121_pq_codes" -> { (s, dir) =>
+      Similarity.pqEncodeAdc(Tables.loadParallel(s, dir, "embeddings"),
+          m = PqM, kCode = PqK, queryVecId = 0L)
+        .orderBy(col("vec_id"))
+    },
     // SemDeDup-shaped semantic dedup over q35's planted fixture: every
     // original is joined by a jittered copy at id+10000, then the
     // operator clusters around 4 seed vectors (iters = 0, so the
@@ -618,6 +629,13 @@ object DataPipeline {
   private val WinnowW = 5
 
   private val KCenterK = 8
+
+  // PQ shape: 64 dims = 8 subspaces x 8 dims, 16-entry seed codebooks
+  // (constants inlined into the generated oracle SQL — `final` for the
+  // same initialization-order reason as Corpus.PageRankIters)
+  private final val PqM = 8
+  private final val PqK = 16
+  private final val PqSub = 8
 
   // ---- oracle SQL (generated from the same definitions the operators use) ----
 
@@ -1407,6 +1425,47 @@ object DataPipeline {
         |       ELSE CAST(octet_length(encode(text)) AS INT) END AS payload_len,
         |  doc_id % 97 <> 0 AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PQ replay: per (vector, subspace, centroid) exact-double
+    // subdistance (the same three list_dot_product sums the kernel
+    // accumulates), per-subspace argmin with (d2, id) order, the
+    // micro-unit integer ADC cells from query vec 0, and the
+    // order-free integer ADC sum
+    "q121_pq_codes" -> {
+      def slice(src: String, ms: String) =
+        s"list_slice($src, $ms*$PqSub + 1, $ms*$PqSub + $PqSub)"
+      val sa = slice("e.v", "ms.m"); val sc = slice("cb.v", "ms.m")
+      val cCols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN m = $i THEN kk END) AS INT) AS c$i")
+        .mkString(",\n         ")
+      val qJoins = (0 until PqM)
+        .map(i => s"JOIN qd q$i ON q$i.m = $i AND q$i.kk = p.c$i").mkString("\n      ")
+      val adcSum = (0 until PqM).map(i => s"q$i.qdi").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (SELECT vec_id AS kk, v FROM e WHERE vec_id < $PqK),
+         |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |sd AS (SELECT e.vec_id, ms.m, cb.kk,
+         |        (list_dot_product($sa, $sa)
+         |         - 2 * list_dot_product($sa, $sc)
+         |         + list_dot_product($sc, $sc)) AS d2
+         |       FROM e CROSS JOIN ms CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, kk FROM (
+         |    SELECT vec_id, m, kk,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kk) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |qd AS (SELECT m, kk, CAST(floor(1000000 * d2) AS BIGINT) AS qdi
+         |       FROM sd WHERE vec_id = 0),
+         |p AS (SELECT vec_id,
+         |         $cCols
+         |      FROM codes GROUP BY 1)
+         |SELECT p.vec_id, ${(0 until PqM).map(i => s"p.c$i").mkString(", ")},
+         |  CAST($adcSum AS BIGINT) AS adc
+         |FROM p
+         |      $qJoins
+         |ORDER BY p.vec_id""".stripMargin
+    },
 
     // k-center replay: every greedy round unrolled — round i's CTE
     // computes each remaining point's exact-double min squared L2 to
