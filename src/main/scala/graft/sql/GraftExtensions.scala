@@ -75,6 +75,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.AhoCorasickCounts].getName, "graft_ac_count"),
       (args: Seq[Expression]) =>
         graft.functions.AhoCorasickCounts(args(0), args(1))),
+    "graft_pq_encode" -> (
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) =>
+        graft.functions.PqEncode(args(0), args(1), args(2), args(3))),
     "graft_hyperplane" -> (
       new ExpressionInfo(classOf[graft.functions.HyperplaneCodes].getName, "graft_hyperplane"),
       (args: Seq[Expression]) =>
