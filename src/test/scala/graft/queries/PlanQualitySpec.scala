@@ -394,6 +394,29 @@ class PlanQualitySpec extends SparkSpec {
       .agg(sum($"v")).head.getLong(0)
     assert(total == (0L until 8L).sum)
   }
+  test("q114 winnowing: the kernel runs next to the scan, joins only on fingerprints") {
+    val plan = formatted("q114_winnowing")
+    // the selection runs inside graft_winnow; the only join is the
+    // fingerprint-sized share-count equi-join
+    assert(plan.contains("graft_winnow"), plan)
+    assert(!plan.contains("SortMergeJoin [doc_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q116 multi-pattern: one narrow AC pass, no join at all") {
+    val plan = formatted("q116_multi_pattern")
+    assert(plan.contains("graft_ac_count"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q121 PQ encode: codebook rides the plan as a literal, no join") {
+    val plan = formatted("q121_pq_codes")
+    assert(plan.contains("graft_pq_encode"), plan)
+    assert(!plan.contains("Join"), plan)
+    // exchanges: the loader redistribution and the final sort only
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, plan)
+  }
 }
 
 /** Test-side accessor that keeps PlanQualitySpec free of the SparkEntry
