@@ -61,25 +61,33 @@ object Tables {
   private val ParallelBuckets = 32
 
   /** [[load]], redistributed by a DETERMINISTIC hash of the table's
-    * primary key into a FIXED 32 buckets — for queries whose first
-    * stage does heavy per-row kernel work (or forks one child process
-    * per partition) over these single-row-group test files. Bucket
-    * content is a pure function of the key values (Murmur3 on the
-    * column, constant bucket count), so results — including
-    * merge-order-sensitive sketch partials — are identical on any
-    * machine and core count; the correctness gates run over both
-    * layouts. Queries whose first stage is cheap keep plain [[load]]:
-    * the extra exchange measured as a net loss there (~0.2-0.4 s of
-    * stage latency against nothing). At production scale a corpus scan
-    * arrives in >= cores splits and this helper is the no-op it is
-    * designed to be — the operators themselves stay scan-shaped; this
-    * is input layout, not plan shape.
+    * primary key — for queries whose first stage does heavy per-row
+    * kernel work (or forks one child process per partition) over these
+    * single-row-group test files. Bucket content is a pure function of
+    * the key values (Murmur3 on the column) at a given bucket count,
+    * and every gated result is layout-invariant (the correctness gates
+    * run over both layouts). Queries whose first stage is cheap keep
+    * plain [[load]]: the extra exchange measured as a net loss there
+    * (~0.2-0.4 s of stage latency against nothing).
+    *
+    * The redistribution only fires when the scan arrives in FEWER
+    * splits than the session's parallelism — the single-row-group
+    * local-test case. At production scale a corpus scan arrives in
+    * >= cores splits and this helper is literally a no-op (no exchange
+    * inserted, scan parallelism preserved); the bucket count, when it
+    * does fire, is max(32, defaultParallelism) so it never caps a
+    * wider session at 32 tasks.
     */
   def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val key = tableKeys.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
-    loaded.getOrElseUpdate((spark, sfDir, name + "!parallel"),
-      load(spark, sfDir, name).repartition(ParallelBuckets, col(key)))
+    loaded.getOrElseUpdate((spark, sfDir, name + "!parallel"), {
+      val df = load(spark, sfDir, name)
+      val target = math.max(ParallelBuckets,
+        spark.sparkContext.defaultParallelism)
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target, col(key))
+    })
   }
 
   /** Register every table as a temp view so queries can use spark.sql. */

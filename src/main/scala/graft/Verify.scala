@@ -29,9 +29,23 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // The driver's pandas comparator hashes cells; array/struct/map
+          // cells are unhashable and null out the whole row (q119, r9).
+          // Fail loudly at dump time instead of silently shipping an
+          // unverifiable query.
+          val complex = df.schema.fields.filter(f =>
+            f.dataType.typeName match {
+              case "array" | "struct" | "map" => true
+              case _ => false
+            })
+          require(complex.isEmpty,
+            s"$name emits non-scalar columns the driver gate cannot hash: " +
+              complex.map(f => s"${f.name}:${f.dataType.simpleString}")
+                .mkString(", "))
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           println(s"[verify] $name failed: ${e.getMessage}")
         }
         println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -146,8 +146,16 @@ object AhoCorasick {
     new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
 
   def automaton(delimited: String): Automaton =
-    cache.computeIfAbsent(delimited,
-      d => new Automaton(d.split(Delimiter).filter(_.nonEmpty)))
+    cache.computeIfAbsent(delimited, { d =>
+      // -1 keeps trailing empty segments: silently dropping an empty
+      // pattern (doubled/trailing delimiter from a SQL caller) would
+      // shift every later pattern's index and misalign the counts array
+      val pats = d.split(Delimiter.toString, -1)
+      require(pats.forall(_.nonEmpty),
+        s"graft_ac_count: empty pattern segment in '$d' — counts would " +
+          "be positionally misaligned with the caller's pattern list")
+      new Automaton(pats)
+    })
 
   def counts(text: UTF8String, delimitedPatterns: UTF8String): GenericArrayData = {
     val a = automaton(delimitedPatterns.toString)

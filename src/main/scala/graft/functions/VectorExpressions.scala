@@ -545,10 +545,13 @@ case class PqEncode(v: Expression, cents: Expression, m: Expression,
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vv = v.eval(input)
-    if (vv == null) null
+    val cc = cents.eval(input)
+    val mm = m.eval(input)
+    val kk = k.eval(input)
+    if (vv == null || cc == null || mm == null || kk == null) null
     else PqKernel.encode(vv.asInstanceOf[ArrayData], floatInput,
-      cents.eval(input).asInstanceOf[ArrayData],
-      m.eval(input).asInstanceOf[Int], k.eval(input).asInstanceOf[Int])
+      cc.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int], kk.asInstanceOf[Int])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -564,7 +567,8 @@ case class PqEncode(v: Expression, cents: Expression, m: Expression,
         |${mCode.code}
         |${kCode.code}
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-        |  ${vCode.isNull} ? null :
+        |  (${vCode.isNull} || ${cCode.isNull} || ${mCode.isNull} ||
+        |   ${kCode.isNull}) ? null :
         |  graft.functions.PqKernel.encode(${vCode.value}, $floatInput,
         |    ${cCode.value}, ${mCode.value}, ${kCode.value});
         |boolean ${ev.isNull} = ${ev.value} == null;
@@ -601,6 +605,7 @@ object PqKernel {
 
   def encode(v: ArrayData, floatInput: Boolean, cents: ArrayData,
              m: Int, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (m < 1 || k < 1) return null
     val d = v.numElements()
     if (d == 0 || d % m != 0) return null
     val sub = d / m

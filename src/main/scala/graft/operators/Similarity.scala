@@ -509,26 +509,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Greedy k-center (farthest-point-first) diverse selection — the
-    * coreset/diversity-sampling primitive of a training-data pipeline
-    * (pick k maximally-spread exemplars; 2-approximation to the
-    * optimal k-center cover, Gonzalez 1985). Returns one row per
-    * selection round: (round, vec_id, dist) where `dist` is the
-    * round's winning min-squared-L2 distance to the already-selected
-    * set, rounded to 4 decimals (the q30 cross-engine float currency;
-    * the seed row reports 0).
-    *
-    * Each round is one corpus pass: candidates cross-join the
-    * BROADCAST selected set (≤ k×dim doubles — a bounded driver
-    * artifact like IVF centroids), take the exact-double min distance
-    * per point map-side, and a top-1 sort picks the farthest
-    * (ties → smallest vec_id). Squared distances come from
-    * aa − 2ab + bb over the widening `graft_dot` kernel — the same
-    * sequential double sums the DuckDB oracle computes, so the gate
-    * replays every round's argmax bit-for-bit. k passes over the
-    * corpus is the honest greedy cost at any scale; nothing driver-side
-    * ever exceeds k rows.
-    */
   /** Product quantization (Jégou et al., TPAMI 2011): every vector
     * compressed to `m` centroid ids (one per contiguous subspace) plus
     * the asymmetric-distance (ADC) estimate to a query vector — the
@@ -590,6 +570,29 @@ object Similarity {
     codes.select((col("vec_id") +: codeCols) :+ adc.as("adc"): _*)
   }
 
+  /** Greedy k-center (farthest-point-first) diverse selection — the
+    * coreset/diversity-sampling primitive of a training-data pipeline
+    * (pick k maximally-spread exemplars; 2-approximation to the
+    * optimal k-center cover, Gonzalez 1985). Returns one row per
+    * selection round: (round, vec_id, dist) where `dist` is the
+    * round's winning min-squared-L2 distance to the already-selected
+    * set, rounded to 4 decimals (the q30 cross-engine float currency;
+    * the seed row reports 0).
+    *
+    * Each round is one corpus pass: candidates cross-join the
+    * BROADCAST selected set (≤ k×dim doubles — a bounded driver
+    * artifact like IVF centroids), take the exact-double min distance
+    * per point map-side, and a top-1 sort picks the farthest
+    * (ties → smallest vec_id). Squared distances come from
+    * aa − 2ab + bb over the widening `graft_dot` kernel — the same
+    * sequential double sums the DuckDB oracle computes, so the gate
+    * replays every round's argmax bit-for-bit. k passes over the
+    * corpus is the honest greedy cost at any scale; nothing driver-side
+    * ever exceeds k rows. At k beyond a few hundred the `isin` literal
+    * set should become a broadcast anti-join (the literal plan text
+    * grows O(k²) across rounds); at the gated k the literals are the
+    * cheaper plan.
+    */
   def kCenterSelect(emb: DataFrame, k: Int, startId: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     VectorExpressions.register(emb.sparkSession)

@@ -91,7 +91,10 @@ object Corpus {
     // side by side with q71's KMV: every register derives from md5
     // bits and the estimator is pure integer division, so the oracle
     // rebuilds the full 64-register state AND the estimate — the
-    // sketch structure itself sits under the hash gate
+    // sketch structure itself sits under the hash gate. Registers are
+    // comma-joined to a scalar string: the driver's pandas comparator
+    // cannot hash array-typed cells (Verify asserts no gated query
+    // emits array/struct/map output).
     "q119_hll_distinct" -> { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "orders")
@@ -100,7 +103,9 @@ object Corpus {
         .agg(Sketches.hllSketch($"h").as("hll"),
           countDistinct($"o_custkey").as("exact_distinct"),
           count(lit(1)).as("n_rows"))
-        .select($"o_orderstatus", $"hll.registers".as("registers"),
+        .select($"o_orderstatus",
+          array_join($"hll.registers".cast("array<string>"), ",")
+            .as("registers"),
           $"hll.zint".as("zint"), $"hll.est".as("est_distinct"),
           $"exact_distinct", $"n_rows")
         .orderBy($"o_orderstatus")
@@ -602,7 +607,9 @@ object Corpus {
          |f AS (SELECT bks.grp, bks.b AS bucket,
          |        CAST(coalesce(m.mr, 0) AS INT) AS mr
          |      FROM bks LEFT JOIN m ON bks.grp = m.grp AND bks.b = m.bucket),
-         |a AS (SELECT grp, list(mr ORDER BY bucket) AS registers,
+         |a AS (SELECT grp,
+         |        string_agg(CAST(mr AS VARCHAR), ',' ORDER BY bucket)
+         |          AS registers,
          |        CAST(sum(CAST(1 AS BIGINT) << (53 - mr)) AS BIGINT) AS zint
          |      FROM f GROUP BY 1),
          |x AS (SELECT grp, registers, zint,

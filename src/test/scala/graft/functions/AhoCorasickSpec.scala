@@ -52,4 +52,14 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(ac("", Seq("a", "b")) === Seq(0L, 0L))
     assert(ac("xyz", Seq("a", "q")) === Seq(0L, 0L))
   }
+
+  test("malformed pattern string with empty segment fails fast, never misaligns") {
+    val d = AhoCorasick.Delimiter
+    intercept[IllegalArgumentException] {
+      AhoCorasick.automaton(s"a${d}${d}b") // doubled delimiter
+    }
+    intercept[IllegalArgumentException] {
+      AhoCorasick.automaton(s"a${d}b${d}") // trailing delimiter
+    }
+  }
 }

@@ -58,4 +58,27 @@ class PqSpec extends SparkSpec {
       .toSeq
     assert(got === expected)
   }
+
+  test("graft_pq_encode returns null on null/degenerate arguments, never throws") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val cents = typedLit(Array.tabulate(8)(_.toDouble))
+    val cases = df.select(
+      call_function("graft_pq_encode", col("embedding"),
+        lit(null).cast("array<double>"), lit(2), lit(2)).as("null_cents"),
+      call_function("graft_pq_encode", col("embedding"), cents,
+        lit(null).cast("int"), lit(2)).as("null_m"),
+      call_function("graft_pq_encode", col("embedding"), cents,
+        lit(0), lit(2)).as("zero_m"),
+      call_function("graft_pq_encode", col("embedding"), cents,
+        lit(2), lit(0)).as("zero_k"),
+      call_function("graft_pq_encode", col("embedding"), cents,
+        lit(3), lit(2)).as("indivisible"),
+      call_function("graft_pq_encode", col("embedding"), cents,
+        lit(2), lit(2)).as("valid")
+    ).collect()(0)
+    for (i <- 0 until 5) assert(cases.isNullAt(i), s"case $i should be null")
+    assert(!cases.isNullAt(5))
+  }
 }
