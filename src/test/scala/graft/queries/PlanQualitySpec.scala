@@ -211,16 +211,21 @@ class PlanQualitySpec extends SparkSpec {
       || plan.contains("partial"), plan)
   }
 
-  test("exact percentiles run bounded-memory: no value-buffer aggregate") {
+  test("exact percentiles run bounded-memory: no value buffers, no per-group sort") {
     val df = SparkEntryAccess.query("q64_percentiles")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the two-pass form must plan streaming sorts + row_number picks;
-    // percentile_disc's ObjectHashAggregate value buffers (memory ∝
-    // distinct values per group) must be gone
+    // the refinement form (operators.Percentiles): no percentile_disc
+    // ObjectHashAggregate value buffers (memory ∝ distinct values per
+    // group), and — the r9 scale-killer — no Window partitioned by the
+    // 3-value group key sorting whole groups in single tasks. The only
+    // Windows allowed are the finish pass's per-task rank over rows
+    // that already passed the frozen-bucket equality Filter.
     assert(!plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("percentile"), plan)
-    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
+    assert(!plan.contains("windowspecdefinition(l_returnflag"), plan)
+    if (plan.contains("windowspecdefinition"))
+      assert(plan.contains("FLOOR"), plan) // bucket filter feeds the window
   }
 
   test("q39 local-side pipe plans without any broadcast exchange") {

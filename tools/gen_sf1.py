@@ -14,8 +14,17 @@ perturbation:
 - customer: 10 replicas with re-numbered c_custkey and the matching
   Customer#%09d name, so edit-distance-1 density stays in the same
   regime instead of exploding through 10 exact name copies.
-- every other table is hard-linked from sf0.1 (Bench's warmup reads
-  lineitem; the miner queries only touch documents/customer).
+- lineitem: 10 replicas with re-numbered l_orderkey; replicas k>0
+  shift l_extendedprice by a deterministic hash-chosen cent offset in
+  [-0.50, 0.49] so the distinct-value density the q64 percentile
+  refinement navigates grows with the data instead of stacking 10
+  exact copies of every price (l_quantity keeps its 50-value grid —
+  the duplicate-spike path).
+- embeddings: 10 replicas with re-numbered vec_id, replica 0 verbatim
+  (seed/query ids stay valid); clones are exact, so cluster cells and
+  IVF lists grow 10x and q112's within-cell pair work grows ~100x —
+  the quadratic term its budget grades on.
+- every other table is hard-linked from sf0.1.
 
 Everything is pure SQL over hash() — no RNG state, same output on
 every run. Run: python3 tools/gen_sf1.py [outdir]
@@ -98,13 +107,48 @@ COPY (
 ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("region", "nation", "supplier", "part", "orders", "lineitem",
-          "events", "embeddings"):
+n_ord = con.execute(
+    f"SELECT max(l_orderkey) FROM read_parquet('{SRC}/lineitem.parquet')"
+).fetchone()[0] + 1
+
+con.execute(f"""
+COPY (
+  WITH base AS (SELECT * FROM read_parquet('{SRC}/lineitem.parquet')),
+  reps AS (SELECT unnest(range({REPLICAS})) AS k)
+  SELECT
+    b.l_orderkey + r.k * {n_ord} AS l_orderkey,
+    b.l_partkey, b.l_suppkey, b.l_linenumber, b.l_quantity,
+    CASE WHEN r.k = 0 THEN b.l_extendedprice ELSE
+      round(b.l_extendedprice +
+            (CAST(hash(b.l_orderkey * 31 + b.l_linenumber * 7 + r.k) % 100
+                  AS INT) - 50) / 100.0, 2)
+    END AS l_extendedprice,
+    b.l_discount, b.l_tax, b.l_returnflag, b.l_linestatus, b.l_shipdate
+  FROM base b, reps r
+  ORDER BY l_orderkey, l_linenumber
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+n_vec = con.execute(
+    f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
+).fetchone()[0] + 1
+
+con.execute(f"""
+COPY (
+  WITH base AS (SELECT * FROM read_parquet('{SRC}/embeddings.parquet')),
+  reps AS (SELECT unnest(range({REPLICAS})) AS k)
+  SELECT b.vec_id + r.k * {n_vec} AS vec_id, b.embedding, b.label
+  FROM base b, reps r
+  ORDER BY vec_id
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("region", "nation", "supplier", "part", "orders", "events"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.link(f"{SRC}/{t}.parquet", dst)
 
-for t in ("documents", "customer"):
+for t in ("documents", "customer", "lineitem", "embeddings"):
     n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows")
 print(f"sf1 tier ready at {OUT}")

@@ -1,5 +1,7 @@
 #!/usr/bin/env python3
-"""Scale-growth smoke for the pair-miner family: sf0.1 vs sf1 (10x rows).
+"""Scale-growth smoke, sf0.1 vs sf1 (10x rows): the pair-miner family
+plus (r10) the compositions and newcomers — components, exact
+percentiles, curate e2e, quantized IVF, semantic dedup, winnowing, PQ.
 
 Every miner below is claimed to be "bucketed, output ∝ collisions" —
 i.e. runtime should track input + output size, never all-pairs. This
@@ -33,10 +35,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "testdata_sf1")
-QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102"]
+QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
+           # r10: compositions + newcomers (VERDICT r9 directive 4):
+           # components (q57/q75), exact percentiles (q64), curate e2e
+           # (q76), quantized IVF (q110), semantic dedup (q112),
+           # winnowing (q114), PQ codes (q121)
+           "q57", "q64", "q75", "q76", "q110", "q112", "q114", "q121"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-CACHE = "/tmp/scale_smoke_cache.json"
+CACHE = "/tmp/scale_smoke_cache_v2.json"
 
 # True-workload counter for miners whose gated output is a thresholded
 # view of the collision set: the pairs the inverted-index join actually
@@ -44,6 +51,20 @@ CACHE = "/tmp/scale_smoke_cache.json"
 # q48 is uncapped 3-shingle containment). The banded miners (q34/q38)
 # and the capped configs (q86/q87) already emit ~their collision set,
 # so their row counts are their work.
+# Work counters computed from the graft.Verify DUMP itself (the dump
+# already carries the per-row assignment the quadratic term depends
+# on): q112's within-cluster pair work is Σ|cell|² over its own
+# cluster_id column — replicated embeddings put every clone in its
+# original's cell, so cells grow 10x and pair work ~100x while output
+# rows grow only 10x; grading on rows alone would flag a correctly
+# cell-quadratic plan.
+DUMP_WORK_SQL = {
+    "q112": """
+      SELECT CAST(sum(n * n) AS BIGINT) FROM (
+        SELECT cluster_id, count(*) AS n
+        FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
+}
+
 WORK_SQL = {
     "q48": """
       WITH w AS (SELECT doc_id,
@@ -97,13 +118,18 @@ def run_verify(sf_dir, out_dir):
     import duckdb
     con = duckdb.connect()
     rows = {}
+    works = {}
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p):
             rows[d] = con.execute(
                 f"SELECT count(*) FROM read_parquet('{p}/*.parquet')"
             ).fetchone()[0]
-    return rows
+            q = d.split("_")[0]
+            if q in DUMP_WORK_SQL:
+                works[q] = con.execute(
+                    DUMP_WORK_SQL[q].format(dump=p)).fetchone()[0]
+    return rows, works
 
 
 def collision_work(sf_dir):
@@ -125,16 +151,21 @@ def main():
         print("== bench sf1 ==", flush=True)
         b1 = run_bench(SF1)
         print("== output rows sf0.1 ==", flush=True)
-        r01 = run_verify(SF01, "/tmp/scale_smoke_sf01")
+        r01, dw01 = run_verify(SF01, "/tmp/scale_smoke_sf01")
         print("== output rows sf1 ==", flush=True)
-        r1 = run_verify(SF1, "/tmp/scale_smoke_sf1")
+        r1, dw1 = run_verify(SF1, "/tmp/scale_smoke_sf1")
         with open(CACHE, "w") as f:
-            json.dump({"b01": b01, "b1": b1, "r01": r01, "r1": r1}, f)
+            json.dump({"b01": b01, "b1": b1, "r01": r01, "r1": r1,
+                       "dw01": dw01, "dw1": dw1}, f)
     else:
         b01, b1, r01, r1 = cached["b01"], cached["b1"], cached["r01"], cached["r1"]
+        dw01, dw1 = cached.get("dw01", {}), cached.get("dw1", {})
     print("== collision work (DuckDB) ==", flush=True)
     w01 = collision_work(SF01)
     w1 = collision_work(SF1)
+    # dump-derived work counters join the same (w01, w1) maps
+    w01.update(dw01)
+    w1.update(dw1)
 
     def find(m, q):
         for k, v in m.items():
@@ -145,7 +176,8 @@ def main():
     lines = [
         "# Scale-growth smoke: sf0.1 -> sf1 (10x rows)",
         "",
-        f"Input: documents 5,000 -> 50,000 rows; customer 15,000 -> 150,000",
+        f"Input: documents 5,000 -> 50,000 rows; customer 15,000 -> 150,000;",
+        f"lineitem 600,000 -> 6,000,000; embeddings 2,000 -> 20,000",
         f"rows (tools/gen_sf1.py, deterministic). Bench medians of 3 timed",
         f"passes after a cold pass, local[{CPUS}]; output rows from",
         "graft.Verify dumps at each tier; collision-pair work for the",
@@ -174,7 +206,7 @@ def main():
         tr = t1 / t01 if t01 else float("inf")
         orat = (o1 / o01) if o01 else float("inf") if o1 else 1.0
         wrat = orat
-        if q in WORK_SQL and w01.get(q):
+        if w01.get(q):
             wrat = max(orat, w1[q] / w01[q])
         budget = 10 * max(1.0, (wrat if wrat != float("inf") else 1.0) / 10) * SLACK
         ok = tr <= budget
