@@ -237,6 +237,99 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Materialise the IVFADC layout (Jégou et al., TPAMI 2011): the
+    * list-partitioned parquet of [[writeIndex]] with PQ codes as the
+    * stored payload — `m` one-byte-range centroid ids per vector
+    * instead of the float64 array, the last compression rung below the
+    * int8 of [[writeQuantizedIndex]]. Probe I/O is
+    * ~`nProbe`/(`8·dim/m`·`nLists`) of the raw corpus (64-dim float64
+    * at m=8: 64× smaller payload × partition pruning) — the layout a
+    * 100 TB embedding corpus actually serves RAM-resident.
+    *
+    * Codes follow the q121 convention exactly — raw vectors against
+    * the seed codebook (subvectors of the first `kCode` vectors), NOT
+    * classical residuals (v − centroid): that keeps one global ADC
+    * table per query (built once, shipped as a literal) and lets the
+    * q122 gate equate the all-probes search with the q121 integer-ADC
+    * oracle; residual encoding would need per-list tables and its own
+    * oracle. The encode itself is the same ONE narrow codegen'd
+    * projection as [[Similarity.pqEncodeAdc]].
+    */
+  def writeAdcIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                    path: String, m: Int = 8, kCode: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    VectorExpressions.register(spark)
+    val seeds = emb.filter(col("vec_id") < kCode)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flat = Array.tabulate(m * kCode * sub) { idx =>
+      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+      seeds(kk)(ms * sub + i)
+    }
+    assign(emb, centroids)
+      .select(col("vec_id"),
+        call_function("graft_pq_encode", col("v"),
+          typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"),
+        col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((m, kCode, sub, flat.toSeq)).toDF("m", "k", "sub", "flat")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Top-k search against a materialised IVFADC index by ASCENDING
+    * integer ADC distance. The raw query vector arrives WITH the query
+    * (production shape — the index never stores floats): the driver
+    * builds the m×k micro-unit ADC cell table `floor(1e6·subdist)`
+    * once ([[Similarity.pqEncodeAdc]]'s exact arithmetic), ships it as
+    * a literal, and each probed row's estimate is m integer lookups +
+    * an order-free integer sum — bit-reproducible on any engine.
+    * Probed lists arrive as a partition-column filter (directory
+    * pruning); at `nProbe` = `nLists` the ranking equals the q121
+    * integer-ADC brute force (the q122 gate).
+    */
+  def topKAdcIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryVec: Seq[Double], k: Int = 20, nProbe: Int = 2,
+                     excludeVecId: Long = -1L): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cb = spark.read.parquet(s"$path/codebook").head
+    val (m, kCode, sub) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
+    val flat = cb.getSeq[Double](3)
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != index dim ${m * sub}")
+    val qd = Array.tabulate(m * kCode) { idx =>
+      val ms = idx / kCode; val kk = idx % kCode
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < sub) {
+        val a = queryVec(ms * sub + i)
+        val c = flat((ms * kCode + kk) * sub + i)
+        aa += a * a; ab += a * c; bb += c * c
+        i += 1
+      }
+      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
+    }
+    val probeLists = nearestLists(centroids, queryVec, nProbe)
+    val qdLit = typedLit(qd.toSeq)
+    val adc = (0 until m).map(ms =>
+        element_at(qdLit, lit(ms * kCode) + element_at(col("codes"), ms + 1) + 1))
+      .reduce(_ + _)
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probeLists: _*)) // partition pruning
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k cosine search against a materialised index: the probed lists
     * arrive as a partition-column filter, so only those directories are
     * scanned, and the single scoring pass reuses the collected query

@@ -268,6 +268,24 @@ object DataPipeline {
           m = PqM, kCode = PqK, queryVecId = 0L)
         .orderBy(col("vec_id"))
     },
+    // IVFADC: q121's PQ codes as the stored payload inside q110's
+    // list-partitioned pruned layout, ranked by ascending integer ADC
+    // distance — the RAM-resident index a 100 TB embedding corpus
+    // actually serves (partition pruning × 64-smaller payload). All
+    // lists probed here, so the search is value-identical to the q121
+    // integer-ADC brute force and the oracle replays codes, cells and
+    // the top-k pick end-to-end; partial-probe recall and the
+    // partition-pruning plan shape are AnnRecallSpec rows.
+    "q122_ivfadc" -> { (s, dir) =>
+      val path = SharedArtifacts.ivfAdcIndexPath(s, dir, nLists = 8,
+        m = PqM, kCode = PqK)
+      val qv = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0)
+      graft.operators.IvfIndex.topKAdcIndexed(s, path, qv, k = 20,
+        nProbe = 8, excludeVecId = 0L)
+    },
     // SemDeDup-shaped semantic dedup over q35's planted fixture: every
     // original is joined by a jittered copy at id+10000, then the
     // operator clusters around 4 seed vectors (iters = 0, so the
@@ -1465,6 +1483,48 @@ object DataPipeline {
          |FROM p
          |      $qJoins
          |ORDER BY p.vec_id""".stripMargin
+    },
+
+    // IVFADC replay: the q121 derivation (exact-double subdistances,
+    // per-subspace argmin codes, micro-unit ADC cells from query vec
+    // 0) followed by the ascending-ADC top-20 pick over every list —
+    // all probes, so the pruned layout must reproduce the brute-force
+    // integer ranking exactly
+    "q122_ivfadc" -> {
+      def slice(src: String, ms: String) =
+        s"list_slice($src, $ms*$PqSub + 1, $ms*$PqSub + $PqSub)"
+      val sa = slice("e.v", "ms.m"); val sc = slice("cb.v", "ms.m")
+      val cCols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN m = $i THEN kk END) AS INT) AS c$i")
+        .mkString(",\n         ")
+      val qJoins = (0 until PqM)
+        .map(i => s"JOIN qd q$i ON q$i.m = $i AND q$i.kk = p.c$i").mkString("\n      ")
+      val adcSum = (0 until PqM).map(i => s"q$i.qdi").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (SELECT vec_id AS kk, v FROM e WHERE vec_id < $PqK),
+         |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |sd AS (SELECT e.vec_id, ms.m, cb.kk,
+         |        (list_dot_product($sa, $sa)
+         |         - 2 * list_dot_product($sa, $sc)
+         |         + list_dot_product($sc, $sc)) AS d2
+         |       FROM e CROSS JOIN ms CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, kk FROM (
+         |    SELECT vec_id, m, kk,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kk) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |qd AS (SELECT m, kk, CAST(floor(1000000 * d2) AS BIGINT) AS qdi
+         |       FROM sd WHERE vec_id = 0),
+         |p AS (SELECT vec_id,
+         |         $cCols
+         |      FROM codes GROUP BY 1)
+         |SELECT p.vec_id, CAST($adcSum AS BIGINT) AS adc
+         |FROM p
+         |      $qJoins
+         |WHERE p.vec_id <> 0
+         |ORDER BY CAST($adcSum AS BIGINT) ASC, p.vec_id ASC
+         |LIMIT 20""".stripMargin
     },
 
     // k-center replay: every greedy round unrolled — round i's CTE

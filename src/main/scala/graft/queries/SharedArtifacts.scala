@@ -93,6 +93,20 @@ object SharedArtifacts {
       graft.operators.IvfIndex.writeQuantizedIndex(emb, centroids, path)
     }
 
+  /** IVFADC index over the whole embeddings table
+    * ([[graft.operators.IvfIndex.writeAdcIndex]]): PQ codes inside the
+    * list-partitioned layout — the last compression rung below q110's
+    * int8. Built once per process per sf-dir; q122's timed query is
+    * the ADC probe itself.
+    */
+  def ivfAdcIndexPath(s: SparkSession, dir: String, nLists: Int = 8,
+                      m: Int = 8, kCode: Int = 16): String =
+    artifact(dir, s"ivf_adc_${nLists}_${m}_$kCode") { path =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = graft.operators.IvfIndex.train(emb, nLists)
+      graft.operators.IvfIndex.writeAdcIndex(emb, centroids, path, m, kCode)
+    }
+
   /** The 1000-round word-level BPE merge table over q109's training
     * slice (doc_id % 10 == 0), trained once per process per sf-dir —
     * the persisted vocabulary a production tokenizer trains once and

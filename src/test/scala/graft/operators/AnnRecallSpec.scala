@@ -77,6 +77,44 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("IVFADC layout: PQ payload, all-probes ≡ integer-ADC brute force, pruned probes") {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("graft_ivfadc")
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    IvfIndex.writeAdcIndex(emb, centroids, dir, m = 8, kCode = 16)
+    // the stored payload is the m-code array, not the float vector
+    val schema = spark.read.parquet(s"$dir/lists").schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "codes", "list_id"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(org.apache.spark.sql.functions
+        .transform(col("embedding"), x => x.cast("double")))
+      .head.getSeq[Double](0)
+    // all-probes ADC ranking ≡ the q121 kernel's integer-ADC brute
+    // force over the same codes (assignment lost nothing, the literal
+    // cell table matches the kernel's exact arithmetic)
+    val brute = Similarity.pqEncodeAdc(emb, m = 8, kCode = 16, queryVecId = 0L)
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(9)).toSeq
+    val all = IvfIndex.topKAdcIndexed(spark, dir, qv, k = 20, nProbe = 4,
+        excludeVecId = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(all == brute)
+    // ADC is an approximation of the true distance: the top-20 by ADC
+    // should still retrieve a useful share of the exact cosine top-20
+    val recallVsExact = (all.map(_._1).toSet & exact).size / 20.0
+    assert(recallVsExact >= 0.2, s"ADC recall@20 vs exact = $recallVsExact")
+    // partial probe: the probed lists reach the scan as PARTITION
+    // filters over ~1/(64·4) of the raw corpus bytes
+    val pruned = IvfIndex.topKAdcIndexed(spark, dir, qv, k = 20, nProbe = 1,
+      excludeVecId = 0L)
+    val prunedRecall = (pruned.collect().map(_.getLong(0)).toSet &
+      all.map(_._1).toSet).size / 20.0
+    assert(prunedRecall >= 0.2, s"IVFADC partial-probe recall@20 = $prunedRecall")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
+  }
+
   test("incremental append extends an index without touching stored rows") {
     import org.apache.spark.sql.functions.col
     val dir = tempDir("graft_ivf_app")

@@ -40,7 +40,8 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # components (q57/q75), exact percentiles (q64), curate e2e
            # (q76), quantized IVF (q110), semantic dedup (q112),
            # winnowing (q114), PQ codes (q121)
-           "q57", "q64", "q75", "q76", "q110", "q112", "q114", "q121"]
+           "q57", "q64", "q75", "q76", "q110", "q112", "q114", "q121",
+           "q122"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
