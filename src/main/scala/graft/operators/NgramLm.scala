@@ -93,19 +93,32 @@ object NgramLm {
     */
   def perplexityBuckets(docs: DataFrame, id: String, text: String,
                         minCount: Long = 2L, nBuckets: Int = 3): DataFrame = {
-    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val scores = scoreDocs(docs, id, text, minCount)
     val dist = scores.groupBy(col("lm_mean")).agg(count(lit(1)).as("cnt"))
+    scores.join(broadcast(bucketThresholds(dist, nBuckets)), Seq("lm_mean"))
+      .select(col(id), col("lm_mean"), col("bucket"))
+  }
+
+  /** The score→bucket table from a (lm_mean, cnt) score DISTRIBUTION —
+    * the decision core shared by the batch operator above and the
+    * incremental per-batch flavor
+    * ([[graft.streaming.StreamingOps.pplBucketsPerBatch]], which feeds
+    * it the cumulative distribution): both assign
+    * `min(nBuckets-1, floor(nBuckets·n_better/n))` from the same
+    * integer arithmetic, so stream and batch agree exactly on any
+    * shared prefix. The window here runs over the distribution, never
+    * the corpus.
+    */
+  def bucketThresholds(dist: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lm_mean").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val buckets = dist
+    dist
       .withColumn("n_better", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("n", sum(col("cnt")).over())
       .select(col("lm_mean"),
         least(lit(nBuckets - 1L),
           expr(s"($nBuckets * n_better) div n")).cast("int").as("bucket"))
-    scores.join(broadcast(buckets), Seq("lm_mean"))
-      .select(col(id), col("lm_mean"), col("bucket"))
   }
 }

@@ -246,14 +246,27 @@ object Sampling {
   def tokenBudgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budgetNum: Long,
                         budgetDen: Long): DataFrame = {
+    val dist = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(tokensCol)).as("st"))
+    tokenBudgetApply(scored, idCol, scoreCol, tokensCol,
+      tokenBudgetGroups(dist, budgetNum, budgetDen))
+  }
+
+  /** The per-score-group decision table from a (s, st) token
+    * DISTRIBUTION — the decision core shared by [[tokenBudgetSelect]]
+    * and the incremental per-batch flavor
+    * ([[graft.streaming.StreamingOps.tokenBudgetPerBatch]], which
+    * feeds it the cumulative distribution): a score group keeps all
+    * its docs when its cumulative tokens fit the integer budget,
+    * at most one boundary group needs doc granularity.
+    */
+  def tokenBudgetGroups(dist: DataFrame, budgetNum: Long,
+                        budgetDen: Long): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0,
       s"budget fraction must be >= 0 with positive denominator, got $budgetNum/$budgetDen")
-    val id = col(idCol); val score = col(scoreCol); val tokens = col(tokensCol)
-    val dist = scored.groupBy(score.as("s"))
-      .agg(sum(tokens).as("st"))
     val before = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val groups = dist
+    dist
       .withColumn("cum_before", coalesce(sum(col("st")).over(before), lit(0L)))
       .withColumn("total", sum(col("st")).over())
       .withColumn("budget", expr(s"($budgetNum * total) div $budgetDen"))
@@ -261,6 +274,15 @@ object Sampling {
         (col("cum_before") + col("st") <= col("budget")).as("keep_all"),
         (col("cum_before") < col("budget") &&
           col("cum_before") + col("st") > col("budget")).as("boundary"))
+  }
+
+  /** Per-doc keep decisions for `scored` against a decision table from
+    * [[tokenBudgetGroups]]. The only window partitions by the single
+    * boundary score value — never a global sort.
+    */
+  def tokenBudgetApply(scored: DataFrame, idCol: String, scoreCol: String,
+                       tokensCol: String, groups: DataFrame): DataFrame = {
+    val id = col(idCol); val score = col(scoreCol); val tokens = col(tokensCol)
     val inGroup = Window.partitionBy(score).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
     scored.join(broadcast(groups), score === col("s"))

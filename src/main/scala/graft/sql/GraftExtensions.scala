@@ -283,6 +283,82 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy
+    * farthest-point-first diverse selection: one row per round
+    * (round, vec_id, dist).
+    */
+  private def kcenterPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_kcenter expects (table_name, k[, start_id]) literals")
+    val str = lit("graft_kcenter") _
+    val start = if (args.length == 3) str(args(2)).toLong else 0L
+    graft.operators.Similarity.kCenterSelect(
+        SparkSession.active.table(str(args.head)), str(args(1)).toInt, start)
+      .queryExecution.logical
+  }
+
+  /** `graft_pq('<view>', m, k_code[, query_vec_id])` — the q121
+    * product quantization: per-vector subspace codes + the integer
+    * ADC estimate against the query vector.
+    */
+  private def pqPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_pq expects (table_name, m, k_code[, query_vec_id]) literals")
+    val str = lit("graft_pq") _
+    val qid = if (args.length == 4) str(args(3)).toLong else 0L
+    graft.operators.Similarity.pqEncodeAdc(
+        SparkSession.active.table(str(args.head)),
+        str(args(1)).toInt, str(args(2)).toInt, qid)
+      .queryExecution.logical
+  }
+
+  /** `graft_winnow_stats('<view>'[, k, w])` — the q114 winnowing
+    * fingerprints with cross-document share counts
+    * (doc_id, pos, h, n_docs).
+    */
+  private def winnowStatsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 3,
+      "graft_winnow_stats expects (table_name[, k, w]) literals")
+    val str = lit("graft_winnow_stats") _
+    val k = if (args.length == 3) str(args(1)).toInt else 4
+    val w = if (args.length == 3) str(args(2)).toInt else 5
+    graft.operators.TextDedup.winnowMatchStats(
+        SparkSession.active.table(str(args.head)), k, w)
+      .queryExecution.logical
+  }
+
+  /** `graft_ppl_buckets('<view>'[, '<id_col>', '<text_col>',
+    * min_count, n_buckets])` — the q115 CCNet-style perplexity
+    * bucketing (id, lm_mean, bucket).
+    */
+  private def pplBucketsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 3 || args.length == 5,
+      "graft_ppl_buckets expects (table_name[, id_col, text_col[, min_count, n_buckets]]) literals")
+    val str = lit("graft_ppl_buckets") _
+    val id = if (args.length >= 3) str(args(1)) else "doc_id"
+    val text = if (args.length >= 3) str(args(2)) else "text"
+    val minCount = if (args.length == 5) str(args(3)).toLong else 2L
+    val nBuckets = if (args.length == 5) str(args(4)).toInt else 3
+    graft.operators.NgramLm.perplexityBuckets(
+        SparkSession.active.table(str(args.head)), id, text, minCount, nBuckets)
+      .queryExecution.logical
+  }
+
+  /** `graft_token_budget('<view>', '<id_col>', '<score_col>',
+    * '<tokens_col>', budget_num, budget_den)` — the q120 token-budget
+    * subset selection (id, score, tokens, kept).
+    */
+  private def tokenBudgetPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "graft_token_budget expects (table_name, id_col, score_col, tokens_col, budget_num, budget_den) literals")
+    val str = lit("graft_token_budget") _
+    graft.operators.Sampling.tokenBudgetSelect(
+        SparkSession.active.table(str(args.head)),
+        str(args(1)), str(args(2)), str(args(3)),
+        str(args(4)).toLong, str(args(5)).toLong)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -310,7 +386,22 @@ object GraftExtensions {
       semanticDedupPlan _),
     "graft_prototypes" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_prototypes"),
-      prototypesPlan _))
+      prototypesPlan _),
+    "graft_kcenter" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_kcenter"),
+      kcenterPlan _),
+    "graft_pq" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_pq"),
+      pqPlan _),
+    "graft_winnow_stats" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_winnow_stats"),
+      winnowStatsPlan _),
+    "graft_ppl_buckets" -> (
+      new ExpressionInfo(graft.operators.NgramLm.getClass.getName, "graft_ppl_buckets"),
+      pplBucketsPlan _),
+    "graft_token_budget" -> (
+      new ExpressionInfo(graft.operators.Sampling.getClass.getName, "graft_token_budget"),
+      tokenBudgetPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

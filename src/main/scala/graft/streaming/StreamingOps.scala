@@ -245,4 +245,74 @@ object StreamingOps {
         sink(graft.operators.Stream.tsv(batch, cmd), batchId)
       }
       .start()
+
+  /** Incremental CCNet-style perplexity bucketing over a stream of
+    * ALREADY-SCORED documents `(id, lm_mean)` (the scoring LM is a
+    * pretrained artifact in a streaming pipeline — per-doc scoring is
+    * stateless; the cross-doc state is the score DISTRIBUTION, which
+    * is what this operator accumulates). Each micro-batch folds its
+    * per-score counts into the cumulative distribution (driver-held,
+    * bounded by distinct integer scores — the same model-sized-
+    * artifact argument as the batch operator) and assigns THIS batch's
+    * docs from [[graft.operators.NgramLm.bucketThresholds]] over the
+    * cumulative distribution. Exactly the batch operator's integer
+    * thresholds: a single-batch stream reproduces
+    * `perplexityBuckets` bit-for-bit, and batch k's assignments equal
+    * the batch threshold table of the full prefix 1..k applied to
+    * batch k (earlier emissions are never retracted — the
+    * at-ingestion admission flavor of the policy).
+    */
+  def pplBucketsPerBatch(scored: DataFrame, scoreCol: String = "lm_mean",
+                         nBuckets: Int = 3, sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cum = scala.collection.mutable.Map.empty[Long, Long]
+    scored.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
+          .collect() // bounded: distinct integer scores in the batch
+          .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+        val dist = cum.toSeq.toDF(scoreCol, "cnt")
+        val thresholds = graft.operators.NgramLm.bucketThresholds(dist, nBuckets)
+        sink(batch.join(broadcast(thresholds), Seq(scoreCol)), batchId)
+      }
+      .start()
+  }
+
+  /** Incremental token-budget admission over a stream of scored docs
+    * `(id, score, tokens)`: the cumulative (score → tokens)
+    * distribution is driver-held like [[pplBucketsPerBatch]]'s, and
+    * each micro-batch's docs get keep decisions from
+    * [[graft.operators.Sampling.tokenBudgetGroups]] over the
+    * cumulative distribution — the same integer budget arithmetic as
+    * the batch operator (single-batch stream ≡ `tokenBudgetSelect`
+    * bit-for-bit; batch k's decisions ≡ the cumulative decision table
+    * of prefix 1..k applied to batch k's docs). Admission semantics:
+    * decisions are emitted once and never retracted; the at-most-one
+    * boundary score group packs each batch's docs by id against the
+    * budget headroom the cumulative table grants that score.
+    */
+  def tokenBudgetPerBatch(scored: DataFrame, idCol: String, scoreCol: String,
+                          tokensCol: String, budgetNum: Long, budgetDen: Long,
+                          sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cum = scala.collection.mutable.Map.empty[Long, Long]
+    scored.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("st"))
+          .collect() // bounded: distinct integer scores in the batch
+          .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+        val dist = cum.toSeq.toDF("s", "st")
+        val groups = graft.operators.Sampling
+          .tokenBudgetGroups(dist, budgetNum, budgetDen)
+        sink(graft.operators.Sampling
+          .tokenBudgetApply(batch, idCol, scoreCol, tokensCol, groups), batchId)
+      }
+      .start()
+  }
 }

@@ -214,6 +214,53 @@ class GraftSqlSpec extends SparkSpec {
     assert(papi.nonEmpty && ptvf == papi)
   }
 
+  test("graft_kcenter and graft_pq table functions equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val kapi = graft.operators.Similarity.kCenterSelect(emb, k = 4, startId = 0L)
+      .orderBy($"round").collect().toSeq
+    val ktvf = spark.sql(
+      "SELECT * FROM graft_kcenter('embeddings', '4') ORDER BY round")
+      .collect().toSeq
+    assert(kapi.nonEmpty && ktvf == kapi)
+    val papi = graft.operators.Similarity.pqEncodeAdc(emb, m = 4, kCode = 8,
+        queryVecId = 0L)
+      .orderBy($"vec_id").collect().toSeq
+    val ptvf = spark.sql(
+      "SELECT * FROM graft_pq('embeddings', '4', '8', '0') ORDER BY vec_id")
+      .collect().toSeq
+    assert(papi.nonEmpty && ptvf == papi)
+  }
+
+  test("graft_winnow_stats, graft_ppl_buckets and graft_token_budget equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val wapi = graft.operators.TextDedup.winnowMatchStats(docs, k = 4, w = 5)
+      .orderBy($"doc_id", $"pos").collect().toSeq
+    val wtvf = spark.sql(
+      "SELECT * FROM graft_winnow_stats('documents') ORDER BY doc_id, pos")
+      .collect().toSeq
+    assert(wapi.nonEmpty && wtvf == wapi)
+    val bapi = graft.operators.NgramLm.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    val btvf = spark.sql(
+      "SELECT * FROM graft_ppl_buckets('documents') ORDER BY doc_id")
+      .collect().toSeq
+    assert(bapi.nonEmpty && btvf == bapi)
+    val scored = graft.operators.NgramLm.scoreDocs(docs, "doc_id", "text", 2L)
+      .select($"doc_id", $"lm_mean", ($"n_bigrams" + 1L).as("n_tokens"))
+    scored.createOrReplaceTempView("tb_scored")
+    val tapi = graft.operators.Sampling.tokenBudgetSelect(scored,
+        "doc_id", "lm_mean", "n_tokens", 6L, 10L)
+      .orderBy($"doc_id").collect().toSeq
+    val ttvf = spark.sql(
+      "SELECT * FROM graft_token_budget('tb_scored', 'doc_id', 'lm_mean', " +
+        "'n_tokens', '6', '10') ORDER BY doc_id").collect().toSeq
+    assert(tapi.nonEmpty && ttvf == tapi)
+  }
+
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
     GraftExtensions.register(spark)
     spark.range(0, 12).select($"id", ($"id" * 1.5).as("v"))

@@ -335,6 +335,102 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("incremental perplexity buckets: single batch ≡ batch op; prefix thresholds per batch") {
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val scored = graft.operators.NgramLm.scoreDocs(docs, "doc_id", "text", 2L)
+      .select($"doc_id", $"lm_mean").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batchOp = graft.operators.NgramLm
+      .perplexityBuckets(docs, "doc_id", "text", 2L, 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+
+    // single-batch stream reproduces the batch operator bit-for-bit
+    val got = new ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val mem1 = MemoryStream[(Long, Long)]
+    val q1 = StreamingOps.pplBucketsPerBatch(
+      mem1.toDF().toDF("doc_id", "lm_mean"), "lm_mean", 3,
+      (df, _) => df.select($"doc_id", $"lm_mean", $"bucket")
+        .as[(Long, Long, Int)].collect().foreach(got.add))
+    mem1.addData(scored)
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toArray.map(_.asInstanceOf[(Long, Long, Int)])
+      .sortBy(_._1).toSeq == batchOp && batchOp.nonEmpty)
+
+    // multi-batch: batch k's assignments equal the batch threshold
+    // table of the full prefix applied to batch k's docs
+    val (b1, b2) = scored.splitAt(scored.length / 2)
+    val perBatch = new ConcurrentLinkedQueue[(Long, Seq[(Long, Long, Int)])]()
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingOps.pplBucketsPerBatch(
+      mem2.toDF().toDF("doc_id", "lm_mean"), "lm_mean", 3,
+      (df, id) => perBatch.add(id -> df.select($"doc_id", $"lm_mean", $"bucket")
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq))
+    mem2.addData(b1); q2.processAllAvailable()
+    mem2.addData(b2); q2.processAllAvailable(); q2.stop()
+    val outs = perBatch.toArray.map(_.asInstanceOf[(Long, Seq[(Long, Long, Int)])])
+      .sortBy(_._1).map(_._2)
+    def expect(prefix: Seq[(Long, Long)], batchRows: Seq[(Long, Long)]) = {
+      val dist = prefix.groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+      val th = graft.operators.NgramLm.bucketThresholds(
+          dist.toSeq.toDF("lm_mean", "cnt"), 3)
+        .as[(Long, Int)].collect().toMap
+      batchRows.map { case (id, s) => (id, s, th(s)) }.sortBy(_._1)
+    }
+    assert(outs(0) == expect(b1, b1))
+    assert(outs(1) == expect(b1 ++ b2, b2))
+  }
+
+  test("incremental token budget: single batch ≡ batch op; cumulative groups per batch") {
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val scored = graft.operators.NgramLm.scoreDocs(docs, "doc_id", "text", 2L)
+      .select($"doc_id", $"lm_mean", ($"n_bigrams" + 1L).as("n_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchOp = graft.operators.Sampling.tokenBudgetSelect(
+        scored.toDF("doc_id", "lm_mean", "n_tokens"),
+        "doc_id", "lm_mean", "n_tokens", 6L, 10L)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Boolean)]()
+    val mem1 = MemoryStream[(Long, Long, Long)]
+    val q1 = StreamingOps.tokenBudgetPerBatch(
+      mem1.toDF().toDF("doc_id", "lm_mean", "n_tokens"),
+      "doc_id", "lm_mean", "n_tokens", 6L, 10L,
+      (df, _) => df.as[(Long, Long, Long, Boolean)].collect().foreach(got.add))
+    mem1.addData(scored)
+    q1.processAllAvailable(); q1.stop()
+    assert(got.toArray.map(_.asInstanceOf[(Long, Long, Long, Boolean)])
+      .sortBy(_._1).toSeq == batchOp && batchOp.exists(_._4) &&
+      batchOp.exists(!_._4))
+
+    // multi-batch: batch k's decisions come from the cumulative
+    // decision table of prefix 1..k applied to batch k's docs
+    val (b1, b2) = scored.splitAt(scored.length / 2)
+    val perBatch = new ConcurrentLinkedQueue[(Long, Seq[(Long, Long, Long, Boolean)])]()
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamingOps.tokenBudgetPerBatch(
+      mem2.toDF().toDF("doc_id", "lm_mean", "n_tokens"),
+      "doc_id", "lm_mean", "n_tokens", 6L, 10L,
+      (df, id) => perBatch.add(id ->
+        df.as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq))
+    mem2.addData(b1); q2.processAllAvailable()
+    mem2.addData(b2); q2.processAllAvailable(); q2.stop()
+    val outs = perBatch.toArray
+      .map(_.asInstanceOf[(Long, Seq[(Long, Long, Long, Boolean)])])
+      .sortBy(_._1).map(_._2)
+    def expect(prefix: Seq[(Long, Long, Long)], batchRows: Seq[(Long, Long, Long)]) = {
+      val dist = prefix.groupBy(_._2)
+        .map { case (s, rs) => s -> rs.map(_._3).sum }.toSeq.toDF("s", "st")
+      graft.operators.Sampling.tokenBudgetApply(
+          batchRows.toDF("doc_id", "lm_mean", "n_tokens"),
+          "doc_id", "lm_mean", "n_tokens",
+          graft.operators.Sampling.tokenBudgetGroups(dist, 6L, 10L))
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    }
+    assert(outs(0) == expect(b1, b1))
+    assert(outs(1) == expect(b1 ++ b2, b2))
+  }
+
   test("Aho-Corasick blocklist counts are stream/batch identical (stateless kernel scan)") {
     implicit val sq = spark.sqlContext
     val pats = Seq("a a", "table", "scan")
