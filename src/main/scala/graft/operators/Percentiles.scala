@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * instead runs ITERATIVE VALUE-DOMAIN REFINEMENT — multiway bisection,
   * the classic distributed-selection algorithm:
   *
-  *  1. one narrow pass gets per-group (min, max, non-null count) and
-  *     turns each requested p into an integer rank r = ceil(p·n) —
-  *     the GLOBAL rank the task keeps for its whole lifetime;
+  *  1. one narrow pass gets per-(group, column) (min, max, non-null
+  *     count) and turns each requested p into an integer rank
+  *     r = ceil(p·n) — the GLOBAL rank the task keeps for its whole
+  *     lifetime;
   *  2. each round, ONE narrow full scan histograms every group's rows
   *     into `buckets` equal slices of that task's current (lo, width)
   *     candidate interval: `floor((v − lo)/w)` clamped to −1 below
@@ -36,7 +37,10 @@ import org.apache.spark.sql.functions._
   *     by value, and picks the (global rank − frozen below-count)-th
   *     smallest distinct value with a window over that tiny set.
   *
-  * Cost: O(log_buckets(n/finishRows)) full scans (3-4 at any realistic
+  * ALL requested (column, p) pairs ride the same scans — q64's four
+  * percentiles over two orderings are one extent pass, one histogram
+  * round and one finish, not two independent operators. Cost:
+  * O(log_buckets(n/finishRows)) full scans (3-4 at any realistic
   * scale), each a codegen'd filter+groupBy with map-side partial
   * aggregation; no shuffle ever carries more than tasks×(buckets+1)
   * rows; the input is scanned, never sorted. Driver state is one
@@ -54,41 +58,51 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  /** One requested percentile within one group. `rank` is 1-based and
-    * global within the group; (lo, width) is the current candidate
-    * interval, frozen together with `bucket` and `below` when `done`.
+  /** One requested percentile of one column within one group. `rank`
+    * is 1-based and global within (group, column); (lo, width) is the
+    * current candidate interval, frozen together with `bucket` and
+    * `below` when `done`.
     */
   private final case class Task(
-      id: Int, group: String, p: Double, rank: Long,
+      id: Int, group: String, colName: String, p: Double, rank: Long,
       var lo: Double, var width: Double,
       var lastCount: Long, var bucket: Int, var below: Long,
       var done: Boolean)
 
-  /** `percentile_disc(p) WITHIN GROUP (ORDER BY valueCol)` for every
-    * p in `ps`, per distinct value of `groupCol` (string-typed group,
-    * numeric value read as double). Returns (groupCol, p, value).
+  /** `percentile_disc(p) WITHIN GROUP (ORDER BY <col>)` for every
+    * (column → ps) spec, per distinct value of `groupCol`
+    * (string-typed group, numeric values read as double). Returns
+    * (groupCol, col, p, value); every spec shares the same scans.
     */
-  def exactDisc(df: DataFrame, groupCol: String, valueCol: String,
-                ps: Seq[Double], buckets: Int = 1024,
-                finishRows: Long = 65536, maxRounds: Int = 20): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), s"bad ps: $ps")
+  def exactDiscMulti(df: DataFrame, groupCol: String,
+                     specs: Seq[(String, Seq[Double])], buckets: Int = 1024,
+                     finishRows: Long = 65536, maxRounds: Int = 20): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty) &&
+      specs.flatMap(_._2).forall(p => p > 0.0 && p <= 1.0), s"bad specs: $specs")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    // long format (g, c, v): one scan serves every ordering column
+    val stacked = df.select(col(groupCol).as("g"),
+      explode(array(specs.map { case (c, _) =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"))
+      }: _*)).as("cv"))
+    val rows = stacked.select($"g", $"cv.c".as("c"), $"cv.v".as("v"))
       .filter($"v".isNotNull)
 
-    // pass 0: per-group extent + count → integer target ranks.
-    // Bounded collect: one row per group value (grouping keys, not data).
-    val extent = rows.groupBy($"g")
+    // pass 0: per-(group, column) extent + count → integer target
+    // ranks. Bounded collect: groups × columns rows (grouping keys,
+    // not data).
+    val extent = rows.groupBy($"g", $"c")
       .agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
       .collect()
+    val psByCol = specs.toMap
     val tasks = extent.flatMap { r =>
-      val (grp, lo, hi, n) =
-        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
-      ps.map { p =>
+      val (grp, c, lo, hi, n) = (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))
+      psByCol(c).map { p =>
         // all-equal groups freeze immediately: width 0 ⇒ the finish
         // pass takes every row and picks the single distinct value
-        Task(0, grp, p, math.ceil(p * n).toLong.max(1L),
+        Task(0, grp, c, p, math.ceil(p * n).toLong.max(1L),
           lo, if (hi == lo) 0.0 else (hi - lo) / buckets,
           n, 0, 0L, done = hi == lo)
       }
@@ -103,15 +117,15 @@ object Percentiles {
       round += 1
       val active = tasks.filter(!_.done)
       val taskDf = broadcast(active
-        .map(t => (t.id, t.group, t.lo, t.width))
-        .toDF("task_id", "g", "t_lo", "t_w"))
-      // ONE scan: every row fans out to its group's active tasks
-      // (≤ ps.size copies), lands in a clamped bucket, and partial
+        .map(t => (t.id, t.group, t.colName, t.lo, t.width))
+        .toDF("task_id", "g", "c", "t_lo", "t_w"))
+      // ONE scan: every row fans out to its (group, column)'s active
+      // tasks (≤ ps copies), lands in a clamped bucket, and partial
       // aggregation collapses map-side; the shuffle carries
       // ≤ tasks×(buckets+1) rows.
-      val hist = rows.join(taskDf, Seq("g"))
+      val hist = rows.join(taskDf, Seq("g", "c"))
         .groupBy($"task_id", bucketExpr($"t_lo", $"t_w").as("bkt"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("cnt"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (id, rs) =>
@@ -122,9 +136,9 @@ object Percentiles {
         var cum = 0L; var i = 0
         var sel = Int.MinValue; var below = 0L; var selCount = 0L
         while (i < hs.length && sel == Int.MinValue) {
-          val (b, c) = hs(i)
-          if (cum + c >= t.rank) { sel = b; below = cum; selCount = c }
-          cum += c; i += 1
+          val (b, cnt) = hs(i)
+          if (cum + cnt >= t.rank) { sel = b; below = cum; selCount = cnt }
+          cum += cnt; i += 1
         }
         require(sel != Int.MinValue,
           s"rank ${t.rank} beyond histogram for task ${t.id}")
@@ -150,28 +164,38 @@ object Percentiles {
     // ≤ the distinct values of one bucket (≤ finishRows rows, or a
     // handful for frozen spikes).
     val finDf = broadcast(tasks
-      .map(t => (t.id, t.group, t.p, t.lo, t.width, t.bucket, t.rank - t.below))
-      .toDF("task_id", "g", "p", "t_lo", "t_w", "t_b", "t_r"))
+      .map(t => (t.id, t.group, t.colName, t.p, t.lo, t.width, t.bucket,
+        t.rank - t.below))
+      .toDF("task_id", "g", "c", "p", "t_lo", "t_w", "t_b", "t_r"))
     val w = Window.partitionBy($"task_id").orderBy($"v")
-    rows.join(finDf, Seq("g"))
+    rows.join(finDf, Seq("g", "c"))
       .filter(when($"t_w" === 0.0, lit(true))
         .otherwise(bucketExpr($"t_lo", $"t_w") === $"t_b"))
-      .groupBy($"task_id", $"p", $"g", $"t_r", $"v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum($"c").over(w))
+      .groupBy($"task_id", $"p", $"g", $"c", $"t_r", $"v")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(w))
       .filter($"cum" >= $"t_r")
-      .groupBy($"task_id", $"p", $"g").agg(min($"v").as("value"))
-      .select($"g".as(groupCol), $"p", $"value")
+      .groupBy($"task_id", $"p", $"g", $"c").agg(min($"v").as("value"))
+      .select($"g".as(groupCol), $"c".as("col"), $"p", $"value")
   }
 
-  /** Pivot helper: one row per group, one column per requested p named
-    * by `names` (aligned with `ps`).
+  /** Single-column convenience: (groupCol, p, value). */
+  def exactDisc(df: DataFrame, groupCol: String, valueCol: String,
+                ps: Seq[Double], buckets: Int = 1024,
+                finishRows: Long = 65536, maxRounds: Int = 20): DataFrame =
+    exactDiscMulti(df, groupCol, Seq(valueCol -> ps), buckets, finishRows,
+      maxRounds).drop("col")
+
+  /** Pivot helper: one row per group, one column per requested
+    * (column, p) pair named by the spec (aligned triples).
     */
-  def exactDiscPivot(df: DataFrame, groupCol: String, valueCol: String,
-                     ps: Seq[Double], names: Seq[String]): DataFrame = {
-    require(ps.length == names.length)
-    val long = exactDisc(df, groupCol, valueCol, ps)
-    val aggs = ps.zip(names).map { case (p, n) =>
-      max(when(col("p") === p, col("value"))).as(n)
+  def exactDiscPivot(df: DataFrame, groupCol: String,
+                     named: Seq[(String, Double, String)],
+                     buckets: Int = 1024, finishRows: Long = 65536): DataFrame = {
+    val specs = named.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }.toSeq
+    val long = exactDiscMulti(df, groupCol, specs, buckets, finishRows)
+    val aggs = named.map { case (c, p, n) =>
+      max(when(col("col") === c && col("p") === p, col("value"))).as(n)
     }
     long.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

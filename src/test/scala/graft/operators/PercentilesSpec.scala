@@ -73,6 +73,25 @@ class PercentilesSpec extends SparkSpec {
     assert(got.toSeq == Seq(49.0))
   }
 
+  test("multi-spec shares scans and equals per-column runs") {
+    val rnd = new scala.util.Random(23)
+    val data = Seq.tabulate(1500)(i =>
+      (if (i % 3 == 0) "X" else "Y", rnd.nextDouble() * 100,
+        (rnd.nextInt(30) + 1).toDouble))
+    val df = data.toDF("g", "a", "b").repartition(6)
+    val multi = Percentiles.exactDiscMulti(df, "g",
+        Seq("a" -> Seq(0.5, 0.9), "b" -> Seq(0.25)),
+        buckets = 32, finishRows = 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    for ((g, rows) <- data.groupBy(_._1)) {
+      assert(multi((g, "a", 0.5)) === reference(rows.map(_._2), 0.5))
+      assert(multi((g, "a", 0.9)) === reference(rows.map(_._2), 0.9))
+      assert(multi((g, "b", 0.25)) === reference(rows.map(_._3), 0.25))
+    }
+    assert(multi.size == 6)
+  }
+
   test("forced deep refinement: tight cluster inside a wide range") {
     // values clustered within 1e-9 of 1e6 plus far outliers: several
     // zoom rounds before the interval resolves the cluster
