@@ -222,6 +222,40 @@ object TextShingling {
     sig
   }
 
+  /** Hashing-trick document vector (Weinberger et al., ICML 2009): one
+    * signed `dim`-bucket count vector per document — bucket = first 13
+    * md5 hex digits mod `dim`, sign = parity of hex digit 14, each
+    * word occurrence contributing ±1. Empty split segments are
+    * skipped. Integer entries, so downstream dot products are exact
+    * and the DuckDB oracle replays every vector from the same md5 hex.
+    */
+  def featureHash(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"graft_fhash needs 2 <= dim <= ${1 << 20}, got $dim")
+    val words = text.toString.split(" ", -1)
+    val acc = new Array[Long](dim)
+    val md = md5.get()
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (!w.isEmpty) {
+        md.reset()
+        val h = md.digest(w.getBytes(StandardCharsets.UTF_8))
+        // first 13 hex digits = bytes 0-5 plus the high nibble of byte
+        // 6 (52 bits, always non-negative)
+        var pre = 0L
+        var b = 0
+        while (b < 6) { pre = (pre << 8) | (h(b) & 0xffL); b += 1 }
+        val hv = (pre << 4) | ((h(6) & 0xf0L) >>> 4)
+        // hex digit 14 = the low nibble of byte 6; its parity is the sign
+        val sign = if ((h(6) & 0x01) == 1) 1L else -1L
+        acc((hv % dim).toInt) += sign
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
   // seed-chain prefixes of xxhash64(lit(seed), sh): hashInt(seed, 42)
@@ -418,6 +452,47 @@ case class WordSimHash(text: Expression, bits: Expression)
     copy(text = newLeft, bits = newRight)
 }
 
+/** Hashing-trick featurization (`graft_fhash(text, dim)`): the
+  * text→vector bridge that needs no trained embedding model — one
+  * narrow codegen'd pass per document emitting a signed `dim`-bucket
+  * integer count vector (see [[TextShingling.featureHash]] for the
+  * exact md5 bucket/sign derivation). The declarative equivalent
+  * explodes every word of the corpus into a (doc, bucket) groupBy —
+  * a corpus-sized shuffle; this computes the whole vector next to the
+  * scan and shuffles nothing. Output feeds the SAME downstream stack
+  * as real embeddings: cosine kNN, LSH, semantic dedup, IVF — with
+  * exact integer dot products.
+  */
+case class FeatureHash(text: Expression, dim: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = dim
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fhash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || dim.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_fhash expects (string, int), got " +
+          s"(${text.dataType.simpleString}, ${dim.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, d: Any): Any =
+    TextShingling.featureHash(t.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.TextShingling.featureHash($t, $d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, dim = newRight)
+}
+
 /** Per-document MinHash over a distinct-shingle array, in one narrow
   * codegen'd pass: the declarative form exploded every shingle of the
   * corpus into a 32-way min aggregation — a word-level shuffle before
@@ -567,5 +642,7 @@ object TextExpressions {
       "graft_grams", exprs => WordGrams(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fhash", exprs => FeatureHash(exprs(0), exprs(1)), "built-in")
   }
 }

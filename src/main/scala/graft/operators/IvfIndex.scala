@@ -330,6 +330,166 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Elementwise residual `v − centroid(list_id)` as one narrow
+    * `zip_with` over a CASE chain of centroid literals (`nLists`
+    * dim-sized arrays — a bounded plan artifact like the codebook).
+    */
+  private def residualCol(centroids: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val cent = centroids.tail.foldLeft(
+      when(col("list_id") === centroids.head._1, typedLit(centroids.head._2))) {
+      case (acc, (cid, c)) => acc.when(col("list_id") === cid, typedLit(c))
+    }
+    zip_with(col("v"), cent, (a, c) => a - c)
+  }
+
+  /** Materialise the RESIDUAL IVFADC layout — the classical Jégou
+    * et al. TPAMI 2011 design that [[writeAdcIndex]] deliberately
+    * simplified away: each vector's PQ codes encode the RESIDUAL
+    * `v − centroid(list)` rather than the raw vector. Residuals
+    * cluster tightly around the origin regardless of which cell the
+    * vector landed in, so the same `m`-byte code spends its bits on
+    * the part of the vector the coarse quantizer did NOT already
+    * explain — higher fidelity at identical payload bytes (the
+    * AnnRecallSpec row pins residual-ADC ≥ global-ADC top-k overlap
+    * with exact cosine). The cost is per-list ADC tables at query
+    * time: `nProbe` × `m` × `kCode` integer cells instead of one
+    * global table — still a driver-built literal (8×8×16 = 1 KiB-ish),
+    * built once per query, never per row.
+    *
+    * The residual codebook is the residuals of the first `kCode`
+    * vectors (seed convention of [[Similarity.pqEncodeAdc]], applied
+    * post-assignment), computed through the SAME `assign` +
+    * [[residualCol]] lineage as the corpus so the q123 oracle replays
+    * codebook, codes and cells from one arithmetic. Gate geometry uses
+    * seed centroids (`cid` = `vec_id` of the first `nLists` rows,
+    * iters = 0 — the q112/q113 replayable-Voronoi convention).
+    */
+  /** Train the residual sub-codebooks with per-subspace Lloyd rounds —
+    * the step real PQ deployments never skip: each subspace's `kCode`
+    * entries move to the centroids of the corpus's residual subvectors
+    * (init = the seed residuals, so `iters = 0` degenerates to the
+    * replayable seed codebook). One [[lloyd]] run per subspace — `m`
+    * small distributed jobs, an offline index-build cost — and the
+    * result is a `m·kCode·sub` flat literal like every other codebook.
+    */
+  def trainResidualCodebooks(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                             m: Int = 8, kCode: Int = 16, iters: Int = 2): Seq[Double] = {
+    val spark = emb.sparkSession
+    VectorExpressions.register(spark)
+    val withRes = assign(emb, centroids).withColumn("r", residualCol(centroids))
+      .select(col("vec_id"), col("r")).cache()
+    val seeds = withRes.filter(col("vec_id") < kCode)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flat = new Array[Double](m * kCode * sub)
+    for (ms <- 0 until m) {
+      val proj = withRes.select(col("vec_id"),
+        slice(col("r"), ms * sub + 1, sub).as("v"))
+      val init = (0 until kCode).map(kk =>
+        (kk, seeds(kk).slice(ms * sub, ms * sub + sub).toSeq))
+      for ((kk, c) <- lloyd(proj, init, iters); i <- 0 until sub)
+        flat((ms * kCode + kk) * sub + i) = c(i)
+    }
+    withRes.unpersist()
+    flat.toSeq
+  }
+
+  def writeResidualAdcIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                            path: String, m: Int = 8, kCode: Int = 16,
+                            codebook: Option[Seq[Double]] = None): Unit = {
+    val spark = emb.sparkSession
+    VectorExpressions.register(spark)
+    val withRes = assign(emb, centroids).withColumn("r", residualCol(centroids))
+    val seeds = withRes.filter(col("vec_id") < kCode)
+      .select(col("vec_id"), col("r"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flat = codebook.map { cb =>
+      require(cb.length == m * kCode * sub,
+        s"codebook length ${cb.length} != ${m * kCode * sub}")
+      cb.toArray
+    }.getOrElse(Array.tabulate(m * kCode * sub) { idx =>
+      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+      seeds(kk)(ms * sub + i)
+    })
+    withRes.select(col("vec_id"),
+        call_function("graft_pq_encode", col("r"),
+          typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"),
+        col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((m, kCode, sub, flat.toSeq)).toDF("m", "k", "sub", "flat")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Top-k search against a RESIDUAL IVFADC index by ascending integer
+    * ADC distance. Per probed list the driver subtracts that list's
+    * centroid from the raw query (`qr = q − c_L`) and builds the
+    * list's own `m`×`kCode` micro-unit cell table
+    * `floor(1e6·subdist(qr, codebook))` — [[Similarity.pqEncodeAdc]]'s
+    * exact aa−2ab+bb accumulation — so each row's estimate is still m
+    * integer lookups + an order-free integer sum, just through the
+    * CASE arm of its own partition. Probed lists arrive as a
+    * partition-column filter (directory pruning); at `nProbe` =
+    * `nLists` the result is fully deterministic and the q123 oracle
+    * replays assignment, residuals, codebook, codes, every per-list
+    * cell and the final pick end-to-end.
+    */
+  def topKResidualAdcIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                             queryVec: Seq[Double], k: Int = 20, nProbe: Int = 2,
+                             excludeVecId: Long = -1L): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cb = spark.read.parquet(s"$path/codebook").head
+    val (m, kCode, sub) = (cb.getInt(0), cb.getInt(1), cb.getInt(2))
+    val flat = cb.getSeq[Double](3)
+    require(queryVec.length == m * sub,
+      s"query dim ${queryVec.length} != index dim ${m * sub}")
+    val probeLists = nearestLists(centroids, queryVec, nProbe)
+    val centById = centroids.toMap
+    def cellTable(lid: Int): Seq[Long] = {
+      val c = centById(lid)
+      val qr = Array.tabulate(queryVec.length)(i => queryVec(i) - c(i))
+      Array.tabulate(m * kCode) { idx =>
+        val ms = idx / kCode; val kk = idx % kCode
+        var aa = 0.0; var ab = 0.0; var bb = 0.0
+        var i = 0
+        while (i < sub) {
+          val a = qr(ms * sub + i)
+          val cc = flat((ms * kCode + kk) * sub + i)
+          aa += a * a; ab += a * cc; bb += cc * cc
+          i += 1
+        }
+        math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
+      }.toSeq
+    }
+    def lookupSum(qd: Seq[Long]): org.apache.spark.sql.Column = {
+      val qdLit = typedLit(qd)
+      (0 until m).map(ms =>
+          element_at(qdLit, lit(ms * kCode) + element_at(col("codes"), ms + 1) + 1))
+        .reduce(_ + _)
+    }
+    val adc = probeLists.tail.foldLeft(
+      when(col("list_id") === probeLists.head, lookupSum(cellTable(probeLists.head)))) {
+      case (acc, lid) => acc.when(col("list_id") === lid, lookupSum(cellTable(lid)))
+    }
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probeLists: _*)) // partition pruning
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k cosine search against a materialised index: the probed lists
     * arrive as a partition-column filter, so only those directories are
     * scanned, and the single scoring pass reuses the collected query

@@ -286,6 +286,46 @@ object DataPipeline {
       graft.operators.IvfIndex.topKAdcIndexed(s, path, qv, k = 20,
         nProbe = 8, excludeVecId = 0L)
     },
+    // RESIDUAL IVFADC (the classical Jégou design): PQ codes encode
+    // v − centroid(list) instead of the raw vector, so the m bytes
+    // describe only what the coarse quantizer didn't explain; ranking
+    // uses a PER-LIST integer ADC table (query residual vs the shared
+    // residual codebook). Seed-centroid geometry (iters = 0) keeps the
+    // whole index SQL-replayable: the oracle re-derives assignment,
+    // residuals, codebook, codes, all nLists×m×k cells and the final
+    // pick — one flipped code or cell anywhere breaks the gate.
+    // Partial-probe recall and partition pruning are AnnRecallSpec rows.
+    "q123_residual_ivfadc" -> { (s, dir) =>
+      val path = SharedArtifacts.ivfResidualAdcIndexPath(s, dir, nLists = 8,
+        m = PqM, kCode = PqK)
+      val qv = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0)
+      graft.operators.IvfIndex.topKResidualAdcIndexed(s, path, qv, k = 20,
+        nProbe = 8, excludeVecId = 0L)
+    },
+    // hashing-trick featurization: signed 256-bucket integer count
+    // vectors straight from text — ONE narrow codegen'd kernel pass
+    // (no word explode, no (doc,bucket) shuffle) — gated as the sparse
+    // nonzero entries, every bucket and sign replayed from md5 hex by
+    // the oracle. The text→vector bridge into the ANN stack for a
+    // corpus with no precomputed embeddings.
+    "q124_feature_hash" -> { (s, dir) =>
+      graft.operators.TextVectors.sparseEntries(
+          Tables.loadParallel(s, dir, "documents"), dim = 256)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    // embedding-free kNN: cosine top-20 to doc 0 over the hashed
+    // vectors — dots and norms are exact integers (entries are ±word
+    // counts), so the ranking is bit-reproducible; only the final
+    // division is floating point, in the shared round-4 currency
+    "q125_hashed_knn" -> { (s, dir) =>
+      graft.operators.TextVectors.hashedKnn(
+        Tables.loadParallel(s, dir, "documents"), queryDocId = 0L,
+        dim = 256, k = 20)
+    },
     // SemDeDup-shaped semantic dedup over q35's planted fixture: every
     // original is joined by a jittered copy at id+10000, then the
     // operator clusters around 4 seed vectors (iters = 0, so the
@@ -1526,6 +1566,111 @@ object DataPipeline {
          |ORDER BY CAST($adcSum AS BIGINT) ASC, p.vec_id ASC
          |LIMIT 20""".stripMargin
     },
+
+    // residual IVFADC replay: seed-centroid Voronoi assignment (score
+    // = cc − 2vc, ties to smallest cid), residual r = v − cv, residual
+    // codebook = r of vec_id < k, per-(vec,m) subspace argmin over the
+    // residual slices, per-LIST query cell tables floor(1e6·(aa−2ab+bb))
+    // over the query residual, then the (adc, vec_id) top-k pick —
+    // the entire index derivation in one SQL statement
+    "q123_residual_ivfadc" -> {
+      def slice(src: String, ms: String) =
+        s"list_slice($src, $ms*$PqSub + 1, $ms*$PqSub + $PqSub)"
+      val sa = slice("res.r", "ms.m"); val sc = slice("cb.cv", "ms.m")
+      val qa = slice("qres.qr", "ms.m")
+      val cCols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN m = $i THEN kk END) AS INT) AS c$i")
+        .mkString(",\n         ")
+      val qJoins = (0 until PqM)
+        .map(i => s"JOIN qd q$i ON q$i.cid = pa.cid AND q$i.m = $i AND q$i.kk = pa.c$i")
+        .mkString("\n      ")
+      val adcSum = (0 until PqM).map(i => s"q$i.qdi").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |sc0 AS (SELECT e.vec_id, e.v, c.cid,
+         |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS score
+         |  FROM e, c),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+         |    FROM sc0) WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cid,
+         |    list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+         |  FROM asn a JOIN c USING (cid)),
+         |cb AS (SELECT vec_id AS kk, r AS cv FROM res WHERE vec_id < $PqK),
+         |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |sd AS (SELECT res.vec_id, ms.m, cb.kk,
+         |        (list_dot_product($sa, $sa)
+         |         - 2 * list_dot_product($sa, $sc)
+         |         + list_dot_product($sc, $sc)) AS d2
+         |       FROM res CROSS JOIN ms CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, kk FROM (
+         |    SELECT vec_id, m, kk,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kk) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |qres AS (SELECT c.cid,
+         |    list_transform(range(1, 65), i -> q.v[i] - c.cv[i]) AS qr
+         |  FROM c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q),
+         |qd AS (SELECT qres.cid, ms.m, cb.kk,
+         |    CAST(floor(1000000 * (list_dot_product($qa, $qa)
+         |         - 2 * list_dot_product($qa, $sc)
+         |         + list_dot_product($sc, $sc))) AS BIGINT) AS qdi
+         |  FROM qres CROSS JOIN ms CROSS JOIN cb),
+         |p AS (SELECT vec_id,
+         |         $cCols
+         |      FROM codes GROUP BY 1),
+         |pa AS (SELECT p.*, asn.cid FROM p JOIN asn USING (vec_id))
+         |SELECT pa.vec_id, CAST($adcSum AS BIGINT) AS adc
+         |FROM pa
+         |      $qJoins
+         |WHERE pa.vec_id <> 0
+         |ORDER BY CAST($adcSum AS BIGINT) ASC, pa.vec_id ASC
+         |LIMIT 20""".stripMargin
+    },
+
+    // hashing-trick replay: bucket = first 13 md5 hex digits mod dim,
+    // sign = parity of hex digit 14, ±1 per word occurrence, empty
+    // segments skipped — the same derivation graft_fhash performs
+    "q124_feature_hash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |t AS (SELECT doc_id, md5(term) AS h FROM w WHERE term <> ''),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 256 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS INT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(s) AS BIGINT) AS w
+        |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // hashed kNN replay: the same sparse vectors, integer dots via a
+    // bucket join against doc 0's entries, integer norms, one rounded
+    // division — zero-norm docs excluded like the engine side
+    "q125_hashed_knn" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |t AS (SELECT doc_id, md5(term) AS h FROM w WHERE term <> ''),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 256 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS INT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM t),
+        |v AS (SELECT doc_id, bucket, CAST(sum(s) AS DOUBLE) AS w
+        |      FROM b GROUP BY 1, 2 HAVING sum(s) <> 0),
+        |n AS (SELECT doc_id, sum(w * w) AS nn FROM v GROUP BY 1),
+        |q AS (SELECT bucket, w FROM v WHERE doc_id = 0),
+        |qn AS (SELECT sqrt(nn) AS qn FROM n WHERE doc_id = 0),
+        |d AS (SELECT v.doc_id, sum(v.w * q.w) AS dot
+        |      FROM v JOIN q USING (bucket) GROUP BY 1),
+        |sc AS (SELECT n.doc_id,
+        |    round(coalesce(d.dot, 0) / (sqrt(n.nn) * qn.qn), 4) AS cos
+        |  FROM n LEFT JOIN d USING (doc_id), qn
+        |  WHERE n.doc_id <> 0 AND n.nn > 0)
+        |SELECT doc_id, cos FROM sc ORDER BY cos DESC, doc_id LIMIT 20""".stripMargin,
 
     // k-center replay: every greedy round unrolled — round i's CTE
     // computes each remaining point's exact-double min squared L2 to

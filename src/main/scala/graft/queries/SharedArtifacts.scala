@@ -107,6 +107,26 @@ object SharedArtifacts {
       graft.operators.IvfIndex.writeAdcIndex(emb, centroids, path, m, kCode)
     }
 
+  /** RESIDUAL IVFADC index over the whole embeddings table
+    * ([[graft.operators.IvfIndex.writeResidualAdcIndex]]): PQ codes of
+    * the per-list residuals — the classical Jégou layout. Geometry is
+    * the replayable seed convention (centroid `cid` = the embedding of
+    * `vec_id` = cid, iters = 0) so the q123 oracle can re-derive the
+    * whole index in SQL. Built once per process per sf-dir.
+    */
+  def ivfResidualAdcIndexPath(s: SparkSession, dir: String, nLists: Int = 8,
+                              m: Int = 8, kCode: Int = 16): String =
+    artifact(dir, s"ivf_radc_${nLists}_${m}_$kCode") { path =>
+      import org.apache.spark.sql.functions.{col, transform}
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < nLists)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      graft.operators.IvfIndex.writeResidualAdcIndex(emb, centroids, path, m, kCode)
+    }
+
   /** The 1000-round word-level BPE merge table over q109's training
     * slice (doc_id % 10 == 0), trained once per process per sf-dir —
     * the persisted vocabulary a production tokenizer trains once and

@@ -115,6 +115,76 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("residual IVFADC: per-list cells beat the global codebook at equal bytes") {
+    import org.apache.spark.sql.functions.col
+    val dirG = tempDir("graft_ivfadc_g")
+    val dirR = tempDir("graft_ivfadc_r")
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    IvfIndex.writeAdcIndex(emb, centroids, dirG, m = 8, kCode = 16)
+    val cb = IvfIndex.trainResidualCodebooks(emb, centroids, m = 8, kCode = 16,
+      iters = 2)
+    IvfIndex.writeResidualAdcIndex(emb, centroids, dirR, m = 8, kCode = 16,
+      codebook = Some(cb))
+    // identical payload schema and identical bytes-per-row: the
+    // fidelity gain is free at serving time
+    val schema = spark.read.parquet(s"$dirR/lists").schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "codes", "list_id"))
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(org.apache.spark.sql.functions
+        .transform(col("embedding"), x => x.cast("double")))
+      .head.getSeq[Double](0)
+    val residIds = ids(IvfIndex.topKResidualAdcIndexed(spark, dirR, qv, k = 20,
+      nProbe = 4, excludeVecId = 0L))
+    val residRecall = (residIds & exact).size / 20.0
+    assert(residRecall >= 0.2, s"residual ADC recall@20 = $residRecall")
+    // The fidelity claim, measured where it is deterministic: corpus
+    // reconstruction error. v̂_residual = centroid(list) + cb[codes]
+    // vs v̂_global = rawseeds[codes]; same m bytes per row, the
+    // residual+trained path must reconstruct strictly better in total
+    // squared error (single-query top-k overlap is too noisy to rank
+    // two near-equal indexes, reconstruction MSE is not).
+    def sse(dir: String, cb: IndexedSeq[Double],
+            addCentroid: Boolean): Double = {
+      val centById = centroids.map { case (c, v) => c -> v.toArray }.toMap
+      val vecs = emb.select(col("vec_id"), org.apache.spark.sql.functions
+          .transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      spark.read.parquet(s"$dir/lists").collect().map { r =>
+        val v = vecs(r.getLong(r.fieldIndex("vec_id")))
+        val codes = r.getSeq[Int](r.fieldIndex("codes"))
+        val cent = centById(r.getInt(r.fieldIndex("list_id")))
+        val sub = v.length / codes.length
+        (0 until v.length).map { i =>
+          val ms = i / sub
+          val rec = cb((ms * 16 + codes(ms)) * sub + i % sub) +
+            (if (addCentroid) cent(i) else 0.0)
+          val d = v(i) - rec; d * d
+        }.sum
+      }.sum
+    }
+    val rawSeeds = {
+      val s = emb.filter(col("vec_id") < 16L)
+        .select(col("vec_id"), org.apache.spark.sql.functions
+          .transform(col("embedding"), x => x.cast("double")))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      IndexedSeq.tabulate(8 * 16 * 8) { idx =>
+        val ms = idx / (16 * 8); val kk = idx / 8 % 16; val i = idx % 8
+        s(kk)(ms * 8 + i)
+      }
+    }
+    val sseGlobal = sse(dirG, rawSeeds, addCentroid = false)
+    val sseResid = sse(dirR, cb.toIndexedSeq, addCentroid = true)
+    assert(sseResid < sseGlobal,
+      s"residual reconstruction SSE $sseResid !< global $sseGlobal")
+    // partial probe still prunes partitions
+    val pruned = IvfIndex.topKResidualAdcIndexed(spark, dirR, qv, k = 20,
+      nProbe = 1, excludeVecId = 0L)
+    val prunedRecall = (ids(pruned) & residIds).size / 20.0
+    assert(prunedRecall >= 0.2, s"residual partial-probe recall@20 = $prunedRecall")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
+  }
+
   test("incremental append extends an index without touching stored rows") {
     import org.apache.spark.sql.functions.col
     val dir = tempDir("graft_ivf_app")
