@@ -342,28 +342,6 @@ object IvfIndex {
     zip_with(col("v"), cent, (a, c) => a - c)
   }
 
-  /** Materialise the RESIDUAL IVFADC layout — the classical Jégou
-    * et al. TPAMI 2011 design that [[writeAdcIndex]] deliberately
-    * simplified away: each vector's PQ codes encode the RESIDUAL
-    * `v − centroid(list)` rather than the raw vector. Residuals
-    * cluster tightly around the origin regardless of which cell the
-    * vector landed in, so the same `m`-byte code spends its bits on
-    * the part of the vector the coarse quantizer did NOT already
-    * explain — higher fidelity at identical payload bytes (the
-    * AnnRecallSpec row pins residual-ADC ≥ global-ADC top-k overlap
-    * with exact cosine). The cost is per-list ADC tables at query
-    * time: `nProbe` × `m` × `kCode` integer cells instead of one
-    * global table — still a driver-built literal (8×8×16 = 1 KiB-ish),
-    * built once per query, never per row.
-    *
-    * The residual codebook is the residuals of the first `kCode`
-    * vectors (seed convention of [[Similarity.pqEncodeAdc]], applied
-    * post-assignment), computed through the SAME `assign` +
-    * [[residualCol]] lineage as the corpus so the q123 oracle replays
-    * codebook, codes and cells from one arithmetic. Gate geometry uses
-    * seed centroids (`cid` = `vec_id` of the first `nLists` rows,
-    * iters = 0 — the q112/q113 replayable-Voronoi convention).
-    */
   /** Train the residual sub-codebooks with per-subspace Lloyd rounds —
     * the step real PQ deployments never skip: each subspace's `kCode`
     * entries move to the centroids of the corpus's residual subvectors
@@ -397,6 +375,30 @@ object IvfIndex {
     flat.toSeq
   }
 
+  /** Materialise the RESIDUAL IVFADC layout — the classical Jégou
+    * et al. TPAMI 2011 design that [[writeAdcIndex]] deliberately
+    * simplified away: each vector's PQ codes encode the RESIDUAL
+    * `v − centroid(list)` rather than the raw vector. Residuals
+    * cluster tightly around the origin regardless of which cell the
+    * vector landed in, so the same `m`-byte code spends its bits on
+    * the part of the vector the coarse quantizer did NOT already
+    * explain — higher fidelity at identical payload bytes (the
+    * AnnRecallSpec row pins it as strictly lower reconstruction SSE).
+    * The cost is per-list ADC tables at query time: `nProbe` × `m` ×
+    * `kCode` integer cells instead of one global table — still a
+    * driver-built literal (8×8×16 = 1 KiB-ish), built once per query,
+    * never per row.
+    *
+    * `codebook` defaults to the residuals of the first `kCode`
+    * vectors (seed convention of [[Similarity.pqEncodeAdc]], applied
+    * post-assignment), computed through the SAME `assign` +
+    * [[residualCol]] lineage as the corpus so the q123 oracle replays
+    * codebook, codes and cells from one arithmetic; pass
+    * [[trainResidualCodebooks]]' output for the production-fidelity
+    * variant. Gate geometry uses seed centroids (`cid` = `vec_id` of
+    * the first `nLists` rows, iters = 0 — the q112/q113
+    * replayable-Voronoi convention).
+    */
   def writeResidualAdcIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
                             path: String, m: Int = 8, kCode: Int = 16,
                             codebook: Option[Seq[Double]] = None): Unit = {
