@@ -75,6 +75,71 @@ object Sketches {
   def kmvDistinct(u: Column, k: Int): Column =
     udaf(new KmvDistinct(k)).apply(u)
 
+  /** Like [[KmvDistinct]] but finishing with the bottom-k values
+    * themselves (ascending) instead of the point estimate — the
+    * mergeable state a set-operation combine needs.
+    */
+  final class KmvValuesAgg(k: Int) extends Aggregator[java.lang.Double, KmvState, Seq[Double]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def zero: KmvState = KmvState(k, Array.emptyDoubleArray)
+    def reduce(b: KmvState, a: java.lang.Double): KmvState =
+      if (a == null) b else b.insert(a.doubleValue())
+    def merge(b1: KmvState, b2: KmvState): KmvState = b1.merge(b2)
+    def finish(r: KmvState): Seq[Double] = r.values.toSeq
+    def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** `df.groupBy(...).agg(kmvValues(col("u"), 64))` → ascending
+    * array<double> of the k smallest distinct hash-uniforms.
+    */
+  def kmvValues(u: Column, k: Int): Column =
+    udaf(new KmvValuesAgg(k)).apply(u)
+
+  /** Cross-source set-operation cardinalities from per-source KMV
+    * sketches (Beyer et al., SIGMOD 2007): for every source pair
+    * (src_a < src_b), the merged bottom-k `uv` =
+    * bottom-k(va ∪ vb) estimates |A ∪ B| exactly like a single KMV
+    * sketch would, and the fraction of `uv` present in BOTH source
+    * sketches estimates the Jaccard similarity; their product
+    * estimates |A ∩ B|. The answer every multi-source corpus audit
+    * needs — "how much does source X overlap source Y" — from k
+    * doubles per source instead of a distinct-key shuffle join: at
+    * 100 TB each source's sketch is one mergeable partial aggregate
+    * (map-side combined, k numbers over the wire) and the pair
+    * combine is driver-trivial array arithmetic over S² tiny rows.
+    *
+    * Determinism: `u` must be a hash-uniform of the set key (see
+    * [[Sampling.u01Spark]]), so sketches, merges and every estimate
+    * replay bit-for-bit on any engine and any partitioning — the
+    * q126 oracle re-derives all of it from md5 hex in SQL.
+    *
+    * Output per pair: `k_used` (= min(k, |uv|)), `union_est`,
+    * `overlap` (members of `uv` in both sketches), `jaccard_est`,
+    * `inter_est`.
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, u: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array_intersect, array_sort,
+      array_union, least, lit, size, slice, when}
+    val sk = df.groupBy(col(groupCol)).agg(kmvValues(u, k).as("vals"))
+    val a = sk.select(col(groupCol).as("src_a"), col("vals").as("va"))
+    val b = sk.select(col(groupCol).as("src_b"), col("vals").as("vb"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("uv", slice(array_sort(array_union(col("va"), col("vb"))), 1, k))
+      .withColumn("k_used", least(lit(k), size(col("uv"))).cast("long"))
+      .withColumn("union_est",
+        when(size(col("uv")) < k, size(col("uv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("uv"), k)))
+      .withColumn("overlap",
+        size(array_intersect(array_intersect(col("uv"), col("va")), col("vb")))
+          .cast("long"))
+      .withColumn("jaccard_est", col("overlap") / col("k_used").cast("double"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("union_est"),
+        col("overlap"), col("jaccard_est"), col("inter_est"))
+  }
+
   /** Misra–Gries heavy-hitters state: at most `capacity` (term, count)
     * entries. Counts are LOWER bounds once decrements have happened;
     * while the number of distinct terms seen stays ≤ capacity no

@@ -87,6 +87,35 @@ object Corpus {
         .orderBy($"o_orderstatus")
     },
 
+    // KMV set operations across sources (Beyer et al. 2007): per-pair
+    // union/intersection/Jaccard estimates from k=64 doubles per
+    // source — the "how much does X overlap Y" corpus audit without a
+    // distinct-key shuffle join. Exact truths ride along like q71's
+    // exact_distinct; the oracle replays sketches, merge, every
+    // estimate AND the exacts from the same md5 hex.
+    "q126_kmv_setops" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "orders")
+        .select($"o_orderstatus".as("src"), $"o_custkey".as("key")).distinct()
+      val withU = d
+        .withColumn("h", md5($"key".cast("string").cast("binary")))
+        .withColumn("u", expr(Sampling.u01Spark("h")))
+      val est = Sketches.kmvSetOps(withU, "src", $"u", k = 64)
+      val ex = d.as("x").join(d.as("y"),
+          $"x.key" === $"y.key" && $"x.src" < $"y.src")
+        .groupBy($"x.src".as("src_a"), $"y.src".as("src_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val sizes = d.groupBy($"src").agg(count(lit(1)).as("n"))
+      est.join(ex, Seq("src_a", "src_b"), "left")
+        .join(sizes.select($"src".as("src_a"), $"n".as("na")), Seq("src_a"))
+        .join(sizes.select($"src".as("src_b"), $"n".as("nb")), Seq("src_b"))
+        .select($"src_a", $"src_b", $"k_used", $"union_est", $"overlap",
+          $"jaccard_est", $"inter_est",
+          coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+          ($"na" + $"nb" - coalesce($"exact_inter", lit(0L))).as("exact_union"))
+        .orderBy($"src_a", $"src_b")
+    },
+
     // HLL registers + integer-exact raw estimate vs exact distinct,
     // side by side with q71's KMV: every register derives from md5
     // bits and the estimator is pure integer division, so the oracle
@@ -578,6 +607,60 @@ object Corpus {
          |       FROM orders GROUP BY 1)
          |SELECT ex.o_orderstatus, est.est_distinct, ex.exact_distinct, ex.n_rows
          |FROM ex JOIN est USING (o_orderstatus) ORDER BY 1""".stripMargin
+    },
+
+    // KMV set-op replay: per-source bottom-64 of distinct u, merged
+    // per pair (distinct-union then re-ranked), overlap = merged
+    // members present in BOTH source sketches, the same saturation
+    // cases as q71, plus the exact pair truths
+    "q126_kmv_setops" -> {
+      val k = 64
+      s"""WITH d AS (SELECT DISTINCT o_orderstatus AS src, o_custkey AS key
+         |           FROM orders),
+         |uu AS (SELECT src, $u01 AS u FROM
+         |       (SELECT src, md5(CAST(key AS VARCHAR)) AS h FROM d)),
+         |r AS (SELECT src, u, row_number() OVER (PARTITION BY src ORDER BY u) AS rn
+         |      FROM (SELECT DISTINCT src, u FROM uu)),
+         |sk AS (SELECT src, u FROM r WHERE rn <= $k),
+         |p AS (SELECT a.src AS src_a, b.src AS src_b
+         |      FROM (SELECT DISTINCT src FROM d) a, (SELECT DISTINCT src FROM d) b
+         |      WHERE a.src < b.src),
+         |mu AS (SELECT p.src_a, p.src_b, sk.u
+         |       FROM p JOIN sk ON sk.src = p.src_a OR sk.src = p.src_b
+         |       GROUP BY 1, 2, 3),
+         |m AS (SELECT src_a, src_b, u,
+         |        row_number() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn,
+         |        count(*) OVER (PARTITION BY src_a, src_b) AS cnt
+         |      FROM mu),
+         |uv AS (SELECT * FROM m WHERE rn <= $k),
+         |ov AS (SELECT uv.src_a, uv.src_b, count(*) AS overlap
+         |       FROM uv
+         |       JOIN sk sa ON sa.src = uv.src_a AND sa.u = uv.u
+         |       JOIN sk sb ON sb.src = uv.src_b AND sb.u = uv.u
+         |       GROUP BY 1, 2),
+         |ue AS (SELECT src_a, src_b,
+         |         CASE WHEN max(cnt) < $k THEN CAST(max(cnt) AS DOUBLE)
+         |              ELSE ${k - 1}.0 / max(CASE WHEN rn = $k THEN u END) END
+         |           AS union_est,
+         |         CAST(least($k, max(cnt)) AS BIGINT) AS k_used
+         |       FROM uv GROUP BY 1, 2),
+         |ex AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS exact_inter
+         |       FROM d x JOIN d y ON x.key = y.key AND x.src < y.src
+         |       GROUP BY 1, 2),
+         |ns AS (SELECT src, count(*) AS n FROM d GROUP BY 1)
+         |SELECT ue.src_a, ue.src_b, ue.k_used, ue.union_est,
+         |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+         |  coalesce(ov.overlap, 0) / CAST(ue.k_used AS DOUBLE) AS jaccard_est,
+         |  (coalesce(ov.overlap, 0) / CAST(ue.k_used AS DOUBLE)) * ue.union_est
+         |    AS inter_est,
+         |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+         |  CAST(na.n + nb.n - coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_union
+         |FROM ue
+         |LEFT JOIN ov USING (src_a, src_b)
+         |LEFT JOIN ex USING (src_a, src_b)
+         |JOIN ns na ON na.src = ue.src_a
+         |JOIN ns nb ON nb.src = ue.src_b
+         |ORDER BY src_a, src_b""".stripMargin
     },
 
     // HLL register replay: bucket = first md5 byte mod 64; rho = 1 +

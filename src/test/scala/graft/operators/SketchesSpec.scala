@@ -125,6 +125,48 @@ class SketchesSpec extends SparkSpec {
     (1 to 40).foreach(i => assert(exact(s"term$i") == i.toLong))
   }
 
+  test("KMV set-ops are exact below saturation and partitioning-invariant") {
+    // sources A = {1..30}, B = {20..45}: union 45, inter 11. With
+    // k=64 > |union| no sketch saturates, so union_est/overlap/
+    // jaccard_est/inter_est must all be EXACT — and identical under
+    // adversarial partitioning (the state is a pure function of the
+    // value set).
+    val rows = (1 to 30).map(i => ("A", i.toLong)) ++
+      (20 to 45).map(i => ("B", i.toLong))
+    val df = spark.createDataset(scala.util.Random.shuffle(rows))
+      .toDF("src", "key")
+      .withColumn("h", md5($"key".cast("string").cast("binary")))
+      .withColumn("u", expr(Sampling.u01Spark("h")))
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.kmvSetOps(df.repartition(parts), "src", $"u", k = 64)
+        .collect()
+      assert(got.length == 1)
+      val r = got(0)
+      assert(r.getAs[String]("src_a") == "A" && r.getAs[String]("src_b") == "B")
+      assert(r.getAs[Long]("k_used") == 45L)
+      assert(r.getAs[Double]("union_est") == 45.0)
+      assert(r.getAs[Long]("overlap") == 11L)
+      assert(r.getAs[Double]("jaccard_est") == 11.0 / 45.0)
+      assert(r.getAs[Double]("inter_est") == (11.0 / 45.0) * 45.0)
+    }
+  }
+
+  test("KMV set-ops saturated: estimates stay near truth at k << n") {
+    // 3000-key union, 1000-key intersection, k=64: the estimator's
+    // relative error concentrates around 1/sqrt(k) ≈ 12.5%; assert a
+    // generous 3-sigma-ish envelope (deterministic — md5 draws)
+    val rows = (1 to 2000).map(i => ("A", i.toLong)) ++
+      (1001 to 3000).map(i => ("B", i.toLong))
+    val df = spark.createDataset(rows).toDF("src", "key")
+      .withColumn("h", md5($"key".cast("string").cast("binary")))
+      .withColumn("u", expr(Sampling.u01Spark("h")))
+    val r = Sketches.kmvSetOps(df, "src", $"u", k = 64).collect()(0)
+    val unionEst = r.getAs[Double]("union_est")
+    val interEst = r.getAs[Double]("inter_est")
+    assert(math.abs(unionEst - 3000.0) / 3000.0 < 0.4, s"union_est $unionEst")
+    assert(math.abs(interEst - 1000.0) / 1000.0 < 0.6, s"inter_est $interEst")
+  }
+
   test("HLL registers match a reference derivation and merge by max") {
     def refState(keys: Seq[Long]): (Seq[Int], Long) = {
       val md = java.security.MessageDigest.getInstance("MD5")
