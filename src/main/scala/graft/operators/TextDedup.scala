@@ -444,6 +444,55 @@ object TextDedup {
       .orderBy(col("source"))
   }
 
+  /** Maximal duplicated-span mining — the parallelizable answer to
+    * suffix-array exact-substring dedup (Lee et al., ACL 2022): every
+    * SLIDING `spanWords`-gram (stride 1, vs [[spanDupStats]]'s fixed
+    * non-overlapping spans) is hashed; a gram whose 48-bit md5 prefix
+    * appears in ≥ `minDocs` distinct documents is a duplication SEED,
+    * and consecutive seed positions within a document merge into one
+    * MAXIMAL duplicated span (the islands-and-gaps extension step a
+    * suffix array would do by neighbor scans). Output: one row per
+    * maximal span — (doc_id, start_pos, end_pos, n_seeds, span_words),
+    * word positions 0-based inclusive.
+    *
+    * Scale shape: one narrow kernel pass builds grams next to the
+    * scan, ONE corpus-wide shuffle groups the 8-byte gram hashes (not
+    * the gram strings), the seed join returns only duplicated
+    * positions (output ∝ duplication, like the LSH miners), and the
+    * run-merge is a per-document window — no pairwise comparison, no
+    * suffix sort. The hash is an md5 prefix so the q127 oracle replays
+    * seeds, islands and span arithmetic exactly.
+    */
+  def maxDupSpans(docs: DataFrame, spanWords: Int = 10,
+                  minDocs: Int = 2): DataFrame = {
+    require(spanWords > 0 && minDocs >= 2)
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val g = docs.select(col("doc_id"),
+        posexplode(call_function("graft_grams", col("text"), lit(spanWords)))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("gh"))
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"))
+    val hits = g.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("n_seeds"))
+      .select(col("doc_id"),
+        col("s").cast("long").as("start_pos"),
+        (col("e") + spanWords - 1).cast("long").as("end_pos"),
+        col("n_seeds"),
+        (col("e") - col("s") + spanWords).cast("long").as("span_words"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
   /** 64-bit SimHash per document — the corpus-scale default.
     *
     * The word hash is the first 16 hex digits of md5(word) read as a

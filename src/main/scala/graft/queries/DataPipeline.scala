@@ -99,6 +99,16 @@ object DataPipeline {
     "q24_langid" -> { (s, dir) =>
       TextAnalysis.langIdConfusion(Tables.load(s, dir, "documents"))
     },
+    // maximal duplicated spans (seed-and-extend over sliding 10-grams;
+    // the parallel stand-in for suffix-array exact-substring dedup):
+    // every row is one maximal cross-document duplicated word span —
+    // start, inclusive end, seed count, width. Work ∝ one gram-hash
+    // shuffle + duplicated positions only; the oracle replays seeds,
+    // island merging and span arithmetic from the same md5 prefixes.
+    "q127_max_dup_spans" -> { (s, dir) =>
+      TextDedup.maxDupSpans(Tables.loadParallel(s, dir, "documents"),
+        spanWords = 10, minDocs = 2)
+    },
     // end-to-end training-data pipeline: quality filter → exact dedup
     // among survivors → per-doc language ID → corpus stats per guessed
     // language. One oracle over the whole composition proves the stages
@@ -988,6 +998,28 @@ object DataPipeline {
         |    AS n_oov,
         |  (SELECT vocab_size FROM vs) AS vocab_size
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maximal-span replay: sliding 10-gram 48-bit md5-prefix hashes,
+    // seeds = hashes in >= 2 distinct docs, islands via pos - rn,
+    // span = [min(pos), max(pos) + 9]
+    "q127_max_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          list_slice(ws, i + 1, i + 10), ' ')), 1, 12)) AS BIGINT) AS gh
+        |      FROM w, unnest(range(0, len(ws) - 9)) AS t(i)),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+        |                        FROM g GROUP BY 1) WHERE nd >= 2),
+        |h AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |r AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 9 AS BIGINT) AS end_pos,
+        |  CAST(count(*) AS BIGINT) AS n_seeds,
+        |  CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_words
+        |FROM r GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_pos""".stripMargin,
 
     "q49_span_dup" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

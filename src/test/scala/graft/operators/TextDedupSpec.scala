@@ -170,6 +170,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 11L, 11L, 11L)))
   }
 
+  test("maxDupSpans merges seed runs into one maximal planted span") {
+    import spark.implicits._
+    // doc 1 and doc 2 share words 5..19 of doc 1 (a 15-word run →
+    // 6 sliding 10-gram seeds at positions 5..10 in doc 1); doc 3
+    // repeats ITS OWN words but shares nothing cross-doc
+    val shared = (1 to 15).map(i => s"dup$i").mkString(" ")
+    val d1 = ((1 to 5).map(i => s"a$i") ++ shared.split(" ") ++
+      (1 to 8).map(i => s"b$i")).mkString(" ")
+    val d2 = ((1 to 3).map(i => s"c$i") ++ shared.split(" ") ++
+      (1 to 4).map(i => s"d$i")).mkString(" ")
+    val d3 = (("self " * 30).trim + " tail1 tail2").trim
+    val out = TextDedup.maxDupSpans(
+      Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+        .repartition(3), spanWords = 10, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc 1: words 5..19 inclusive; doc 2: words 3..17; doc 3: none
+    // (its repeats are within one document, below minDocs = 2)
+    assert(out.toSeq == Seq((1L, 5L, 19L, 6L, 15L), (2L, 3L, 17L, 6L, 15L)))
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))
