@@ -119,10 +119,18 @@ object Sketches {
     * `overlap` (members of `uv` in both sketches), `jaccard_est`,
     * `inter_est`.
     */
-  def kmvSetOps(df: DataFrame, groupCol: String, u: Column, k: Int): DataFrame = {
+  def kmvSetOps(df: DataFrame, groupCol: String, u: Column, k: Int): DataFrame =
+    kmvCombinePairs(
+      df.groupBy(col(groupCol)).agg(kmvValues(u, k).as("vals")), groupCol, k)
+
+  /** The pair-combine stage of [[kmvSetOps]] over an already-sketched
+    * `(groupCol, vals: array<double>)` frame — separated so incremental
+    * callers (the streaming flavor) can merge states across batches and
+    * re-run only this tiny S²-row combine.
+    */
+  def kmvCombinePairs(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.functions.{array_intersect, array_sort,
       array_union, least, lit, size, slice, when}
-    val sk = df.groupBy(col(groupCol)).agg(kmvValues(u, k).as("vals"))
     val a = sk.select(col(groupCol).as("src_a"), col("vals").as("va"))
     val b = sk.select(col(groupCol).as("src_b"), col("vals").as("vb"))
     a.crossJoin(b).filter(col("src_a") < col("src_b"))

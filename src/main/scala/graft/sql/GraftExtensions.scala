@@ -75,6 +75,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.AhoCorasickCounts].getName, "graft_ac_count"),
       (args: Seq[Expression]) =>
         graft.functions.AhoCorasickCounts(args(0), args(1))),
+    "graft_fhash" -> (
+      new ExpressionInfo(classOf[graft.functions.FeatureHash].getName, "graft_fhash"),
+      (args: Seq[Expression]) => graft.functions.FeatureHash(args(0), args(1))),
     "graft_pq_encode" -> (
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
       (args: Seq[Expression]) =>
@@ -359,6 +362,61 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_max_dup_spans('<view>'[, span_words, min_docs])` — the
+    * q127 maximal duplicated-span mining (doc_id, start_pos, end_pos,
+    * n_seeds, span_words).
+    */
+  private def maxDupSpansPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 3,
+      "graft_max_dup_spans expects (table_name[, span_words, min_docs]) literals")
+    val str = lit("graft_max_dup_spans") _
+    val spanWords = if (args.length == 3) str(args(1)).toInt else 10
+    val minDocs = if (args.length == 3) str(args(2)).toInt else 2
+    graft.operators.TextDedup.maxDupSpans(
+        SparkSession.active.table(str(args.head)), spanWords, minDocs)
+      .queryExecution.logical
+  }
+
+  /** `graft_hashed_knn('<view>', query_doc_id[, dim, k])` — the q125
+    * embedding-free cosine kNN over hashing-trick vectors
+    * (doc_id, cos).
+    */
+  private def hashedKnnPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 4,
+      "graft_hashed_knn expects (table_name, query_doc_id[, dim, k]) literals")
+    val str = lit("graft_hashed_knn") _
+    val dim = if (args.length == 4) str(args(2)).toInt else 256
+    val k = if (args.length == 4) str(args(3)).toInt else 20
+    graft.operators.TextVectors.hashedKnn(
+        SparkSession.active.table(str(args.head)), str(args(1)).toLong, dim, k)
+      .queryExecution.logical
+  }
+
+  /** `graft_kmv_setops('<view>', '<group_col>', '<key_col>'[, k])` —
+    * the q126 cross-source union/intersection/Jaccard estimates from
+    * per-source KMV sketches (the hash-uniform is derived from the key
+    * column with the shared md5-prefix u01).
+    */
+  private def kmvSetOpsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_kmv_setops expects (table_name, group_col, key_col[, k]) literals")
+    val str = lit("graft_kmv_setops") _
+    val k = if (args.length == 4) str(args(3)).toInt else 64
+    val df = SparkSession.active.table(str(args.head))
+    require(!df.columns.contains("_graft_kmv_h") &&
+      !df.columns.contains("_graft_kmv_u"),
+      "input already has a _graft_kmv_h/_graft_kmv_u column; rename it")
+    val withU = df
+      .withColumn("_graft_kmv_h",
+        org.apache.spark.sql.functions.md5(
+          df(str(args(2))).cast("string").cast("binary")))
+      .withColumn("_graft_kmv_u", org.apache.spark.sql.functions.expr(
+        graft.operators.Sampling.u01Spark("_graft_kmv_h")))
+    graft.operators.Sketches.kmvSetOps(withU, str(args(1)),
+        org.apache.spark.sql.functions.col("_graft_kmv_u"), k)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -401,7 +459,16 @@ object GraftExtensions {
       pplBucketsPlan _),
     "graft_token_budget" -> (
       new ExpressionInfo(graft.operators.Sampling.getClass.getName, "graft_token_budget"),
-      tokenBudgetPlan _))
+      tokenBudgetPlan _),
+    "graft_max_dup_spans" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_max_dup_spans"),
+      maxDupSpansPlan _),
+    "graft_hashed_knn" -> (
+      new ExpressionInfo(graft.operators.TextVectors.getClass.getName, "graft_hashed_knn"),
+      hashedKnnPlan _),
+    "graft_kmv_setops" -> (
+      new ExpressionInfo(graft.operators.Sketches.getClass.getName, "graft_kmv_setops"),
+      kmvSetOpsPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

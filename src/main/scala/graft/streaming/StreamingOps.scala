@@ -294,6 +294,44 @@ object StreamingOps {
     * boundary score group packs each batch's docs by id against the
     * budget headroom the cumulative table grants that score.
     */
+  /** Incremental cross-source KMV set-operation estimates over a
+    * stream of `(groupCol, uCol)` rows: each micro-batch is sketched
+    * distributed (one mergeable partial aggregate), the per-source
+    * bottom-k states merge into a driver-held map (bounded: k doubles
+    * per source — the same model-sized-artifact argument as the other
+    * per-batch flavors), and the sink receives the refreshed pair
+    * estimates from [[graft.operators.Sketches.kmvCombinePairs]].
+    * KMV merge is exact and associative, so after batches 1..n the
+    * emitted table is BIT-IDENTICAL to the batch operator over the
+    * concatenated input — the parity StreamingOpsSpec pins.
+    */
+  def kmvSetOpsPerBatch(rows: DataFrame, groupCol: String, uCol: String,
+                        k: Int, sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val states = scala.collection.mutable.Map.empty[String, graft.operators.Sketches.KmvState]
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.groupBy(col(groupCol))
+          .agg(graft.operators.Sketches.kmvValues(col(uCol), k).as("vals"))
+          .collect() // bounded: one row per source, k doubles each
+          .foreach { r =>
+            val src = r.getString(0)
+            val incoming = graft.operators.Sketches.KmvState(
+              k, r.getSeq[Double](1).toArray)
+            states(src) = states.get(src)
+              .map(_ merge incoming).getOrElse(incoming)
+          }
+        val sk = states.toSeq
+          .map { case (s, st) => (s, st.values.toSeq) }
+          .toDF(groupCol, "vals")
+        sink(graft.operators.Sketches.kmvCombinePairs(sk, groupCol, k), batchId)
+      }
+      .start()
+  }
+
   def tokenBudgetPerBatch(scored: DataFrame, idCol: String, scoreCol: String,
                           tokensCol: String, budgetNum: Long, budgetDen: Long,
                           sink: (DataFrame, Long) => Unit)

@@ -261,6 +261,40 @@ class GraftSqlSpec extends SparkSpec {
     assert(tapi.nonEmpty && ttvf == tapi)
   }
 
+  test("graft_max_dup_spans, graft_hashed_knn and graft_kmv_setops equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val sapi = graft.operators.TextDedup.maxDupSpans(docs, 10, 2)
+      .collect().toSeq
+    val stvf = spark.sql(
+      "SELECT * FROM graft_max_dup_spans('documents') ORDER BY doc_id, start_pos")
+      .collect().toSeq
+    assert(sapi.nonEmpty && stvf == sapi)
+    val kapi = graft.operators.TextVectors.hashedKnn(docs, 0L, 256, 20)
+      .collect().toSeq
+    val ktvf = spark.sql(
+      "SELECT * FROM graft_hashed_knn('documents', 0) ORDER BY cos DESC, doc_id")
+      .collect().toSeq
+    assert(kapi.nonEmpty && ktvf == kapi)
+    val orders = Tables.load(spark, sf, "orders")
+    import org.apache.spark.sql.functions.{expr, md5}
+    val d = orders.select($"o_orderstatus".as("src"), $"o_custkey".as("key"))
+      .distinct()
+    val withU = d
+      .withColumn("h", md5($"key".cast("string").cast("binary")))
+      .withColumn("u", expr(graft.operators.Sampling.u01Spark("h")))
+    orders.createOrReplaceTempView("orders_v")
+    val mapi = graft.operators.Sketches.kmvSetOps(withU, "src", $"u", 64)
+      .orderBy($"src_a", $"src_b").collect().toSeq
+    // the TVF hashes the key column itself but does NOT pre-distinct:
+    // KMV state dedups by hash, so feeding raw rows is equivalent
+    val mtvf = spark.sql(
+      "SELECT * FROM graft_kmv_setops('orders_v', 'o_orderstatus', 'o_custkey') " +
+        "ORDER BY src_a, src_b").collect().toSeq
+    assert(mapi.nonEmpty && mtvf == mapi)
+  }
+
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
     GraftExtensions.register(spark)
     spark.range(0, 12).select($"id", ($"id" * 1.5).as("v"))

@@ -380,6 +380,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(outs(1) == expect(b1 ++ b2, b2))
   }
 
+  test("feature hashing is stream/batch identical (stateless kernel scan)") {
+    // graft_fhash is a narrow per-document kernel with no state: an
+    // ingestion stream vectorizes with the SAME operator call as batch
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val vecs = graft.operators.TextVectors.sparseEntries(
+      mem.toDF().toDF("doc_id", "text"), dim = 64)
+    val q = vecs.writeStream.outputMode("append").format("memory")
+      .queryName("fhash_out").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("fhash_out")
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.operators.TextVectors.sparseEntries(
+        docs.toDF("doc_id", "text"), dim = 64)
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("incremental KMV set-ops: merged stream states ≡ the batch operator bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .select($"o_orderstatus".as("src"), $"o_custkey".as("key"))
+      .withColumn("h", md5($"key".cast("string").cast("binary")))
+      .withColumn("u", expr(graft.operators.Sampling.u01Spark("h")))
+      .select($"src", $"u".cast("double")).as[(String, Double)].collect().toSeq
+    val batchOp = graft.operators.Sketches.kmvSetOps(
+        rows.toDF("src", "u"), "src", $"u", 64)
+      .orderBy($"src_a", $"src_b").collect().toSeq
+    // two micro-batches: KMV merge is exact and associative, so the
+    // final emission equals the batch operator over all rows
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val emissions = new ConcurrentLinkedQueue[(Long, Seq[org.apache.spark.sql.Row])]()
+    val mem = MemoryStream[(String, Double)]
+    val q = StreamingOps.kmvSetOpsPerBatch(
+      mem.toDF().toDF("src", "u"), "src", "u", 64,
+      (df, id) => emissions.add(
+        id -> df.orderBy($"src_a", $"src_b").collect().toSeq))
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+    val outs = emissions.toArray
+      .map(_.asInstanceOf[(Long, Seq[org.apache.spark.sql.Row])])
+      .sortBy(_._1).map(_._2)
+    assert(outs.length == 2 && batchOp.nonEmpty)
+    assert(outs(1) == batchOp)
+  }
+
   test("incremental token budget: single batch ≡ batch op; cumulative groups per batch") {
     implicit val sq = spark.sqlContext
     val docs = graft.Tables.load(spark, sf, "documents")
