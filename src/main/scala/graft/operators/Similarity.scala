@@ -600,6 +600,44 @@ object Similarity {
     * aa − 2ab + bb terms equals the old min-over-selected, rounded at
     * the argmax — so the q117 gate replays the identical trajectory.
     */
+  /** md5-derived ±1 sign for the JL projection cell (j, i): parity of
+    * the first hex digit of md5("jl:j:i") — the engine-portable RNG
+    * convention, so the q128 oracle rebuilds the identical matrix.
+    */
+  private def jlSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection with a SIGNED ±1 matrix
+    * (Achlioptas 2003: database-friendly random projections — ±1
+    * entries preserve pairwise distances in expectation exactly like
+    * Gaussian ones): `outDim` rows of md5-derived signs, shipped as
+    * plan literals, one codegen'd `graft_dot` per output dimension —
+    * a single narrow pass, no shuffle, no stored matrix.
+    *
+    * The scale lever: projecting 64-dim float64 to `outDim` halves/
+    * quarters every downstream byte (brute scans, kNN graphs, cluster
+    * assignment all run on the projected table unchanged), with the JL
+    * guarantee that squared distances are preserved to E ≈ ||a−b||²
+    * per output coordinate (ProjectionSpec measures the concentration).
+    * Because the signs are md5-derived the projection is deterministic
+    * on any engine — the q128 oracle rebuilds matrix and products
+    * bit-for-bit.
+    */
+  def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1 && outDim <= 1024, s"outDim $outDim out of range")
+    VectorExpressions.register(emb.sparkSession)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val v = toDouble(col("embedding"))
+    val projs = (0 until outDim).map { j =>
+      dot(v, typedLit(Seq.tabulate(dim)(i => jlSign(j, i))))
+    }
+    emb.select(col("vec_id"),
+      posexplode(array(projs: _*)).as(Seq("out_dim", "p")))
+  }
+
   def kCenterSelect(emb: DataFrame, k: Int, startId: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     VectorExpressions.register(emb.sparkSession)

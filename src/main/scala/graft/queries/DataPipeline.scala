@@ -327,6 +327,17 @@ object DataPipeline {
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
         .orderBy(col("doc_id"), col("bucket"))
     },
+    // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
+    // narrow pass of 16 codegen'd dot products against md5-derived
+    // sign literals — the downstream-byte-shrinking lever for every
+    // distance-based stage; the oracle rebuilds the sign matrix and
+    // every product from the same md5 parity
+    "q128_jl_project" -> { (s, dir) =>
+      Similarity.randomProject(Tables.load(s, dir, "embeddings"), outDim = 16)
+        .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+          round(col("p"), 4).as("p"))
+        .orderBy(col("vec_id"), col("out_dim"))
+    },
     // embedding-free kNN: cosine top-20 to doc 0 over the hashed
     // vectors — dots and norms are exact integers (entries are ±word
     // counts), so the ranking is bit-reproducible; only the final
@@ -1678,6 +1689,22 @@ object DataPipeline {
         |  CAST(sum(s) AS BIGINT) AS w
         |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // JL replay: sign(j,i) = parity of the first md5 hex digit of
+    // 'jl:j:i', dot via the same sequential fold
+    "q128_jl_project" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT j, list_transform(range(0, 64), i ->
+        |        CASE WHEN CAST(('0x' || substr(md5('jl:' || j || ':' || i), 1, 1))
+        |                  AS INT) % 2 = 1
+        |             THEN 1.0 ELSE -1.0 END) AS sv
+        |      FROM (SELECT unnest(range(0, 16)) AS j))
+        |SELECT e.vec_id, CAST(s.j AS BIGINT) AS out_dim,
+        |  round(list_dot_product(e.v, s.sv), 4) AS p
+        |FROM e CROSS JOIN s
+        |ORDER BY e.vec_id, s.j""".stripMargin,
 
     // hashed kNN replay: the same sparse vectors, integer dots via a
     // bucket join against doc 0's entries, integer norms, one rounded

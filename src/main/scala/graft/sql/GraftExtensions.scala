@@ -417,6 +417,19 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_jl_project('<view>'[, out_dim])` — the q128 ±1 JL random
+    * projection (vec_id, out_dim, p).
+    */
+  private def jlProjectPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      "graft_jl_project expects (table_name[, out_dim]) literals")
+    val str = lit("graft_jl_project") _
+    val outDim = if (args.length == 2) str(args(1)).toInt else 16
+    graft.operators.Similarity.randomProject(
+        SparkSession.active.table(str(args.head)), outDim)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -468,7 +481,10 @@ object GraftExtensions {
       hashedKnnPlan _),
     "graft_kmv_setops" -> (
       new ExpressionInfo(graft.operators.Sketches.getClass.getName, "graft_kmv_setops"),
-      kmvSetOpsPlan _))
+      kmvSetOpsPlan _),
+    "graft_jl_project" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_jl_project"),
+      jlProjectPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -422,6 +422,53 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges <= 2, plan)
   }
+
+  test("q124 feature hashing: one narrow kernel pass, no word explode before the vector") {
+    val plan = formatted("q124_feature_hash")
+    assert(plan.contains("graft_fhash"), plan)
+    // the only Generate is the SPARSE posexplode of the already-built
+    // dim-sized vector — never a per-word explode (words >> dim)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("posexplode"), plan)
+    assert(!plan.toLowerCase.contains("split(text"), plan)
+  }
+
+  test("q125 hashed kNN: no explode, no join — kernel scan straight into top-k") {
+    val plan = formatted("q125_hashed_knn")
+    assert(plan.contains("graft_fhash"), plan)
+    assert(plan.contains("graft_dot"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q127 max-dup spans: seeds join left-semi on gram hashes, no cartesian") {
+    val plan = formatted("q127_max_dup_spans")
+    assert(plan.contains("graft_grams"), plan)
+    // the duplicated-hash membership arrives as a LeftSemi equi-join
+    // on the 8-byte hash; the island merge is a per-doc window
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q128 JL projection: sign matrix rides as literals, one narrow pass") {
+    val plan = formatted("q128_jl_project")
+    assert(plan.contains("graft_dot"), plan)
+    assert(!plan.contains("Join"), plan)
+    // exchanges: only the final global orderBy
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, plan)
+  }
+
+  test("q126 KMV set-ops: sketches aggregate map-side; the combine is sketch-sized") {
+    val plan = formatted("q126_kmv_setops")
+    // partial aggregation of the KMV udaf before the exchange: the
+    // (src, vals) frame that reaches the pair combine is S rows
+    assert(plan.contains("kmvvaluesagg"), plan.toLowerCase)
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
 
 /** Test-side accessor that keeps PlanQualitySpec free of the SparkEntry

@@ -293,6 +293,14 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_kmv_setops('orders_v', 'o_orderstatus', 'o_custkey') " +
         "ORDER BY src_a, src_b").collect().toSeq
     assert(mapi.nonEmpty && mtvf == mapi)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
+    val japi = graft.operators.Similarity.randomProject(
+        Tables.load(spark, sf, "embeddings"), 8)
+      .orderBy($"vec_id", $"out_dim").collect().toSeq
+    val jtvf = spark.sql(
+      "SELECT * FROM graft_jl_project('emb_v', 8) ORDER BY vec_id, out_dim")
+      .collect().toSeq
+    assert(japi.nonEmpty && jtvf == japi)
   }
 
   test("graft_stream_arrow table function declares types/names like the reference keywords") {

@@ -41,7 +41,10 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # (q76), quantized IVF (q110), semantic dedup (q112),
            # winnowing (q114), PQ codes (q121)
            "q57", "q64", "q75", "q76", "q110", "q112", "q114", "q121",
-           "q122"]
+           "q122",
+           # r10 session 2: residual IVFADC (q123), feature hashing
+           # (q124), KMV set-ops (q126), maximal dup spans (q127)
+           "q123", "q124", "q126", "q127"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
