@@ -40,6 +40,44 @@ object TextVectors {
       .select(col("doc_id"), posexplode(col("fvec")).as(Seq("bucket", "w")))
       .filter(col("w") =!= 0L)
 
+  /** Document clustering straight from raw text — no embedding model,
+    * no float drift: every document's hashed vector is assigned to the
+    * nearest of the `seedDocIds` documents' hashed vectors by squared
+    * L2 (the q112/q113 seeded-Voronoi convention). Because hashed
+    * entries are integers, the assignment score `‖c‖² − 2·v·c` is an
+    * EXACT integer — the whole clustering replays bit-for-bit on any
+    * engine, which no float-embedding k-means can claim. One narrow
+    * kernel pass + a broadcast-sized seed literal; returns
+    * (doc_id, cluster_id, score, cluster_n).
+    */
+  def clusterAssign(docs: DataFrame, seedDocIds: Seq[Long],
+                    dim: Int = 256): DataFrame = {
+    require(seedDocIds.nonEmpty, "need at least one seed doc")
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val fvd = featureHashVectors(docs, dim)
+      .select(col("doc_id"), transform(col("fvec"), x => x.cast("double")).as("v"))
+    val seeds = fvd.filter(col("doc_id").isin(seedDocIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    require(seeds.size == seedDocIds.size,
+      s"missing seed docs: ${seedDocIds.filterNot(seeds.contains).mkString(",")}")
+    // cluster id = POSITION in seedDocIds (the q112 convention: caller
+    // order defines the geometry); ties to the smallest cid
+    val scored = seedDocIds.zipWithIndex.map { case (sid, cid) =>
+      val c = seeds(sid)
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) -
+        lit(2.0) * call_function("graft_dot", col("v"), typedLit(c))).as("score"),
+        lit(cid).as("cid"))
+    }
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    fvd.withColumn("best", array_min(array(scored: _*)))
+      .select(col("doc_id"),
+        col("best.cid").cast("long").as("cluster_id"),
+        col("best.score").cast("long").as("score"))
+      .withColumn("cluster_n", count(lit(1)).over(byCluster))
+  }
+
   /** Top-k documents by hashed-vector cosine to `queryDocId` — the
     * embedding-free kNN. Every dot product and norm is an exact
     * integer (entries are ±counts, |v|² < 2^53), so the ranking is

@@ -327,6 +327,18 @@ object DataPipeline {
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
         .orderBy(col("doc_id"), col("bucket"))
     },
+    // document clustering straight from raw text (hashed vectors +
+    // seeded Voronoi): because hashed entries are integers, every
+    // assignment score cc − 2vc is an EXACT integer — a bit-replayable
+    // clustering no float-embedding k-means can offer. One kernel pass
+    // + 4 seed literals; the oracle replays vectors, norms, dots,
+    // argmin and cluster sizes from md5 hex.
+    "q129_text_clusters" -> { (s, dir) =>
+      graft.operators.TextVectors.clusterAssign(
+          Tables.loadParallel(s, dir, "documents"),
+          seedDocIds = Seq(0L, 1L, 2L, 3L), dim = 256)
+        .orderBy(col("doc_id"))
+    },
     // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
     // narrow pass of 16 codegen'd dot products against md5-derived
     // sign literals — the downstream-byte-shrinking lever for every
@@ -1689,6 +1701,41 @@ object DataPipeline {
         |  CAST(sum(s) AS BIGINT) AS w
         |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // text-cluster replay: q124's sparse vectors, seed norms and
+    // sparse dots per (doc, seed), score = cc − 2·vc (exact integers),
+    // (score, cid) argmin, window cluster sizes
+    "q129_text_clusters" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |t AS (SELECT doc_id, md5(term) AS h FROM w WHERE term <> ''),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 256 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS INT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM t),
+        |v AS (SELECT doc_id, bucket, CAST(sum(s) AS DOUBLE) AS w
+        |      FROM b GROUP BY 1, 2 HAVING sum(s) <> 0),
+        |sd AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 2), (3, 3))
+        |       AS t(sdoc, cid)),
+        |sv AS (SELECT sd.cid, v.bucket, v.w FROM sd
+        |       JOIN v ON v.doc_id = sd.sdoc),
+        |cn AS (SELECT cid, sum(w * w) AS cc FROM sv GROUP BY 1),
+        |dots AS (SELECT v.doc_id, sv.cid, sum(v.w * sv.w) AS vc
+        |         FROM v JOIN sv USING (bucket) GROUP BY 1, 2),
+        |dd AS (SELECT doc_id FROM documents),
+        |sc AS (SELECT dd.doc_id, cn.cid,
+        |         cn.cc - 2 * coalesce(dots.vc, 0) AS score
+        |       FROM dd CROSS JOIN cn
+        |       LEFT JOIN dots ON dots.doc_id = dd.doc_id AND dots.cid = cn.cid),
+        |asn AS (SELECT doc_id, cid, score FROM (
+        |    SELECT doc_id, cid, score,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score, cid) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS cluster_id,
+        |  CAST(score AS BIGINT) AS score,
+        |  count(*) OVER (PARTITION BY cid) AS cluster_n
+        |FROM asn ORDER BY doc_id""".stripMargin,
 
     // JL replay: sign(j,i) = parity of the first md5 hex digit of
     // 'jl:j:i', dot via the same sequential fold

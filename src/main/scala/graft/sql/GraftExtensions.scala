@@ -430,6 +430,21 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_text_clusters('<view>', '<seed_doc_ids csv>'[, dim])` —
+    * the q129 integer-exact text clustering (doc_id, cluster_id,
+    * score, cluster_n) over hashing-trick vectors.
+    */
+  private def textClustersPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_text_clusters expects (table_name, seed_doc_ids_csv[, dim]) literals")
+    val str = lit("graft_text_clusters") _
+    val seeds = str(args(1)).split(',').map(_.trim.toLong).toSeq
+    val dim = if (args.length == 3) str(args(2)).toInt else 256
+    graft.operators.TextVectors.clusterAssign(
+        SparkSession.active.table(str(args.head)), seeds, dim)
+      .queryExecution.logical
+  }
+
   val tableBuilders: Map[String, (ExpressionInfo, Seq[Expression] => LogicalPlan)] = Map(
     "graft_stream_tsv" -> (
       new ExpressionInfo(Stream.getClass.getName, "graft_stream_tsv"),
@@ -484,7 +499,10 @@ object GraftExtensions {
       kmvSetOpsPlan _),
     "graft_jl_project" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_jl_project"),
-      jlProjectPlan _))
+      jlProjectPlan _),
+    "graft_text_clusters" -> (
+      new ExpressionInfo(graft.operators.TextVectors.getClass.getName, "graft_text_clusters"),
+      textClustersPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

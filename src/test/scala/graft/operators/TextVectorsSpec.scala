@@ -62,6 +62,28 @@ class TextVectorsSpec extends SparkSpec {
     assert(!got.map(_.getLong(0)).contains(0L))
   }
 
+  test("clusterAssign: seeds claim themselves, near-copies follow their seed") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "one two three four"),
+      (2L, "red green blue yellow"), (3L, "cat dog bird fish"),
+      (10L, "red green blue yellow extra"), // near-copy of seed 2
+      (11L, "one two three four five six")  // near-copy of seed 1
+    ).toDF("doc_id", "text")
+    val got = TextVectors.clusterAssign(docs, Seq(0L, 1L, 2L, 3L), dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert((0L to 3L).forall(i => got(i)._1 == i), got)
+    assert(got(10L)._1 == 2L && got(11L)._1 == 1L, got)
+    assert(got(10L)._2 == 2L && got(0L)._2 == 1L) // cluster sizes
+    // a seed's score to itself is exactly -||c||² (integer arithmetic;
+    // cc computed from the sparse entries so bucket collisions among
+    // the seed's own words don't bias the expectation)
+    val cc = TextVectors.sparseEntries(docs.filter($"doc_id" === 0L), dim = 64)
+      .select(sum($"w" * $"w")).collect()(0).getLong(0)
+    val score0 = TextVectors.clusterAssign(docs, Seq(0L, 1L, 2L, 3L), dim = 64)
+      .filter($"doc_id" === 0L).collect()(0).getLong(2)
+    assert(score0 == -cc, s"score $score0 != -cc ${-cc}")
+  }
+
   test("hashed vectors feed the embedding ANN stack unchanged") {
     // the bridge claim: rename to (vec_id, embedding) and the existing
     // brute-force searcher runs on hashed text vectors as-is

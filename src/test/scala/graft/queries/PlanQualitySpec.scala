@@ -461,6 +461,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, plan)
   }
 
+  test("q129 text clustering: seed vectors ride as literals, no join before the window") {
+    val plan = formatted("q129_text_clusters")
+    assert(plan.contains("graft_fhash"), plan)
+    assert(plan.contains("graft_dot"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan) // only the cluster_n count
+  }
+
   test("q126 KMV set-ops: sketches aggregate map-side; the combine is sketch-sized") {
     val plan = formatted("q126_kmv_setops")
     // partial aggregation of the KMV udaf before the exchange: the

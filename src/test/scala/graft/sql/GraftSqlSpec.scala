@@ -301,6 +301,12 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_jl_project('emb_v', 8) ORDER BY vec_id, out_dim")
       .collect().toSeq
     assert(japi.nonEmpty && jtvf == japi)
+    val capi = graft.operators.TextVectors.clusterAssign(docs, Seq(0L, 1L), 64)
+      .orderBy($"doc_id").collect().toSeq
+    val ctvf = spark.sql(
+      "SELECT * FROM graft_text_clusters('documents', '0,1', 64) ORDER BY doc_id")
+      .collect().toSeq
+    assert(capi.nonEmpty && ctvf == capi)
   }
 
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
