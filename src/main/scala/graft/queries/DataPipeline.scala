@@ -327,6 +327,17 @@ object DataPipeline {
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
         .orderBy(col("doc_id"), col("bucket"))
     },
+    // ANN index built ENTIRELY from raw text: hashed vectors inside
+    // the q32-style IVF-flat list layout, probing HALF the lists —
+    // and because hashed geometry is integer-exact, the oracle
+    // replays the PRUNED probe itself (centroid distances, probe
+    // ranking, membership, cosine top-k), not just an all-probes
+    // degenerate — the strongest index gate in the suite.
+    "q130_text_ivf" -> { (s, dir) =>
+      val path = SharedArtifacts.textIvfIndexPath(s, dir, nLists = 8, dim = 256)
+      graft.operators.IvfIndex.topKIndexed(s, path, queryVecId = 0L,
+        k = 20, nProbe = 4)
+    },
     // document clustering straight from raw text (hashed vectors +
     // seeded Voronoi): because hashed entries are integers, every
     // assignment score cc − 2vc is an EXACT integer — a bit-replayable
@@ -1701,6 +1712,55 @@ object DataPipeline {
         |  CAST(sum(s) AS BIGINT) AS w
         |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // text-IVF replay: the ONLY pruned-probe gate — hashed sparse
+    // vectors, 8-seed Voronoi assignment, integer centroid distances
+    // rank the 4 probed lists, membership filter, cosine top-k — the
+    // full index serving path in one SQL statement
+    "q130_text_ivf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |t AS (SELECT doc_id, md5(term) AS h FROM w WHERE term <> ''),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 256 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS INT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM t),
+        |v AS (SELECT doc_id, bucket, CAST(sum(s) AS DOUBLE) AS w
+        |      FROM b GROUP BY 1, 2 HAVING sum(s) <> 0),
+        |n AS (SELECT doc_id, sum(w * w) AS nn FROM v GROUP BY 1),
+        |sd AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 2), (3, 3),
+        |       (4, 4), (5, 5), (6, 6), (7, 7)) AS t(sdoc, cid)),
+        |sv AS (SELECT sd.cid, v.bucket, v.w FROM sd
+        |       JOIN v ON v.doc_id = sd.sdoc),
+        |cn AS (SELECT cid, sum(w * w) AS cc FROM sv GROUP BY 1),
+        |dots AS (SELECT v.doc_id, sv.cid, sum(v.w * sv.w) AS vc
+        |         FROM v JOIN sv USING (bucket) GROUP BY 1, 2),
+        |dd AS (SELECT doc_id FROM documents),
+        |asn AS (SELECT doc_id, cid FROM (
+        |    SELECT dd.doc_id, cn.cid,
+        |      row_number() OVER (PARTITION BY dd.doc_id
+        |        ORDER BY cn.cc - 2 * coalesce(dots.vc, 0), cn.cid) AS rn
+        |    FROM dd CROSS JOIN cn
+        |    LEFT JOIN dots ON dots.doc_id = dd.doc_id AND dots.cid = cn.cid)
+        |  WHERE rn = 1),
+        |qq AS (SELECT nn FROM n WHERE doc_id = 0),
+        |pr AS (SELECT cn.cid FROM cn
+        |       LEFT JOIN dots d0 ON d0.cid = cn.cid AND d0.doc_id = 0, qq
+        |       ORDER BY cn.cc - 2 * coalesce(d0.vc, 0) + qq.nn, cn.cid
+        |       LIMIT 4),
+        |qv AS (SELECT bucket, w FROM v WHERE doc_id = 0),
+        |mem AS (SELECT asn.doc_id FROM asn
+        |        WHERE asn.cid IN (SELECT cid FROM pr) AND asn.doc_id <> 0),
+        |dq AS (SELECT v.doc_id, sum(v.w * qv.w) AS dot
+        |       FROM v JOIN qv USING (bucket)
+        |       WHERE v.doc_id IN (SELECT doc_id FROM mem) GROUP BY 1),
+        |sc AS (SELECT mem.doc_id AS vec_id,
+        |         round(coalesce(dq.dot, 0) / (sqrt(n.nn) * sqrt(qq.nn)), 4)
+        |           AS cos
+        |       FROM mem JOIN n ON n.doc_id = mem.doc_id
+        |       LEFT JOIN dq ON dq.doc_id = mem.doc_id, qq)
+        |SELECT vec_id, cos FROM sc ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     // text-cluster replay: q124's sparse vectors, seed norms and
     // sparse dots per (doc, seed), score = cc − 2·vc (exact integers),

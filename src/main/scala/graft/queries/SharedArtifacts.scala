@@ -127,6 +127,30 @@ object SharedArtifacts {
       graft.operators.IvfIndex.writeResidualAdcIndex(emb, centroids, path, m, kCode)
     }
 
+  /** IVF-flat index built ENTIRELY from raw text: hashing-trick
+    * vectors (`TextVectors.featureHashVectors`) as the embedding
+    * column, seed-doc centroids (cid = doc_id of the first `nLists`
+    * docs, iters = 0 — the replayable geometry). Because hashed
+    * entries are integers, assignment scores AND probe-selection
+    * distances are exact integers, so q130 can gate the PRUNED probe
+    * end-to-end — the one piece the embedding-side gates (q110/q122)
+    * leave to specs. Built once per process per sf-dir.
+    */
+  def textIvfIndexPath(s: SparkSession, dir: String, nLists: Int = 8,
+                       dim: Int = 256): String =
+    artifact(dir, s"text_ivf_${nLists}_$dim") { path =>
+      import org.apache.spark.sql.functions.{col, transform}
+      val emb = graft.operators.TextVectors.featureHashVectors(
+          Tables.load(s, dir, "documents"), dim)
+        .select(col("doc_id").as("vec_id"), col("fvec").as("embedding"))
+      val centroids = emb.filter(col("vec_id") < nLists)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      graft.operators.IvfIndex.writeIndex(emb, centroids, path)
+    }
+
   /** The 1000-round word-level BPE merge table over q109's training
     * slice (doc_id % 10 == 0), trained once per process per sf-dir —
     * the persisted vocabulary a production tokenizer trains once and

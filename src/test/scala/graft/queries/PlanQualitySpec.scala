@@ -469,6 +469,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Window"), plan) // only the cluster_n count
   }
 
+  test("q130 text IVF: probed lists arrive as partition filters over the text index") {
+    val plan = formatted("q130_text_ivf")
+    assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("graft_dot"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("q126 KMV set-ops: sketches aggregate map-side; the combine is sketch-sized") {
     val plan = formatted("q126_kmv_setops")
     // partial aggregation of the KMV udaf before the exchange: the
