@@ -463,8 +463,13 @@ object TextDedup {
     * suffix sort. The hash is an md5 prefix so the q127 oracle replays
     * seeds, islands and span arithmetic exactly.
     */
-  def maxDupSpans(docs: DataFrame, spanWords: Int = 10,
-                  minDocs: Int = 2): DataFrame = {
+  /** Duplication seed hits: every (doc_id, pos, gh) whose sliding
+    * `spanWords`-gram 48-bit md5-prefix hash appears in ≥ `minDocs`
+    * distinct documents. Shared by [[maxDupSpans]] (the find side)
+    * and [[dupSpanRemovalStats]] (the apply side).
+    */
+  private def dupSeedHits(docs: DataFrame, spanWords: Int,
+                          minDocs: Int): DataFrame = {
     require(spanWords > 0 && minDocs >= 2)
     graft.functions.TextExpressions.register(docs.sparkSession)
     val g = docs.select(col("doc_id"),
@@ -477,20 +482,78 @@ object TextDedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("gh"))
-    val hits = g.join(dup, Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    g.join(dup, Seq("gh"), "left_semi")
+  }
+
+  /** Maximal islands of consecutive seed positions per document:
+    * (doc_id, grp key, s, e, n_seeds, key_gh = the hash at the
+    * island's first seed — the span's content key for ownership).
+    */
+  private def seedIslands(hits: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     hits.withColumn("grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
-        count(lit(1)).as("n_seeds"))
+        count(lit(1)).as("n_seeds"),
+        min(struct(col("pos"), col("gh"))).getField("gh").as("key_gh"))
+  }
+
+  def maxDupSpans(docs: DataFrame, spanWords: Int = 10,
+                  minDocs: Int = 2): DataFrame =
+    seedIslands(dupSeedHits(docs, spanWords, minDocs))
       .select(col("doc_id"),
         col("s").cast("long").as("start_pos"),
         (col("e") + spanWords - 1).cast("long").as("end_pos"),
         col("n_seeds"),
         (col("e") - col("s") + spanWords).cast("long").as("span_words"))
       .orderBy(col("doc_id"), col("start_pos"))
+
+  /** The APPLY side of [[maxDupSpans]] — Lee et al.'s policy of
+    * keeping ONE occurrence of each duplicated substring: spans
+    * cluster by their content key (the hash at the island's first
+    * seed), the (doc_id, start_pos)-minimal span of each cluster is
+    * the OWNER and stays, and every other span's words are marked for
+    * removal. Because non-owner spans within a document can overlap
+    * (islands are disjoint in seed positions but spans extend
+    * `spanWords − 1` words right), the removed-word count is the
+    * INTERVAL UNION per document — a running-max window, not a sum.
+    *
+    * Returns one row per document: (doc_id, n_words,
+    * n_spans_removed, n_words_removed) — all integers, replayed
+    * exactly by the q131 oracle. A removal *transform* follows by
+    * filtering each doc's words against the same intervals; the stats
+    * are what the gate pins (and what a curation report needs).
+    */
+  def dupSpanRemovalStats(docs: DataFrame, spanWords: Int = 10,
+                          minDocs: Int = 2): DataFrame = {
+    val spans = seedIslands(dupSeedHits(docs, spanWords, minDocs))
+      .select(col("doc_id"), col("s").as("start_pos"),
+        (col("e") + spanWords - 1).as("end_pos"), col("key_gh"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key_gh")).orderBy(col("doc_id"), col("start_pos"))
+    val nonOwner = spans
+      .withColumn("rk", row_number().over(byKey))
+      .filter(col("rk") > 1)
+    val prevMax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_pos"), col("end_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val removed = nonOwner
+      .withColumn("prev_end", max(col("end_pos")).over(prevMax))
+      .withColumn("add", greatest(lit(0),
+        col("end_pos") - greatest(col("start_pos") - 1,
+          coalesce(col("prev_end"), lit(-1)))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_removed"),
+        sum(col("add")).as("n_words_removed"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("n_words_removed"), lit(0L)).cast("long")
+          .as("n_words_removed"))
+      .orderBy(col("doc_id"))
   }
 
   /** 64-bit SimHash per document — the corpus-scale default.

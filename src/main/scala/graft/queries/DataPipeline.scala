@@ -327,6 +327,15 @@ object DataPipeline {
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
         .orderBy(col("doc_id"), col("bucket"))
     },
+    // the APPLY side of q127 (Lee et al.'s keep-one policy): spans
+    // cluster by content key, the (doc, pos)-minimal span owns its
+    // cluster, and every other span's words count toward removal as a
+    // per-doc INTERVAL UNION (overlapping spans must not double-count
+    // — a running-max window, not a sum). One integer row per doc.
+    "q131_dedup_apply_spans" -> { (s, dir) =>
+      TextDedup.dupSpanRemovalStats(Tables.loadParallel(s, dir, "documents"),
+        spanWords = 10, minDocs = 2)
+    },
     // ANN index built ENTIRELY from raw text: hashed vectors inside
     // the q32-style IVF-flat list layout, probing HALF the lists —
     // and because hashed geometry is integer-exact, the oracle
@@ -1712,6 +1721,45 @@ object DataPipeline {
         |  CAST(sum(s) AS BIGINT) AS w
         |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // span-removal replay: q127's islands with their first-seed hash
+    // as content key, ownership rank, per-doc interval union via the
+    // running-max window, zero-filled per-doc manifest
+    "q131_dedup_apply_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          list_slice(ws, i + 1, i + 10), ' ')), 1, 12)) AS BIGINT) AS gh
+        |      FROM w, unnest(range(0, len(ws) - 9)) AS t(i)),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+        |                        FROM g GROUP BY 1) WHERE nd >= 2),
+        |h AS (SELECT doc_id, pos, gh FROM g
+        |      WHERE gh IN (SELECT gh FROM dup)),
+        |r AS (SELECT doc_id, pos, gh,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h),
+        |isl AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e,
+        |         arg_min(gh, pos) AS key_gh
+        |        FROM r GROUP BY doc_id, grp),
+        |no AS (SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e,
+        |      row_number() OVER (PARTITION BY key_gh ORDER BY doc_id, s) AS rk
+        |    FROM isl) WHERE rk > 1),
+        |r2 AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM no),
+        |cut AS (SELECT doc_id, count(*) AS nsp,
+        |         sum(greatest(0, e - greatest(s - 1, coalesce(prev_end, -1))))
+        |           AS nw
+        |        FROM r2 GROUP BY 1),
+        |wl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        |       FROM documents)
+        |SELECT wl.doc_id, CAST(wl.n_words AS BIGINT) AS n_words,
+        |  CAST(coalesce(cut.nsp, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(coalesce(cut.nw, 0) AS BIGINT) AS n_words_removed
+        |FROM wl LEFT JOIN cut USING (doc_id)
+        |ORDER BY wl.doc_id""".stripMargin,
 
     // text-IVF replay: the ONLY pruned-probe gate — hashed sparse
     // vectors, 8-seed Voronoi assignment, integer centroid distances

@@ -377,6 +377,21 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_dup_span_removal('<view>'[, span_words, min_docs])` — the
+    * q131 keep-one span-removal manifest (doc_id, n_words,
+    * n_spans_removed, n_words_removed).
+    */
+  private def dupSpanRemovalPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 3,
+      "graft_dup_span_removal expects (table_name[, span_words, min_docs]) literals")
+    val str = lit("graft_dup_span_removal") _
+    val spanWords = if (args.length == 3) str(args(1)).toInt else 10
+    val minDocs = if (args.length == 3) str(args(2)).toInt else 2
+    graft.operators.TextDedup.dupSpanRemovalStats(
+        SparkSession.active.table(str(args.head)), spanWords, minDocs)
+      .queryExecution.logical
+  }
+
   /** `graft_hashed_knn('<view>', query_doc_id[, dim, k])` — the q125
     * embedding-free cosine kNN over hashing-trick vectors
     * (doc_id, cos).
@@ -502,7 +517,10 @@ object GraftExtensions {
       jlProjectPlan _),
     "graft_text_clusters" -> (
       new ExpressionInfo(graft.operators.TextVectors.getClass.getName, "graft_text_clusters"),
-      textClustersPlan _))
+      textClustersPlan _),
+    "graft_dup_span_removal" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_dup_span_removal"),
+      dupSpanRemovalPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -191,6 +191,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 5L, 19L, 6L, 15L), (2L, 3L, 17L, 6L, 15L)))
   }
 
+  test("dupSpanRemovalStats: owners keep their span; overlapping removals union") {
+    import spark.implicits._
+    // doc 9 holds a1..a15 at positions 5..19; doc 2 shares a1..a10
+    // (and owns that key — smaller doc_id), doc 3 shares a6..a15 (and
+    // owns it). Doc 9's two non-owner spans [5,14] and [10,19]
+    // OVERLAP by 5 words, so its removal is the 15-word union, not 20.
+    val as = (1 to 15).map(i => s"a$i")
+    val d9 = ((0 to 4).map(i => s"w$i") ++ as).mkString(" ")
+    val d2 = (Seq("b1", "b2") ++ as.take(10)).mkString(" ")
+    val d3 = (Seq("c1") ++ as.drop(5)).mkString(" ")
+    val got = TextDedup.dupSpanRemovalStats(
+        Seq((9L, d9), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+          .repartition(3), spanWords = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(2L) == ((0L, 0L)), got)
+    assert(got(3L) == ((0L, 0L)), got)
+    assert(got(9L) == ((2L, 15L)), got)
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))

@@ -307,6 +307,12 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_text_clusters('documents', '0,1', 64) ORDER BY doc_id")
       .collect().toSeq
     assert(capi.nonEmpty && ctvf == capi)
+    val rapi = graft.operators.TextDedup.dupSpanRemovalStats(docs, 10, 2)
+      .collect().toSeq
+    val rtvf = spark.sql(
+      "SELECT * FROM graft_dup_span_removal('documents') ORDER BY doc_id")
+      .collect().toSeq
+    assert(rapi.nonEmpty && rtvf == rapi)
   }
 
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
