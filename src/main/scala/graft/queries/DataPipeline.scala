@@ -327,6 +327,30 @@ object DataPipeline {
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("w"))
         .orderBy(col("doc_id"), col("bucket"))
     },
+    // the q76 composition argument over the SESSION's new family:
+    // quality gate (integer word floor) → keep-one span-removal dedup
+    // (drop docs losing ≥ half their words) → integer-exact text
+    // clustering, reported per cluster. Every stage is individually
+    // gated (q131, q129); this gate proves they COMPOSE without
+    // drift, entirely in integers, entirely from raw text.
+    "q132_text_curation" -> { (s, dir) =>
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val removal = TextDedup.dupSpanRemovalStats(docs, spanWords = 10,
+        minDocs = 2)
+      val clusters = graft.operators.TextVectors.clusterAssign(docs,
+        Seq(0L, 1L, 2L, 3L), dim = 256)
+      removal.join(clusters, Seq("doc_id"))
+        .withColumn("quality", col("n_words") >= 20)
+        .withColumn("kept", col("quality") &&
+          (col("n_words_removed") * 2 < col("n_words")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_words") - col("n_words_removed"))
+            .otherwise(0L)).as("words_kept"))
+        .orderBy(col("cluster_id"))
+    },
     // the APPLY side of q127 (Lee et al.'s keep-one policy): spans
     // cluster by content key, the (doc, pos)-minimal span owns its
     // cluster, and every other span's words count toward removal as a
@@ -1721,6 +1745,78 @@ object DataPipeline {
         |  CAST(sum(s) AS BIGINT) AS w
         |FROM b GROUP BY 1, 2 HAVING sum(s) <> 0
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // composition replay: q131's removal CTEs + q129's clustering
+    // CTEs joined per doc, then the integer keep rules and per-cluster
+    // rollup — stage drift anywhere breaks the hash
+    "q132_text_curation" ->
+      """WITH wr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          list_slice(ws, i + 1, i + 10), ' ')), 1, 12)) AS BIGINT) AS gh
+        |      FROM wr, unnest(range(0, len(ws) - 9)) AS t(i)),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+        |                        FROM g GROUP BY 1) WHERE nd >= 2),
+        |h AS (SELECT doc_id, pos, gh FROM g
+        |      WHERE gh IN (SELECT gh FROM dup)),
+        |r AS (SELECT doc_id, pos, gh,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h),
+        |isl AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e,
+        |         arg_min(gh, pos) AS key_gh
+        |        FROM r GROUP BY doc_id, grp),
+        |no AS (SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e,
+        |      row_number() OVER (PARTITION BY key_gh ORDER BY doc_id, s) AS rk
+        |    FROM isl) WHERE rk > 1),
+        |r2 AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM no),
+        |cut AS (SELECT doc_id,
+        |         sum(greatest(0, e - greatest(s - 1, coalesce(prev_end, -1))))
+        |           AS nw
+        |        FROM r2 GROUP BY 1),
+        |wl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        |       FROM documents),
+        |rem AS (SELECT wl.doc_id, wl.n_words, coalesce(cut.nw, 0) AS nwr
+        |        FROM wl LEFT JOIN cut USING (doc_id)),
+        |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM documents),
+        |t2 AS (SELECT doc_id, md5(term) AS h FROM tw WHERE term <> ''),
+        |b2 AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 256 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(h, 14, 1)) AS INT) % 2 = 1
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM t2),
+        |v2 AS (SELECT doc_id, bucket, CAST(sum(sgn) AS DOUBLE) AS w
+        |       FROM b2 GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+        |sd AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 2), (3, 3))
+        |       AS t(sdoc, cid)),
+        |sv2 AS (SELECT sd.cid, v2.bucket, v2.w FROM sd
+        |        JOIN v2 ON v2.doc_id = sd.sdoc),
+        |cn2 AS (SELECT cid, sum(w * w) AS cc FROM sv2 GROUP BY 1),
+        |dots2 AS (SELECT v2.doc_id, sv2.cid, sum(v2.w * sv2.w) AS vc
+        |          FROM v2 JOIN sv2 USING (bucket) GROUP BY 1, 2),
+        |dd AS (SELECT doc_id FROM documents),
+        |asn AS (SELECT doc_id, cid FROM (
+        |    SELECT dd.doc_id, cn2.cid,
+        |      row_number() OVER (PARTITION BY dd.doc_id
+        |        ORDER BY cn2.cc - 2 * coalesce(dots2.vc, 0), cn2.cid) AS rn
+        |    FROM dd CROSS JOIN cn2
+        |    LEFT JOIN dots2 ON dots2.doc_id = dd.doc_id AND dots2.cid = cn2.cid)
+        |  WHERE rn = 1),
+        |j AS (SELECT rem.doc_id, rem.n_words, rem.nwr, asn.cid,
+        |        rem.n_words >= 20 AS quality,
+        |        rem.n_words >= 20 AND rem.nwr * 2 < rem.n_words AS kept
+        |      FROM rem JOIN asn ON asn.doc_id = rem.doc_id)
+        |SELECT CAST(cid AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN n_words - nwr ELSE 0 END) AS BIGINT)
+        |    AS words_kept
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // span-removal replay: q127's islands with their first-seed hash
     // as content key, ownership rank, per-doc interval union via the
