@@ -433,6 +433,30 @@ object IvfIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** Incrementally add vectors to a RESIDUAL IVFADC index: assignment,
+    * residuals and codes all derive from the STORED centroids and
+    * codebook (fixed geometry, like [[appendToIndex]]), so the
+    * appended rows are byte-identical to what a full rebuild would
+    * store for them — AnnRecallSpec pins append-built ≡ full-built
+    * list-for-list. Ingestion cost is O(batch): one narrow scan +
+    * broadcast argmin + the encode projection.
+    */
+  def appendToResidualAdcIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cb = spark.read.parquet(s"$path/codebook").head
+    val (m, kCode) = (cb.getInt(0), cb.getInt(1))
+    val flat = cb.getSeq[Double](3)
+    assign(newEmb, centroids).withColumn("r", residualCol(centroids))
+      .select(col("vec_id"),
+        call_function("graft_pq_encode", col("r"),
+          typedLit(flat), lit(m), lit(kCode)).as("codes"),
+        col("list_id"))
+      .write.partitionBy("list_id").mode("append").parquet(s"$path/lists")
+  }
+
   /** Top-k search against a RESIDUAL IVFADC index by ascending integer
     * ADC distance. Per probed list the driver subtracts that list's
     * centroid from the raw query (`qr = q − c_L`) and builds the

@@ -185,6 +185,23 @@ class AnnRecallSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("residual-ADC append is byte-identical to a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val dirFull = tempDir("graft_radc_full")
+    val dirIncr = tempDir("graft_radc_incr")
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    IvfIndex.writeResidualAdcIndex(emb, centroids, dirFull, m = 8, kCode = 16)
+    IvfIndex.writeResidualAdcIndex(emb.filter(col("vec_id") < 250L),
+      centroids, dirIncr, m = 8, kCode = 16)
+    IvfIndex.appendToResidualAdcIndex(
+      emb.filter(col("vec_id") >= 250L), dirIncr)
+    def rows(d: String) = spark.read.parquet(s"$d/lists")
+      .collect().map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Int](r.fieldIndex("codes")),
+        r.getInt(r.fieldIndex("list_id")))).sortBy(_._1).toSeq
+    assert(rows(dirIncr) == rows(dirFull) && rows(dirFull).nonEmpty)
+  }
+
   test("incremental append extends an index without touching stored rows") {
     import org.apache.spark.sql.functions.col
     val dir = tempDir("graft_ivf_app")
