@@ -629,7 +629,9 @@ object Similarity {
   def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
     require(outDim >= 1 && outDim <= 1024, s"outDim $outDim out of range")
     VectorExpressions.register(emb.sparkSession)
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val first = emb.select(size(col("embedding"))).limit(1).collect()
+    require(first.nonEmpty, "randomProject: empty embedding table")
+    val dim = first(0).getInt(0)
     val v = toDouble(col("embedding"))
     val projs = (0 until outDim).map { j =>
       dot(v, typedLit(Seq.tabulate(dim)(i => jlSign(j, i))))

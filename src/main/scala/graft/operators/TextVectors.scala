@@ -92,8 +92,10 @@ object TextVectors {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     val fvd = featureHashVectors(docs, dim)
       .select(col("doc_id"), transform(col("fvec"), x => x.cast("double")).as("v"))
-    val q = fvd.filter(col("doc_id") === queryDocId)
-      .select(col("v")).head.getSeq[Double](0)
+    val qRows = fvd.filter(col("doc_id") === queryDocId)
+      .select(col("v")).limit(1).collect()
+    require(qRows.nonEmpty, s"hashedKnn: query doc $queryDocId not found")
+    val q = qRows(0).getSeq[Double](0)
     val qn = math.sqrt(q.map(x => x * x).sum)
     require(qn > 0.0, s"query doc $queryDocId has a zero hashed vector")
     val qLit = typedLit(q)

@@ -156,6 +156,57 @@ class TextDedupSpec extends SparkSpec {
   private def benchText: String =
     (0 until 60).map(i => ('a' + (i * 7) % 26).toChar).mkString
 
+  test("dupSpanRemovalStats matches an independent brute-force reference on random corpora") {
+    import spark.implicits._
+    // straight-line reference: grams by string (the impl's 48-bit hash
+    // is injective at this vocab size), dup set, islands, ownership,
+    // interval union — no windows, no DataFrames
+    def brute(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+      val words = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val grams = for {
+        (id, w) <- words.toSeq; i <- 0 to w.length - k if w.length >= k
+      } yield (id, i, w.slice(i, i + k).mkString(" "))
+      val nd = grams.groupBy(_._3).map { case (g, xs) =>
+        g -> xs.map(_._1).distinct.size }
+      val hits = grams.filter(x => nd(x._3) >= 2)
+      case class Isl(doc: Long, s: Int, e: Int, key: String)
+      val islands = hits.groupBy(_._1).toSeq.flatMap { case (id, xs) =>
+        val byPos = xs.map(x => x._2 -> x._3).toMap
+        val ps = xs.map(_._2).distinct.sorted
+        val runs = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(r => Isl(id, r.min, r.max, byPos(r.min)))
+      }
+      val nonOwner = islands.groupBy(_.key).values.flatMap(v =>
+        v.sortBy(x => (x.doc, x.s)).drop(1)).toSeq
+      nonOwner.groupBy(_.doc).map { case (id, spans) =>
+        val ivs = spans.map(x => (x.s, x.e + k - 1)).sortBy(identity)
+        var prevEnd = -1; var total = 0L
+        for ((s, e) <- ivs) {
+          total += math.max(0, e - math.max(s - 1, prevEnd))
+          prevEnd = math.max(prevEnd, e)
+        }
+        id -> (spans.size.toLong, total)
+      }
+    }
+    val rng = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 5) {
+      val docs = (0L until 12L).map(id => id ->
+        Seq.fill(rng.nextInt(16))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      val expect = brute(docs, 3)
+      val got = TextDedup.dupSpanRemovalStats(
+          docs.toDF("doc_id", "text").repartition(5), spanWords = 3, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .filter(_._2 != ((0L, 0L))).toMap
+      assert(got == expect, s"trial $trial: $got vs $expect\n$docs")
+    }
+  }
+
   test("substringMatches flags the planted run with exact position math") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text").repartition(2)
     val train = Seq(
