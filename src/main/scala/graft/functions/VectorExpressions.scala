@@ -581,6 +581,113 @@ case class PqEncode(v: Expression, cents: Expression, m: Expression,
     copy(v = newFirst, cents = newSecond, m = newThird, k = newFourth)
 }
 
+/** Exact Givens rotation chain (`graft_rotate(v, pairs, c, s)`): apply
+  * rotations `(x_i, x_j) → (c·x_i + s·x_j, −s·x_i + c·x_j)` in order
+  * over the flattened `pairs` = [i0, j0, i1, j1, …] literal — the
+  * OPQ-style decorrelating pre-rotation for PQ, kept ENGINE-PORTABLE
+  * by using fixed rational-looking coefficients (e.g. 0.6/0.8, the
+  * 3-4-5 triple): both engines perform the identical double
+  * multiply-adds in the identical order, so the rotated vectors are
+  * bit-equal cross-engine (orthogonality holds to 1 ulp, which is all
+  * a rotation needs; exact replay is what the gate needs). One narrow
+  * codegen'd pass. Null on null input, out-of-range or degenerate
+  * (i = j) pairs.
+  */
+case class RotateGivens(v: Expression, pairs: Expression, c: Expression,
+                        s: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = pairs
+  override def third: Expression = c
+  override def fourth: Expression = s
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rotate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = v.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val pOk = pairs.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (!vOk || !pOk || c.dataType != DoubleType || s.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_rotate expects (array<float>|array<double>, array<int>, double, double), got " +
+          s"(${v.dataType.simpleString}, ${pairs.dataType.simpleString}, " +
+          s"${c.dataType.simpleString}, ${s.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val floatInput: Boolean = v.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    val pp = pairs.eval(input)
+    val cc = c.eval(input)
+    val ss = s.eval(input)
+    if (vv == null || pp == null || cc == null || ss == null) null
+    else RotateKernel.rotate(vv.asInstanceOf[ArrayData], floatInput,
+      pp.asInstanceOf[ArrayData],
+      cc.asInstanceOf[Double], ss.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vC = v.genCode(ctx); val pC = pairs.genCode(ctx)
+    val cC = c.genCode(ctx); val sC = s.genCode(ctx)
+    ev.copy(code = code"""
+      ${vC.code}
+      ${pC.code}
+      ${cC.code}
+      ${sC.code}
+      boolean ${ev.isNull} = ${vC.isNull} || ${pC.isNull} || ${cC.isNull} || ${sC.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.RotateKernel.rotate(
+          ${vC.value}, $floatInput, ${pC.value}, ${cC.value}, ${sC.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(v = newFirst, pairs = newSecond, c = newThird, s = newFourth)
+}
+
+/** Static rotation kernel shared by interpreted eval and codegen. */
+object RotateKernel {
+  def rotate(v: ArrayData, floatInput: Boolean, pairs: ArrayData,
+             c: Double, s: Double): ArrayData = {
+    val n = v.numElements()
+    if (pairs.numElements() % 2 != 0) return null
+    val out = new Array[Double](n)
+    var idx = 0
+    while (idx < n) {
+      out(idx) = if (floatInput) v.getFloat(idx).toDouble else v.getDouble(idx)
+      idx += 1
+    }
+    val np = pairs.numElements() / 2
+    var r = 0
+    while (r < np) {
+      val i = pairs.getInt(2 * r); val j = pairs.getInt(2 * r + 1)
+      if (i < 0 || i >= n || j < 0 || j >= n || i == j) return null
+      val a = out(i); val b = out(j)
+      out(i) = c * a + s * b
+      out(j) = -s * a + c * b
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Static PQ kernel shared by interpreted eval and codegen. */
 object PqKernel {
   /** Squared L2 between subvector `ms` of `v` and codebook entry
@@ -648,5 +755,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rotate",
+      exprs => RotateGivens(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

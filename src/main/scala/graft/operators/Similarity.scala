@@ -600,6 +600,87 @@ object Similarity {
     * aa − 2ab + bb terms equals the old min-over-selected, rounded at
     * the argmax — so the q117 gate replays the identical trajectory.
     */
+  /** Deterministic Givens rotation pairs for [[rotatedPqAdc]]: pair r
+    * = (md5("rot:r:i") mod dim, md5("rot:r:j") mod dim), bumping j by
+    * one on a degenerate collision — the engine-portable RNG
+    * convention (the pairs are config, interpolated into both the
+    * engine call and the oracle SQL).
+    */
+  def givensPairs(dim: Int, rounds: Int): Seq[(Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(r: Int, tag: String): Int = {
+      md.reset()
+      val d = md.digest(s"rot:$r:$tag".getBytes("UTF-8"))
+      var pre = 0L
+      var b = 0
+      while (b < 6) { pre = (pre << 8) | (d(b) & 0xffL); b += 1 }
+      ((((pre << 4) | ((d(6) & 0xf0L) >>> 4)) % dim).toInt)
+    }
+    (0 until rounds).map { r =>
+      val i = h(r, "i"); val j = h(r, "j")
+      (i, if (j == i) (j + 1) % dim else j)
+    }
+  }
+
+  /** OPQ-style ROTATED product quantization (Ge et al., CVPR 2013
+    * motivates the rotation; here it is a fixed seeded orthogonal-ish
+    * chain rather than a learned R): the corpus is pre-rotated by
+    * `rounds` exact Givens rotations with 3-4-5 coefficients
+    * (c = 0.6, s = 0.8 — both engines run the identical multiply-adds
+    * in the identical order, so rotated vectors are bit-equal
+    * cross-engine), then PQ-encoded against the rotated seed codebook
+    * with the q121 integer-ADC convention. Rotation mixes dimensions
+    * ACROSS the subspace boundaries PQ will cut, spreading correlated
+    * coordinates over different sub-codebooks — the decorrelation OPQ
+    * exists for, with none of OPQ's non-replayable SVD. One extra
+    * narrow kernel pass; same m-byte payload.
+    */
+  def rotatedPqAdc(emb: DataFrame, rounds: Int = 16, m: Int = 8,
+                   kCode: Int = 16, queryVecId: Long = 0L): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val first = emb.select(size(col("embedding"))).limit(1).collect()
+    require(first.nonEmpty, "rotatedPqAdc: empty embedding table")
+    val dim = first(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flatPairs = givensPairs(dim, rounds).flatMap(p => Seq(p._1, p._2))
+    val rot = emb.select(col("vec_id"),
+      call_function("graft_rotate", col("embedding"),
+        typedLit(flatPairs), lit(0.6), lit(0.8)).as("v"))
+    val seeds = rot.filter(col("vec_id") < kCode)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val flat = Array.tabulate(m * kCode * sub) { idx =>
+      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+      seeds(kk)(ms * sub + i)
+    }
+    val qRows = rot.filter(col("vec_id") === queryVecId)
+      .select(col("v")).limit(1).collect()
+    require(qRows.nonEmpty, s"query vector $queryVecId not found")
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val qd = Array.tabulate(m * kCode) { idx =>
+      val ms = idx / kCode; val kk = idx % kCode
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < sub) {
+        val a = qv(ms * sub + i)
+        val c = flat((ms * kCode + kk) * sub + i)
+        aa += a * a; ab += a * c; bb += c * c
+        i += 1
+      }
+      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
+    }
+    val codes = rot.select(col("vec_id"),
+      call_function("graft_pq_encode",
+        col("v"), typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"))
+    val codeCols = (0 until m).map(ms => element_at(col("codes"), ms + 1).as(s"c$ms"))
+    val qdLit = typedLit(qd.toSeq)
+    val adc = (0 until m).map(ms =>
+        element_at(qdLit, lit(ms * kCode) + element_at(col("codes"), ms + 1) + 1))
+      .reduce(_ + _)
+    codes.select((col("vec_id") +: codeCols) :+ adc.as("adc"): _*)
+  }
+
   /** md5-derived ±1 sign for the JL projection cell (j, i): parity of
     * the first hex digit of md5("jl:j:i") — the engine-portable RNG
     * convention, so the q128 oracle rebuilds the identical matrix.

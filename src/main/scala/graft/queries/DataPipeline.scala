@@ -296,6 +296,17 @@ object DataPipeline {
       graft.operators.IvfIndex.topKAdcIndexed(s, path, qv, k = 20,
         nProbe = 8, excludeVecId = 0L)
     },
+    // OPQ-style ROTATED PQ: a fixed seeded chain of exact 3-4-5
+    // Givens rotations mixes dimensions across the subspace cuts
+    // before encoding (the decorrelation OPQ's learned R exists for,
+    // minus the non-replayable SVD) — rotated vectors are bit-equal
+    // cross-engine, so the oracle unrolls all 16 rotations and then
+    // replays the full q121 PQ/ADC derivation over them
+    "q133_rotated_pq" -> { (s, dir) =>
+      Similarity.rotatedPqAdc(Tables.loadParallel(s, dir, "embeddings"),
+          rounds = RotRounds, m = PqM, kCode = PqK, queryVecId = 0L)
+        .orderBy(col("vec_id"))
+    },
     // RESIDUAL IVFADC (the classical Jégou design): PQ codes encode
     // v − centroid(list) instead of the raw vector, so the m bytes
     // describe only what the coarse quantizer didn't explain; ranking
@@ -764,6 +775,9 @@ object DataPipeline {
   private val WinnowW = 5
 
   private val KCenterK = 8
+
+  // rotation rounds for q133's rotated PQ
+  private final val RotRounds = 16
 
   // PQ shape: 64 dims = 8 subspaces x 8 dims, 16-entry seed codebooks
   // (constants inlined into the generated oracle SQL — `final` for the
@@ -1664,6 +1678,58 @@ object DataPipeline {
          |WHERE p.vec_id <> 0
          |ORDER BY CAST($adcSum AS BIGINT) ASC, p.vec_id ASC
          |LIMIT 20""".stripMargin
+    },
+
+    // rotated-PQ replay: the 16 Givens rotations unrolled as chained
+    // CTEs (same multiply-add order as the kernel), then the q121
+    // PQ/ADC derivation verbatim over the rotated frame
+    "q133_rotated_pq" -> {
+      val pairs = graft.operators.Similarity.givensPairs(64, RotRounds)
+      val rotCtes = pairs.zipWithIndex.map { case ((i, j), r) =>
+        s"""e${r + 1} AS (SELECT vec_id, list_transform(range(1, 65), ix ->
+           |    CASE WHEN ix = ${i + 1}
+           |         THEN 0.6 * v[${i + 1}] + 0.8 * v[${j + 1}]
+           |         WHEN ix = ${j + 1}
+           |         THEN -0.8 * v[${i + 1}] + 0.6 * v[${j + 1}]
+           |         ELSE v[ix] END) AS v
+           |  FROM e$r)""".stripMargin
+      }.mkString(",\n")
+      val fin = s"e${pairs.length}"
+      def slice(src: String, ms: String) =
+        s"list_slice($src, $ms*$PqSub + 1, $ms*$PqSub + $PqSub)"
+      val sa = slice("e.v", "ms.m"); val sc = slice("cb.v", "ms.m")
+      val cCols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN m = $i THEN kk END) AS INT) AS c$i")
+        .mkString(",\n         ")
+      val qJoins = (0 until PqM)
+        .map(i => s"JOIN qd q$i ON q$i.m = $i AND q$i.kk = p.c$i").mkString("\n      ")
+      val adcSum = (0 until PqM).map(i => s"q$i.qdi").mkString(" + ")
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$rotCtes,
+         |e AS (SELECT vec_id, v FROM $fin),
+         |cb AS (SELECT vec_id AS kk, v FROM e WHERE vec_id < $PqK),
+         |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |sd AS (SELECT e.vec_id, ms.m, cb.kk,
+         |        (list_dot_product($sa, $sa)
+         |         - 2 * list_dot_product($sa, $sc)
+         |         + list_dot_product($sc, $sc)) AS d2
+         |       FROM e CROSS JOIN ms CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, kk FROM (
+         |    SELECT vec_id, m, kk,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kk) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |qd AS (SELECT m, kk, CAST(floor(1000000 * d2) AS BIGINT) AS qdi
+         |       FROM sd WHERE vec_id = 0),
+         |p AS (SELECT vec_id,
+         |         $cCols
+         |      FROM codes GROUP BY 1)
+         |SELECT p.vec_id, ${(0 until PqM).map(i => s"p.c$i").mkString(", ")},
+         |  CAST($adcSum AS BIGINT) AS adc
+         |FROM p
+         |      $qJoins
+         |ORDER BY p.vec_id""".stripMargin
     },
 
     // residual IVFADC replay: seed-centroid Voronoi assignment (score

@@ -78,6 +78,10 @@ object GraftExtensions {
     "graft_fhash" -> (
       new ExpressionInfo(classOf[graft.functions.FeatureHash].getName, "graft_fhash"),
       (args: Seq[Expression]) => graft.functions.FeatureHash(args(0), args(1))),
+    "graft_rotate" -> (
+      new ExpressionInfo(classOf[graft.functions.RotateGivens].getName, "graft_rotate"),
+      (args: Seq[Expression]) =>
+        graft.functions.RotateGivens(args(0), args(1), args(2), args(3))),
     "graft_pq_encode" -> (
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
       (args: Seq[Expression]) =>

@@ -59,6 +59,50 @@ class PqSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("graft_rotate preserves norms/dots to 1 ulp and inverts exactly in reverse") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings").limit(50)
+    val pairs = Similarity.givensPairs(64, 16)
+    val flat = pairs.flatMap(p => Seq(p._1, p._2))
+    val rot = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v0"),
+      call_function("graft_rotate", $"embedding",
+        typedLit(flat), lit(0.6), lit(0.8)).as("v1"))
+    // norm preservation: each 3-4-5 rotation scales ||v||² by
+    // (0.6² + 0.8²) ≈ 1 to within one ulp per step
+    val drift = rot.select(
+        abs(call_function("graft_dot", $"v1", $"v1") /
+          call_function("graft_dot", $"v0", $"v0") - 1.0).as("d"))
+      .agg(max($"d")).collect()(0).getDouble(0)
+    assert(drift < 1e-12, s"norm drift $drift")
+    // inverse chain (reversed pairs, s negated) restores the input
+    val invFlat = pairs.reverse.flatMap(p => Seq(p._1, p._2))
+    val restored = rot.select($"vec_id", $"v0",
+      call_function("graft_rotate", $"v1",
+        typedLit(invFlat), lit(0.6), lit(-0.8)).as("v2"))
+    val maxErr = restored
+      .select(aggregate(zip_with($"v0", $"v2", (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("e"))
+      .agg(max($"e")).collect()(0).getDouble(0)
+    assert(maxErr < 1e-9, s"inverse restore error $maxErr")
+    // degenerate pairs and out-of-range indices are null, never throw
+    val bad = emb.select(call_function("graft_rotate", $"embedding",
+      typedLit(Seq(3, 3)), lit(0.6), lit(0.8)).as("r")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
+  test("rotated PQ keeps the payload shape and is deterministic") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val a = Similarity.rotatedPqAdc(emb, rounds = 8, m = 8, kCode = 16)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect().toSeq
+    val b = Similarity.rotatedPqAdc(emb, rounds = 8, m = 8, kCode = 16)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.head.schema.fieldNames.toSeq ==
+      Seq("vec_id") ++ (0 until 8).map(i => s"c$i") :+ "adc")
+  }
+
   test("graft_pq_encode returns null on null/degenerate arguments, never throws") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(spark)
