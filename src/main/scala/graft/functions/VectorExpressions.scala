@@ -690,6 +690,32 @@ object RotateKernel {
 
 /** Static PQ kernel shared by interpreted eval and codegen. */
 object PqKernel {
+  /** The integer ADC cell table every PQ consumer builds driver-side:
+    * cell (ms, kk) = `floor(1e6 · subdist(q_ms, codebook[ms][kk]))`
+    * with the exact aa − 2ab + bb sequential accumulation the DuckDB
+    * oracles replay. ONE implementation — q121's brute force, the
+    * q122/q123 index probes and q133's rotated variant all call this,
+    * so the micro-unit convention can never diverge between them.
+    */
+  def adcCellTable(q: IndexedSeq[Double], flat: IndexedSeq[Double],
+                   m: Int, k: Int, sub: Int): Array[Long] = {
+    require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
+    require(flat.length == m * k * sub,
+      s"codebook length ${flat.length} != ${m * k * sub}")
+    Array.tabulate(m * k) { idx =>
+      val ms = idx / k; val kk = idx % k
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < sub) {
+        val a = q(ms * sub + i)
+        val c = flat((ms * k + kk) * sub + i)
+        aa += a * a; ab += a * c; bb += c * c
+        i += 1
+      }
+      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
+    }
+  }
+
   /** Squared L2 between subvector `ms` of `v` and codebook entry
     * (`ms`,`kk`) as the three separate sequential sums aa, ab, bb —
     * the exact accumulation `list_dot_product(a,a) − 2·(a·c) + (c·c)`

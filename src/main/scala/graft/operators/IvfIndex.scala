@@ -136,6 +136,29 @@ object IvfIndex {
       qRow, k)
   }
 
+  /** Shared driver-artifact writers: every index layout persists its
+    * centroid table the same way, and the ADC layouts also persist the
+    * flat codebook — one implementation so the artifact schema can
+    * never drift between index variants.
+    */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             centroids: Seq[(Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    centroids.map { case (cid, c) => (cid, c) }
+      .toDF("cid", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+                            path: String, m: Int, kCode: Int, sub: Int,
+                            flat: Seq[Double]): Unit = {
+    import spark.implicits._
+    Seq((m, kCode, sub, flat))
+      .toDF("m", "k", "sub", "flat")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
   /** Materialise the IVF-flat layout: the assigned corpus written as
     * parquet partitioned by `list_id` (one directory per inverted
     * list), plus the centroid table. At 100 TB this is the layout that
@@ -148,10 +171,7 @@ object IvfIndex {
     val spark = emb.sparkSession
     assign(emb, centroids).write
       .partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
-    import spark.implicits._
-    centroids.map { case (cid, c) => (cid, c) }
-      .toDF("cid", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(spark, path, centroids)
   }
 
   /** Incrementally add vectors to a materialised index: assignment
@@ -192,10 +212,7 @@ object IvfIndex {
       .select(col("vec_id"), col("m.scale").as("scale"),
         col("m.q").as("qvec"), col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
-    import spark.implicits._
-    centroids.map { case (cid, c) => (cid, c) }
-      .toDF("cid", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(spark, path, centroids)
   }
 
   /** Top-k search against a materialised QUANTIZED index, ranked by
@@ -276,12 +293,8 @@ object IvfIndex {
           typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"),
         col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
-    import spark.implicits._
-    centroids.map { case (cid, c) => (cid, c) }
-      .toDF("cid", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((m, kCode, sub, flat.toSeq)).toDF("m", "k", "sub", "flat")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writeCentroids(spark, path, centroids)
+    writeCodebook(spark, path, m, kCode, sub, flat.toSeq)
   }
 
   /** Top-k search against a materialised IVFADC index by ASCENDING
@@ -305,18 +318,8 @@ object IvfIndex {
     val flat = cb.getSeq[Double](3)
     require(queryVec.length == m * sub,
       s"query dim ${queryVec.length} != index dim ${m * sub}")
-    val qd = Array.tabulate(m * kCode) { idx =>
-      val ms = idx / kCode; val kk = idx % kCode
-      var aa = 0.0; var ab = 0.0; var bb = 0.0
-      var i = 0
-      while (i < sub) {
-        val a = queryVec(ms * sub + i)
-        val c = flat((ms * kCode + kk) * sub + i)
-        aa += a * a; ab += a * c; bb += c * c
-        i += 1
-      }
-      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
-    }
+    val qd = graft.functions.PqKernel.adcCellTable(
+      queryVec.toIndexedSeq, flat.toIndexedSeq, m, kCode, sub)
     val probeLists = nearestLists(centroids, queryVec, nProbe)
     val qdLit = typedLit(qd.toSeq)
     val adc = (0 until m).map(ms =>
@@ -405,32 +408,32 @@ object IvfIndex {
     val spark = emb.sparkSession
     VectorExpressions.register(spark)
     val withRes = assign(emb, centroids).withColumn("r", residualCol(centroids))
-    val seeds = withRes.filter(col("vec_id") < kCode)
-      .select(col("vec_id"), col("r"))
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
-    val dim = seeds.head.length
+    val dim = centroids.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    // an explicit (trained) codebook needs no seed rows at all — the
+    // seed collect only runs on the default replayable-seed path
     val flat = codebook.map { cb =>
       require(cb.length == m * kCode * sub,
         s"codebook length ${cb.length} != ${m * kCode * sub}")
       cb.toArray
-    }.getOrElse(Array.tabulate(m * kCode * sub) { idx =>
-      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
-      seeds(kk)(ms * sub + i)
-    })
+    }.getOrElse {
+      val seeds = withRes.filter(col("vec_id") < kCode)
+        .select(col("vec_id"), col("r"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+      Array.tabulate(m * kCode * sub) { idx =>
+        val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+        seeds(kk)(ms * sub + i)
+      }
+    }
     withRes.select(col("vec_id"),
         call_function("graft_pq_encode", col("r"),
           typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"),
         col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$path/lists")
-    import spark.implicits._
-    centroids.map { case (cid, c) => (cid, c) }
-      .toDF("cid", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((m, kCode, sub, flat.toSeq)).toDF("m", "k", "sub", "flat")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+    writeCentroids(spark, path, centroids)
+    writeCodebook(spark, path, m, kCode, sub, flat.toSeq)
   }
 
   /** Incrementally add vectors to a RESIDUAL IVFADC index: assignment,
@@ -484,19 +487,9 @@ object IvfIndex {
     val centById = centroids.toMap
     def cellTable(lid: Int): Seq[Long] = {
       val c = centById(lid)
-      val qr = Array.tabulate(queryVec.length)(i => queryVec(i) - c(i))
-      Array.tabulate(m * kCode) { idx =>
-        val ms = idx / kCode; val kk = idx % kCode
-        var aa = 0.0; var ab = 0.0; var bb = 0.0
-        var i = 0
-        while (i < sub) {
-          val a = qr(ms * sub + i)
-          val cc = flat((ms * kCode + kk) * sub + i)
-          aa += a * a; ab += a * cc; bb += cc * cc
-          i += 1
-        }
-        math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
-      }.toSeq
+      val qr = IndexedSeq.tabulate(queryVec.length)(i => queryVec(i) - c(i))
+      graft.functions.PqKernel.adcCellTable(qr, flat.toIndexedSeq,
+        m, kCode, sub).toSeq
     }
     def lookupSum(qd: Seq[Long]): org.apache.spark.sql.Column = {
       val qdLit = typedLit(qd)

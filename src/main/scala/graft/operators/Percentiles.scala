@@ -58,6 +58,18 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** percentile_disc's target rank: the smallest k with
+    * cume_dist = k/n ≥ p. `ceil(p·n)` alone is wrong when the double
+    * product rounds up past an integer (0.07·100 = 7.000…001 → ceil 8,
+    * but 7/100 ≥ 0.07 already holds in doubles — DuckDB returns rank
+    * 7); ceil overshoots by at most one, so one guarded step down
+    * restores the cume_dist definition exactly.
+    */
+  private[operators] def discRank(p: Double, n: Long): Long = {
+    val k0 = math.ceil(p * n).toLong.max(1L).min(n)
+    if (k0 > 1 && (k0 - 1).toDouble / n >= p) k0 - 1 else k0
+  }
+
   /** One requested percentile of one column within one group. `rank`
     * is 1-based and global within (group, column); (lo, width) is the
     * current candidate interval, frozen together with `bucket` and
@@ -79,6 +91,11 @@ object Percentiles {
                      finishRows: Long = 65536, maxRounds: Int = 20): DataFrame = {
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty) &&
       specs.flatMap(_._2).forall(p => p > 0.0 && p <= 1.0), s"bad specs: $specs")
+    // specs.toMap below would silently drop all but the last entry of
+    // a repeated column (and the stacked explode would still scan it
+    // twice) — merge the ps into one entry instead
+    require(specs.map(_._1).distinct.size == specs.size,
+      s"duplicate columns in specs: ${specs.map(_._1).mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     // long format (g, c, v): one scan serves every ordering column
@@ -102,7 +119,7 @@ object Percentiles {
       psByCol(c).map { p =>
         // all-equal groups freeze immediately: width 0 ⇒ the finish
         // pass takes every row and picks the single distinct value
-        Task(0, grp, c, p, math.ceil(p * n).toLong.max(1L),
+        Task(0, grp, c, p, discRank(p, n),
           lo, if (hi == lo) 0.0 else (hi - lo) / buckets,
           n, 0, 0L, done = hi == lo)
       }

@@ -547,18 +547,8 @@ object Similarity {
     require(query.nonEmpty, s"query vector $queryVecId not found")
     val qv = query(0).getSeq[Float](0).toArray
     // integer ADC cell table: floor(1e6 * subdist(query_sub, centroid))
-    val qd = Array.tabulate(m * kCode) { idx =>
-      val ms = idx / kCode; val kk = idx % kCode
-      var aa = 0.0; var ab = 0.0; var bb = 0.0
-      var i = 0
-      while (i < sub) {
-        val a = qv(ms * sub + i).toDouble
-        val c = flat((ms * kCode + kk) * sub + i)
-        aa += a * a; ab += a * c; bb += c * c
-        i += 1
-      }
-      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
-    }
+    val qd = graft.functions.PqKernel.adcCellTable(
+      qv.map(_.toDouble).toIndexedSeq, flat.toIndexedSeq, m, kCode, sub)
     val codes = emb.select(col("vec_id"),
       call_function("graft_pq_encode",
         col("embedding"), typedLit(flat), lit(m), lit(kCode)).as("codes"))
@@ -570,36 +560,6 @@ object Similarity {
     codes.select((col("vec_id") +: codeCols) :+ adc.as("adc"): _*)
   }
 
-  /** Greedy k-center (farthest-point-first) diverse selection — the
-    * coreset/diversity-sampling primitive of a training-data pipeline
-    * (pick k maximally-spread exemplars; 2-approximation to the
-    * optimal k-center cover, Gonzalez 1985). Returns one row per
-    * selection round: (round, vec_id, dist) where `dist` is the
-    * round's winning min-squared-L2 distance to the already-selected
-    * set, rounded to 4 decimals (the q30 cross-engine float currency;
-    * the seed row reports 0).
-    *
-    * Each round is one corpus pass: candidates cross-join the
-    * BROADCAST selected set (≤ k×dim doubles — a bounded driver
-    * artifact like IVF centroids), take the exact-double min distance
-    * per point map-side, and a top-1 sort picks the farthest
-    * (ties → smallest vec_id). Squared distances come from
-    * aa − 2ab + bb over the widening `graft_dot` kernel — the same
-    * sequential double sums the DuckDB oracle computes, so the gate
-    * replays every round's argmax bit-for-bit. k passes over the
-    * corpus is the honest greedy cost at any scale; nothing driver-side
-    * ever exceeds one row per pull.
-    *
-    * Implementation is the INCREMENTAL form of FPF (r10, replacing the
-    * r9 `isin`-literal rebuild the judge flagged as O(k²) plan text
-    * and O(k²·n) distance work): per-point running `dmin` carried as a
-    * column, each round updated against ONLY the newly selected vector
-    * (a dim-sized literal), with an eager localCheckpoint truncating
-    * the lineage so round r's plan is O(1), not O(r). Distance
-    * arithmetic is unchanged — `least` over the exact-double
-    * aa − 2ab + bb terms equals the old min-over-selected, rounded at
-    * the argmax — so the q117 gate replays the identical trajectory.
-    */
   /** Deterministic Givens rotation pairs for [[rotatedPqAdc]]: pair r
     * = (md5("rot:r:i") mod dim, md5("rot:r:j") mod dim), bumping j by
     * one on a degenerate collision — the engine-portable RNG
@@ -658,18 +618,8 @@ object Similarity {
       .select(col("v")).limit(1).collect()
     require(qRows.nonEmpty, s"query vector $queryVecId not found")
     val qv = qRows(0).getSeq[Double](0).toArray
-    val qd = Array.tabulate(m * kCode) { idx =>
-      val ms = idx / kCode; val kk = idx % kCode
-      var aa = 0.0; var ab = 0.0; var bb = 0.0
-      var i = 0
-      while (i < sub) {
-        val a = qv(ms * sub + i)
-        val c = flat((ms * kCode + kk) * sub + i)
-        aa += a * a; ab += a * c; bb += c * c
-        i += 1
-      }
-      math.floor(1e6 * (aa - 2.0 * ab + bb)).toLong
-    }
+    val qd = graft.functions.PqKernel.adcCellTable(
+      qv.toIndexedSeq, flat.toIndexedSeq, m, kCode, sub)
     val codes = rot.select(col("vec_id"),
       call_function("graft_pq_encode",
         col("v"), typedLit(flat.toSeq), lit(m), lit(kCode)).as("codes"))
@@ -721,6 +671,37 @@ object Similarity {
       posexplode(array(projs: _*)).as(Seq("out_dim", "p")))
   }
 
+  /** Greedy k-center (farthest-point-first) diverse selection — the
+    * coreset/diversity-sampling primitive of a training-data pipeline
+    * (pick k maximally-spread exemplars; 2-approximation to the
+    * optimal k-center cover, Gonzalez 1985). Returns one row per
+    * selection round: (round, vec_id, dist) where `dist` is the
+    * round's winning min-squared-L2 distance to the already-selected
+    * set, rounded to 4 decimals (the q30 cross-engine float currency;
+    * the seed row reports 0).
+    *
+    * Each round is one corpus pass: candidates cross-join the
+    * BROADCAST selected set (≤ k×dim doubles — a bounded driver
+    * artifact like IVF centroids), take the exact-double min distance
+    * per point map-side, and a top-1 sort picks the farthest
+    * (ties → smallest vec_id). Squared distances come from
+    * aa − 2ab + bb over the widening `graft_dot` kernel — the same
+    * sequential double sums the DuckDB oracle computes, so the gate
+    * replays every round's argmax bit-for-bit. k passes over the
+    * corpus is the honest greedy cost at any scale; nothing driver-side
+    * ever exceeds one row per pull.
+    *
+    * Implementation is the INCREMENTAL form of FPF (r10, replacing the
+    * r9 `isin`-literal rebuild the judge flagged as O(k²) plan text
+    * and O(k²·n) distance work): per-point running `dmin` carried as a
+    * column, each round updated against ONLY the newly selected vector
+    * (a dim-sized literal), with an eager localCheckpoint truncating
+    * the lineage so round r's plan is O(1), not O(r). Distance
+    * arithmetic is unchanged — `least` over the exact-double
+    * aa − 2ab + bb terms equals the old min-over-selected, rounded at
+    * the argmax — so the q117 gate replays the identical trajectory.
+    */
+
   def kCenterSelect(emb: DataFrame, k: Int, startId: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     VectorExpressions.register(emb.sparkSession)
@@ -747,9 +728,18 @@ object Similarity {
       picks += ((r, wid, wd))
       if (r < k) {
         val wv = w.getSeq[Float](2)
+        val prev = state
         state = state.filter(col("vec_id") =!= wid)
           .withColumn("dmin", least(col("dmin"), d2to(litVec(wv))))
           .localCheckpoint()
+        // the new checkpoint fully replaces the old state: release the
+        // superseded RDD blocks instead of holding k corpus copies in
+        // executor storage until driver GC (Dataset.unpersist only
+        // touches the cache manager, not a checkpoint's RDD)
+        prev.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+        }
       }
     }
     import spark.implicits._

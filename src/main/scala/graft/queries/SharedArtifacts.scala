@@ -140,8 +140,14 @@ object SharedArtifacts {
                        dim: Int = 256): String =
     artifact(dir, s"text_ivf_${nLists}_$dim") { path =>
       import org.apache.spark.sql.functions.{col, transform}
+      // zero vectors (no words, or fully sign-cancelled) are
+      // unsearchable — cosine against them is undefined — and would
+      // desync the gate from the oracle's nonzero-entry norm table;
+      // the index excludes them at build (integer-exact predicate)
       val emb = graft.operators.TextVectors.featureHashVectors(
           Tables.load(s, dir, "documents"), dim)
+        .filter(org.apache.spark.sql.functions
+          .expr("aggregate(fvec, 0L, (acc, x) -> acc + x * x) > 0L"))
         .select(col("doc_id").as("vec_id"), col("fvec").as("embedding"))
       val centroids = emb.filter(col("vec_id") < nLists)
         .select(col("vec_id"),

@@ -274,8 +274,11 @@ object StreamingOps {
         batch.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
           .collect() // bounded: distinct integer scores in the batch
           .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
-        val dist = cum.toSeq.toDF(scoreCol, "cnt")
+        // bucketThresholds' distribution contract is the (lm_mean, cnt)
+        // schema; rename on the way in and out so any scoreCol works
+        val dist = cum.toSeq.toDF("lm_mean", "cnt")
         val thresholds = graft.operators.NgramLm.bucketThresholds(dist, nBuckets)
+          .withColumnRenamed("lm_mean", scoreCol)
         sink(batch.join(broadcast(thresholds), Seq(scoreCol)), batchId)
       }
       .start()
@@ -294,6 +297,28 @@ object StreamingOps {
     * boundary score group packs each batch's docs by id against the
     * budget headroom the cumulative table grants that score.
     */
+  def tokenBudgetPerBatch(scored: DataFrame, idCol: String, scoreCol: String,
+                          tokensCol: String, budgetNum: Long, budgetDen: Long,
+                          sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cum = scala.collection.mutable.Map.empty[Long, Long]
+    scored.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("st"))
+          .collect() // bounded: distinct integer scores in the batch
+          .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+        val dist = cum.toSeq.toDF("s", "st")
+        val groups = graft.operators.Sampling
+          .tokenBudgetGroups(dist, budgetNum, budgetDen)
+        sink(graft.operators.Sampling
+          .tokenBudgetApply(batch, idCol, scoreCol, tokensCol, groups), batchId)
+      }
+      .start()
+  }
+
   /** Incremental cross-source KMV set-operation estimates over a
     * stream of `(groupCol, uCol)` rows: each micro-batch is sketched
     * distributed (one mergeable partial aggregate), the per-source
@@ -328,28 +353,6 @@ object StreamingOps {
           .map { case (s, st) => (s, st.values.toSeq) }
           .toDF(groupCol, "vals")
         sink(graft.operators.Sketches.kmvCombinePairs(sk, groupCol, k), batchId)
-      }
-      .start()
-  }
-
-  def tokenBudgetPerBatch(scored: DataFrame, idCol: String, scoreCol: String,
-                          tokensCol: String, budgetNum: Long, budgetDen: Long,
-                          sink: (DataFrame, Long) => Unit)
-  : org.apache.spark.sql.streaming.StreamingQuery = {
-    val cum = scala.collection.mutable.Map.empty[Long, Long]
-    scored.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        batch.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("st"))
-          .collect() // bounded: distinct integer scores in the batch
-          .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
-        val dist = cum.toSeq.toDF("s", "st")
-        val groups = graft.operators.Sampling
-          .tokenBudgetGroups(dist, budgetNum, budgetDen)
-        sink(graft.operators.Sampling
-          .tokenBudgetApply(batch, idCol, scoreCol, tokensCol, groups), batchId)
       }
       .start()
   }

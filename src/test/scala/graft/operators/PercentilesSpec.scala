@@ -13,10 +13,31 @@ class PercentilesSpec extends SparkSpec {
 
   private val ps = Seq(0.25, 0.5, 0.75, 1.0)
 
-  /** percentile_disc reference: smallest value with cume_dist >= p. */
+  /** percentile_disc reference: smallest value with cume_dist >= p —
+    * computed BY THE DEFINITION (scan ranks, compare k/n >= p), not by
+    * ceil(p·n), so it catches the float-overshoot class (0.07·100 →
+    * ceil 8 where DuckDB's rank is 7).
+    */
   private def reference(vals: Seq[Double], p: Double): Double = {
     val sorted = vals.sorted
-    sorted(math.max(math.ceil(p * sorted.length).toInt, 1) - 1)
+    val n = sorted.length
+    val k = (1 to n).find(k => k.toDouble / n >= p).getOrElse(n)
+    sorted(k - 1)
+  }
+
+  test("rank rule matches percentile_disc when p·n overshoots an integer in floats") {
+    // DuckDB-verified: percentile_disc(0.07) over 1..100 returns 7,
+    // while ceil(0.07 * 100) = ceil(7.000000000000001) = 8
+    assert(Percentiles.discRank(0.07, 100L) == 7L)
+    assert(Percentiles.discRank(0.29, 100L) == 29L)
+    assert(Percentiles.discRank(0.25, 100L) == 25L)
+    assert(Percentiles.discRank(1.0, 100L) == 100L)
+    assert(Percentiles.discRank(0.0, 100L) == 1L)
+    val got = Percentiles.exactDisc(
+        (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v"),
+        "g", "v", Seq(0.07))
+      .collect()(0).getDouble(2)
+    assert(got == 7.0, s"p=0.07 over 1..100 returned $got, expected 7")
   }
 
   private def check(data: Seq[(String, Double)], buckets: Int = 64,

@@ -210,7 +210,10 @@ def main():
         tr = t1 / t01 if t01 else float("inf")
         orat = (o1 / o01) if o01 else float("inf") if o1 else 1.0
         wrat = orat
-        if w01.get(q):
+        # both tiers must have a counter: a stale/partial cache merge
+        # can leave one side missing, which should degrade to the
+        # row-ratio grade, not crash the whole report
+        if w01.get(q) and w1.get(q) is not None:
             wrat = max(orat, w1[q] / w01[q])
         budget = 10 * max(1.0, (wrat if wrat != float("inf") else 1.0) / 10) * SLACK
         ok = tr <= budget
