@@ -276,15 +276,20 @@ object Sketches {
       acc
     }
 
-    /** percentile_disc(p) over the sample: sorted value at rank
-      * ceil(p·m) (the smallest sampled value with cume_dist ≥ p).
+    /** percentile_disc(p) over the sample: the smallest sampled value
+      * with cume_dist ≥ p. `ceil(p·m)` alone overshoots by one when
+      * the double product rounds up past an integer (0.95·100 =
+      * 95.000…01 → 96, but 95/100 ≥ 0.95 already holds) — the same
+      * guarded step-down as [[Percentiles.discRank]], replayed
+      * identically by the q89 oracle.
       */
     def quantiles(ps: Seq[Double]): Seq[Double] = {
       val sorted = vs.take(n).sorted
       val m = sorted.length
       ps.map { p =>
-        val rank = math.max(math.ceil(p * m).toInt, 1)
-        sorted(math.min(rank, m) - 1)
+        val k0 = math.min(math.max(math.ceil(p * m).toInt, 1), m)
+        val rank = if (k0 > 1 && (k0 - 1).toDouble / m >= p) k0 - 1 else k0
+        sorted(rank - 1)
       }
     }
   }

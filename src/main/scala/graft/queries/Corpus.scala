@@ -728,10 +728,18 @@ object Corpus {
          |                           ORDER BY v) AS vr,
          |        count(*) OVER (PARTITION BY l_returnflag) AS m
          |      FROM s),
-         |p50 AS (SELECT l_returnflag, v FROM o
-         |        WHERE vr = greatest(CAST(ceil(0.5 * m) AS BIGINT), 1)),
-         |p95 AS (SELECT l_returnflag, v FROM o
-         |        WHERE vr = greatest(CAST(ceil(0.95 * m) AS BIGINT), 1)),
+         |p50 AS (SELECT l_returnflag, v FROM (
+         |        SELECT l_returnflag, v, vr, m,
+         |          greatest(least(CAST(ceil(0.5 * m) AS BIGINT), m), 1) AS k0
+         |        FROM o)
+         |        WHERE vr = CASE WHEN k0 > 1 AND (k0 - 1) * 1.0 / m >= 0.5
+         |                        THEN k0 - 1 ELSE k0 END),
+         |p95 AS (SELECT l_returnflag, v FROM (
+         |        SELECT l_returnflag, v, vr, m,
+         |          greatest(least(CAST(ceil(0.95 * m) AS BIGINT), m), 1) AS k0
+         |        FROM o)
+         |        WHERE vr = CASE WHEN k0 > 1 AND (k0 - 1) * 1.0 / m >= 0.95
+         |                        THEN k0 - 1 ELSE k0 END),
          |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
          |      FROM lineitem GROUP BY 1)
          |SELECT n.l_returnflag, p50.v AS p50_est, p95.v AS p95_est, n.n_rows
