@@ -109,6 +109,40 @@ object Components {
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware duplicate-cluster resolution — the keep policy
+    * production pipelines actually want: within every connected
+    * component of the pair graph, keep the document with the BEST
+    * score (ties → smallest id) rather than [[dupClusters]]' smallest
+    * id. Documents in no pair are their own singleton component and
+    * always kept. Returns one row per scored document:
+    * (idCol, component, score, kept, kept_by) where `kept_by` is the
+    * winning document (the witness a curation report needs).
+    *
+    * Scale shape: components come from the same pointer-jumping
+    * labels, and the policy itself is one component-keyed window —
+    * no extra corpus pass beyond the labels join.
+    */
+  def keepBestInCluster(pairs: DataFrame, scored: DataFrame, idCol: String,
+                        scoreCol: String, aCol: String = "doc_a",
+                        bCol: String = "doc_b"): DataFrame = {
+    val labels = dupClusters(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", "_graft_label_id")
+    val base = scored.join(labels, scored(idCol) === labels("_graft_label_id"),
+        "left")
+      .drop("_graft_label_id")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept_by", first(col(idCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col(idCol), col("component"), col(scoreCol).as("score"),
+        (col("rk") === 1).as("kept"), col("kept_by"))
+  }
+
   /** Fixed-point integer PageRank over an undirected pair graph — the
     * centrality signal for canonical-document selection inside dup
     * clusters (the hub of a near-dup cluster is its best "keep", and

@@ -379,6 +379,20 @@ object Corpus {
         .orderBy($"source")
     },
 
+    // quality-aware keep policy over the SAME clusters: keep the dup
+    // cluster's LONGEST document (score = n_chars, ties → smallest
+    // id) with the winning doc as the per-row witness — the policy
+    // production dedup actually wants (q57 keeps the smallest id).
+    // Singletons are their own component and always kept.
+    "q134_quality_keep" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Components.keepBestInCluster(
+          SharedArtifacts.lshPairs(s, dir),
+          Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
+          idCol = "doc_id", scoreCol = "n_chars")
+        .orderBy($"doc_id")
+    },
+
     // Gopher/C4-family rule-based quality gate: five integer-exact
     // rules (ratio thresholds cross-multiplied away) in one narrow
     // projection — the pure map stage that pipelines with the scan
@@ -908,6 +922,29 @@ object Corpus {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> component)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quality-keep replay: the q75 closure labels, singleton fallback,
+    // per-component (n_chars DESC, doc_id) rank and the first_value
+    // witness
+    "q134_quality_keep" ->
+      s"""$dupClosureCte,
+         |labels AS (SELECT a AS doc_id, min(b) AS component
+         |           FROM reach GROUP BY 1),
+         |j AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+         |        d.n_chars
+         |      FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |r AS (SELECT doc_id, component, n_chars,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY n_chars DESC, doc_id) AS rk,
+         |        first_value(doc_id) OVER (PARTITION BY component
+         |          ORDER BY n_chars DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |          AS kept_by
+         |      FROM j)
+         |SELECT doc_id, CAST(component AS BIGINT) AS component,
+         |  CAST(n_chars AS BIGINT) AS score, rk = 1 AS kept,
+         |  CAST(kept_by AS BIGINT) AS kept_by
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // every rule is an integer comparison, so the flags replay exactly;
     // n_word_chars = sum of word lengths = len(text) - (n_words - 1)

@@ -396,6 +396,21 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_keep_best('<pairs_view>', '<scored_view>', '<id_col>',
+    * '<score_col>')` — the q134 quality-aware dup-cluster keep policy
+    * (id, component, score, kept, kept_by).
+    */
+  private def keepBestPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "graft_keep_best expects (pairs_table, scored_table, id_col, score_col) literals")
+    val str = lit("graft_keep_best") _
+    val spark = SparkSession.active
+    graft.operators.Components.keepBestInCluster(
+        spark.table(str(args.head)), spark.table(str(args(1))),
+        str(args(2)), str(args(3)))
+      .queryExecution.logical
+  }
+
   /** `graft_hashed_knn('<view>', query_doc_id[, dim, k])` — the q125
     * embedding-free cosine kNN over hashing-trick vectors
     * (doc_id, cos).
@@ -524,7 +539,10 @@ object GraftExtensions {
       textClustersPlan _),
     "graft_dup_span_removal" -> (
       new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_dup_span_removal"),
-      dupSpanRemovalPlan _))
+      dupSpanRemovalPlan _),
+    "graft_keep_best" -> (
+      new ExpressionInfo(graft.operators.Components.getClass.getName, "graft_keep_best"),
+      keepBestPlan _))
 
   /** Register every graft function on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -33,6 +33,25 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("keepBestInCluster keeps the top score per component, witnesses the winner") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain pairs; scores make 2 the winner;
+    // cluster {5,6} ties on score → smaller id 5 wins; 9 is a
+    // singleton (no pair) and keeps itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 20L),
+      (5L, 7L), (6L, 7L), (9L, 1L)).toDF("doc_id", "n_chars")
+    val got = Components.keepBestInCluster(pairs, scored, "doc_id", "n_chars")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(got(1L) == ((false, 2L)))
+    assert(got(2L) == ((true, 2L)))
+    assert(got(3L) == ((false, 2L)))
+    assert(got(5L) == ((true, 5L)))
+    assert(got(6L) == ((false, 5L)))
+    assert(got(9L) == ((true, 9L)))
+  }
+
   test("superseded round state is released; only final labels stay pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -313,6 +313,17 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_dup_span_removal('documents') ORDER BY doc_id")
       .collect().toSeq
     assert(rapi.nonEmpty && rtvf == rapi)
+    Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      .createOrReplaceTempView("kb_pairs")
+    docs.select($"doc_id", $"n_chars").createOrReplaceTempView("kb_scored")
+    val kbapi = graft.operators.Components.keepBestInCluster(
+        spark.table("kb_pairs"), spark.table("kb_scored"),
+        "doc_id", "n_chars")
+      .orderBy($"doc_id").collect().toSeq
+    val kbtvf = spark.sql(
+      "SELECT * FROM graft_keep_best('kb_pairs', 'kb_scored', " +
+        "'doc_id', 'n_chars') ORDER BY doc_id").collect().toSeq
+    assert(kbapi.nonEmpty && kbtvf == kbapi)
   }
 
   test("graft_stream_arrow table function declares types/names like the reference keywords") {
