@@ -1644,6 +1644,52 @@ object GrftCodec {
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  /** 64-bit perceptual average-hash (aHash) over the DECODED raster of
+    * a kind=0 PNM/BMP/PNG/JPEG container: an 8×8 nearest-neighbour
+    * sample grid (y = r·h/8, x = c·w/8, integer division), per-sample
+    * brightness = the channel sum at that pixel, and bit j (row-major)
+    * set iff `64·g_j > Σg` — the strict integer mean compare, so the
+    * hash is exact on any engine with no float mean anywhere. Null
+    * when the container is undecodable. Near-duplicate images (crops
+    * aside) differ in few bits — the image-side analogue of SimHash,
+    * and the same 4×16 banding mines pairs from it.
+    */
+  def ahash(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val img = pnmOfContainer(bytes) match {
+      case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
+      case null => bmpOfContainer(bytes) match {
+        case r: Raster => r
+        case null => pngOfContainer(bytes) match {
+          case r: Raster => r
+          case null => jpegOfContainer(bytes)
+        }
+      }
+    }
+    if (img == null || img.width <= 0 || img.height <= 0) return null
+    val g = new Array[Long](64)
+    var t = 0L
+    var r = 0
+    while (r < 8) {
+      val y = r * img.height / 8
+      var c = 0
+      while (c < 8) {
+        val x = c * img.width / 8
+        val base = img.offset + (y * img.width + x) * img.channels
+        var ch = 0; var s = 0L
+        while (ch < img.channels) { s += (img.data(base + ch) & 0xff); ch += 1 }
+        g(r * 8 + c) = s
+        t += s
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) { if (64L * g(j) > t) h |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
   /** Every `stride`-th `frameSize` slice of the payload, as an array of
     * frames (index i holds frame number i*stride). Anything without a
     * payload — null, header-only, too short — yields an empty array.
@@ -1760,6 +1806,34 @@ case class GrftPixels(child: Expression)
       |${c.code}
       |$jt ${ev.value} = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_ahash(bin)` → 64-bit perceptual average-hash of the decoded
+  * raster (see [[GrftCodec.ahash]]); null when undecodable.
+  */
+case class GrftAHash(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash"
+  override protected def codecMethod: String = "ahash"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.ahash(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("ahash")
+    ev.copy(code = code"""
+      |${c.code}
+      |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      |boolean ${ev.isNull} = $tmp == null;
+      |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
+      """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1932,6 +2006,9 @@ object MultimodalExpressions {
     "graft_video" -> (
       new ExpressionInfo(classOf[GrftVideo].getName, "graft_video"),
       (args: Seq[Expression]) => GrftVideo(args.head)),
+    "graft_ahash" -> (
+      new ExpressionInfo(classOf[GrftAHash].getName, "graft_ahash"),
+      (args: Seq[Expression]) => GrftAHash(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

@@ -69,6 +69,19 @@ object Multimodal {
     df.withColumn(out, call_function("graft_pixels", col(binCol)))
   }
 
+  /** 64-bit perceptual average-hash over the DECODED raster (8×8
+    * nearest-neighbour grid, strict integer mean compare — see
+    * `GrftCodec.ahash`): the image-side SimHash. Null for undecodable
+    * media. Narrow codegen'd projection like [[decodeImage]]; feed the
+    * result (renamed to `simhash`) into
+    * [[TextDedup.hammingPairs64]] to mine near-duplicate images with
+    * the same banded equi-join as text.
+    */
+  def imageAHash(df: DataFrame, binCol: String, out: String = "ahash"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_ahash", col(binCol)))
+  }
+
   /** REAL audio decode for kind=1 containers holding a RIFF/WAVE
     * 16-bit PCM payload: rate/channels from the fmt chunk, checksum /
     * mean / peak over the actual samples. Undecodable media yields

@@ -337,6 +337,19 @@ object TextDedup {
     * Used by both the 16-bit (4-bit bands) and 64-bit (16-bit bands)
     * miners so the subtle predicate lives once.
     */
+  /** Banded hamming pair mining over ANY 64-bit signature column —
+    * the blocking [[simhash64Pairs]] uses, exposed for other 64-bit
+    * perceptual signatures (image aHash, audio fingerprints): `sigs`
+    * must carry (doc_id, simhash); output ∝ band collisions like every
+    * miner here, recall 1 for hamming ≤ 3 under 4×16 banding.
+    */
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
+    bandedSimhashPairs(sigs.select(col("doc_id"), col("simhash")),
+      bandBits = 16, maxHamming)
+  }
+
   private def bandedSimhashPairs(sigs: DataFrame, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
     val keyed = sigs.select(

@@ -510,6 +510,49 @@ object DataPipeline {
     // degrades to nulls, never errors. (mean_pixel = checksum/16 is
     // exact in both engines: 1/16 is a terminating binary AND decimal
     // fraction, so round(·,4) is the identity.)
+    // perceptual image hashing over REAL decoded rasters: the q80 PGM
+    // fixture (text bytes as a 1-row grayscale image, every 97th doc
+    // corrupted) hashed by graft_ahash — 8×8 nearest-neighbour grid,
+    // strict integer mean compare, no float anywhere — so the oracle
+    // recomputes all 64 bits from character arithmetic. Corrupted
+    // media hashes to null, never errors.
+    "q135_image_phash" -> { (s, dir) =>
+      import s.implicits._
+      val packPgm = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q135 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not an image".getBytes("UTF-8")
+        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
+          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packPgm($"doc_id", $"text").as("blob"))
+      graft.operators.Multimodal.imageAHash(packed, "blob")
+        .select($"doc_id", $"ahash")
+        .orderBy($"doc_id")
+    },
+    // image near-dup mining: the aHash signatures through the SAME
+    // 4×16 banded equi-join as text SimHash (TextDedup.hammingPairs64)
+    // — perceptually-identical/near images pair up with output ∝ band
+    // collisions; the oracle recomputes hashes and the brute-force
+    // hamming join (banding recall is 1 at maxHamming <= 3)
+    "q136_image_near_dup" -> { (s, dir) =>
+      import s.implicits._
+      val packPgm = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        if (id % 97 == 0) "not an image".getBytes("UTF-8")
+        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
+          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
+      }
+      val packed = Tables.loadParallel(s, dir, "documents")
+        .select($"doc_id", packPgm($"doc_id", $"text").as("blob"))
+      val sigs = graft.operators.Multimodal.imageAHash(packed, "blob")
+        .filter($"ahash".isNotNull)
+        .select($"doc_id", $"ahash".as("simhash"))
+      TextDedup.hammingPairs64(sigs, maxHamming = 3)
+    },
     "q80_image_codec" -> { (s, dir) =>
       import s.implicits._
       val packPgm = udf { (id: Long, text: String) =>
@@ -1442,6 +1485,53 @@ object DataPipeline {
         |  CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // aHash replay: 8 column samples at x = c·w/8 (rows identical for
+    // the 1-row fixture), bit j set iff 64·g > 8·Σcols, the sign bit
+    // via the explicit HUGEINT min literal (DuckDB refuses 1 << 63)
+    "q135_image_phash" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 8), c ->
+        |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+        |            AS BIGINT)) AS cs
+        |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+        |                    > 8 * list_aggregate(cs, 'sum') THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+        |      FROM g)
+        |SELECT t.doc_id, h.ahash FROM t LEFT JOIN h USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // image near-dup replay: the same hashes, brute-force hamming join
+    "q136_image_near_dup" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 8), c ->
+        |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+        |            AS BIGINT)) AS cs
+        |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+        |                    > 8 * list_aggregate(cs, 'sum') THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+        |      FROM g)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q80_image_codec" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w

@@ -26,6 +26,42 @@ class MultimodalSpec extends SparkSpec {
       == (28, 28, 1, 0, 10))
   }
 
+  test("perceptual aHash: hand-computed bits on a 2D raster, stability, null law") {
+    // 16x16 grayscale: left half dark (10), right half bright (200) —
+    // sample grid columns 0..3 land dark, 4..7 bright; mean in between
+    // → hash = the 0xF0 column pattern on every row
+    val half = Array.tabulate[Byte](256)(i => if (i % 16 < 8) 10 else 200.toByte)
+    def blobOf(px: Array[Byte]) = Multimodal.pack(16, 16, 1, 0,
+      graft.functions.GrftCodec.pnmEncode(16, 16, 1, px))
+    def hashOf(px: Array[Byte]): Option[Long] = {
+      val r = Multimodal.imageAHash(
+        Seq((1L, blobOf(px))).toDF("id", "blob"), "blob")
+        .select($"ahash").head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val expected = (0 until 64)
+      .filter(j => j % 8 >= 4).map(j => 1L << j).sum
+    assert(hashOf(half).contains(expected))
+    // one-pixel noise OFF the sample grid (row 1 — sampled rows/cols
+    // are the even ones at 16→8) leaves the hash unchanged
+    val noisy = half.clone(); noisy(16 + 1) = 90.toByte
+    assert(hashOf(noisy) == hashOf(half))
+    // undecodable payload → null hash
+    val bad = Multimodal.imageAHash(
+      Seq((2L, Multimodal.pack(3, 1, 1, 0, Array[Byte](9, 9, 9))))
+        .toDF("id", "blob"), "blob")
+      .select($"ahash").head
+    assert(bad.isNullAt(0))
+    // RGB raster: brightness = channel sum at the sampled pixel
+    val rgb = Array.tabulate[Byte](16 * 16 * 3)(i =>
+      if ((i / 3) % 16 < 8) 10 else 100.toByte)
+    val rgbBlob = Multimodal.pack(16, 16, 3, 0,
+      "P6\n16 16\n255\n".getBytes("ASCII") ++ rgb)
+    val rh = Multimodal.imageAHash(
+      Seq((3L, rgbBlob)).toDF("id", "blob"), "blob").select($"ahash").head
+    assert(!rh.isNullAt(0) && rh.getLong(0) == expected)
+  }
+
   test("real PNM codec: pixel decode, stats, and true raster resize") {
     // 4x2 grayscale gradient packed as a REAL P5 image in a kind=0 container
     val pixels = Array.tabulate[Byte](8)(i => (i * 10).toByte)
