@@ -1387,6 +1387,37 @@ object GrftCodec {
       if (n == 0) 0.0 else sum.toDouble / n, peak)
   }
 
+  /** 64-bit audio fingerprint over the DECODED samples of a kind=1
+    * PCM WAV container: 65 channel-0 sample points at
+    * `i_t = t·n/65` (integer division, nearest-neighbour like the
+    * image hash), bit j set iff `s(i_{j+1}) > s(i_j)` strictly — the
+    * sign-of-derivative hash (the Haitsma–Kalker family's time-domain
+    * core without the filterbank), integer-exact on any engine. A
+    * re-encoded / slightly re-leveled copy keeps most derivative
+    * signs, so [[TextDedup.hammingPairs64]] mines near-duplicate
+    * audio exactly like text/image signatures. Null when undecodable
+    * or empty.
+    */
+  def afp(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val wav = wavOfContainer(bytes)
+    if (wav == null || wav.nFrames <= 0) return null
+    val n = wav.nFrames
+    def sAt(i: Long): Int = {
+      val idx = wav.offset + 2 * i * wav.channels
+      (u16le(wav.bytes, idx.toInt) << 16) >> 16
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      val a = sAt(j.toLong * n / 65)
+      val b = sAt((j + 1).toLong * n / 65)
+      if (b > a) h |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   // ---- real video codec: uncompressed 24-bit AVI (RIFF, DIB frames) ----
   // The video counterpart of the PNM/BMP/WAV paths, and the third use
   // of the same two primitives: the RIFF chunk walk (WAV) over DIB
@@ -1840,6 +1871,34 @@ case class GrftAHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_afp(bin)` → 64-bit sign-of-derivative audio fingerprint of
+  * the decoded samples (see [[GrftCodec.afp]]); null when undecodable.
+  */
+case class GrftAudioFp(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_afp"
+  override protected def codecMethod: String = "afp"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.afp(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("afp")
+    ev.copy(code = code"""
+      |${c.code}
+      |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      |boolean ${ev.isNull} = $tmp == null;
+      |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_samples(bin)` → REAL decoded-audio statistics for a kind=1
   * GRFT container holding a PCM WAV — rate/channels from the fmt
   * chunk, checksum/mean/peak over the actual 16-bit samples.
@@ -2009,6 +2068,9 @@ object MultimodalExpressions {
     "graft_ahash" -> (
       new ExpressionInfo(classOf[GrftAHash].getName, "graft_ahash"),
       (args: Seq[Expression]) => GrftAHash(args.head)),
+    "graft_afp" -> (
+      new ExpressionInfo(classOf[GrftAudioFp].getName, "graft_afp"),
+      (args: Seq[Expression]) => GrftAudioFp(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

@@ -82,6 +82,17 @@ object Multimodal {
     df.withColumn(out, call_function("graft_ahash", col(binCol)))
   }
 
+  /** 64-bit sign-of-derivative audio fingerprint over the DECODED PCM
+    * samples (65 nearest-neighbour sample points, bit = strictly
+    * rising — see `GrftCodec.afp`): the audio-side SimHash, integer
+    * exact. Null for undecodable media; feed (renamed to `simhash`)
+    * into [[TextDedup.hammingPairs64]] like the image hash.
+    */
+  def audioFingerprint(df: DataFrame, binCol: String, out: String = "afp"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_afp", col(binCol)))
+  }
+
   /** REAL audio decode for kind=1 containers holding a RIFF/WAVE
     * 16-bit PCM payload: rate/channels from the fmt chunk, checksum /
     * mean / peak over the actual samples. Undecodable media yields

@@ -715,6 +715,36 @@ object DataPipeline {
     // undecodable audio degrades to nulls, never errors.
     // (mean_sample = checksum/16 where checksum = 256·(S−2048) — an
     // exact integer in both engines, so round(·,4) is the identity.)
+    // audio fingerprinting over REAL decoded PCM: the q88 WAV fixture
+    // hashed by graft_afp — 65 nearest-neighbour sample points, bit =
+    // strictly-rising derivative sign, integer-exact — so the oracle
+    // recomputes all 64 bits from character comparisons (the fixture's
+    // (byte−128)·256 sample map is order-preserving). Corrupt media →
+    // null, never errors.
+    "q137_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val packWav = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q137 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a wave".getBytes("UTF-8")
+        else {
+          val samples = new Array[Short](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort; i += 1
+          }
+          graft.operators.Multimodal.pack(bytes.length, 1, 1, 1,
+            graft.functions.GrftCodec.wavEncode(8000, 1, samples))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packWav($"doc_id", $"text").as("blob"))
+      graft.operators.Multimodal.audioFingerprint(packed, "blob")
+        .select($"doc_id", $"afp")
+        .orderBy($"doc_id")
+    },
     "q88_wav_codec" -> { (s, dir) =>
       import s.implicits._
       val packWav = udf { (id: Long, text: String) =>
@@ -1620,6 +1650,29 @@ object DataPipeline {
         |  CASE WHEN t.doc_id % 97 = 0 THEN NULL
         |       ELSE round(st.s / 16.0, 4) END AS mean_pixel
         |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // audio-fingerprint replay: 65 sample indices t·n/65, the
+    // order-preserving (byte−128)·256 map reduces each derivative
+    // sign to a character comparison; sign bit via the HUGEINT min
+    // literal like q135
+    "q137_audio_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 65), tt ->
+        |          CAST(ascii(substr(text, CAST((tt * n) // 65 AS INT) + 1, 1))
+        |            AS BIGINT)) AS ss
+        |      FROM t WHERE doc_id % 97 <> 0 AND n >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN ss[CAST(j AS INT) + 2] > ss[CAST(j AS INT) + 1] THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS afp
+        |      FROM g)
+        |SELECT t.doc_id, h.afp FROM t LEFT JOIN h USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
     "q88_wav_codec" ->

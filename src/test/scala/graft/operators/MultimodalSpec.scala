@@ -62,6 +62,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!rh.isNullAt(0) && rh.getLong(0) == expected)
   }
 
+  test("audio fingerprint: derivative signs, channel 0 of stereo, null law") {
+    def wavBlob(samples: Array[Short], channels: Int = 1) =
+      Multimodal.pack(samples.length / channels, 1, channels, 1,
+        graft.functions.GrftCodec.wavEncode(8000, channels, samples))
+    def fpOf(blob: Array[Byte]): Option[Long] = {
+      val r = Multimodal.audioFingerprint(
+        Seq((1L, blob)).toDF("id", "blob"), "blob").select($"afp").head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // strictly rising ramp → every derivative sign set
+    val ramp = Array.tabulate[Short](130)(i => (i * 10).toShort)
+    assert(fpOf(wavBlob(ramp)).contains(-1L)) // all 64 bits
+    // constant signal → no bit set
+    assert(fpOf(wavBlob(Array.fill[Short](130)(42))).contains(0L))
+    // stereo: fingerprint follows CHANNEL 0 (left rising, right falling)
+    val stereo = Array.tabulate[Short](260)(i =>
+      if (i % 2 == 0) (i * 5).toShort else (-i * 5).toShort)
+    assert(fpOf(wavBlob(stereo, channels = 2)).contains(-1L))
+    // undecodable payload → null
+    assert(fpOf(Multimodal.pack(3, 1, 1, 1, Array[Byte](9, 9, 9))).isEmpty)
+  }
+
   test("real PNM codec: pixel decode, stats, and true raster resize") {
     // 4x2 grayscale gradient packed as a REAL P5 image in a kind=0 container
     val pixels = Array.tabulate[Byte](8)(i => (i * 10).toByte)
