@@ -1654,8 +1654,13 @@ object GrftCodec {
     * BMP, PNG or baseline-JPEG container (all-null fields when
     * undecodable).
     */
-  def pixels(bytes: Array[Byte]): InternalRow = {
-    val img = pnmOfContainer(bytes) match {
+  /** The one image-family dispatch: decoded raster of a kind=0
+    * container through every pure-JVM codec (PNM → BMP → PNG → JPEG),
+    * or null. Shared by [[pixels]] and [[ahash]] so a codec wired into
+    * one can never be missing from the other.
+    */
+  private def rasterOfContainer(bytes: Array[Byte]): Raster =
+    pnmOfContainer(bytes) match {
       case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
       case null => bmpOfContainer(bytes) match {
         case r: Raster => r
@@ -1665,6 +1670,9 @@ object GrftCodec {
         }
       }
     }
+
+  def pixels(bytes: Array[Byte]): InternalRow = {
+    val img = rasterOfContainer(bytes)
     if (img == null) return InternalRow(null, null, null, null, null, null)
     val n = img.width.toLong * img.height * img.channels
     var sum = 0L
@@ -1687,16 +1695,7 @@ object GrftCodec {
     */
   def ahash(bytes: Array[Byte]): Any = {
     if (bytes == null) return null
-    val img = pnmOfContainer(bytes) match {
-      case p: Pnm => Raster(p.width, p.height, p.channels, p.offset, p.bytes)
-      case null => bmpOfContainer(bytes) match {
-        case r: Raster => r
-        case null => pngOfContainer(bytes) match {
-          case r: Raster => r
-          case null => jpegOfContainer(bytes)
-        }
-      }
-    }
+    val img = rasterOfContainer(bytes)
     if (img == null || img.width <= 0 || img.height <= 0) return null
     val g = new Array[Long](64)
     var t = 0L

@@ -329,14 +329,6 @@ object TextDedup {
     bandedSimhashPairs(simhash(docs), bandBits = 4, maxHamming)
   }
 
-  /** Shared first-match band miner over a `(doc_id, simhash)` table:
-    * the band-j self-join additionally requires bands 0..j-1 to DIFFER,
-    * so every candidate pair is emitted by exactly one join — no
-    * exploded band table, no multi-band duplicates, no distinct shuffle
-    * over the candidate set; exact `bit_count` verification follows.
-    * Used by both the 16-bit (4-bit bands) and 64-bit (16-bit bands)
-    * miners so the subtle predicate lives once.
-    */
   /** Banded hamming pair mining over ANY 64-bit signature column —
     * the blocking [[simhash64Pairs]] uses, exposed for other 64-bit
     * perceptual signatures (image aHash, audio fingerprints): `sigs`
@@ -350,6 +342,14 @@ object TextDedup {
       bandBits = 16, maxHamming)
   }
 
+  /** Shared first-match band miner over a `(doc_id, simhash)` table:
+    * the band-j self-join additionally requires bands 0..j-1 to DIFFER,
+    * so every candidate pair is emitted by exactly one join — no
+    * exploded band table, no multi-band duplicates, no distinct shuffle
+    * over the candidate set; exact `bit_count` verification follows.
+    * Used by both the 16-bit (4-bit bands) and 64-bit (16-bit bands)
+    * miners so the subtle predicate lives once.
+    */
   private def bandedSimhashPairs(sigs: DataFrame, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
     val keyed = sigs.select(

@@ -542,6 +542,11 @@ object DataPipeline {
       import s.implicits._
       val packPgm = udf { (id: Long, text: String) =>
         val bytes = text.getBytes("UTF-8")
+        // same loud guard as q80/q135: the oracle samples CHARACTER
+        // positions, equal to these byte offsets only for pure ASCII
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q136 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
         if (id % 97 == 0) "not an image".getBytes("UTF-8")
         else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
           graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
