@@ -380,6 +380,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(outs(1) == expect(b1 ++ b2, b2))
   }
 
+  test("media fingerprints are stream/batch identical (stateless kernel scans)") {
+    // graft_ahash / graft_afp are narrow per-blob kernels with no
+    // state: an ingestion stream fingerprints media with the SAME
+    // operator calls as batch; near-dup mining then rides the banded
+    // join downstream
+    implicit val sq = spark.sqlContext
+    val blobs = graft.Tables.load(spark, sf, "documents").limit(60)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val img = graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
+          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
+        val samples = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
+        val wav = graft.operators.Multimodal.pack(bytes.length, 1, 1, 1,
+          graft.functions.GrftCodec.wavEncode(8000, 1, samples))
+        (id, img, wav)
+      }
+    val mem = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val fps = graft.operators.Multimodal.audioFingerprint(
+      graft.operators.Multimodal.imageAHash(
+        mem.toDF().toDF("doc_id", "img", "wav"), "img"), "wav")
+      .select($"doc_id", $"ahash", $"afp")
+    val q = fps.writeStream.outputMode("append").format("memory")
+      .queryName("media_fp_out").start()
+    mem.addData(blobs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("media_fp_out")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.imageAHash(
+          blobs.toDF("doc_id", "img", "wav"), "img"), "wav")
+      .select($"doc_id", $"ahash", $"afp")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("feature hashing is stream/batch identical (stateless kernel scan)") {
     // graft_fhash is a narrow per-document kernel with no state: an
     // ingestion stream vectorizes with the SAME operator call as batch
