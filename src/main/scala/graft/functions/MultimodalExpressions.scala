@@ -1387,6 +1387,43 @@ object GrftCodec {
       if (n == 0) 0.0 else sum.toDouble / n, peak)
   }
 
+  /** 64-bit perceptual video hash of a kind=2 AVI container: the
+    * image [[ahash]] grid applied to the DECODED RGB raster of the
+    * temporally-CENTER frame (`nFrames/2` — the canonical keyframe
+    * proxy; whole-video aggregation would let any one frame flip the
+    * mean). Same strict integer arithmetic, null when undecodable.
+    * Completes the text/image/audio/video signature set over one
+    * [[graft.operators.TextDedup.hammingPairs64]] miner.
+    */
+  def vhash(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val avi = aviOfContainer(bytes)
+    if (avi == null || avi.nFrames <= 0 || avi.width <= 0 || avi.height <= 0)
+      return null
+    val frame = aviFrameRgb(avi, avi.nFrames / 2)
+    val g = new Array[Long](64)
+    var t = 0L
+    var r = 0
+    while (r < 8) {
+      val y = r * avi.height / 8
+      var c = 0
+      while (c < 8) {
+        val x = c * avi.width / 8
+        val base = (y * avi.width + x) * 3
+        val s = (frame(base) & 0xff).toLong + (frame(base + 1) & 0xff) +
+          (frame(base + 2) & 0xff)
+        g(r * 8 + c) = s
+        t += s
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) { if (64L * g(j) > t) h |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
   /** 64-bit audio fingerprint over the DECODED samples of a kind=1
     * PCM WAV container: 65 channel-0 sample points at
     * `i_t = t·n/65` (integer division, nearest-neighbour like the
@@ -1870,6 +1907,35 @@ case class GrftAHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_vhash(bin)` → 64-bit perceptual hash of the center frame of
+  * a kind=2 AVI container (see [[GrftCodec.vhash]]); null when
+  * undecodable.
+  */
+case class GrftVideoHash(child: Expression)
+  extends UnaryExpression with GrftExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vhash"
+  override protected def codecMethod: String = "vhash"
+
+  override def eval(input: InternalRow): Any =
+    GrftCodec.vhash(child.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("vhash")
+    ev.copy(code = code"""
+      |${c.code}
+      |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
+      |boolean ${ev.isNull} = $tmp == null;
+      |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_afp(bin)` → 64-bit sign-of-derivative audio fingerprint of
   * the decoded samples (see [[GrftCodec.afp]]); null when undecodable.
   */
@@ -2070,6 +2136,9 @@ object MultimodalExpressions {
     "graft_afp" -> (
       new ExpressionInfo(classOf[GrftAudioFp].getName, "graft_afp"),
       (args: Seq[Expression]) => GrftAudioFp(args.head)),
+    "graft_vhash" -> (
+      new ExpressionInfo(classOf[GrftVideoHash].getName, "graft_vhash"),
+      (args: Seq[Expression]) => GrftVideoHash(args.head)),
     "graft_resize" -> (
       new ExpressionInfo(classOf[GrftResize].getName, "graft_resize"),
       (args: Seq[Expression]) => GrftResize(args(0), args(1), args(2))),

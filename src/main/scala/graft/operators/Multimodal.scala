@@ -93,6 +93,17 @@ object Multimodal {
     df.withColumn(out, call_function("graft_afp", col(binCol)))
   }
 
+  /** 64-bit perceptual hash of a video's temporally-center frame
+    * (the image aHash grid over the DECODED RGB raster — see
+    * `GrftCodec.vhash`): the video-side signature, integer exact,
+    * null for undecodable media. Feed (renamed to `simhash`) into
+    * [[TextDedup.hammingPairs64]] like the image/audio hashes.
+    */
+  def videoHash(df: DataFrame, binCol: String, out: String = "vhash"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_vhash", col(binCol)))
+  }
+
   /** REAL audio decode for kind=1 containers holding a RIFF/WAVE
     * 16-bit PCM payload: rate/channels from the fmt chunk, checksum /
     * mean / peak over the actual samples. Undecodable media yields

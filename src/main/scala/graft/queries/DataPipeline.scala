@@ -796,6 +796,41 @@ object DataPipeline {
     // to nulls, never errors. (mean_pixel = checksum/192 = 3S/192 =
     // S/64 — exactly representable and ≤ 6 decimal digits, so
     // round(·,6) is the identity in both engines.)
+    // video perceptual hash: the q90 AVI fixture's CENTER frame
+    // (nFrames/2 = 2) through the image aHash grid over the real
+    // decoded RGB raster — channel-sum brightness, strict integer
+    // mean compare — so the oracle recomputes all 64 bits from the
+    // frame-2 byte rotation (x+2 mod n) in character arithmetic
+    "q138_video_hash" -> { (s, dir) =>
+      import s.implicits._
+      val packAvi = udf { (id: Long, text: String) =>
+        val bytes = text.getBytes("UTF-8")
+        require(bytes.length == text.length && bytes.length <= 65535,
+          s"q138 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+            s"${text.length} chars / ${bytes.length} bytes")
+        if (id % 97 == 0) "not a video".getBytes("UTF-8")
+        else {
+          val n = bytes.length
+          val frames = Array.tabulate(4) { f =>
+            val rgb = new Array[Byte](n * 3)
+            var x = 0
+            while (x < n) {
+              val b = bytes((x + f) % n)
+              rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
+              x += 1
+            }
+            rgb
+          }
+          graft.operators.Multimodal.pack(n, 1, 3, 2,
+            graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
+        }
+      }
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
+      graft.operators.Multimodal.videoHash(packed, "blob")
+        .select($"doc_id", $"vhash")
+        .orderBy($"doc_id")
+    },
     "q90_avi_codec" -> { (s, dir) =>
       import s.implicits._
       val packAvi = udf { (id: Long, text: String) =>
@@ -1703,6 +1738,30 @@ object DataPipeline {
         |       ELSE round(st.cs / 16.0, 4) END AS mean_sample,
         |  st.pk AS peak
         |FROM t LEFT JOIN st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // video-hash replay: center-frame pixel x = byte (x+2) mod n,
+    // brightness = 3·byte (grayscale-replicated RGB), the q135 64-bit
+    // builder over the 8 column samples
+    "q138_video_hash" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 8), c ->
+        |          3 * CAST(ascii(substr(text,
+        |            ((CAST((c * n) // 8 AS INT) + 2) % n) + 1, 1)) AS BIGINT))
+        |          AS cs
+        |      FROM t WHERE doc_id % 97 <> 0 AND n >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+        |                    > 8 * list_aggregate(cs, 'sum') THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS vhash
+        |      FROM g)
+        |SELECT t.doc_id, h.vhash FROM t LEFT JOIN h USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
     "q90_avi_codec" ->

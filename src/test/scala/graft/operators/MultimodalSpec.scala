@@ -62,6 +62,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!rh.isNullAt(0) && rh.getLong(0) == expected)
   }
 
+  test("video hash: the CENTER frame is hashed, matching the image hash of that frame") {
+    // 2 frames of a 16x16 video: frame 0 constant, frame 1 the
+    // half-dark/half-bright raster — nFrames/2 = 1, so the video hash
+    // must equal frame 1's image aHash, not frame 0's zero hash
+    val flat = Array.fill[Byte](256 * 3)(50)
+    val half = Array.tabulate[Byte](256 * 3)(i =>
+      if ((i / 3) % 16 < 8) 10 else 200.toByte)
+    val avi = Multimodal.pack(16, 16, 3, 2,
+      graft.functions.GrftCodec.aviEncode(16, 16, 40000, Array(flat, half)))
+    val vh = Multimodal.videoHash(Seq((1L, avi)).toDF("id", "blob"), "blob")
+      .select($"vhash").head.getLong(0)
+    val expected = (0 until 64).filter(j => j % 8 >= 4).map(j => 1L << j).sum
+    assert(vh == expected)
+    // undecodable payload → null
+    val bad = Multimodal.videoHash(
+      Seq((2L, Multimodal.pack(3, 1, 3, 2, Array[Byte](9, 9, 9))))
+        .toDF("id", "blob"), "blob").select($"vhash").head
+    assert(bad.isNullAt(0))
+  }
+
   test("audio fingerprint: derivative signs, channel 0 of stereo, null law") {
     def wavBlob(samples: Array[Short], channels: Int = 1) =
       Multimodal.pack(samples.length / channels, 1, channels, 1,
