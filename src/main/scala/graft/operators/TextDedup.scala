@@ -665,6 +665,42 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialise the benchmark's distinct char windows as a PERSISTED
+    * decontamination index — the q77/q84 maintenance pattern applied
+    * to exact-substring decontamination: eval sets change rarely, so a
+    * production pipeline builds their window set once and probes every
+    * ingest batch against it instead of recomputing the benchmark scan
+    * per run. Windows are stored as the raw strings (exact semantics —
+    * a hashed index would admit false positives and diverge from
+    * [[substringMatches]]).
+    */
+  def writeSubstringIndex(bench: DataFrame, path: String,
+                          windowChars: Int = 40): Unit =
+    charWindows(bench, windowChars).select(col("g")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** [[substringMatches]] against a PERSISTED window index: identical
+    * results (the q139 gate hash-matches q101's oracle), but the
+    * benchmark side is one parquet read of the distinct windows — the
+    * probe cost of an ingest batch no longer includes the benchmark
+    * scan. Small indexes ride a broadcast like the inline path.
+    */
+  def substringMatchesIndexed(docs: DataFrame, path: String,
+                              windowChars: Int = 40,
+                              maxBroadcastRows: Long = 2000000L): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.read.parquet(path)
+    val benchSide =
+      if (idx.count() <= maxBroadcastRows) broadcast(idx) else idx
+    charWindows(docs, windowChars)
+      .join(benchSide, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_grams"),
+        min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003) per document: one row per selected (position, k-gram-hash)
     * fingerprint, columns `doc_id, pos, h`.

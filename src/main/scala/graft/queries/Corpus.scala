@@ -16,6 +16,24 @@ object Corpus {
 
   private val u01 = Sampling.u01Duck("h")
 
+  // shared by q101 (inline benchmark scan) and q139 (persisted window
+  // index): both paths must hash-match the same definition
+  private val substrDecontamSql: String =
+    """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+      |    FROM (SELECT text,
+      |            unnest(generate_series(1, length(text) - 39)) AS i
+      |          FROM documents WHERE source = 'src0')),
+      |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         substr(text, CAST(i AS INT), 40) AS g
+      |       FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, length(text) - 39)) AS i
+      |             FROM documents WHERE source <> 'src0'))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+      |       CAST(min(pos) AS BIGINT) AS first_pos
+      |FROM tr WHERE g IN (SELECT g FROM ev)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // DuckDB word-n-gram list of ws (1-indexed; range(a,b) excludes b)
   private def duckGramsN(n: Int): String = {
     val join = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -409,6 +427,20 @@ object Corpus {
       graft.operators.TextDedup.substringMatches(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), windowChars = 40)
+    },
+
+    // index-backed decontamination: q101's exact semantics probed
+    // against a PERSISTED benchmark window index (the q77/q84
+    // maintenance pattern — eval sets change rarely, ingest batches
+    // probe a standing index instead of rescanning the benchmark).
+    // Gate = q101's oracle verbatim: the index path must be
+    // result-identical to the inline scan.
+    "q139_decontam_index" -> { (s, dir) =>
+      val path = SharedArtifacts.substringIndexPath(s, dir, windowChars = 40)
+      graft.operators.TextDedup.substringMatchesIndexed(
+        Tables.loadParallel(s, dir, "documents")
+          .filter(col("source") =!= "src0"),
+        path, windowChars = 40)
     },
 
     // record linkage: all customer-name pairs within edit distance 1,
@@ -974,21 +1006,11 @@ object Corpus {
         |    AND (n_stop_kinds >= 2) AND (max_word_len <= 20)) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    "q101_substr_decontam" ->
-      """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
-        |    FROM (SELECT text,
-        |            unnest(generate_series(1, length(text) - 39)) AS i
-        |          FROM documents WHERE source = 'src0')),
-        |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |         substr(text, CAST(i AS INT), 40) AS g
-        |       FROM (SELECT doc_id, text,
-        |               unnest(generate_series(1, length(text) - 39)) AS i
-        |             FROM documents WHERE source <> 'src0'))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-        |       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
-        |       CAST(min(pos) AS BIGINT) AS first_pos
-        |FROM tr WHERE g IN (SELECT g FROM ev)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q101_substr_decontam" -> substrDecontamSql,
+
+    // the index-backed q139 must be RESULT-IDENTICAL to the inline
+    // q101 scan — one oracle serves both, which is the point
+    "q139_decontam_index" -> substrDecontamSql,
 
     "q102_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -157,6 +157,20 @@ object SharedArtifacts {
       graft.operators.IvfIndex.writeIndex(emb, centroids, path)
     }
 
+  /** Persisted decontamination window index over the src0 benchmark
+    * slice ([[graft.operators.TextDedup.writeSubstringIndex]], 40-char
+    * windows) — built once per process per sf-dir; q139's timed query
+    * is the ingest-batch probe the index exists for.
+    */
+  def substringIndexPath(s: SparkSession, dir: String,
+                         windowChars: Int = 40): String =
+    artifact(dir, s"substr_index_$windowChars") { path =>
+      import org.apache.spark.sql.functions.col
+      TextDedup.writeSubstringIndex(
+        Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+        path, windowChars)
+    }
+
   /** The 1000-round word-level BPE merge table over q109's training
     * slice (doc_id % 10 == 0), trained once per process per sf-dir —
     * the persisted vocabulary a production tokenizer trains once and

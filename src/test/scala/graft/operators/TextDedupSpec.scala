@@ -261,6 +261,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got(9L) == ((2L, 15L)), got)
   }
 
+  test("index-backed substring matching equals the inline scan") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, ("X" * 10) + benchText.substring(5, 55)),
+      (2L, "Z" * 80)).toDF("doc_id", "text")
+    val inline = TextDedup.substringMatches(train, bench, 40).collect().toSeq
+    val dir = tempDir("graft_substr_idx")
+    TextDedup.writeSubstringIndex(bench, dir, 40)
+    val indexed = TextDedup.substringMatchesIndexed(train, dir, 40)
+      .collect().toSeq
+    assert(indexed == inline && inline.nonEmpty)
+    // the shuffle tier (index too big to broadcast) is value-identical
+    val shuffled = TextDedup.substringMatchesIndexed(train, dir, 40,
+      maxBroadcastRows = 0L).collect().toSeq
+    assert(shuffled == inline)
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))
