@@ -679,6 +679,17 @@ object TextDedup {
     charWindows(bench, windowChars).select(col("g")).distinct()
       .write.mode("overwrite").parquet(path)
 
+  /** Incrementally extend a substring index with a new benchmark's
+    * windows: O(new benchmark) — existing windows are never rewritten,
+    * and cross-file duplicate windows are harmless (the probe is a
+    * left-semi join; `n_grams` counts distinct matched windows either
+    * way), so no global dedup pass is needed at append time.
+    */
+  def appendToSubstringIndex(newBench: DataFrame, path: String,
+                             windowChars: Int = 40): Unit =
+    charWindows(newBench, windowChars).select(col("g")).distinct()
+      .write.mode("append").parquet(path)
+
   /** [[substringMatches]] against a PERSISTED window index: identical
     * results (the q139 gate hash-matches q101's oracle), but the
     * benchmark side is one parquet read of the distinct windows — the

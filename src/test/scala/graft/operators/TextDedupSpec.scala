@@ -276,6 +276,16 @@ class TextDedupSpec extends SparkSpec {
     val shuffled = TextDedup.substringMatchesIndexed(train, dir, 40,
       maxBroadcastRows = 0L).collect().toSeq
     assert(shuffled == inline)
+    // incremental append: half the benchmark at build + half appended
+    // equals the full inline scan (duplicate windows across files are
+    // harmless to the left-semi probe)
+    val dir2 = tempDir("graft_substr_idx2")
+    TextDedup.writeSubstringIndex(
+      bench.select($"doc_id", substring($"text", 1, 60).as("text")), dir2, 40)
+    TextDedup.appendToSubstringIndex(bench, dir2, 40)
+    val appended = TextDedup.substringMatchesIndexed(train, dir2, 40)
+      .collect().toSeq
+    assert(appended == inline)
   }
 
   test("substringMatches shuffle fallback equals the broadcast path") {
