@@ -233,6 +233,24 @@ object StreamingOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Run ANY batch DataFrame transform per micro-batch — the
+    * foreachBatch adapter that lets every stateless batch operator
+    * (decontamination probes against a standing index, fingerprints,
+    * quality gates) serve an ingest stream with the exact operator
+    * call the batch pipeline uses. State, if any, lives OUTSIDE the
+    * stream (e.g. a persisted index); the stream itself stays
+    * watermark-free.
+    */
+  def transformPerBatch(input: DataFrame, f: DataFrame => DataFrame,
+                        sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(f(batch), batchId)
+      }
+      .start()
+
   /** Run the pipe operator on each micro-batch of a stream: the
     * streaming flavor of `Stream.tsv` (reference chunk-sequence model
     * mapped onto micro-batches).

@@ -380,6 +380,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(outs(1) == expect(b1 ++ b2, b2))
   }
 
+  test("decontamination probes a standing window index stream/batch identically") {
+    // the persisted q139 index is static state OUTSIDE the stream, so
+    // an ingest stream probes it per micro-batch with the SAME
+    // operator call as batch — no watermark, no stateful operator
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, sf, "documents")
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("graft_stream_dc_idx")
+    graft.operators.TextDedup.writeSubstringIndex(
+      docs.filter(col("source") === "src0"), dir, 40)
+    val train = docs.filter(col("source") =!= "src0")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val batch = graft.operators.TextDedup.substringMatchesIndexed(
+        train.toDF("doc_id", "text"), dir, 40)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.transformPerBatch(mem.toDF().toDF("doc_id", "text"),
+      b => graft.operators.TextDedup.substringMatchesIndexed(b, dir, 40),
+      (df, _) => df.as[(Long, Long, Long, Long)].collect().foreach(got.add))
+    mem.addData(train)
+    q.processAllAvailable(); q.stop()
+    assert(got.toArray.map(_.asInstanceOf[(Long, Long, Long, Long)])
+      .sortBy(_._1).toSeq == batch && batch.nonEmpty)
+  }
+
   test("media fingerprints are stream/batch identical (stateless kernel scans)") {
     // graft_ahash / graft_afp are narrow per-blob kernels with no
     // state: an ingestion stream fingerprints media with the SAME
