@@ -1687,10 +1687,6 @@ object GrftCodec {
     StructField("channels", IntegerType), StructField("n_pixels", LongType),
     StructField("pix_checksum", LongType), StructField("mean_pixel", DoubleType)))
 
-  /** REAL pixel statistics over the decoded raster of a kind=0 PNM,
-    * BMP, PNG or baseline-JPEG container (all-null fields when
-    * undecodable).
-    */
   /** The one image-family dispatch: decoded raster of a kind=0
     * container through every pure-JVM codec (PNM → BMP → PNG → JPEG),
     * or null. Shared by [[pixels]] and [[ahash]] so a codec wired into
@@ -1708,6 +1704,10 @@ object GrftCodec {
       }
     }
 
+  /** REAL pixel statistics over the decoded raster of a kind=0 PNM,
+    * BMP, PNG or baseline-JPEG container (all-null fields when
+    * undecodable).
+    */
   def pixels(bytes: Array[Byte]): InternalRow = {
     val img = rasterOfContainer(bytes)
     if (img == null) return InternalRow(null, null, null, null, null, null)
@@ -1879,22 +1879,23 @@ case class GrftPixels(child: Expression)
     copy(child = newChild)
 }
 
-/** `graft_ahash(bin)` → 64-bit perceptual average-hash of the decoded
-  * raster (see [[GrftCodec.ahash]]); null when undecodable.
+/** Base for the nullable-Long perceptual-hash expressions
+  * (`graft_ahash`/`graft_afp`/`graft_vhash`): one implementation of
+  * the boxed-Long eval and codegen (null when the kernel declines the
+  * payload), so the null/boxing handling can never diverge between
+  * modalities. Subclasses supply `codecMethod` + the kernel call.
   */
-case class GrftAHash(child: Expression)
-  extends UnaryExpression with GrftExpression {
+abstract class GrftLongHash extends UnaryExpression with GrftExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_ahash"
-  override protected def codecMethod: String = "ahash"
+  protected def kernel(bytes: Array[Byte]): Any
 
   override def eval(input: InternalRow): Any =
-    GrftCodec.ahash(child.eval(input).asInstanceOf[Array[Byte]])
+    kernel(child.eval(input).asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val tmp = ctx.freshName("ahash")
+    val tmp = ctx.freshName(prettyName.stripPrefix("graft_"))
     ev.copy(code = code"""
       |${c.code}
       |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
@@ -1902,7 +1903,15 @@ case class GrftAHash(child: Expression)
       |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
       """.stripMargin)
   }
+}
 
+/** `graft_ahash(bin)` → 64-bit perceptual average-hash of the decoded
+  * raster (see [[GrftCodec.ahash]]); null when undecodable.
+  */
+case class GrftAHash(child: Expression) extends GrftLongHash {
+  override def prettyName: String = "graft_ahash"
+  override protected def codecMethod: String = "ahash"
+  override protected def kernel(bytes: Array[Byte]): Any = GrftCodec.ahash(bytes)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1911,27 +1920,10 @@ case class GrftAHash(child: Expression)
   * a kind=2 AVI container (see [[GrftCodec.vhash]]); null when
   * undecodable.
   */
-case class GrftVideoHash(child: Expression)
-  extends UnaryExpression with GrftExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def nullable: Boolean = true
+case class GrftVideoHash(child: Expression) extends GrftLongHash {
   override def prettyName: String = "graft_vhash"
   override protected def codecMethod: String = "vhash"
-
-  override def eval(input: InternalRow): Any =
-    GrftCodec.vhash(child.eval(input).asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val tmp = ctx.freshName("vhash")
-    ev.copy(code = code"""
-      |${c.code}
-      |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
-      |boolean ${ev.isNull} = $tmp == null;
-      |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
-      """.stripMargin)
-  }
-
+  override protected def kernel(bytes: Array[Byte]): Any = GrftCodec.vhash(bytes)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1939,27 +1931,10 @@ case class GrftVideoHash(child: Expression)
 /** `graft_afp(bin)` → 64-bit sign-of-derivative audio fingerprint of
   * the decoded samples (see [[GrftCodec.afp]]); null when undecodable.
   */
-case class GrftAudioFp(child: Expression)
-  extends UnaryExpression with GrftExpression {
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def nullable: Boolean = true
+case class GrftAudioFp(child: Expression) extends GrftLongHash {
   override def prettyName: String = "graft_afp"
   override protected def codecMethod: String = "afp"
-
-  override def eval(input: InternalRow): Any =
-    GrftCodec.afp(child.eval(input).asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val tmp = ctx.freshName("afp")
-    ev.copy(code = code"""
-      |${c.code}
-      |Object $tmp = ${codecCall(s"${c.isNull} ? null : ${c.value}")};
-      |boolean ${ev.isNull} = $tmp == null;
-      |long ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) $tmp).longValue();
-      """.stripMargin)
-  }
-
+  override protected def kernel(bytes: Array[Byte]): Any = GrftCodec.afp(bytes)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

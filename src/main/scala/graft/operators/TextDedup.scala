@@ -701,16 +701,26 @@ object TextDedup {
                               maxBroadcastRows: Long = 2000000L): DataFrame = {
     val spark = docs.sparkSession
     val idx = spark.read.parquet(path)
-    val benchSide =
-      if (idx.count() <= maxBroadcastRows) broadcast(idx) else idx
+    substringMatchesIndexedDf(docs,
+      if (idx.count() <= maxBroadcastRows) broadcast(idx) else idx,
+      windowChars)
+  }
+
+  /** The probe stage of [[substringMatchesIndexed]] over an ALREADY
+    * LOADED (and broadcast-decided) index frame — per-micro-batch
+    * callers (`StreamingOps.transformPerBatch`) load the immutable
+    * index and size the broadcast ONCE outside the loop instead of
+    * paying a parquet read + count job per batch.
+    */
+  def substringMatchesIndexedDf(docs: DataFrame, idx: DataFrame,
+                                windowChars: Int = 40): DataFrame =
     charWindows(docs, windowChars)
-      .join(benchSide, Seq("g"), "left_semi")
+      .join(idx, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
         countDistinct(col("g")).as("n_grams"),
         min(col("pos")).as("first_pos"))
       .orderBy(col("doc_id"))
-  }
 
   /** Winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003) per document: one row per selected (position, k-gram-hash)

@@ -796,68 +796,9 @@ object DataPipeline {
     // to nulls, never errors. (mean_pixel = checksum/192 = 3S/192 =
     // S/64 — exactly representable and ≤ 6 decimal digits, so
     // round(·,6) is the identity in both engines.)
-    // video perceptual hash: the q90 AVI fixture's CENTER frame
-    // (nFrames/2 = 2) through the image aHash grid over the real
-    // decoded RGB raster — channel-sum brightness, strict integer
-    // mean compare — so the oracle recomputes all 64 bits from the
-    // frame-2 byte rotation (x+2 mod n) in character arithmetic
-    "q138_video_hash" -> { (s, dir) =>
-      import s.implicits._
-      val packAvi = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q138 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a video".getBytes("UTF-8")
-        else {
-          val n = bytes.length
-          val frames = Array.tabulate(4) { f =>
-            val rgb = new Array[Byte](n * 3)
-            var x = 0
-            while (x < n) {
-              val b = bytes((x + f) % n)
-              rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
-              x += 1
-            }
-            rgb
-          }
-          graft.operators.Multimodal.pack(n, 1, 3, 2,
-            graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
-        }
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
-      graft.operators.Multimodal.videoHash(packed, "blob")
-        .select($"doc_id", $"vhash")
-        .orderBy($"doc_id")
-    },
     "q90_avi_codec" -> { (s, dir) =>
       import s.implicits._
-      val packAvi = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // same loud guard as q80/q85/q88: the oracle's substr()
-        // character positions equal byte offsets only for pure-ASCII
-        // text, and the GRFT header's u16 width caps at 65535
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q90 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a video".getBytes("UTF-8")
-        else {
-          val n = bytes.length
-          val frames = Array.tabulate(4) { f =>
-            val rgb = new Array[Byte](n * 3)
-            var x = 0
-            while (x < n) {
-              val b = bytes((x + f) % n)
-              rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
-              x += 1
-            }
-            rgb
-          }
-          graft.operators.Multimodal.pack(n, 1, 3, 2,
-            graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
-        }
-      }
+      val packAvi = packAviFixture
       val packed = Tables.load(s, dir, "documents")
         .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
@@ -865,6 +806,20 @@ object DataPipeline {
         .select($"doc_id", $"video.width", $"video.height", $"video.channels",
           $"video.n_frames", $"video.pix_checksum",
           round($"video.mean_pixel", 6).as("mean_pixel"))
+        .orderBy($"doc_id")
+    },
+    // video perceptual hash: the q90 AVI fixture's CENTER frame
+    // (nFrames/2 = 2) through the image aHash grid over the real
+    // decoded RGB raster — channel-sum brightness, strict integer
+    // mean compare — so the oracle recomputes all 64 bits from the
+    // frame-2 byte rotation (x+2 mod n) in character arithmetic
+    "q138_video_hash" -> { (s, dir) =>
+      import s.implicits._
+      val packAvi = packAviFixture
+      val packed = Tables.load(s, dir, "documents")
+        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
+      graft.operators.Multimodal.videoHash(packed, "blob")
+        .select($"doc_id", $"vhash")
         .orderBy($"doc_id")
     },
 
@@ -888,6 +843,39 @@ object DataPipeline {
   private val WinnowW = 5
 
   private val KCenterK = 8
+
+  /** The 4-frame rotated-text AVI fixture shared by q90 (codec chain)
+    * and q138 (perceptual hash): frame f's pixel x = the gray byte at
+    * (x + f) mod n. Every 97th doc — and any EMPTY doc, which
+    * aviEncode would reject while the oracles' `n >= 1` filters null
+    * out — packs as an undecodable stub instead.
+    */
+  private def packAviFixture = org.apache.spark.sql.functions.udf {
+    (id: Long, text: String) =>
+      val bytes = text.getBytes("UTF-8")
+      // same loud guard as q80/q85/q88: the oracle's substr()
+      // character positions equal byte offsets only for pure-ASCII
+      // text, and the GRFT header's u16 width caps at 65535
+      require(bytes.length == text.length && bytes.length <= 65535,
+        s"AVI fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+          s"${text.length} chars / ${bytes.length} bytes")
+      if (id % 97 == 0 || bytes.isEmpty) "not a video".getBytes("UTF-8")
+      else {
+        val n = bytes.length
+        val frames = Array.tabulate(4) { f =>
+          val rgb = new Array[Byte](n * 3)
+          var x = 0
+          while (x < n) {
+            val b = bytes((x + f) % n)
+            rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
+            x += 1
+          }
+          rgb
+        }
+        graft.operators.Multimodal.pack(n, 1, 3, 2,
+          graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
+      }
+  }
 
   // rotation rounds for q133's rotated PQ
   private final val RotRounds = 16

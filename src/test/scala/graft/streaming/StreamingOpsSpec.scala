@@ -397,8 +397,12 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     val got = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
     val mem = MemoryStream[(Long, String)]
+    // load the immutable index and size the broadcast ONCE, outside
+    // the per-batch loop — the intended streaming shape
+    val idx = org.apache.spark.sql.functions.broadcast(
+      spark.read.parquet(dir))
     val q = StreamingOps.transformPerBatch(mem.toDF().toDF("doc_id", "text"),
-      b => graft.operators.TextDedup.substringMatchesIndexed(b, dir, 40),
+      b => graft.operators.TextDedup.substringMatchesIndexedDf(b, idx, 40),
       (df, _) => df.as[(Long, Long, Long, Long)].collect().foreach(got.add))
     mem.addData(train)
     q.processAllAvailable(); q.stop()
