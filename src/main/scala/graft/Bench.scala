@@ -154,7 +154,18 @@ object Bench {
     } catch { case e: Exception => System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._5).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the line ALSO lands in a file (r10 verdict directive 5): the
+    // driver tails a bounded window of stdout, and a truncated tail
+    // left BENCH_r10.json with "parsed": null — a file is the
+    // machine-readable artifact, stdout is just the human echo
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

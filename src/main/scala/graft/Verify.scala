@@ -25,6 +25,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val summary = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Double, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -45,8 +46,11 @@ object Verify {
               complex.map(f => s"${f.name}:${f.dataType.simpleString}")
                 .mkString(", "))
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          summary(name) = (true, (System.nanoTime() - t0) / 1e9, "")
         } catch { case e: Throwable =>
           println(s"[verify] $name failed: ${e.getMessage}")
+          summary(name) = (false, (System.nanoTime() - t0) / 1e9,
+            Option(e.getMessage).getOrElse(e.getClass.getName))
         }
         println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         spark.catalog.clearCache()
@@ -66,6 +70,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable run summary (r10 verdict directive 5): which
+    // dumps exist, how long each took, and any dump-time failure —
+    // so the driver/judge never has to scrape this main's stdout
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sjson = summary.map { case (k, (ok, sec, err)) =>
+      s"${q(k)}: {\"ok\": $ok, \"sec\": ${fmt(sec)}" +
+        (if (err.nonEmpty) s", \"error\": ${q(err)}" else "") + "}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), sjson)
     spark.stop()
   }
 }

@@ -635,8 +635,8 @@ object Similarity {
     * the first hex digit of md5("jl:j:i") — the engine-portable RNG
     * convention, so the q128 oracle rebuilds the identical matrix.
     */
-  private def jlSign(j: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private def jlSign(md: java.security.MessageDigest, j: Int, i: Int): Double = {
+    md.reset()
     val h = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
     if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
   }
@@ -664,8 +664,11 @@ object Similarity {
     require(first.nonEmpty, "randomProject: empty embedding table")
     val dim = first(0).getInt(0)
     val v = toDouble(col("embedding"))
+    // one digest instance for the whole outDim×dim matrix (driver-side
+    // plan construction), reset per cell — the givensPairs pattern
+    val md = java.security.MessageDigest.getInstance("MD5")
     val projs = (0 until outDim).map { j =>
-      dot(v, typedLit(Seq.tabulate(dim)(i => jlSign(j, i))))
+      dot(v, typedLit(Seq.tabulate(dim)(i => jlSign(md, j, i))))
     }
     emb.select(col("vec_id"),
       posexplode(array(projs: _*)).as(Seq("out_dim", "p")))

@@ -694,15 +694,21 @@ object TextDedup {
     * results (the q139 gate hash-matches q101's oracle), but the
     * benchmark side is one parquet read of the distinct windows — the
     * probe cost of an ingest batch no longer includes the benchmark
-    * scan. Small indexes ride a broadcast like the inline path.
+    * scan. Small indexes ride a broadcast like the inline path; the
+    * broadcast decision reads the index's ON-DISK byte size from the
+    * filesystem (free metadata), not a `count()` scan — a per-probe
+    * count would double the index read cost of every batch.
     */
   def substringMatchesIndexed(docs: DataFrame, path: String,
                               windowChars: Int = 40,
-                              maxBroadcastRows: Long = 2000000L): DataFrame = {
+                              maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val spark = docs.sparkSession
     val idx = spark.read.parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
     substringMatchesIndexedDf(docs,
-      if (idx.count() <= maxBroadcastRows) broadcast(idx) else idx,
+      if (bytes <= maxBroadcastBytes) broadcast(idx) else idx,
       windowChars)
   }
 

@@ -351,25 +351,32 @@ object StreamingOps {
   def kmvSetOpsPerBatch(rows: DataFrame, groupCol: String, uCol: String,
                         k: Int, sink: (DataFrame, Long) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val states = scala.collection.mutable.Map.empty[String, graft.operators.Sketches.KmvState]
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    // keyed by the group column's NATIVE value, so any type the batch
+    // operator Sketches.kmvSetOps accepts (string source ids, int
+    // shard ids, …) streams identically
+    val states = scala.collection.mutable.LinkedHashMap.empty[Any, graft.operators.Sketches.KmvState]
     rows.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
+        val keyField = batch.schema(groupCol)
         batch.groupBy(col(groupCol))
           .agg(graft.operators.Sketches.kmvValues(col(uCol), k).as("vals"))
           .collect() // bounded: one row per source, k doubles each
           .foreach { r =>
-            val src = r.getString(0)
+            val src = r.get(0)
             val incoming = graft.operators.Sketches.KmvState(
               k, r.getSeq[Double](1).toArray)
             states(src) = states.get(src)
               .map(_ merge incoming).getOrElse(incoming)
           }
-        val sk = states.toSeq
-          .map { case (s, st) => (s, st.values.toSeq) }
-          .toDF(groupCol, "vals")
+        val sk = spark.createDataFrame(
+          java.util.Arrays.asList(states.toSeq.map { case (s, st) =>
+            Row(s, st.values.toSeq) }: _*),
+          StructType(Seq(keyField.copy(name = groupCol),
+            StructField("vals", ArrayType(DoubleType)))))
         sink(graft.operators.Sketches.kmvCombinePairs(sk, groupCol, k), batchId)
       }
       .start()

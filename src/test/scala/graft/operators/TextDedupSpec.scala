@@ -274,7 +274,7 @@ class TextDedupSpec extends SparkSpec {
     assert(indexed == inline && inline.nonEmpty)
     // the shuffle tier (index too big to broadcast) is value-identical
     val shuffled = TextDedup.substringMatchesIndexed(train, dir, 40,
-      maxBroadcastRows = 0L).collect().toSeq
+      maxBroadcastBytes = 0L).collect().toSeq
     assert(shuffled == inline)
     // incremental append: half the benchmark at build + half appended
     // equals the full inline scan (duplicate windows across files are
