@@ -39,7 +39,8 @@ object Plans {
     "q125_hashed_knn" -> "embedding-free kNN (r10): one narrow graft_fhash + graft_dot pass straight into TakeOrderedAndProject — no Generate, no Join, no word shuffle",
     "q127_max_dup_spans" -> "maximal dup spans (r10): narrow gram kernel, one hash-groupBy, left-semi seed join, per-doc islands window — work ∝ duplication",
     "q129_text_clusters" -> "text clustering from raw text (r10): seed vectors as literals, integer argmin in one pass, single window for cluster sizes",
-    "q136_image_near_dup" -> "image near-dup mining (r10): perceptual aHash over real decoded rasters, then the SAME 4x16 banded first-match self-join as text SimHash — one miner for every 64-bit signature")
+    "q136_image_near_dup" -> "image near-dup mining (r10): perceptual aHash over real decoded rasters, then the SAME 4x16 banded first-match self-join as text SimHash — one miner for every 64-bit signature",
+    "q140_simhash64_capped" -> "capped 64-bit simhash mining (r11): hot band keys (> cap members) excluded from their band's self-join via per-row flags, first-match treats hot prior bands as non-matches — every join group bounded by the cap, no straggler task on a boilerplate-heavy corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -335,11 +335,12 @@ object TextDedup {
     * must carry (doc_id, simhash); output ∝ band collisions like every
     * miner here, recall 1 for hamming ≤ 3 under 4×16 banding.
     */
-  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3,
+                     maxBandFreq: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
     bandedSimhashPairs(sigs.select(col("doc_id"), col("simhash")),
-      bandBits = 16, maxHamming)
+      bandBits = 16, maxHamming, maxBandFreq)
   }
 
   /** Shared first-match band miner over a `(doc_id, simhash)` table:
@@ -349,18 +350,58 @@ object TextDedup {
     * over the candidate set; exact `bit_count` verification follows.
     * Used by both the 16-bit (4-bit bands) and 64-bit (16-bit bands)
     * miners so the subtle predicate lives once.
+    *
+    * `maxBandFreq` (default off) is the hot-band skew cap — the
+    * q86/q87 hot-shingle discipline applied to banding: a band KEY
+    * shared by more than `cap` signatures (k near-identical docs in a
+    * boilerplate-heavy corpus) would put k docs in one join group and
+    * emit k² candidates from one straggler task. With the cap, hot
+    * keys are excluded from their band's join (the flag is a property
+    * of the key, identical on both sides), and the first-match
+    * predicate treats a hot prior band as "not a match" — so every
+    * surviving pair is still emitted EXACTLY once, by its first
+    * equal-and-non-hot band. Declarative semantics the oracle states
+    * independently of banding: a hamming ≤ `maxHamming` pair is kept
+    * iff at least one of its equal bands has a non-hot key. Per-key
+    * join groups are ≤ cap rows, so per-band output is ≤ cap²·keys —
+    * bounded by design, no straggler task at any corpus size.
     */
   private def bandedSimhashPairs(sigs: DataFrame, bandBits: Int,
-                                 maxHamming: Int): DataFrame = {
-    val keyed = sigs.select(
+                                 maxHamming: Int,
+                                 maxBandFreq: Option[Long] = None): DataFrame = {
+    val keyed0 = sigs.select(
       col("doc_id") +: col("simhash") +:
         (0 until 4).map(j =>
           expr(s"shiftrightunsigned(simhash, ${j * bandBits}) & ${(1 << bandBits) - 1}")
             .as(s"k$j")): _*)
+    // hot-key flags ride the rows via one aggregate + join per band:
+    // the aggregate shuffles DISTINCT KEYS (map-side combined), not
+    // rows, and the hot table is tiny (≤ n/cap keys) so AQE broadcasts
+    // the join back. Both the signature table and the flagged table
+    // are cached (the minhashLshPairs contract — callers release via
+    // `graft.Tables.releaseOperatorCaches`): keyed0 feeds 4 hot
+    // aggregates and keyed feeds 8 self-join sides; without the cache
+    // the signature aggregation would recompute dozens of times.
+    val keyed = maxBandFreq.fold(keyed0) { cap =>
+      val base = keyed0.cache()
+      (0 until 4).foldLeft(base) { (df, j) =>
+        val hot = base.groupBy(col(s"k$j"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col(s"k$j"), lit(true).as(s"h$j"))
+        df.join(hot, Seq(s"k$j"), "left")
+          .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
+      }.cache()
+    }
+    val capped = maxBandFreq.isDefined
     val perBand = (0 until 4).map { j =>
+      val eligible =
+        if (capped) col("a.doc_id") < col("b.doc_id") && !col(s"a.h$j")
+        else col("a.doc_id") < col("b.doc_id")
       val firstMatch = (0 until j)
-        .map(k => col(s"a.k$k") =!= col(s"b.k$k"))
-        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+        .map(k =>
+          if (capped) col(s"a.k$k") =!= col(s"b.k$k") || col(s"a.h$k")
+          else col(s"a.k$k") =!= col(s"b.k$k"))
+        .foldLeft(eligible)(_ && _)
       keyed.as("a")
         .join(keyed.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -602,10 +643,11 @@ object TextDedup {
     * candidates stay proportional to true band collisions all the way
     * up.
     */
-  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3,
+                     maxBandFreq: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
-    bandedSimhashPairs(simhash64(docs), bandBits = 16, maxHamming)
+    bandedSimhashPairs(simhash64(docs), bandBits = 16, maxHamming, maxBandFreq)
   }
 
   /** Every character window of length `w` of each doc, with its

@@ -52,6 +52,19 @@ object DataPipeline {
     "q38_simhash64_pairs" -> { (s, dir) =>
       TextDedup.simhash64Pairs(Tables.loadParallel(s, dir, "documents"), maxHamming = 3)
     },
+    // the SKEW-SAFE configuration of the 64-bit banded miner (the
+    // q86/q87 discipline applied to banding): band keys shared by more
+    // than `HammingBandCap` signatures — k near-identical docs in a
+    // boilerplate-heavy corpus — are excluded from their band's
+    // self-join, so no join group exceeds the cap and no straggler
+    // task can emit k² candidates. The oracle states the capped
+    // semantics DECLARATIVELY (brute-force hamming join, keep a pair
+    // iff some equal band's key is non-hot), so the hash match proves
+    // the first-match banded plan implements exactly that set.
+    "q140_simhash64_capped" -> { (s, dir) =>
+      TextDedup.simhash64Pairs(Tables.loadParallel(s, dir, "documents"),
+        maxHamming = 3, maxBandFreq = Some(HammingBandCap))
+    },
     // asymmetric containment (quote/excerpt detection): a short doc
     // quoted inside a long one scores near 1 even when Jaccard is tiny
     "q48_containment" -> { (s, dir) =>
@@ -844,6 +857,13 @@ object DataPipeline {
 
   private val KCenterK = 8
 
+  // q140's hot-band cap: chosen to BITE on this corpus — at sf0.01
+  // the cap both excludes dozens of hot band keys (largest group: 28
+  // members) AND drops 2 of q38's 12 pairs (their only equal bands
+  // are hot), so the gate proves the capped universe's pair set
+  // shifts exactly as designed, not a no-op configuration
+  private final val HammingBandCap = 2L
+
   /** The 4-frame rotated-text AVI fixture shared by q90 (codec chain)
     * and q138 (perceptual hash): frame f's pixel x = the gray byte at
     * (x + f) mod n. Every 97th doc — and any EMPTY doc, which
@@ -968,6 +988,35 @@ object DataPipeline {
        |FROM s a JOIN s b2 ON a.doc_id < b2.doc_id
        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
        |ORDER BY 1, 2""".stripMargin
+
+  // q140: the capped miner's semantics, stated independently of the
+  // banded plan — brute-force hamming join, pair kept iff at least one
+  // EQUAL band has a key shared by <= cap docs. (`>>` is arithmetic in
+  // DuckDB but the & 65535 mask extracts the same 16 bits as Spark's
+  // shiftrightunsigned for every band position.)
+  private val simhash64CappedPairsSql: String = {
+    val bands = (0 until 4)
+      .map(j => s"CAST((simhash >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
+      .mkString(",\n        ")
+    val hots = (0 until 4)
+      .map(j => s"h$j AS (SELECT k$j AS kv FROM k GROUP BY 1 " +
+        s"HAVING count(*) > $HammingBandCap)")
+      .mkString(",\n")
+    val keep = (0 until 4)
+      .map(j => s"(a.k$j = b.k$j AND a.k$j NOT IN (SELECT kv FROM h$j))")
+      .mkString("\n     OR ")
+    s"""$simhash64Core,
+       |k AS (SELECT doc_id, simhash,
+       |        $bands
+       |      FROM s),
+       |$hots
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |  AND ($keep)
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   private val langidSql: String = {
     val scores = TextAnalysis.langProfiles.map { case (l, ms) =>
@@ -1098,6 +1147,7 @@ object DataPipeline {
     "q23_simhash" -> simhashSql,
     "q34_simhash_pairs" -> simhashPairsSql,
     "q38_simhash64_pairs" -> simhash64PairsSql,
+    "q140_simhash64_capped" -> simhash64CappedPairsSql,
 
     "q48_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -290,6 +290,28 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_near_dup('<view>', '<id_col>', '<sig_col>'
+    * [, max_hamming[, max_band_freq]])` — near-duplicate pairs over
+    * ANY 64-bit signature column (text SimHash, image aHash, audio
+    * fingerprint, video hash) through the one shared 4×16 banded
+    * first-match miner (the q38/q136/q140 plan). `max_band_freq`
+    * engages the hot-band skew cap: band keys shared by more rows are
+    * excluded from their band's self-join, bounding every join group.
+    */
+  private def nearDupPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      "graft_near_dup expects (table_name, id_col, sig_col[, max_hamming[, max_band_freq]]) literals")
+    val str = lit("graft_near_dup") _
+    val df = SparkSession.active.table(str(args.head))
+    val maxHamming = if (args.length >= 4) str(args(3)).toInt else 3
+    val cap = if (args.length == 5) Some(str(args(4)).toLong) else None
+    graft.operators.TextDedup.hammingPairs64(
+        df.select(df(str(args(1))).cast("long").as("doc_id"),
+          df(str(args(2))).cast("long").as("simhash")),
+        maxHamming, cap)
+      .queryExecution.logical
+  }
+
   /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy
     * farthest-point-first diverse selection: one row per round
     * (round, vec_id, dist).
@@ -507,6 +529,9 @@ object GraftExtensions {
     "graft_prototypes" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_prototypes"),
       prototypesPlan _),
+    "graft_near_dup" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_near_dup"),
+      nearDupPlan _),
     "graft_kcenter" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_kcenter"),
       kcenterPlan _),

@@ -137,6 +137,44 @@ class TextDedupSpec extends SparkSpec {
     assert(mined == brute)
   }
 
+  test("hammingPairs64 hot-band cap bounds planted skew, keeps non-hot-band pairs") {
+    // adversarial blob: 5000 IDENTICAL signatures (the boilerplate-
+    // heavy-crawl shape) — every band key hot at any small cap, so the
+    // capped miner must emit ZERO of the C(5000,2) ≈ 12.5M blob pairs
+    // and never build a 5000-row join group; plus one planted pair
+    // whose bands 1-3 keys are unique (non-hot) — it must survive,
+    // emitted exactly once
+    val blobSig = 0x0123456789abcdefL
+    val sigA = 0x7777000100020003L
+    val sigB = 0x7777000100020007L // band0 differs by 1 bit; bands 1-3 equal
+    val rows = (0 until 5000).map(i => (i.toLong, blobSig)) ++
+      Seq((10001L, sigA), (10002L, sigB))
+    val sigs = rows.toDF("doc_id", "simhash").repartition(8)
+    val capped = TextDedup.hammingPairs64(sigs, maxHamming = 3,
+        maxBandFreq = Some(8L)).collect().toSeq
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      == Seq((10001L, 10002L, 1)))
+    // smaller blob, uncapped: the quadratic candidate set IS the
+    // output — the behavior the cap exists to bound
+    val small = ((0 until 300).map(i => (i.toLong, blobSig)) ++
+      Seq((10001L, sigA), (10002L, sigB))).toDF("doc_id", "simhash")
+    assert(TextDedup.hammingPairs64(small, 3).count() == 300L * 299 / 2 + 1)
+    // a pair whose only equal band is hot is DROPPED (the q140
+    // declarative semantics: keep iff some equal band is non-hot)
+    // equal to blob in band 0 only (hot there); 1 bit apart in each
+    // of bands 1-3 → hamming 3, matchable ONLY through the hot band
+    val base = 0x2000300040000000L | (blobSig & 0xffffL)
+    val hotOnly = ((0 until 10).map(i => (i.toLong, blobSig)) ++ Seq(
+      (20001L, base), (20002L, base ^ 0x0001000100010000L)))
+      .toDF("doc_id", "simhash")
+    // uncapped: the pair rides the band-0 match
+    assert(TextDedup.hammingPairs64(hotOnly, 3)
+      .filter(col("doc_a") >= 20000L).count() == 1L)
+    // capped: band 0's key is hot (12 > 4 members) → pair dropped
+    assert(TextDedup.hammingPairs64(hotOnly, 3, Some(4L))
+      .filter(col("doc_a") >= 20000L).count() == 0L)
+  }
+
   test("simhash64 band keys span the full 16-bit space, not 16 values") {
     // the scale rationale for the 64-bit path: band keys must distribute
     // across 2^16 values; with ~100 docs the 4x100 keys should be nearly

@@ -131,6 +131,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("capped simhash64 mining stays banded equi-joins; hot flags ride the rows") {
+    val plan = formatted("q140_simhash64_capped")
+    // the hot-band cap must not change the join family: band-keyed
+    // equi-joins + union, no cross product, no nested loop; the
+    // hot-key tables enter as joins, never as collected literals
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains(" IN ("), plan)
+  }
+
   test("containment pairs ride the shingle-keyed inverted index") {
     val plan = formatted("q48_containment")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -261,6 +261,44 @@ class GraftSqlSpec extends SparkSpec {
     assert(tapi.nonEmpty && ttvf == tapi)
   }
 
+  test("graft_near_dup mines text AND image signatures from plain SQL") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    // text: 64-bit SimHash signatures through the TVF = the operator API
+    val sigs = graft.operators.TextDedup
+      .simhash64(Tables.load(spark, sf, "documents"))
+    sigs.createOrReplaceTempView("text_sigs")
+    val api = graft.operators.TextDedup.hammingPairs64(sigs, 3)
+      .collect().toSeq
+    val tvf = spark.sql(
+      "SELECT * FROM graft_near_dup('text_sigs', 'doc_id', 'simhash')")
+      .collect().toSeq
+    assert(api.nonEmpty && tvf == api)
+    // the hot-band cap literal must reach the miner (q140 semantics)
+    val cappedApi = graft.operators.TextDedup
+      .hammingPairs64(sigs, 3, Some(2L)).collect().toSeq
+    val cappedTvf = spark.sql(
+      "SELECT * FROM graft_near_dup('text_sigs', 'doc_id', 'simhash', '3', '2')")
+      .collect().toSeq
+    assert(cappedTvf == cappedApi && cappedApi.size <= api.size)
+    // image: aHash signatures computed IN SQL (graft_ahash over real
+    // packed rasters, two of them identical) mined by the same TVF
+    val mk = (bytes: Array[Byte]) => graft.operators.Multimodal.pack(
+      bytes.length, 1, 1, 0,
+      graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
+    val a = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val b = Array.tabulate[Byte](64)(i => (255 - i * 2).toByte)
+    Seq((1L, mk(a)), (2L, mk(b)), (3L, mk(a)))
+      .toDF("doc_id", "blob").createOrReplaceTempView("imgs")
+    spark.sql("SELECT doc_id, graft_ahash(blob) AS ahash FROM imgs")
+      .createOrReplaceTempView("img_sigs")
+    val imgPairs = spark.sql(
+      "SELECT * FROM graft_near_dup('img_sigs', 'doc_id', 'ahash', '0')")
+      .collect().toSeq
+    assert(imgPairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      == Seq((1L, 3L, 0)))
+  }
+
   test("graft_max_dup_spans, graft_hashed_knn and graft_kmv_setops equal the operator API") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
