@@ -497,15 +497,7 @@ object DataPipeline {
     // (magic, u16 dims, u8 channels/kind, u32 length) is what's gated.
     "q51_multimodal_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      val pack = udf { (id: Long, text: String) =>
-        val payload = text.getBytes("UTF-8")
-        if (id % 97 == 0) payload.take(3) // corrupt: too short for a header
-        else graft.operators.Multimodal.pack(
-          payload.length % 256, payload.length / 256 % 256,
-          1 + (id % 3).toInt, (id % 3).toInt, payload)
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", pack($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "grft")
       graft.operators.Multimodal.decodeHeader(packed, "blob")
         .select($"doc_id", $"meta.width", $"meta.height", $"meta.channels",
           $"meta.kind", $"meta.payload_len", $"meta.valid")
@@ -531,18 +523,8 @@ object DataPipeline {
     // media hashes to null, never errors.
     "q135_image_phash" -> { (s, dir) =>
       import s.implicits._
-      val packPgm = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q135 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not an image".getBytes("UTF-8")
-        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
-          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packPgm($"doc_id", $"text").as("blob"))
-      graft.operators.Multimodal.imageAHash(packed, "blob")
+      graft.operators.Multimodal
+        .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
         .select($"doc_id", $"ahash")
         .orderBy($"doc_id")
     },
@@ -553,42 +535,34 @@ object DataPipeline {
     // hamming join (banding recall is 1 at maxHamming <= 3)
     "q136_image_near_dup" -> { (s, dir) =>
       import s.implicits._
-      val packPgm = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // same loud guard as q80/q135: the oracle samples CHARACTER
-        // positions, equal to these byte offsets only for pure ASCII
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q136 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not an image".getBytes("UTF-8")
-        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
-          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
-      }
-      val packed = Tables.loadParallel(s, dir, "documents")
-        .select($"doc_id", packPgm($"doc_id", $"text").as("blob"))
-      val sigs = graft.operators.Multimodal.imageAHash(packed, "blob")
+      val sigs = graft.operators.Multimodal
+        .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
         .filter($"ahash".isNotNull)
         .select($"doc_id", $"ahash".as("simhash"))
       TextDedup.hammingPairs64(sigs, maxHamming = 3)
     },
+    // the SKEW-SAFE configuration of the image miner — the q140
+    // hot-band-cap discipline applied to q136's aHash signatures: k
+    // near-identical thumbnails in a boilerplate-heavy image corpus
+    // share band keys exactly like text SimHash, so the same per-key
+    // cap bounds every band join group. The oracle states the capped
+    // semantics DECLARATIVELY (brute-force hamming join, keep a pair
+    // iff some equal band's key is non-hot); aHash's low entropy makes
+    // the cap bite hard on this corpus — at sf0.01 it excludes 50 hot
+    // keys per band (largest group 16) and shrinks q136's 1587 pairs
+    // to 32 — so the gate proves a far-from-no-op configuration.
+    "q141_image_near_dup_capped" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = graft.operators.Multimodal
+        .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
+        .filter($"ahash".isNotNull)
+        .select($"doc_id", $"ahash".as("simhash"))
+      TextDedup.hammingPairs64(sigs, maxHamming = 3,
+        maxBandFreq = Some(HammingBandCap))
+    },
     "q80_image_codec" -> { (s, dir) =>
       import s.implicits._
-      val packPgm = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // the oracle recomputes pixels with substr() CHARACTER
-        // positions, which equal these byte offsets only while the
-        // corpus is pure ASCII (and pnmEncode's u16 width caps at
-        // 65535) — fail loudly if a future corpus breaks either
-        // assumption rather than silently diverging from the oracle
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q80 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not an image".getBytes("UTF-8")
-        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
-          graft.functions.GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packPgm($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "pgm")
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeImage(resized, "resized")
         .select($"doc_id", $"image.width", $"image.height", $"image.channels",
@@ -610,28 +584,7 @@ object DataPipeline {
     // identity in both engines, like q80.)
     "q85_bmp_codec" -> { (s, dir) =>
       import s.implicits._
-      val packBmp = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // same loud guard as q80: the oracle's substr() character
-        // positions equal byte offsets only for pure-ASCII text, and
-        // the GRFT header's u16 width caps at 65535
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q85 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a bitmap".getBytes("UTF-8")
-        else {
-          val rgb = new Array[Byte](bytes.length * 3)
-          var i = 0
-          while (i < bytes.length) {
-            rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i)
-            rgb(3 * i + 2) = bytes(i); i += 1
-          }
-          graft.operators.Multimodal.pack(bytes.length, 1, 3, 0,
-            graft.functions.GrftCodec.bmpEncode(bytes.length, 1, rgb))
-        }
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packBmp($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "bmp")
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeImage(resized, "resized")
         .select($"doc_id", $"image.width", $"image.height", $"image.channels",
@@ -651,21 +604,7 @@ object DataPipeline {
     // sampled byte counts once; checksum/16 = mean exactly).
     "q106_png_codec" -> { (s, dir) =>
       import s.implicits._
-      val packPng = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // same loud guard as q80/q85: the oracle's substr() character
-        // positions equal byte offsets only for pure-ASCII text, and
-        // the GRFT header's u16 width caps at 65535
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q106 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a png".getBytes("UTF-8")
-        else graft.operators.Multimodal.pack(bytes.length, 1, 1, 0,
-          graft.functions.GrftCodec.pngEncode(bytes.length, 1, 1, bytes,
-            (id % 5).toInt))
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packPng($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "png")
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeImage(resized, "resized")
         .select($"doc_id", $"image.width", $"image.height", $"image.channels",
@@ -688,32 +627,7 @@ object DataPipeline {
     // 97th doc is corrupt to prove undecodable JPEG degrades to nulls.
     "q111_jpeg_codec" -> { (s, dir) =>
       import s.implicits._
-      val packJpeg = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q111 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a jpeg".getBytes("UTF-8")
-        else {
-          val n = bytes.length
-          val px = new Array[Byte](128 * 8)
-          var b = 0
-          while (b < 16) {
-            val v = bytes(b * n / 16)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) { px(y * 128 + b * 8 + x) = v; x += 1 }
-              y += 1
-            }
-            b += 1
-          }
-          graft.operators.Multimodal.pack(128, 8, 1, 0,
-            graft.functions.GrftCodec.jpegEncode(128, 8, 1, px, quality = 100))
-        }
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packJpeg($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "jpeg")
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeImage(resized, "resized")
         .select($"doc_id", $"image.width", $"image.height", $"image.channels",
@@ -741,51 +655,14 @@ object DataPipeline {
     // null, never errors.
     "q137_audio_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      val packWav = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q137 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a wave".getBytes("UTF-8")
-        else {
-          val samples = new Array[Short](bytes.length)
-          var i = 0
-          while (i < bytes.length) {
-            samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort; i += 1
-          }
-          graft.operators.Multimodal.pack(bytes.length, 1, 1, 1,
-            graft.functions.GrftCodec.wavEncode(8000, 1, samples))
-        }
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packWav($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "wav")
       graft.operators.Multimodal.audioFingerprint(packed, "blob")
         .select($"doc_id", $"afp")
         .orderBy($"doc_id")
     },
     "q88_wav_codec" -> { (s, dir) =>
       import s.implicits._
-      val packWav = udf { (id: Long, text: String) =>
-        val bytes = text.getBytes("UTF-8")
-        // same loud guard as q80/q85: the oracle's substr() character
-        // positions equal byte offsets only for pure-ASCII text, and
-        // the GRFT header's u16 width caps at 65535
-        require(bytes.length == text.length && bytes.length <= 65535,
-          s"q88 fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-            s"${text.length} chars / ${bytes.length} bytes")
-        if (id % 97 == 0) "not a wave".getBytes("UTF-8")
-        else {
-          val samples = new Array[Short](bytes.length)
-          var i = 0
-          while (i < bytes.length) {
-            samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort; i += 1
-          }
-          graft.operators.Multimodal.pack(bytes.length, 1, 1, 1,
-            graft.functions.GrftCodec.wavEncode(8000, 1, samples))
-        }
-      }
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packWav($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "wav")
       val resampled = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeAudio(resampled, "resized")
         .select($"doc_id", $"audio.sample_rate", $"audio.channels",
@@ -811,9 +688,7 @@ object DataPipeline {
     // round(·,6) is the identity in both engines.)
     "q90_avi_codec" -> { (s, dir) =>
       import s.implicits._
-      val packAvi = packAviFixture
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "avi")
       val resized = graft.operators.Multimodal.resize(packed, "blob", 16, 1)
       graft.operators.Multimodal.decodeVideo(resized, "resized")
         .select($"doc_id", $"video.width", $"video.height", $"video.channels",
@@ -828,9 +703,7 @@ object DataPipeline {
     // frame-2 byte rotation (x+2 mod n) in character arithmetic
     "q138_video_hash" -> { (s, dir) =>
       import s.implicits._
-      val packAvi = packAviFixture
-      val packed = Tables.load(s, dir, "documents")
-        .select($"doc_id", packAvi($"doc_id", $"text").as("blob"))
+      val packed = SharedArtifacts.mediaFixture(s, dir, "avi")
       graft.operators.Multimodal.videoHash(packed, "blob")
         .select($"doc_id", $"vhash")
         .orderBy($"doc_id")
@@ -863,39 +736,6 @@ object DataPipeline {
   // are hot), so the gate proves the capped universe's pair set
   // shifts exactly as designed, not a no-op configuration
   private final val HammingBandCap = 2L
-
-  /** The 4-frame rotated-text AVI fixture shared by q90 (codec chain)
-    * and q138 (perceptual hash): frame f's pixel x = the gray byte at
-    * (x + f) mod n. Every 97th doc — and any EMPTY doc, which
-    * aviEncode would reject while the oracles' `n >= 1` filters null
-    * out — packs as an undecodable stub instead.
-    */
-  private def packAviFixture = org.apache.spark.sql.functions.udf {
-    (id: Long, text: String) =>
-      val bytes = text.getBytes("UTF-8")
-      // same loud guard as q80/q85/q88: the oracle's substr()
-      // character positions equal byte offsets only for pure-ASCII
-      // text, and the GRFT header's u16 width caps at 65535
-      require(bytes.length == text.length && bytes.length <= 65535,
-        s"AVI fixture assumes ASCII text <= 65535 bytes; doc $id has " +
-          s"${text.length} chars / ${bytes.length} bytes")
-      if (id % 97 == 0 || bytes.isEmpty) "not a video".getBytes("UTF-8")
-      else {
-        val n = bytes.length
-        val frames = Array.tabulate(4) { f =>
-          val rgb = new Array[Byte](n * 3)
-          var x = 0
-          while (x < n) {
-            val b = bytes((x + f) % n)
-            rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
-            x += 1
-          }
-          rgb
-        }
-        graft.operators.Multimodal.pack(n, 1, 3, 2,
-          graft.functions.GrftCodec.aviEncode(n, 1, 40000, frames))
-      }
-  }
 
   // rotation rounds for q133's rotated PQ
   private final val RotRounds = 16
@@ -1640,6 +1480,50 @@ object DataPipeline {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // capped image near-dup replay: the same hashes, the same
+    // brute-force hamming join, pair kept iff at least one EQUAL band
+    // has a key shared by <= cap docs (the q140 declarative semantics
+    // over aHash — `>>` is arithmetic in DuckDB but the & 65535 mask
+    // extracts the same 16 bits as Spark's shiftrightunsigned)
+    "q141_image_near_dup_capped" -> {
+      val bands = (0 until 4)
+        .map(j => s"CAST((ahash >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
+        .mkString(",\n        ")
+      val hots = (0 until 4)
+        .map(j => s"h$j AS (SELECT k$j AS kv FROM k GROUP BY 1 " +
+          s"HAVING count(*) > $HammingBandCap)")
+        .mkString(",\n")
+      val keep = (0 until 4)
+        .map(j => s"(a.k$j = b.k$j AND a.k$j NOT IN (SELECT kv FROM h$j))")
+        .mkString("\n     OR ")
+      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 8), c ->
+        |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+        |            AS BIGINT)) AS cs
+        |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+        |                    > 8 * list_aggregate(cs, 'sum') THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+        |      FROM g),
+        |k AS (SELECT doc_id, ahash,
+        |        $bands
+        |      FROM h),
+        |$hots
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |  AND ($keep)
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q80_image_codec" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w

@@ -188,6 +188,26 @@ object SharedArtifacts {
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
 
+  /** Packed media fixture blobs `(doc_id, blob)` for the codec and
+    * perceptual-hash gates (q51/q80/q85/q88/q90/q106/q111/q135-q138,
+    * q141): each document's text deterministically packed into a GRFT
+    * container of the given `kind` — `grft` (header round-trip), `pgm`,
+    * `bmp`, `png`, `jpeg`, `wav`, `avi` — with every 97th doc corrupted
+    * to an undecodable stub. Fixture SYNTHESIS is not the operator
+    * under test (in production, media arrives as stored bytes), so it
+    * runs once per (process, sf-dir, kind) and the gated queries read
+    * the columnar artifact — the benched media paths contain zero
+    * fixture UDFs.
+    */
+  def mediaFixture(s: SparkSession, dir: String, kind: String): DataFrame =
+    s.read.parquet(artifact(dir, s"media_$kind") { path =>
+      import org.apache.spark.sql.functions.col
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          MediaFixtures.pack(kind)(col("doc_id"), col("text")).as("blob"))
+        .write.mode("overwrite").parquet(path)
+    })
+
   private def artifact(dir: String, kind: String)(build: String => Unit): String =
     dirs.computeIfAbsent((dir, kind), { _ =>
       val p = Files.createTempDirectory(s"graft_${kind}_")
@@ -203,4 +223,133 @@ object SharedArtifacts {
           .forEach(f => Files.deleteIfExists(f))
       }
     }
+}
+
+/** The per-kind media fixture pack functions — text bytes →
+  * deterministic media payloads inside GRFT containers. The byte-level
+  * contract each oracle replays lives with the consuming query's
+  * comment; the shared invariants live here:
+  *  - every 97th doc packs as an undecodable stub (the corrupt-media
+  *    degradation path every codec gate proves);
+  *  - oracle `substr()` CHARACTER positions equal these byte offsets
+  *    only for pure-ASCII text, and the GRFT header's u16 width caps at
+  *    65535 — [[MediaFixtures.asciiBytes]] fails loudly if a future
+  *    corpus breaks either assumption rather than silently diverging.
+  */
+private[queries] object MediaFixtures {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+  import graft.operators.Multimodal
+  import graft.functions.GrftCodec
+
+  def pack(kind: String): UserDefinedFunction = kinds(kind)
+
+  private def asciiBytes(kind: String, id: Long, text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    require(bytes.length == text.length && bytes.length <= 65535,
+      s"$kind fixture assumes ASCII text <= 65535 bytes; doc $id has " +
+        s"${text.length} chars / ${bytes.length} bytes")
+    bytes
+  }
+
+  private val kinds: Map[String, UserDefinedFunction] = Map(
+    // GRFT container with the raw text payload, header fields derived
+    // from id/length; corrupt = a 3-byte stub too short for a header
+    "grft" -> udf { (id: Long, text: String) =>
+      val payload = text.getBytes("UTF-8")
+      if (id % 97 == 0) payload.take(3)
+      else Multimodal.pack(
+        payload.length % 256, payload.length / 256 % 256,
+        1 + (id % 3).toInt, (id % 3).toInt, payload)
+    },
+    // 1-row grayscale PGM: text bytes as pixels
+    "pgm" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("pgm", id, text)
+      if (id % 97 == 0) "not an image".getBytes("UTF-8")
+      else Multimodal.pack(bytes.length, 1, 1, 0,
+        GrftCodec.pnmEncode(bytes.length, 1, 1, bytes))
+    },
+    // w×1 24-bit BI_RGB BMP with gray (b,b,b) pixels
+    "bmp" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("bmp", id, text)
+      if (id % 97 == 0) "not a bitmap".getBytes("UTF-8")
+      else {
+        val rgb = new Array[Byte](bytes.length * 3)
+        var i = 0
+        while (i < bytes.length) {
+          rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i)
+          rgb(3 * i + 2) = bytes(i); i += 1
+        }
+        Multimodal.pack(bytes.length, 1, 3, 0,
+          GrftCodec.bmpEncode(bytes.length, 1, rgb))
+      }
+    },
+    // 1-row grayscale PNG, scanline filter type doc_id % 5 (so the
+    // decoder gate exercises None/Sub/Up/Average/Paeth)
+    "png" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("png", id, text)
+      if (id % 97 == 0) "not a png".getBytes("UTF-8")
+      else Multimodal.pack(bytes.length, 1, 1, 0,
+        GrftCodec.pngEncode(bytes.length, 1, 1, bytes, (id % 5).toInt))
+    },
+    // 128×8 grayscale baseline JPEG: 16 constant 8×8 blocks at quality
+    // 100 (all-ones quant tables) so decode is bit-exact
+    "jpeg" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("jpeg", id, text)
+      if (id % 97 == 0) "not a jpeg".getBytes("UTF-8")
+      else {
+        val n = bytes.length
+        val px = new Array[Byte](128 * 8)
+        var b = 0
+        while (b < 16) {
+          val v = bytes(b * n / 16)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { px(y * 128 + b * 8 + x) = v; x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        Multimodal.pack(128, 8, 1, 0,
+          GrftCodec.jpegEncode(128, 8, 1, px, quality = 100))
+      }
+    },
+    // mono 16-bit RIFF/WAVE, centered samples (b−128)·256
+    "wav" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("wav", id, text)
+      if (id % 97 == 0) "not a wave".getBytes("UTF-8")
+      else {
+        val samples = new Array[Short](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          samples(i) = (((bytes(i) & 0xff) - 128) * 256).toShort; i += 1
+        }
+        Multimodal.pack(bytes.length, 1, 1, 1,
+          GrftCodec.wavEncode(8000, 1, samples))
+      }
+    },
+    // 4-frame n×1 RGB AVI, frame f's pixel x = the gray byte at
+    // (x+f) mod n; EMPTY docs — which aviEncode would reject while the
+    // oracles' `n >= 1` filters null out — pack as stubs too
+    "avi" -> udf { (id: Long, text: String) =>
+      val bytes = asciiBytes("avi", id, text)
+      if (id % 97 == 0 || bytes.isEmpty) "not a video".getBytes("UTF-8")
+      else {
+        val n = bytes.length
+        val frames = Array.tabulate(4) { f =>
+          val rgb = new Array[Byte](n * 3)
+          var x = 0
+          while (x < n) {
+            val b = bytes((x + f) % n)
+            rgb(3 * x) = b; rgb(3 * x + 1) = b; rgb(3 * x + 2) = b
+            x += 1
+          }
+          rgb
+        }
+        Multimodal.pack(n, 1, 3, 2,
+          GrftCodec.aviEncode(n, 1, 40000, frames))
+      }
+    }
+  )
 }

@@ -142,6 +142,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains(" IN ("), plan)
   }
 
+  test("capped image mining keeps the q140 banded shape over aHash signatures") {
+    val plan = formatted("q141_image_near_dup_capped")
+    // same pin as q140: band-keyed equi-joins + union, no cross
+    // product, no nested loop, hot-key tables as joins not literals
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains(" IN ("), plan)
+  }
+
   test("containment pairs ride the shingle-keyed inverted index") {
     val plan = formatted("q48_containment")
     assert(!plan.contains("CartesianProduct"), plan)
