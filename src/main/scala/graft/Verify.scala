@@ -26,6 +26,32 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val summary = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Double, String)]
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // machine-readable run summary (r10 verdict directive 5): which
+    // dumps exist, how long each took, and any dump-time failure — so
+    // the driver/judge never has to scrape this main's stdout.
+    // REWRITTEN AFTER EVERY QUERY (r11 directive 7): a mid-run crash
+    // or kill leaves the partial record of everything that did finish,
+    // not an empty directory.
+    def writeSummary(): Unit = {
+      val sjson = summary.map { case (k, (ok, sec, err)) =>
+        s"${q(k)}: {\"ok\": $ok, \"sec\": ${fmt(sec)}" +
+          (if (err.nonEmpty) s", \"error\": ${q(err)}" else "") + "}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_summary.json"), sjson)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -53,32 +79,12 @@ object Verify {
             Option(e.getMessage).getOrElse(e.getClass.getName))
         }
         println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        writeSummary()
         spark.catalog.clearCache()
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // machine-readable run summary (r10 verdict directive 5): which
-    // dumps exist, how long each took, and any dump-time failure —
-    // so the driver/judge never has to scrape this main's stdout
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val sjson = summary.map { case (k, (ok, sec, err)) =>
-      s"${q(k)}: {\"ok\": $ok, \"sec\": ${fmt(sec)}" +
-        (if (err.nonEmpty) s", \"error\": ${q(err)}" else "") + "}"
-    }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), sjson)
     spark.stop()
   }
 }

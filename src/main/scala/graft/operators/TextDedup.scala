@@ -376,8 +376,13 @@ object TextDedup {
             .as(s"k$j")): _*)
     // hot-key flags ride the rows via one aggregate + join per band:
     // the aggregate shuffles DISTINCT KEYS (map-side combined), not
-    // rows, and the hot table is tiny (≤ n/cap keys) so AQE broadcasts
-    // the join back. Both the signature table and the flagged table
+    // rows. The hot table holds ≤ n/(cap+1) keys — NOT necessarily
+    // broadcast-small: at cap=2 a pathological corpus can put a third
+    // of its rows' keys in it. Small hot tables broadcast under AQE;
+    // larger ones fall back to a shuffle join on the band key, which
+    // stays scale-safe (key-partitioned, spillable, no per-key blowup
+    // — the flag join is 1:≤1 per key side). Both the signature table
+    // and the flagged table
     // are cached (the minhashLshPairs contract — callers release via
     // `graft.Tables.releaseOperatorCaches`): keyed0 feeds 4 hot
     // aggregates and keyed feeds 8 self-join sides; without the cache
@@ -740,6 +745,14 @@ object TextDedup {
     * broadcast decision reads the index's ON-DISK byte size from the
     * filesystem (free metadata), not a `count()` scan — a per-probe
     * count would double the index read cost of every batch.
+    *
+    * `maxBroadcastBytes` is an ON-DISK bound: snappy-parquet short
+    * strings expand ~3-10× when decoded to JVM rows, so the decision
+    * applies [[TextDedup.BroadcastExpansionFactor]] before comparing —
+    * the default 64 MB therefore admits ≈ 64 MB of in-memory hash
+    * relation (~13 MB on disk), in line with executor-memory budgets,
+    * instead of the up-to-640 MB relation the raw on-disk compare
+    * allowed.
     */
   def substringMatchesIndexed(docs: DataFrame, path: String,
                               windowChars: Int = 40,
@@ -750,9 +763,16 @@ object TextDedup {
     val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
       .getContentSummary(p).getLength
     substringMatchesIndexedDf(docs,
-      if (bytes <= maxBroadcastBytes) broadcast(idx) else idx,
+      if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes) broadcast(idx)
+      else idx,
       windowChars)
   }
+
+  /** Conservative decoded-rows-to-on-disk ratio for snappy-parquet
+    * window/string tables (measured 3-10× on the documents corpus; the
+    * high end budgets for UTF-16 `String` payloads plus row overhead).
+    */
+  final val BroadcastExpansionFactor = 5L
 
   /** The probe stage of [[substringMatchesIndexed]] over an ALREADY
     * LOADED (and broadcast-decided) index frame — per-micro-batch

@@ -303,11 +303,23 @@ object GraftExtensions {
       "graft_near_dup expects (table_name, id_col, sig_col[, max_hamming[, max_band_freq]]) literals")
     val str = lit("graft_near_dup") _
     val df = SparkSession.active.table(str(args.head))
+    // fail loudly on non-integral id/signature columns: cast("long")
+    // would silently turn a string/float column into nulls and mine an
+    // empty (or wrong) pair set
+    def longCol(name: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(name).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"graft_near_dup column '$name' must be integral (64-bit " +
+          s"signature semantics); got ${dt.simpleString} — cast it " +
+          "explicitly in the view if that is intended")
+      df(name).cast("long")
+    }
     val maxHamming = if (args.length >= 4) str(args(3)).toInt else 3
     val cap = if (args.length == 5) Some(str(args(4)).toLong) else None
     graft.operators.TextDedup.hammingPairs64(
-        df.select(df(str(args(1))).cast("long").as("doc_id"),
-          df(str(args(2))).cast("long").as("simhash")),
+        df.select(longCol(str(args(1))).as("doc_id"),
+          longCol(str(args(2))).as("simhash")),
         maxHamming, cap)
       .queryExecution.logical
   }

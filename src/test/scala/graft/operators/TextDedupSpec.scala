@@ -175,6 +175,34 @@ class TextDedupSpec extends SparkSpec {
       .filter(col("doc_a") >= 20000L).count() == 0L)
   }
 
+  test("hot-band cap semantics survive a non-broadcastable hot table") {
+    // the hot table holds ≤ n/(cap+1) keys — at small caps that is NOT
+    // broadcast-small (cap=2 can put a third of the corpus's keys in
+    // it), and the flag join must fall back to a shuffle join with
+    // identical semantics. Force the fallback for every join by
+    // disabling auto-broadcast outright and re-check the planted-skew
+    // expectations.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val blobSig = 0x0123456789abcdefL
+      val sigA = 0x7777000100020003L
+      val sigB = 0x7777000100020007L
+      val rows = (0 until 500).map(i => (i.toLong, blobSig)) ++
+        Seq((10001L, sigA), (10002L, sigB))
+      val sigs = rows.toDF("doc_id", "simhash").repartition(8)
+      val mined = TextDedup.hammingPairs64(sigs, maxHamming = 3,
+        maxBandFreq = Some(8L))
+      assert(mined.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        == Seq((10001L, 10002L, 1)))
+      // and the broadcast really was off — no join in the executed
+      // plan used a broadcast exchange
+      assert(!mined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash64 band keys span the full 16-bit space, not 16 values") {
     // the scale rationale for the 64-bit path: band keys must distribute
     // across 2^16 values; with ~100 docs the 4x100 keys should be nearly

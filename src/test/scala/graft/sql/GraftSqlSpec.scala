@@ -281,6 +281,32 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * FROM graft_near_dup('text_sigs', 'doc_id', 'simhash', '3', '2')")
       .collect().toSeq
     assert(cappedTvf == cappedApi && cappedApi.size <= api.size)
+    // planted hot band so the cap provably BITES through the TVF (at
+    // this sf the corpus alone may never trip it, which would make the
+    // <= assertion above vacuous): 4 identical signatures (> cap = 2)
+    // mine all 6 pairs uncapped and ZERO capped, plus a non-hot pair
+    // that must survive both ways
+    (Seq.tabulate(4)(i => (100L + i, 42L)) ++
+      Seq((200L, 0x0101010101010101L), (201L, 0x0101010101010101L)))
+      .toDF("doc_id", "simhash").createOrReplaceTempView("hot_sigs")
+    val hotAll = spark.sql(
+      "SELECT * FROM graft_near_dup('hot_sigs', 'doc_id', 'simhash')")
+      .collect().toSeq
+    val hotCapped = spark.sql(
+      "SELECT * FROM graft_near_dup('hot_sigs', 'doc_id', 'simhash', '3', '2')")
+      .collect().toSeq
+    assert(hotAll.size == 7) // C(4,2) hot pairs + the non-hot pair
+    assert(hotCapped.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      == Seq((200L, 201L, 0)))
+    // non-integral id/signature columns fail loudly instead of being
+    // silently cast to null
+    Seq(("a", 1L)).toDF("doc_id", "simhash")
+      .createOrReplaceTempView("bad_sigs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_near_dup('bad_sigs', 'doc_id', 'simhash')")
+        .collect()
+    }
+    assert(err.getMessage.contains("must be integral"), err.getMessage)
     // image: aHash signatures computed IN SQL (graft_ahash over real
     // packed rasters, two of them identical) mined by the same TVF
     val mk = (bytes: Array[Byte]) => graft.operators.Multimodal.pack(
