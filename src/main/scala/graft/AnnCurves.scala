@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Similarity}
+
+/** Measured recall@10 curves for every approximate-ANN index family,
+  * against the brute-force cosine ground truth (the q30 operator) on
+  * the same embeddings table — the accuracy/cost dial published as a
+  * table in COVERAGE.md (r10-r12 verdict directive 1).
+  *
+  * Families and knobs:
+  *  - IVF-flat (q32/q110 layout): recall@10 vs nProbe — the probed
+  *    fraction IS the scan cost under the partition-pruned layout.
+  *  - IVFADC (q122) and residual IVFADC (q123): recall@10 vs nProbe at
+  *    the same m-byte payload.
+  *  - PQ (q121): recall@10 vs m (bytes/vector) and vs kCode.
+  *  - Rotated PQ (q133): recall@10 vs m, same integer-ADC convention.
+  *
+  * Methodology: `nQueries` deterministic query ids spread across the
+  * corpus (skipping the `vec_id < kCode` codebook-seed rows), mean
+  * recall@10 = |approx-top-10 ∩ exact-top-10| / 10 averaged over the
+  * queries. Ground truth excludes the query vector, like every index
+  * path. `runMain graft.AnnCurves [sfDir] [outFile] [nQueries]`.
+  */
+object AnnCurves {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "testdata_sf1"
+    val outFile = if (args.length > 1) args(1) else "ANN_RECALL.md"
+    val nQueries = if (args.length > 2) args(2).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-curves")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // deterministic query ids, clear of the vec_id < 32 seed rows any
+    // kCode <= 32 codebook uses
+    val qids = (0 until nQueries).map(i => 32L + i * ((n - 32) / nQueries))
+    val k = 10
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact: Map[Long, Set[Long]] = qids.map { q =>
+      q -> ids(Similarity.bruteForceTopK(emb, q, k))
+    }.toMap
+    def meanRecall(top: Long => Set[Long]): Double =
+      qids.map(q => (top(q) & exact(q)).size.toDouble / k).sum / qids.size
+
+    val sb = new StringBuilder
+    sb.append(s"## ANN recall@10 — `$sfDir` embeddings ")
+    sb.append(s"($n × $dim, mean over $nQueries queries)\n\n")
+    sb.append("| family | knob | recall@10 | corpus fraction scanned |\n")
+    sb.append("|---|---|---|---|\n")
+    def row(family: String, knob: String, recall: Double, frac: String): Unit = {
+      sb.append(f"| $family | $knob | $recall%.3f | $frac |\n")
+      println(f"[ann] $family $knob recall@10=$recall%.3f scanned=$frac")
+    }
+
+    val nLists = 16
+    val centroids = IvfIndex.train(emb, nLists, iters = 2)
+    val qvs: Map[Long, Seq[Double]] = qids.map { q =>
+      q -> emb.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0).toSeq
+    }.toMap
+
+    // IVF-flat over the partition-pruned materialised layout
+    val ivfDir = Files.createTempDirectory("graft_ann_ivf_").toString
+    IvfIndex.writeIndex(emb, centroids, ivfDir)
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      row(s"IVF-flat (nLists=$nLists)", s"nProbe=$nProbe",
+        meanRecall(q => ids(IvfIndex.topKIndexed(spark, ivfDir, q, k, nProbe))),
+        s"~${nProbe}/$nLists")
+    }
+
+    // IVFADC: same lists, m=8 PQ codes as payload
+    val adcDir = Files.createTempDirectory("graft_ann_adc_").toString
+    IvfIndex.writeAdcIndex(emb, centroids, adcDir, m = 8, kCode = 16)
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      row("IVFADC (m=8, kCode=16)", s"nProbe=$nProbe",
+        meanRecall(q => ids(IvfIndex.topKAdcIndexed(spark, adcDir, qvs(q), k,
+          nProbe, excludeVecId = q))),
+        s"~${nProbe}/$nLists of codes")
+    }
+
+    // residual IVFADC: trained per-list residual codebooks, same bytes
+    val radcDir = Files.createTempDirectory("graft_ann_radc_").toString
+    val cb = IvfIndex.trainResidualCodebooks(emb, centroids, m = 8,
+      kCode = 16, iters = 2)
+    IvfIndex.writeResidualAdcIndex(emb, centroids, radcDir, m = 8, kCode = 16,
+      codebook = Some(cb))
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      row("residual IVFADC (m=8, kCode=16)", s"nProbe=$nProbe",
+        meanRecall(q => ids(IvfIndex.topKResidualAdcIndexed(spark, radcDir,
+          qvs(q), k, nProbe, excludeVecId = q))),
+        s"~${nProbe}/$nLists of codes")
+    }
+
+    // PQ / rotated PQ: full compressed scan, knob = bytes per vector
+    def pqTop(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter(col("vec_id") =!= q)
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    for (m <- Seq(4, 8, 16)) {
+      row("PQ (kCode=16)", s"m=$m",
+        meanRecall(q => pqTop(Similarity.pqEncodeAdc(emb, m, 16, q), q)),
+        "1 (compressed)")
+    }
+    for (kc <- Seq(8, 16, 32)) {
+      row("PQ (m=8)", s"kCode=$kc",
+        meanRecall(q => pqTop(Similarity.pqEncodeAdc(emb, 8, kc, q), q)),
+        "1 (compressed)")
+    }
+    for (m <- Seq(4, 8, 16)) {
+      row("rotated PQ (rounds=16, kCode=16)", s"m=$m",
+        meanRecall(q => pqTop(Similarity.rotatedPqAdc(emb, 16, m, 16, q), q)),
+        "1 (compressed)")
+    }
+
+    Files.writeString(Paths.get(outFile), sb.toString,
+      StandardCharsets.UTF_8)
+    println(s"[ann] wrote $outFile")
+    spark.stop()
+  }
+}

@@ -23,6 +23,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall@20 = $recall")
   }
 
+  test("IVF recall@10 curve: >=3 operating points, monotone, exact at full probe") {
+    // the curve harness behind the published sf1 table (graft.AnnCurves
+    // / COVERAGE.md): recall@10 vs nProbe averaged over several
+    // queries. Monotonicity is structural — nearestLists(nProbe) grows
+    // by supersets — and full probe must reproduce brute force exactly.
+    val k = 10
+    val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
+    val qids = Seq(5L, 57L, 111L, 222L, 333L)
+    val exact10 = qids.map(q =>
+      q -> ids(Similarity.bruteForceTopK(emb, q, k))).toMap
+    val curve = Seq(1, 2, 4).map { nProbe =>
+      nProbe -> qids.map(q =>
+        (ids(IvfIndex.topK(emb, centroids, q, k, nProbe)) &
+          exact10(q)).size.toDouble / k).sum / qids.size
+    }
+    val rs = curve.map(_._2)
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"recall curve not monotone: $curve")
+    assert(rs.last == 1.0, s"full probe must equal brute force: $curve")
+    assert(rs.head < 1.0 || rs.head > 0.0, curve.toString)
+  }
+
   test("IVF with all lists probed equals brute force") {
     val centroids = IvfIndex.train(emb, nLists = 4, iters = 2)
     val all = ids(IvfIndex.topK(emb, centroids, 0L, k = 20, nProbe = 4))
