@@ -790,6 +790,127 @@ object TextDedup {
         min(col("pos")).as("first_pos"))
       .orderBy(col("doc_id"))
 
+  // ---- versioned multi-eval-set decontamination index ----------------
+  //
+  // Layout: <root>/v<N>/eval_set_id=<id>/part-*.parquet plus a tiny
+  // `_current` pointer file naming the active version. Production keeps
+  // ONE standing index for many benchmark suites: new benchmark batches
+  // append in O(batch) into the current version's partition, and
+  // compaction (or a rebuild) writes a NEW version directory and flips
+  // the pointer last — in-flight probes keep reading a consistent
+  // snapshot, and append+compact is provably identical to a fresh
+  // rebuild (the index is a distinct-window SET; see
+  // SubstringIndexSetsSpec).
+
+  private def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_current")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Point `_current` at `version` — written to a temp name first and
+    * renamed into place last, so a reader never sees a half-written
+    * pointer. (Local-FS rename is atomic; on HDFS a production build
+    * would use FileContext.rename(OVERWRITE) — same one-pointer-flip
+    * protocol.)
+    */
+  private def flipIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                               path: String, version: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_current.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"pointer flip failed for $path v$version")
+  }
+
+  /** Build version 0 of a multi-eval-set window index: `benchSets`
+    * carries (eval_set_id, doc_id, text); distinct windows are written
+    * partitioned by eval_set_id, so a probe against a subset of suites
+    * is a partition-pruned scan.
+    */
+  def writeSubstringIndexSets(benchSets: DataFrame, path: String,
+                              windowChars: Int = 40): Unit = {
+    val spark = benchSets.sparkSession
+    charWindows(benchSets.select(col("doc_id"), col("text")), windowChars)
+      .join(benchSets.select(col("doc_id"), col("eval_set_id")), Seq("doc_id"))
+      .select(col("g"), col("eval_set_id")).distinct()
+      .write.mode("overwrite").partitionBy("eval_set_id")
+      .parquet(s"$path/v0")
+    flipIndexVersion(spark, path, 0)
+  }
+
+  /** O(new batch) append of one benchmark batch into `evalSetId`'s
+    * partition of the CURRENT version: existing files are never
+    * rewritten, and duplicate windows across files are harmless — the
+    * probe dedups (g, eval_set_id) before joining, and compaction
+    * removes them physically.
+    */
+  def appendToSubstringIndexSets(newBench: DataFrame, evalSetId: Int,
+                                 path: String, windowChars: Int = 40): Unit = {
+    val v = currentIndexVersion(newBench.sparkSession, path)
+    charWindows(newBench, windowChars).select(col("g")).distinct()
+      .withColumn("eval_set_id", lit(evalSetId))
+      .write.mode("append").partitionBy("eval_set_id")
+      .parquet(s"$path/v$v")
+  }
+
+  /** Compact the current version into version N+1 (per-set distinct —
+    * appended duplicate windows collapse, file counts reset) and flip
+    * the pointer. Returns the new version number; the old directory is
+    * left for in-flight readers (a retention job deletes versions
+    * older than the read horizon).
+    */
+  def compactSubstringIndexSets(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Int = {
+    val cur = currentIndexVersion(spark, path)
+    val next = cur + 1
+    spark.read.parquet(s"$path/v$cur")
+      .select(col("g"), col("eval_set_id")).distinct()
+      .write.mode("overwrite").partitionBy("eval_set_id")
+      .parquet(s"$path/v$next")
+    flipIndexVersion(spark, path, next)
+    next
+  }
+
+  /** Probe an ingest batch against EVERY eval set of the current index
+    * version in one pass: per-(doc, eval set) hit stats, the q101
+    * aggregate keyed by suite. The index side dedups (g, eval_set_id)
+    * so un-compacted appends cannot inflate n_hits; small indexes ride
+    * a broadcast under the same expansion-factor rule as
+    * [[substringMatchesIndexed]].
+    */
+  def substringMatchesIndexedSets(docs: DataFrame, path: String,
+                                  windowChars: Int = 40,
+                                  maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val v = currentIndexVersion(spark, path)
+    val idx = spark.read.parquet(s"$path/v$v")
+      .select(col("g"), col("eval_set_id").cast("long").as("eval_set_id"))
+      .distinct()
+    val p = new org.apache.hadoop.fs.Path(s"$path/v$v")
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    val idxSide =
+      if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes) broadcast(idx)
+      else idx
+    charWindows(docs, windowChars)
+      .join(idxSide, Seq("g"))
+      .groupBy(col("doc_id"), col("eval_set_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("g")).as("n_grams"),
+        min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"), col("eval_set_id"))
+  }
+
   /** Winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003) per document: one row per selected (position, k-gram-hash)
     * fingerprint, columns `doc_id, pos, h`.

@@ -443,6 +443,22 @@ object Corpus {
         path, windowChars = 40)
     },
 
+    // MULTI-eval-set decontamination against the VERSIONED index
+    // lifecycle (r11 directive 9): src0 and src1 are two benchmark
+    // suites in one standing index (built v0 → O(batch) append →
+    // compact to v1 with the atomic pointer flip — see
+    // SharedArtifacts.substringIndexSetsPath); one probe pass reports
+    // per-(doc, suite) hit stats. The oracle recomputes both suites'
+    // window sets inline, so the hash match proves the whole lifecycle
+    // — append dedup, compaction, pointer — changed nothing semantic.
+    "q142_decontam_index_sets" -> { (s, dir) =>
+      val path = SharedArtifacts.substringIndexSetsPath(s, dir, windowChars = 40)
+      graft.operators.TextDedup.substringMatchesIndexedSets(
+        Tables.loadParallel(s, dir, "documents")
+          .filter(!col("source").isin("src0", "src1")),
+        path, windowChars = 40)
+    },
+
     // record linkage: all customer-name pairs within edit distance 1,
     // mined by deletion-neighborhood blocking (equi-join candidates,
     // recall 1) + exact banded-levenshtein verify — gated against the
@@ -1007,6 +1023,34 @@ object Corpus {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q101_substr_decontam" -> substrDecontamSql,
+
+    // q142: the q101 window aggregate per eval set — both suites'
+    // window sets recomputed inline, independent of the index layout
+    "q142_decontam_index_sets" -> {
+      def ev(src: String) =
+        s"""(SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+           |    FROM (SELECT text,
+           |            unnest(generate_series(1, length(text) - 39)) AS i
+           |          FROM documents WHERE source = '$src'))""".stripMargin
+      s"""WITH ev0 AS ${ev("src0")},
+         |ev1 AS ${ev("src1")},
+         |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         substr(text, CAST(i AS INT), 40) AS g
+         |       FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text) - 39)) AS i
+         |             FROM documents
+         |             WHERE source NOT IN ('src0', 'src1'))),
+         |hit AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS eval_set_id, pos, g
+         |  FROM tr WHERE g IN (SELECT g FROM ev0)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS eval_set_id, pos, g
+         |  FROM tr WHERE g IN (SELECT g FROM ev1))
+         |SELECT doc_id, eval_set_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+         |       CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM hit GROUP BY 1, 2 ORDER BY doc_id, eval_set_id""".stripMargin
+    },
 
     // the index-backed q139 must be RESULT-IDENTICAL to the inline
     // q101 scan — one oracle serves both, which is the point

@@ -171,6 +171,33 @@ object SharedArtifacts {
         path, windowChars)
     }
 
+  /** Versioned MULTI-EVAL-SET decontamination window index
+    * ([[graft.operators.TextDedup.writeSubstringIndexSets]]): src0 as
+    * eval set 0 and src1 as eval set 1, built through the full
+    * lifecycle the layout exists for — v0 from set 0 plus HALF of set
+    * 1, an O(batch) append of set 1's other half, then a compaction
+    * into v1 with the atomic pointer flip. q142's timed query probes
+    * the resulting current version, so the gate covers the versioned
+    * layout end-to-end (append dedup, partition pruning by
+    * eval_set_id, pointer read), not just a fresh build.
+    */
+  def substringIndexSetsPath(s: SparkSession, dir: String,
+                             windowChars: Int = 40): String =
+    artifact(dir, s"substr_sets_$windowChars") { path =>
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val docs = Tables.load(s, dir, "documents")
+      val initial = docs
+        .filter(col("source") === "src0" ||
+          (col("source") === "src1" && col("doc_id") % 2 === 0))
+        .withColumn("eval_set_id",
+          when(col("source") === "src0", lit(0)).otherwise(lit(1)))
+      TextDedup.writeSubstringIndexSets(initial, path, windowChars)
+      TextDedup.appendToSubstringIndexSets(
+        docs.filter(col("source") === "src1" && col("doc_id") % 2 =!= 0),
+        evalSetId = 1, path, windowChars)
+      TextDedup.compactSubstringIndexSets(s, path)
+    }
+
   /** The 1000-round word-level BPE merge table over q109's training
     * slice (doc_id % 10 == 0), trained once per process per sf-dir —
     * the persisted vocabulary a production tokenizer trains once and

@@ -44,7 +44,13 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            "q122",
            # r10 session 2: residual IVFADC (q123), feature hashing
            # (q124), KMV set-ops (q126), maximal dup spans (q127)
-           "q123", "q124", "q126", "q127"]
+           "q123", "q124", "q126", "q127",
+           # r13 (r11 verdict directive 5): span-removal manifest with
+           # the key_gh-windowed ownership pass (q131 — linear-with-skew
+           # window, not a self-join), the media hash/miner family
+           # (q136 uncapped aHash pairs, q137 audio fingerprints, q138
+           # video hashes) and the capped 64-bit simhash miner (q140)
+           "q131", "q136", "q137", "q138", "q140"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
@@ -79,6 +85,37 @@ WORK_SQL = {
       f AS (SELECT sh, count(*) AS f FROM sh GROUP BY 1)
       SELECT CAST(sum(f * (f - 1) / 2) AS BIGINT) FROM f""",
 }
+
+# Banded-miner candidate work, computed from the engine's own generated
+# oracle SQL (run_verify's dump dir carries oracle_sql.json): reuse the
+# WITH-chain that derives the 64-bit signature table, then count the
+# pairs the 4x16 banded join actually touches — sum over (band, key)
+# groups of f*(f-1)/2. q140 counts only non-hot keys (cap = 2, the
+# gated capped config — hot groups are excluded from their band's
+# join); q136 counts every key (the uncapped aHash miner is
+# Theta(band collisions) by design).
+BANDED_WORK = {
+    "q140": ("q38_simhash64_pairs", "s", "simhash", 2),
+    "q136": ("q136_image_near_dup", "h", "ahash", None),
+}
+
+
+def banded_work(con, out_dir, qname):
+    oracle_key, table, col, cap = BANDED_WORK[qname]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        sql = json.load(f)[oracle_key]
+    core = sql[:sql.rindex("SELECT a.doc_id")].rstrip().rstrip(",")
+    work = (f"CASE WHEN f > {cap} THEN 0 ELSE f*(f-1)/2 END"
+            if cap is not None else "f*(f-1)/2")
+    return con.execute(core + f""",
+      bk AS (SELECT (({col} >> 0) & 65535) AS kv, 0 AS band FROM {table}
+             UNION ALL SELECT (({col} >> 16) & 65535), 1 FROM {table}
+             UNION ALL SELECT (({col} >> 32) & 65535), 2 FROM {table}
+             UNION ALL SELECT (({col} >> 48) & 65535), 3 FROM {table}),
+      bf AS (SELECT band, kv, count(*) AS f FROM bk GROUP BY 1, 2)
+      SELECT CAST(sum({work}) AS BIGINT) FROM bf"""
+    ).fetchone()[0]
+
 
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 JAVA = [
@@ -121,6 +158,8 @@ def run_verify(sf_dir, out_dir):
                    check=True)
     import duckdb
     con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
     rows = {}
     works = {}
     for d in sorted(os.listdir(out_dir)):
@@ -133,6 +172,8 @@ def run_verify(sf_dir, out_dir):
             if q in DUMP_WORK_SQL:
                 works[q] = con.execute(
                     DUMP_WORK_SQL[q].format(dump=p)).fetchone()[0]
+            if q in BANDED_WORK:
+                works[q] = banded_work(con, out_dir, q)
     return rows, works
 
 
