@@ -227,6 +227,50 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Token-exact concat-and-chunk packing — the standard pretraining
+    * export format: within each `partitionCol` shard, documents are
+    * conceptually concatenated in `orderCol` order and the token
+    * stream is cut into EXACT `seqLen`-token training sequences, so a
+    * document may span a sequence boundary (unlike
+    * [[packByTokenBudget]], whose bins break at doc edges and may
+    * overflow). Per input row this adds:
+    *
+    *  - `start_off`: tokens before the doc in its shard's stream
+    *  - `first_seq` / `last_seq`: the sequence ids the doc's first and
+    *    last token land in (`floor(start_off / seqLen)` and
+    *    `floor((start_off + tokens - 1) / seqLen)`)
+    *  - `n_seqs_spanned`: `last_seq - first_seq + 1` — > 1 iff the doc
+    *    is split across a boundary
+    *
+    * Scale shape: ONE window cumsum partitioned by the shard key —
+    * shards are the parallel unit (the writer that materializes the
+    * sequences is per-shard sequential by the format's definition, so
+    * the plan mirrors production exactly); no global sort, no state.
+    * Everything is integer arithmetic on token counts, so any engine
+    * replays the same boundaries bit-for-bit. Rows with non-positive
+    * token counts are excluded — an empty doc occupies no tokens of
+    * the stream, so it has no defensible sequence span.
+    */
+  def concatChunk(df: DataFrame, tokensCol: String, seqLen: Long,
+                  partitionCol: String, orderCol: String): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val added = Seq("start_off", "first_seq", "last_seq", "n_seqs_spanned")
+    require(added.forall(!df.columns.contains(_)),
+      s"input already has one of ${added.mkString("/")}; rename it first")
+    val before = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("start_off",
+        coalesce(sum(col(tokensCol)).over(before), lit(0L)).cast("long"))
+      // `div`, not `/`: float division truncates wrongly past 2^53 —
+      // real token offsets at corpus scale sit within a long, so the
+      // boundary math stays integer end-to-end
+      .withColumn("first_seq", expr(s"start_off div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_off + $tokensCol - 1) div $seqLen"))
+      .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1L)
+  }
+
   /** Token-budget subset selection: keep the best-scoring documents
     * whose token counts fit a budget of `budgetNum/budgetDen` of the
     * corpus total — the "fill N tokens with the highest-quality data"

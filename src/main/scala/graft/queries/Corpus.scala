@@ -480,6 +480,55 @@ object Corpus {
       TextAnalysis.multiPatternCounts(
           Tables.load(s, dir, "documents"), AcPatterns)
         .orderBy(col("doc_id"), col("pattern"))
+    },
+
+    // token-exact concat-and-chunk training export: hash-sharded
+    // stream order (the q54 assignment), then every document's exact
+    // sequence span under seqLen=64 cutting. The per-shard
+    // span_fingerprint sums first_seq*doc_id + last_seq, so the hash
+    // match pins EVERY doc's boundary arithmetic, not just totals;
+    // n_split_docs and tail_padding are the numbers a capacity plan
+    // reads off (boundary-crossing rate, wasted tail tokens per shard)
+    "q143_concat_chunk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      val packed = Sampling.concatChunk(
+        Sampling.assignShards(docs, "doc_id", nShards = 8),
+        "n_tokens", seqLen = 64L, partitionCol = "shard", orderCol = "shard_pos")
+      packed.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          expr("(sum(n_tokens) + 63) div 64").as("n_seqs"),
+          sum(when($"n_seqs_spanned" > 1L, 1L).otherwise(0L)).as("n_split_docs"),
+          sum($"first_seq" * $"doc_id" + $"last_seq").as("span_fingerprint"))
+        .withColumn("tail_padding", $"n_seqs" * 64L - $"n_tokens")
+        .orderBy($"shard")
+    },
+
+    // snapshot diff for incremental ingestion: old = the documents
+    // table, new = a deterministic rewrite (drop doc_id%7=0, edit
+    // doc_id%5=0, re-add doc_id%11=0 under offset ids), both
+    // fingerprinted scan-side by md5(text). fp_sum folds the md5
+    // prefix of every surviving fingerprint into the gate, so the
+    // hash match proves the full-outer classification AND the
+    // fingerprints themselves, per status class
+    "q144_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val newSnap = docs.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 5 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+      def fp(df: DataFrame) = df.withColumn("fp", md5($"text".cast("binary")))
+      graft.operators.SnapshotDiff.diff(fp(docs), fp(newSnap), "doc_id", "fp")
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"),
+          sum(expr(
+            "cast(conv(substr(coalesce(new_fp, old_fp), 1, 13), 16, 10) as bigint)"))
+            .as("fp_sum"))
+        .orderBy($"status")
     }
   )
 
@@ -1079,7 +1128,62 @@ object Corpus {
          |      WHERE length(d.text) >= length(p.pattern))
          |SELECT doc_id, pattern, n FROM c WHERE n > 0
          |ORDER BY doc_id, pattern""".stripMargin
-    }
+    },
+
+    // q54's shard assignment replay + the concat-and-chunk boundary
+    // arithmetic as one window cumsum — integer `//` division matches
+    // Spark's `div` bit-for-bit
+    "q143_concat_chunk" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |        CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard FROM t),
+        |r AS (SELECT doc_id, n_tokens, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos
+        |      FROM s),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_off
+        |      FROM r WHERE n_tokens > 0),
+        |f AS (SELECT shard, doc_id, n_tokens,
+        |        start_off // 64 AS first_seq,
+        |        (start_off + n_tokens - 1) // 64 AS last_seq
+        |      FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((sum(n_tokens) + 63) // 64 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(sum(first_seq * doc_id + last_seq) AS BIGINT) AS span_fingerprint,
+        |  CAST((sum(n_tokens) + 63) // 64 * 64 - sum(n_tokens) AS BIGINT)
+        |    AS tail_padding
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full-outer fingerprint diff, per-status rollup; fp_sum folds the
+    // 13-hex md5 prefix of every key's surviving fingerprint
+    "q144_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |new AS (SELECT doc_id,
+        |          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |        FROM documents WHERE doc_id % 7 <> 0
+        |        UNION ALL
+        |        SELECT doc_id + 10000000, md5(text)
+        |        FROM documents WHERE doc_id % 11 = 0),
+        |d AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |        old.fp AS old_fp, new.fp AS new_fp
+        |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT CASE WHEN old_fp IS NULL THEN 'added'
+        |            WHEN new_fp IS NULL THEN 'removed'
+        |            WHEN old_fp = new_fp THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CAST(('0x' || substr(coalesce(new_fp, old_fp), 1, 13))
+        |    AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the

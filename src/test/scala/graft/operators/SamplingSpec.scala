@@ -152,4 +152,36 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(again == got)
   }
+
+  test("concatChunk boundary math is token-exact and partition-invariant") {
+    val t = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.concatChunk(df, "n_tokens", seqLen = 50L,
+          partitionCol = "source", orderCol = "doc_id")
+        .select($"doc_id", $"start_off", $"first_seq", $"last_seq",
+          $"n_seqs_spanned")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(t.repartition(1)) == run(t.repartition(7, $"text")))
+    // replay one shard sequentially: offsets are the exact cumsum and
+    // every span is floor-division of its token interval
+    val rows = Sampling.concatChunk(t, "n_tokens", 50L, "source", "doc_id")
+      .filter($"source" === "src1").orderBy($"doc_id")
+      .select($"n_tokens", $"start_off", $"first_seq", $"last_seq",
+        $"n_seqs_spanned").as[(Long, Long, Long, Long, Long)].collect()
+    var off = 0L
+    rows.foreach { case (n, so, fs, ls, span) =>
+      assert(so == off && fs == off / 50 && ls == (off + n - 1) / 50
+        && span == ls - fs + 1)
+      off += n
+    }
+    // the fixture's 2..30-token docs against seqLen=50 must cross
+    // boundaries somewhere, else the split-doc assertions are vacuous
+    assert(rows.exists(_._5 > 1))
+    // empty docs occupy no stream tokens and are excluded
+    val withEmpty = t.unionByName(Seq(("src1", 999L, 0L))
+      .toDF("source", "doc_id", "n_tokens"))
+    assert(!Sampling.concatChunk(withEmpty, "n_tokens", 50L, "source", "doc_id")
+      .filter($"doc_id" === 999L).collect().nonEmpty)
+  }
 }
