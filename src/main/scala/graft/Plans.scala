@@ -41,7 +41,11 @@ object Plans {
     "q129_text_clusters" -> "text clustering from raw text (r10): seed vectors as literals, integer argmin in one pass, single window for cluster sizes",
     "q136_image_near_dup" -> "image near-dup mining (r10): perceptual aHash over real decoded rasters, then the SAME 4x16 banded first-match self-join as text SimHash — one miner for every 64-bit signature",
     "q140_simhash64_capped" -> "capped 64-bit simhash mining (r11): hot band keys (> cap members) excluded from their band's self-join via per-row flags, first-match treats hot prior bands as non-matches — every join group bounded by the cap, no straggler task on a boilerplate-heavy corpus",
-    "q141_image_near_dup_capped" -> "capped image near-dup mining (r13): the q140 hot-band cap applied to q136's aHash signatures — k identical thumbnails can no longer form a k^2 band group; at sf0.01 the cap excludes 50 hot keys per band and shrinks the pair set 1587 -> 32")
+    "q141_image_near_dup_capped" -> "capped image near-dup mining (r13): the q140 hot-band cap applied to q136's aHash signatures — k identical thumbnails can no longer form a k^2 band group; at sf0.01 the cap excludes 50 hot keys per band and shrinks the pair set 1587 -> 32",
+    "q143_concat_chunk" -> "concat-and-chunk export (r13): ONE per-shard window cumsum over token counts, integer div boundary math — no global sort, no sequential state, shards are the parallel unit",
+    "q144_snapshot_diff" -> "snapshot diff (r13): one full-outer SortMergeJoin on (key, fingerprint) — payloads stay scan-side, classification is a projection above the join",
+    "q145_delta_dedup" -> "delta-driven incremental dedup (r13): only the snapshot delta is shingled/hashed; the corpus is reached through its persisted MinHash signature index — banded equi-join against the index scan, candidate-only exact verification",
+    "q146_chunk_manifest" -> "sequence-writer manifest (r13): explode(sequence(first_seq, last_seq)) above concatChunk's one window — output ∝ docs + boundary crossings, all interval math in one projection, no extra Exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -271,6 +271,48 @@ object Sampling {
       .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1L)
   }
 
+  /** The writer-side manifest of [[concatChunk]]: one row per
+    * (document, training sequence) SEGMENT — which token interval of
+    * the doc lands in which interval of the sequence. This is the
+    * structure a sequence writer (and its attention-mask /
+    * provenance metadata) consumes: per sequence, the ordered
+    * segments tile `[0, seqLen)` (the per-shard tail sequence tiles a
+    * prefix), and per document the segments tile `[0, tokens)`.
+    *
+    * Input must be [[concatChunk]] output (carries `start_off` /
+    * `first_seq` / `last_seq`). Adds per segment:
+    *
+    *  - `seq`: the training-sequence id within the shard
+    *  - `seg_doc_from` / `seg_doc_to`: the doc's token interval
+    *    (half-open) contributing to this sequence
+    *  - `seg_seq_from`: where that interval starts inside the sequence
+    *  - `n_seg_tokens`: interval width, > 0 by construction
+    *
+    * Scale shape: `explode(sequence(first_seq, last_seq))` — output
+    * and work are docs + boundary crossings (crossings ≈ total tokens
+    * / seqLen), never docs × sequences; everything after the explode
+    * is integer arithmetic in the same projection, no extra shuffle
+    * beyond [[concatChunk]]'s one window.
+    */
+  def chunkManifest(packed: DataFrame, tokensCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(Seq("start_off", "first_seq", "last_seq").forall(
+        packed.columns.contains(_)),
+      "chunkManifest consumes concatChunk output (start_off/first_seq/last_seq)")
+    packed
+      .withColumn("seq", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("seg_doc_from",
+        greatest(lit(0L), col("seq") * seqLen - col("start_off")))
+      .withColumn("seg_doc_to",
+        least(col(tokensCol).cast("long"),
+          (col("seq") + 1L) * seqLen - col("start_off")))
+      .withColumn("seg_seq_from",
+        col("start_off") + col("seg_doc_from") - col("seq") * seqLen)
+      .withColumn("n_seg_tokens", col("seg_doc_to") - col("seg_doc_from"))
+      .drop("first_seq", "last_seq", "n_seqs_spanned")
+  }
+
   /** Token-budget subset selection: keep the best-scoring documents
     * whose token counts fit a budget of `budgetNum/budgetDen` of the
     * corpus total — the "fill N tokens with the highest-quality data"

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Sampling, Sketches, TextAnalysis, Tokenizer}
+import graft.operators.{Sampling, Sketches, TextAnalysis, TextDedup, Tokenizer}
 
 /** Corpus-curation queries (round 4): repetition signals, PII-style
   * scrubbing, benchmark decontamination, boilerplate discovery, sketch
@@ -529,6 +529,48 @@ object Corpus {
             "cast(conv(substr(coalesce(new_fp, old_fp), 1, 13), 16, 10) as bigint)"))
             .as("fp_sum"))
         .orderBy($"status")
+    },
+
+    // the q144 diff MONETIZED: the snapshot delta (added + changed
+    // new-side rows) probes the standing full-corpus MinHash index
+    // (q77 machinery) — incremental ingestion dedup runs on the
+    // delta, not the corpus. Re-added docs hit their originals at
+    // jaccard 1.0, edited docs hit their own prior version just
+    // below it; threshold 0.8 keeps every planted pair while staying
+    // where 16x2 banding recall is ~1
+    "q145_delta_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val newSnap = docs.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 5 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+        .unionByName(docs.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+      def fp(df: DataFrame) = df.withColumn("fp", md5($"text".cast("binary")))
+      val delta = graft.operators.SnapshotDiff
+        .delta(fp(docs), fp(newSnap), "doc_id", "fp")
+        .select($"doc_id", $"text")
+      val idxPath = SharedArtifacts.signatureIndexPath(s, dir,
+        splitAt = 10000000L)
+      TextDedup.nearDupsAgainstIndex(delta, idxPath, threshold = 0.8)
+    },
+
+    // q143's writer-side manifest: every (doc, sequence) SEGMENT with
+    // its exact token intervals on both sides — the rows a sequence
+    // writer and its provenance metadata consume. Output ∝ docs +
+    // boundary crossings; the oracle replays the explode and the
+    // interval arithmetic from the same cumsum
+    "q146_chunk_manifest" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      val packed = Sampling.concatChunk(
+        Sampling.assignShards(docs, "doc_id", nShards = 8),
+        "n_tokens", seqLen = 64L, partitionCol = "shard", orderCol = "shard_pos")
+      Sampling.chunkManifest(packed, "n_tokens", seqLen = 64L)
+        .select($"shard", $"seq", $"doc_id", $"seg_doc_from", $"seg_doc_to",
+          $"seg_seq_from", $"n_seg_tokens")
+        .orderBy($"shard", $"seq", $"seg_seq_from")
     }
   )
 
@@ -1183,7 +1225,76 @@ object Corpus {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(CAST(('0x' || substr(coalesce(new_fp, old_fp), 1, 13))
         |    AS BIGINT)) AS BIGINT) AS fp_sum
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the delta replayed declaratively (changed = %5 edits surviving
+    // the %7 removal, added = the offset re-adds), then the exact
+    // trigram-Jaccard join of delta docs against the full corpus —
+    // the q77 verification arithmetic with the delta as the new batch
+    "q145_delta_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' v2' AS text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0),
+        |wn AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wn),
+        |wo AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |sho AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wo),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM shn a JOIN sho b ON a.sh = b.sh GROUP BY 1, 2),
+        |sn AS (SELECT doc_id, count(*) n FROM shn GROUP BY 1),
+        |so AS (SELECT doc_id, count(*) n FROM sho GROUP BY 1),
+        |j AS (SELECT da, db, common * 1.0 / (sa.n + sb.n - common) AS jac
+        |      FROM cand JOIN sn sa ON da = sa.doc_id
+        |                JOIN so sb ON db = sb.doc_id)
+        |SELECT da AS doc_id, db AS dup_of, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin,
+
+    // q143's cumsum chain continued: one generate_series unnest per
+    // doc over its spanned sequences, then the same integer interval
+    // arithmetic — every segment's offsets on both sides, bit-exact
+    "q146_chunk_manifest" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |        CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard FROM t),
+        |r AS (SELECT doc_id, n_tokens, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos
+        |      FROM s),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_off
+        |      FROM r WHERE n_tokens > 0),
+        |f AS (SELECT shard, doc_id, n_tokens, start_off,
+        |        start_off // 64 AS first_seq,
+        |        (start_off + n_tokens - 1) // 64 AS last_seq
+        |      FROM c),
+        |g AS (SELECT shard, doc_id, n_tokens, start_off,
+        |        unnest(generate_series(first_seq, last_seq)) AS seq
+        |      FROM f),
+        |m AS (SELECT shard, seq, doc_id,
+        |        greatest(0, seq * 64 - start_off) AS seg_doc_from,
+        |        least(n_tokens, (seq + 1) * 64 - start_off) AS seg_doc_to,
+        |        start_off + greatest(0, seq * 64 - start_off) - seq * 64
+        |          AS seg_seq_from
+        |      FROM g)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+        |  doc_id, CAST(seg_doc_from AS BIGINT) AS seg_doc_from,
+        |  CAST(seg_doc_to AS BIGINT) AS seg_doc_to,
+        |  CAST(seg_seq_from AS BIGINT) AS seg_seq_from,
+        |  CAST(seg_doc_to - seg_doc_from AS BIGINT) AS n_seg_tokens
+        |FROM m ORDER BY shard, seq, seg_seq_from""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the

@@ -184,4 +184,46 @@ class SamplingSpec extends SparkSpec {
     assert(!Sampling.concatChunk(withEmpty, "n_tokens", 50L, "source", "doc_id")
       .filter($"doc_id" === 999L).collect().nonEmpty)
   }
+
+  test("chunkManifest segments tile both the docs and the sequences") {
+    val t = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val packed = Sampling.concatChunk(t, "n_tokens", 50L, "source", "doc_id")
+    val m = Sampling.chunkManifest(packed, "n_tokens", 50L)
+      .select($"source", $"doc_id", $"n_tokens", $"seq", $"seg_doc_from",
+        $"seg_doc_to", $"seg_seq_from", $"n_seg_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(m.forall(_._8 > 0)) // no empty segments
+    // per doc: segments in seq order tile [0, n_tokens) contiguously
+    m.groupBy(_._2).foreach { case (_, segs) =>
+      val ordered = segs.sortBy(_._4)
+      assert(ordered.head._5 == 0L)
+      assert(ordered.last._6 == ordered.head._3) // last seg_doc_to == n_tokens
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 == b._5) // contiguous doc intervals
+        case _ =>
+      }
+    }
+    // per (shard, seq): segments tile the sequence from 0; every
+    // non-tail sequence carries exactly seqLen tokens
+    val lastSeq = m.groupBy(_._1).map { case (src, segs) =>
+      src -> segs.map(_._4).max
+    }
+    m.groupBy(s => (s._1, s._4)).foreach { case ((src, seq), segs) =>
+      val ordered = segs.sortBy(_._7)
+      assert(ordered.head._7 == 0L) // first segment starts the sequence
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._7 + a._8 == b._7) // contiguous
+        case _ =>
+      }
+      if (seq != lastSeq(src)) assert(segs.map(_._8).sum == 50L)
+    }
+    // manifest explode count replays n_seqs_spanned exactly
+    val spanned = packed.select($"doc_id", $"n_seqs_spanned")
+      .as[(Long, Long)].collect().toMap
+    m.groupBy(_._2).foreach { case (id, segs) =>
+      assert(segs.size.toLong == spanned(id))
+    }
+  }
 }

@@ -53,4 +53,30 @@ class SnapshotDiffSpec extends SparkSpec {
     val want = newSnap.as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(rebuilt == want)
   }
+
+  test("delta probes the standing MinHash index: only delta docs dedup") {
+    // 20-word docs so trigram shingles exist; each doc's words are
+    // disjoint from every other doc's
+    def words(i: Long) = (0 until 20).map(j => s"t${i}_$j").mkString(" ")
+    val old = (1L to 10L).map(i => (i, words(i))).toDF("doc_id", "text")
+    // doc 3 edited (one appended token), doc 4 removed, doc 7
+    // re-added verbatim under an offset id
+    val nw = ((1L to 10L).filter(_ != 4L)
+      .map(i => (i, if (i == 3L) words(i) + " v2" else words(i))) :+
+      (107L, words(7L))).toDF("doc_id", "text")
+    val idx = tempDir("graft_snapdiff_idx")
+    TextDedup.writeSignatureIndex(old, idx)
+    val delta = SnapshotDiff.delta(fp(old), fp(nw), "doc_id", "fp")
+      .select($"doc_id", $"text")
+    val hits = TextDedup.nearDupsAgainstIndex(delta, idx, threshold = 0.8)
+      .select($"doc_id", $"dup_of", $"jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // the edited doc matches its own prior version (18 of 19 trigrams
+    // shared -> 18/19), the re-add matches its origin exactly; nothing
+    // else reaches the index probe because nothing else is in the delta
+    assert(hits.map(h => (h._1, h._2)) == Seq((3L, 3L), (107L, 7L)))
+    assert(hits.find(_._1 == 107L).get._3 == 1.0)
+    val edited = hits.find(_._1 == 3L).get._3
+    assert(edited > 0.94 && edited < 0.96)
+  }
 }
