@@ -310,6 +310,34 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** First-occurrence n-gram novelty: per document, how many of its
+    * distinct word k-grams appear HERE FIRST (ingestion order =
+    * ascending doc_id) — the marginal-new-content signal a curation
+    * pipeline uses to rank sources and decide whether the next crawl
+    * dump still pays for itself. A doc of boilerplate already seen
+    * scores ~0; genuinely new text scores ~its gram count.
+    *
+    * Scale shape: two hash aggregations over the distinct-shingle
+    * view, both ∝ corpus grams. The per-gram `min(doc_id)` collapses
+    * the gram table to one row per DISTINCT gram before the per-doc
+    * recount, so no joins ever touch the wide gram table — the only
+    * join is doc-keyed (one row per doc on each side). All-integer
+    * outputs; docs with fewer than k words carry no shingles and are
+    * excluded (the dedup miners' domain).
+    */
+  def noveltyStats(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = TextDedup.wordShingles(docs, k)
+    val totals = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
+  }
+
   /** Corpus-wide hot n-grams by document frequency — the C4-style
     * boilerplate-discovery pass (grams that appear in many distinct
     * docs are headers/footers/licence text to strip). Per-doc distinct

@@ -571,6 +571,16 @@ object Corpus {
         .select($"shard", $"seq", $"doc_id", $"seg_doc_from", $"seg_doc_to",
           $"seg_seq_from", $"n_seg_tokens")
         .orderBy($"shard", $"seq", $"seg_seq_from")
+    },
+
+    // first-occurrence n-gram novelty: per doc, how many of its
+    // distinct trigrams appear here FIRST in ingestion order — the
+    // marginal-new-content signal for ranking sources / pruning crawl
+    // dumps. Two gram-proportional aggregations, one doc-keyed join
+    "q147_novelty" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.noveltyStats(Tables.loadParallel(s, dir, "documents"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1294,7 +1304,24 @@ object Corpus {
         |  CAST(seg_doc_to AS BIGINT) AS seg_doc_to,
         |  CAST(seg_seq_from AS BIGINT) AS seg_seq_from,
         |  CAST(seg_doc_to - seg_doc_from AS BIGINT) AS n_seg_tokens
-        |FROM m ORDER BY shard, seq, seg_seq_from""".stripMargin
+        |FROM m ORDER BY shard, seq, seg_seq_from""".stripMargin,
+
+    // the same two aggregations replayed: per-gram first owner by
+    // min(doc_id), recounted per doc; all-integer so the hash gate is
+    // exact
+    "q147_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM w),
+        |t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |f AS (SELECT sh, min(doc_id) AS doc_id FROM g GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM f GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+        |FROM t LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the

@@ -175,4 +175,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L)._4 == false && out(4L)._6 == false)
     assert(out(5L)._3 == false && out(5L)._6 == false)
   }
+
+  test("noveltyStats credits each gram to its first doc in id order") {
+    val df = Seq(
+      (1L, "a b c d"),          // grams: abc, bcd — both novel
+      (2L, "a b c e"),          // abc seen in 1, bce novel → 1/2
+      (3L, "a b c d"),          // exact repeat of 1 → 0/2
+      (4L, "x y"),              // < 3 words: no shingles, excluded
+      (5L, "p q r s")           // pqr, qrs — all novel
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TextAnalysis.noveltyStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L)),
+      5L -> ((2L, 2L))))
+  }
 }

@@ -410,6 +410,36 @@ class StreamingOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq == batch && batch.nonEmpty)
   }
 
+  test("delta-dedup probes the standing MinHash index stream/batch identically") {
+    // the q145 composition in streaming form: snapshot deltas arrive
+    // as micro-batches and probe the immutable full-corpus signature
+    // index with the SAME operator call as batch — ingestion dedup
+    // never rescans the corpus, in either mode
+    implicit val sq = spark.sqlContext
+    def words(i: Long) = (0 until 20).map(j => s"s${i}_$j").mkString(" ")
+    val old = (1L to 12L).map(i => (i, words(i))).toDF("doc_id", "text")
+    val dir = tempDir("graft_stream_delta_idx")
+    graft.operators.TextDedup.writeSignatureIndex(old, dir)
+    // delta: one verbatim re-add, one edit, one genuinely new doc
+    val delta = Seq((101L, words(1L)), (3L, words(3L) + " v2"),
+      (201L, words(99L)))
+    val batch = graft.operators.TextDedup.nearDupsAgainstIndex(
+        delta.toDF("doc_id", "text"), dir, threshold = 0.8)
+      .select($"doc_id", $"dup_of", $"jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.transformPerBatch(mem.toDF().toDF("doc_id", "text"),
+      b => graft.operators.TextDedup.nearDupsAgainstIndex(b, dir, 0.8)
+        .select($"doc_id", $"dup_of", $"jaccard"),
+      (df, _) => df.as[(Long, Long, Double)].collect().foreach(got.add))
+    mem.addData(delta.take(2)); q.processAllAvailable()
+    mem.addData(delta.drop(2)); q.processAllAvailable(); q.stop()
+    assert(got.toArray.map(_.asInstanceOf[(Long, Long, Double)])
+      .sortBy(_._1).toSeq == batch)
+    assert(batch.map(h => (h._1, h._2)) == Seq((3L, 3L), (101L, 1L)))
+  }
+
   test("media fingerprints are stream/batch identical (stateless kernel scans)") {
     // graft_ahash / graft_afp are narrow per-blob kernels with no
     // state: an ingestion stream fingerprints media with the SAME

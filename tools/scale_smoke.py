@@ -50,7 +50,16 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # window, not a self-join), the media hash/miner family
            # (q136 uncapped aHash pairs, q137 audio fingerprints, q138
            # video hashes) and the capped 64-bit simhash miner (q140)
-           "q131", "q136", "q137", "q138", "q140"]
+           "q131", "q136", "q137", "q138", "q140",
+           # r13 session 2: the capped image miner (q141 — banded work
+           # counted with the cap, like q140), the concat-and-chunk
+           # export + its writer manifest (q143/q146 — linear window
+           # cumsum + explode), snapshot diff + delta-driven
+           # incremental dedup (q144/q145 — full-outer fingerprint
+           # join; delta probe of the standing MinHash index), and
+           # first-occurrence novelty (q147 — two gram-proportional
+           # aggregations)
+           "q141", "q143", "q144", "q145", "q146", "q147"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
@@ -97,6 +106,9 @@ WORK_SQL = {
 BANDED_WORK = {
     "q140": ("q38_simhash64_pairs", "s", "simhash", 2),
     "q136": ("q136_image_near_dup", "h", "ahash", None),
+    # q141 = q136's signatures through the capped miner: same hash
+    # CTE chain, non-hot keys only (cap = 2, the gated config)
+    "q141": ("q136_image_near_dup", "h", "ahash", 2),
 }
 
 
