@@ -45,7 +45,8 @@ object Plans {
     "q143_concat_chunk" -> "concat-and-chunk export (r13): ONE per-shard window cumsum over token counts, integer div boundary math — no global sort, no sequential state, shards are the parallel unit",
     "q144_snapshot_diff" -> "snapshot diff (r13): one full-outer SortMergeJoin on (key, fingerprint) — payloads stay scan-side, classification is a projection above the join",
     "q145_delta_dedup" -> "delta-driven incremental dedup (r13): only the snapshot delta is shingled/hashed; the corpus is reached through its persisted MinHash signature index — banded equi-join against the index scan, candidate-only exact verification",
-    "q146_chunk_manifest" -> "sequence-writer manifest (r13): explode(sequence(first_seq, last_seq)) above concatChunk's one window — output ∝ docs + boundary crossings, all interval math in one projection, no extra Exchange")
+    "q146_chunk_manifest" -> "sequence-writer manifest (r13): explode(sequence(first_seq, last_seq)) above concatChunk's one window — output ∝ docs + boundary crossings, all interval math in one projection, no extra Exchange",
+    "q148_kmeans_int" -> "integer-exact Lloyd k-means (r13): the shown plan is the FINAL assignment — one narrow argmin pass over k literal centroid arrays, no join, no shuffle; each earlier round was the same narrow pass + one (cluster, dim) hash aggregation with only k*dim rows reaching the driver")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -748,4 +748,70 @@ object Similarity {
     import spark.implicits._
     picks.toSeq.toDF("round", "vec_id", "dist")
   }
+
+  /** Integer-exact Lloyd k-means over the int8-quantized embeddings:
+    * `rounds` full assign→recompute iterations from the k
+    * smallest-vec_id seeds, then the final assignment. Every quantity
+    * any engine computes is an exact integer — coordinates are int8
+    * codes, distances are integer aa − 2ab + bb (each |dot| ≤
+    * 127²·dim < 2^53, exact in doubles), and the centroid update is
+    * `floor(sum/count)` per dimension — so the full ITERATION
+    * trajectory (not just one Voronoi step) replays bit-for-bit in an
+    * independent engine; [[IvfIndex.lloyd]]'s float means can't be
+    * gated that way. Ties go to the smaller cluster id; a cluster
+    * that empties keeps its previous centroid.
+    *
+    * Scale shape: per round, one narrow argmin pass over k literal
+    * centroid arrays (codegen'd `graft_dot`) + one (cluster, dim)
+    * hash aggregation; only k·dim rows ever reach the driver. The
+    * corpus is scanned rounds+1 times — the honest Lloyd cost; cache
+    * the input upstream if the scans dominate.
+    */
+  def kmeansIntRounds(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    VectorExpressions.register(emb.sparkSession)
+    // the [[quantizeInt8]] arithmetic in array form (its packed BINARY
+    // payload has no per-element access for the centroid recompute):
+    // q_i = floor(x_i / (max|x|/127) + 0.5), exact in doubles
+    val mx = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val q = emb.select(col("vec_id"),
+      when(mx === 0.0, transform(col("embedding"), _ => lit(0.0)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") / (mx / lit(127.0)) + lit(0.5))
+            .cast("double")))
+        .as("q"))
+    val init = q.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(init.size == k, s"need at least $k vectors to seed, got ${init.size}")
+    // score = cc − 2·x·c: the per-row xx term is constant across
+    // clusters, so the argmin (and its tie-break on cid) is the true
+    // squared-distance argmin
+    def best(cents: Seq[Seq[Double]]) = array_min(array(
+      cents.zipWithIndex.map { case (c, cid) =>
+        struct((lit(c.map(x => x * x).sum) -
+          lit(2.0) * dot(col("q"), typedLit(c))).as("score"),
+          lit(cid).as("cid"))
+      }: _*))
+    var cents = init
+    for (_ <- 0 until rounds) {
+      val sums = q.withColumn("cid", best(cents).getField("cid"))
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (c, cid) =>
+        c.indices.map { d =>
+          sums.get((cid, d))
+            .map { case (s, n) => math.floor(s / n) }.getOrElse(c(d))
+        }
+      }
+    }
+    q.withColumn("b", best(cents))
+      .select(col("vec_id"), col("b.cid").cast("long").as("cluster"),
+        (dot(col("q"), col("q")) + col("b.score")).cast("long").as("d2"))
+  }
 }

@@ -407,6 +407,16 @@ object DataPipeline {
           seedDocIds = Seq(0L, 1L, 2L, 3L), dim = 256)
         .orderBy(col("doc_id"))
     },
+    // the Lloyd ITERATION trajectory oracle-gated (q112/q113 gate only
+    // the iters = 0 Voronoi step; IvfIndex.lloyd's float means can't
+    // cross engines): two integer-exact rounds over the int8 codes —
+    // argmin assignment, floor-divided centroid update, reassignment —
+    // replayed bit-for-bit by unrolled CTEs
+    "q148_kmeans_int" -> { (s, dir) =>
+      Similarity.kmeansIntRounds(Tables.load(s, dir, "embeddings"),
+          k = 4, rounds = 2)
+        .orderBy(col("vec_id"))
+    },
     // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
     // narrow pass of 16 codegen'd dot products against md5-derived
     // sign literals — the downstream-byte-shrinking lever for every
@@ -1331,6 +1341,70 @@ object DataPipeline {
         |FROM d
         |ORDER BY round(qd / sqrt(CAST(qaa * qbb AS DOUBLE)), 4) DESC, vec_id
         |LIMIT 20""".stripMargin,
+
+    // the q93 quantization chain, then two unrolled Lloyd rounds: the
+    // zipped unnest pairs each code with its dimension for the
+    // per-(cluster, dim) sums, floor(s/n) rebuilds each centroid, and
+    // clusters that empty keep their previous centroid (the UNION arm)
+    "q148_kmeans_int" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        |  FROM e),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(v,
+        |           x -> CAST(CAST(floor(x / (mx / 127.0) + 0.5) AS BIGINT)
+        |                     AS DOUBLE))
+        |    END AS q
+        |  FROM m),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cq FROM qz
+        |       WHERE vec_id < 4),
+        |d1 AS (SELECT z.vec_id, c.cid,
+        |    list_dot_product(z.q, z.q) - 2 * list_dot_product(z.q, c.cq)
+        |      + list_dot_product(c.cq, c.cq) AS d2
+        |  FROM qz z CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |x1 AS (SELECT a.cid, unnest(z.q) AS x,
+        |         unnest(range(1, len(z.q) + 1)) AS dim
+        |  FROM a1 a JOIN qz z USING (vec_id)),
+        |s1 AS (SELECT cid, dim, sum(x) AS s, count(*) AS n FROM x1
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(CAST(floor(s / n) AS DOUBLE) ORDER BY dim) AS cq
+        |    FROM s1 GROUP BY 1
+        |  UNION ALL SELECT cid, cq FROM c0
+        |    WHERE cid NOT IN (SELECT DISTINCT cid FROM s1)),
+        |d2_ AS (SELECT z.vec_id, c.cid,
+        |    list_dot_product(z.q, z.q) - 2 * list_dot_product(z.q, c.cq)
+        |      + list_dot_product(c.cq, c.cq) AS d2
+        |  FROM qz z CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2_) WHERE rn = 1),
+        |x2 AS (SELECT a.cid, unnest(z.q) AS x,
+        |         unnest(range(1, len(z.q) + 1)) AS dim
+        |  FROM a2 a JOIN qz z USING (vec_id)),
+        |s2 AS (SELECT cid, dim, sum(x) AS s, count(*) AS n FROM x2
+        |       GROUP BY 1, 2),
+        |c2 AS (SELECT cid, list(CAST(floor(s / n) AS DOUBLE) ORDER BY dim) AS cq
+        |    FROM s2 GROUP BY 1
+        |  UNION ALL SELECT cid, cq FROM c1
+        |    WHERE cid NOT IN (SELECT DISTINCT cid FROM s2)),
+        |df AS (SELECT z.vec_id, c.cid,
+        |    list_dot_product(z.q, z.q) - 2 * list_dot_product(z.q, c.cq)
+        |      + list_dot_product(c.cq, c.cq) AS d2
+        |  FROM qz z CROSS JOIN c2 c)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2
+        |FROM (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM df)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q92_semantic_decontam" ->
       """WITH e AS (SELECT vec_id, label,

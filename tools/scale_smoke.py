@@ -59,7 +59,10 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # join; delta probe of the standing MinHash index), and
            # first-occurrence novelty (q147 — two gram-proportional
            # aggregations)
-           "q141", "q143", "q144", "q145", "q146", "q147"]
+           "q141", "q143", "q144", "q145", "q146", "q147",
+           # integer-exact Lloyd rounds (q148 — per-round narrow argmin
+           # + (cluster, dim) hash agg, linear in vectors)
+           "q148"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
