@@ -313,6 +313,60 @@ object Sampling {
       .drop("first_seq", "last_seq", "n_seqs_spanned")
   }
 
+  /** Fractional-epoch repeat schedule: MATERIALIZE a data mixture as
+    * per-document repeat counts — the step that turns "source s gets
+    * weight w of a B-token budget" into the actual training list.
+    * Each source's token target is `floor(B·w_s / Σw)` (exact
+    * integers); the source repeats in full `floor(target/corpus_s)`
+    * times, and the remaining tokens come from a deterministic
+    * md5-ordered prefix: a doc earns one extra repeat iff the tokens
+    * before it leave room for any of it (`cum_before < rem`, the
+    * boundary-doc convention of [[concatChunk]]). Fractional epochs
+    * are how real mixtures land (2.3 epochs of books, 0.7 of web);
+    * hash order makes the partial epoch a stable, engine-independent
+    * subset instead of "whatever the scan returned first".
+    *
+    * `weights`: (`sourceCol`, weight) with INTEGER weights — ratios
+    * like 3:2:1, so targets replay exactly in any engine. Sources
+    * absent from `weights` get repeat 0 (still emitted: the schedule
+    * is total). Zero-token docs are excluded.
+    *
+    * Scale shape: one per-source aggregation joined back broadcast
+    * (|sources| rows), one window cumsum per source — the same
+    * shuffle budget as [[concatChunk]]. All-integer outputs.
+    */
+  def epochRepeats(df: DataFrame, idCol: String, sourceCol: String,
+                   tokensCol: String, weights: DataFrame,
+                   budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val den = weights.agg(sum(col("weight")).as("_den"))
+    val targets = df.filter(col(tokensCol) > 0)
+      .groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_src_tokens"))
+      .join(weights.select(col(sourceCol), col("weight").cast("long").as("_w")),
+        Seq(sourceCol), "left")
+      .na.fill(0L, Seq("_w"))
+      .crossJoin(broadcast(den))
+      .withColumn("_target",
+        expr(s"($budgetTokens * _w) div _den"))
+      .withColumn("_full", expr("_target div _src_tokens"))
+      .withColumn("_rem", col("_target") - col("_full") * col("_src_tokens"))
+      .select(col(sourceCol), col("_full"), col("_rem"))
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val before = Window.partitionBy(col(sourceCol))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(tokensCol) > 0)
+      .join(broadcast(targets), Seq(sourceCol))
+      .withColumn("_cum_before",
+        coalesce(sum(col(tokensCol).cast("long")).over(before), lit(0L)))
+      .select(col(idCol), col(sourceCol),
+        col(tokensCol).cast("long").as(tokensCol),
+        (col("_full") +
+          when(col("_cum_before") < col("_rem"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+
   /** Token-budget subset selection: keep the best-scoring documents
     * whose token counts fit a budget of `budgetNum/budgetDen` of the
     * corpus total — the "fill N tokens with the highest-quality data"

@@ -122,6 +122,26 @@ object Patterns {
         .orderBy($"source")
     },
 
+    // fractional-epoch mixture MATERIALIZED: integer weights derived
+    // from the source name (w = digits % 3 + 1), budget = 3x corpus
+    // tokens — full epochs vary by source and every source exercises
+    // the hash-ordered partial-epoch boundary. The budget probe is one
+    // eager scalar agg at construction (the contaminationStats
+    // precedent); targets/full/rem and the extra-repeat cutoff are
+    // all integer, so the schedule replays exactly
+    "q149_epoch_repeats" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val weights = docs.select($"source").distinct()
+        .withColumn("weight", expr("cast(substr(source, 4) as int) % 3 + 1"))
+      val budget = 3L * docs.agg(sum($"n_tokens")).head.getLong(0)
+      graft.operators.Sampling.epochRepeats(docs, "doc_id", "source",
+          "n_tokens", weights, budget)
+        .orderBy($"doc_id")
+    },
+
     // fixed-boundary sequence packing: ~500-token bins per source
     // (window cumsum — the parallelizable packing; greedy reset packing
     // is sequential state and does not scale).
@@ -287,6 +307,34 @@ object Patterns {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the schedule replayed: integer targets floor(B*w/Σw), full
+    // epochs by integer division, the partial epoch cut at the
+    // md5-ordered cumulative-token boundary (cum_before < rem)
+    "q149_epoch_repeats" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (SELECT * FROM t WHERE n_tokens > 0),
+        |b AS (SELECT 3 * sum(n_tokens) AS budget FROM t),
+        |w AS (SELECT source, CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+        |      FROM (SELECT DISTINCT source FROM t)),
+        |den AS (SELECT sum(wt) AS den FROM w),
+        |tg AS (SELECT source, sum(n_tokens) AS st FROM d GROUP BY 1),
+        |f AS (SELECT tg.source, tg.st,
+        |        (b.budget * w.wt) // den.den AS target,
+        |        ((b.budget * w.wt) // den.den) // tg.st AS fl
+        |      FROM tg JOIN w USING (source), b, den),
+        |g AS (SELECT source, fl, target - fl * st AS rem FROM f),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d)
+        |SELECT c.doc_id, c.source, c.n_tokens,
+        |  CAST(g.fl + CASE WHEN c.cb < g.rem THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_repeats
+        |FROM c JOIN g USING (source) ORDER BY doc_id""".stripMargin,
 
     "q67_token_packing" ->
       """WITH t AS (SELECT source, doc_id,

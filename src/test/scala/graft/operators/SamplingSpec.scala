@@ -185,6 +185,37 @@ class SamplingSpec extends SparkSpec {
       .filter($"doc_id" === 999L).collect().nonEmpty)
   }
 
+  test("epochRepeats: integer targets, full epochs, hash-ordered partial epoch") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val t = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L),
+      (5L, "b", 50L), (6L, "b", 50L),
+      (7L, "c", 10L), (8L, "zero", 0L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val w = Seq(("a", 2L), ("b", 1L), ("c", 1L)).toDF("source", "weight")
+    // budget 1000, den 4: targets a=500, b=250, c=250. a: full 1,
+    // rem 100 -> exactly one extra repeat (the md5-first doc). b:
+    // full 2, rem 50 -> one extra. c: full 25, rem 0 -> none.
+    // "zero" has no weight -> 0 repeats; the 0-token doc is excluded.
+    val out = Sampling.epochRepeats(t, "doc_id", "source", "n_tokens", w, 1000L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(!out.exists(_._1 == 8L))
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("a").map(_._4).sorted.toSeq == Seq(1L, 1L, 1L, 2L))
+    assert(bySrc("b").map(_._4).sorted.toSeq == Seq(2L, 3L))
+    assert(bySrc("c").map(_._4).toSeq == Seq(25L))
+    // the extra repeat goes to the md5-smallest doc of the source
+    val aFirst = t.filter(col("source") === "a")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc)
+      .select(col("doc_id")).head.getLong(0)
+    assert(out.find(r => r._2 == "a" && r._4 == 2L).get._1 == aFirst)
+    // scheduled tokens land within one boundary doc of each target
+    val sched = out.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.map(r => r._3 * r._4).sum
+    }
+    assert(sched("a") == 500L && sched("b") == 250L && sched("c") == 250L)
+  }
+
   test("chunkManifest segments tile both the docs and the sequences") {
     val t = docs.select($"source", $"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"))

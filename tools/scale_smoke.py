@@ -61,8 +61,10 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # aggregations)
            "q141", "q143", "q144", "q145", "q146", "q147",
            # integer-exact Lloyd rounds (q148 — per-round narrow argmin
-           # + (cluster, dim) hash agg, linear in vectors)
-           "q148"]
+           # + (cluster, dim) hash agg, linear in vectors) and the
+           # fractional-epoch schedule (q149 — one per-source agg + one
+           # window cumsum, linear in docs)
+           "q148", "q149"]
 SLACK = 2.0
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
@@ -134,7 +136,10 @@ def banded_work(con, out_dir, qname):
 
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 JAVA = [
-    "java", "-Xmx96g",
+    # match the sbt fork's GC (build.sbt javaOptions): ZGC is 10-15%
+    # faster than default G1 across the suite and, more importantly,
+    # keeps these measurements comparable with bench_out.json's
+    "java", "-Xmx96g", "-XX:+UseZGC",
     "--add-opens=java.base/java.lang=ALL-UNNAMED",
     "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
     "--add-opens=java.base/java.lang.reflect=ALL-UNNAMED",
