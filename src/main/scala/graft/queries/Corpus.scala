@@ -581,6 +581,63 @@ object Corpus {
       import s.implicits._
       TextAnalysis.noveltyStats(Tables.loadParallel(s, dir, "documents"))
         .orderBy($"doc_id")
+    },
+
+    // the INCREMENTAL ingest pipeline end-to-end: snapshot diff →
+    // delta-only dedup against the standing MinHash index →
+    // decontamination of the survivors against the src0 benchmark →
+    // per-doc verdict (dup > contaminated > kept). The new snapshot
+    // plants all three outcomes: %5 edits and %11 re-adds dedup
+    // against their originals, 80-char src0 excerpts carry verbatim
+    // benchmark windows but are NOT near-dups of the full docs, and
+    // synthetic fresh docs (unique zz-words) survive both gates. Only
+    // the delta is ever shingled — the corpus is reached through its
+    // index; decontam probes only dedup survivors
+    "q150_ingest_e2e" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      val base = all.select($"doc_id", $"text")
+      val edits = base.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 5 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+      val readds = base.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+      val contamAdds = all.filter($"source" === "src0" && $"doc_id" % 3 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"),
+          substring($"text", 1, 80).as("text"))
+      // two selects: in ONE select list the text expression's
+      // $"doc_id" would lateral-alias-resolve to the renamed id
+      // (Spark LCA prefers an earlier alias over the child column)
+      val freshAdds = base.filter($"doc_id" % 17 === 0)
+        .select($"doc_id",
+          array_join(transform(sequence(lit(1), lit(25)),
+            i => concat(lit("zz"), $"doc_id", lit("w"), i)), " ").as("text"))
+        .select(($"doc_id" + 30000000L).as("doc_id"), $"text")
+      val newSnap = edits.unionByName(readds)
+        .unionByName(contamAdds).unionByName(freshAdds)
+      def fp(df: DataFrame) = df.withColumn("fp", md5($"text".cast("binary")))
+      val delta = graft.operators.SnapshotDiff
+        .delta(fp(base), fp(newSnap), "doc_id", "fp")
+        .select($"doc_id", $"text")
+      val idxPath = SharedArtifacts.signatureIndexPath(s, dir,
+        splitAt = 10000000L)
+      val dups = TextDedup.nearDupsAgainstIndex(delta, idxPath,
+        threshold = 0.8).select($"doc_id").distinct()
+      val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
+      val bench = all.filter($"source" === "src0").select($"doc_id", $"text")
+      val contaminated = TextDedup.substringMatches(survivors, bench,
+        windowChars = 40).select($"doc_id").distinct()
+      delta
+        .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("is_cont", lit(true)),
+          Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"is_dup", lit("dup"))
+            .when($"is_cont", lit("contaminated"))
+            .otherwise(lit("kept")).as("status"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1321,7 +1378,65 @@ object Corpus {
         |nv AS (SELECT doc_id, count(*) AS n_novel FROM f GROUP BY 1)
         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
         |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
-        |FROM t LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM t LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the whole incremental pipeline replayed: the four delta arms
+    // declaratively, the exact trigram-Jaccard join for the dup set
+    // (the q145 arithmetic), the q101 window semantics for the
+    // contaminated set over dedup SURVIVORS only, then the verdict
+    // with dup > contaminated > kept precedence
+    "q150_ingest_e2e" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' v2' AS text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, substr(text, 1, 80) FROM documents
+        |  WHERE source = 'src0' AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000,
+        |    list_aggregate(list_transform(range(1, 26),
+        |      i -> 'zz' || doc_id || 'w' || i), 'string_agg', ' ')
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |wn AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wn),
+        |wo AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |sho AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wo),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM shn a JOIN sho b ON a.sh = b.sh GROUP BY 1, 2),
+        |sn AS (SELECT doc_id, count(*) n FROM shn GROUP BY 1),
+        |so AS (SELECT doc_id, count(*) n FROM sho GROUP BY 1),
+        |dup AS (SELECT DISTINCT da AS doc_id
+        |        FROM cand JOIN sn sa ON da = sa.doc_id
+        |                  JOIN so sb ON db = sb.doc_id
+        |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+        |ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+        |    FROM (SELECT text,
+        |            unnest(generate_series(1, length(text) - 39)) AS i
+        |          FROM documents WHERE source = 'src0')),
+        |sv AS (SELECT * FROM delta
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |tw AS (SELECT doc_id, substr(text, CAST(i AS INT), 40) AS g
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 39)) AS i
+        |             FROM sv)),
+        |cont AS (SELECT DISTINCT doc_id FROM tw
+        |         WHERE g IN (SELECT g FROM ev))
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IN (SELECT doc_id FROM dup) THEN 'dup'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |       ELSE 'kept' END AS status,
+        |  CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM delta d ORDER BY d.doc_id""".stripMargin
   )
 
   /** CTE prefix over a filtered document base: `dup(da, db)` = the
