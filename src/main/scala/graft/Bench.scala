@@ -77,6 +77,7 @@ object Bench {
         })
       Some(c)
     } else None
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       // Materialize the FULL result, not df.count(): under a logical-plan
@@ -107,6 +108,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across runs
@@ -126,6 +128,11 @@ object Bench {
     // reader can tell contention (wide spread) from a real slowdown
     // (shifted min). SPARK_GRAFT_REPS overrides (1 = the old behavior).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    // a query that THROWS still gets a (meaningless, usually fast) time
+    // recorded; without surfacing the failure the crash reads as a
+    // speedup in the totals (the sf1 smoke's q144 overflow hid this
+    // way). The JSON line carries the failed set so no reader has to
+    // scrape stderr.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -154,7 +161,9 @@ object Bench {
     } catch { case e: Exception => System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._5).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the line ALSO lands in a file (r10 verdict directive 5): the
     // driver tails a bounded window of stdout, and a truncated tail

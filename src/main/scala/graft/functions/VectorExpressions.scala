@@ -411,7 +411,77 @@ case class Quantize8(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_quantize8_arr(v)` → array<double>: the [[Quantize8]]
+  * arithmetic with the codes as an UNPACKED double array instead of
+  * the packed binary — for consumers that need per-element access
+  * (posexplode recompute, literal-centroid distance math in the
+  * integer k-means). Values are the same exact integers in [-127,
+  * 127]; doubles so `graft_dot` and the oracle's double lists consume
+  * them directly. One codegen'd kernel pass — the equivalent
+  * transform/array_max HOF chain costs ~0.2 ms/row interpreted and
+  * gets re-inlined by CollapseProject into every reference.
+  */
+case class Quantize8Arr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize8_arr"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize8_arr expects array<float> or array<double>, got " +
+            other.simpleString)
+    }
+
+  private lazy val floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Quantize8Kernel.quantizeArr(input.asInstanceOf[ArrayData], floatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      |${ev.value} = graft.functions.Quantize8Kernel.quantizeArr($v, $floatInput);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Quantize8Kernel {
+  /** [[Quantize8Arr]]'s eval: same arithmetic, unpacked doubles. */
+  def quantizeArr(v: ArrayData, floatInput: Boolean): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = if (x < 0) -x else x
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Double](n)
+    if (maxAbs == 0.0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    val scale = maxAbs / 127.0
+    i = 0
+    while (i < n) {
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = math.floor(x / scale + 0.5)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Shared by interpreted eval and codegen. Null element → null
     * struct; zero/empty vector → (0.0, all-zero bytes).
     */
@@ -776,6 +846,8 @@ object VectorExpressions {
       exprs => ArgMaxCosine(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quantize8", exprs => Quantize8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize8_arr", exprs => Quantize8Arr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot8", exprs => Dot8(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -512,7 +512,11 @@ object Corpus {
     // fingerprinted scan-side by md5(text). fp_sum folds the md5
     // prefix of every surviving fingerprint into the gate, so the
     // hash match proves the full-outer classification AND the
-    // fingerprints themselves, per status class
+    // fingerprints themselves, per status class. The fold is MODULAR
+    // (sum of prefix % p, then % p): raw 52-bit prefixes overflow i64
+    // past ~2 000 rows per status group — the sf1 smoke caught
+    // exactly that — while the modular digest is safe to ~9e9 rows
+    // per group and loses nothing as a change detector
     "q144_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -525,8 +529,9 @@ object Corpus {
       graft.operators.SnapshotDiff.diff(fp(docs), fp(newSnap), "doc_id", "fp")
         .groupBy($"status")
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"),
-          sum(expr(
-            "cast(conv(substr(coalesce(new_fp, old_fp), 1, 13), 16, 10) as bigint)"))
+          pmod(sum(expr(
+            "pmod(cast(conv(substr(coalesce(new_fp, old_fp), 1, 13), 16, 10)" +
+              " as bigint), 1000000007)")), lit(1000000007L))
             .as("fp_sum"))
         .orderBy($"status")
     },
@@ -1291,7 +1296,7 @@ object Corpus {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(CAST(('0x' || substr(coalesce(new_fp, old_fp), 1, 13))
-        |    AS BIGINT)) AS BIGINT) AS fp_sum
+        |    AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS fp_sum
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the delta replayed declaratively (changed = %5 edits surviving
