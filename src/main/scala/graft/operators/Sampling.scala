@@ -339,12 +339,16 @@ object Sampling {
                    tokensCol: String, weights: DataFrame,
                    budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
-    val den = weights.agg(sum(col("weight")).as("_den"))
+    // duplicate weight rows for one source would fan out the join AND
+    // double-count the denominator inconsistently; summing per source
+    // first gives duplicates one well-defined meaning (they add)
+    val w1 = weights.groupBy(col(sourceCol))
+      .agg(sum(col("weight").cast("long")).as("_w"))
+    val den = w1.agg(sum(col("_w")).as("_den"))
     val targets = df.filter(col(tokensCol) > 0)
       .groupBy(col(sourceCol))
       .agg(sum(col(tokensCol).cast("long")).as("_src_tokens"))
-      .join(weights.select(col(sourceCol), col("weight").cast("long").as("_w")),
-        Seq(sourceCol), "left")
+      .join(w1, Seq(sourceCol), "left")
       .na.fill(0L, Seq("_w"))
       .crossJoin(broadcast(den))
       .withColumn("_target",

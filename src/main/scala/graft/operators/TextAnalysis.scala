@@ -338,6 +338,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), col("n_novel"))
   }
 
+  /** Materialise the DISTINCT-gram index of a corpus: one parquet row
+    * per distinct word k-gram — the standing state that makes
+    * [[noveltyAgainstIndex]] an O(batch) ingest-time probe instead of
+    * a rescan of the history. Existence is all novelty needs (a gram
+    * in the history can never be first-seen in a later batch), so the
+    * index carries no owner column and appends stay cheap.
+    */
+  def writeGramIndex(docs: DataFrame, path: String, k: Int = 3): Unit =
+    TextDedup.wordShingles(docs, k).select(col("sh")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) index maintenance: append the batch's grams that are
+    * not already present. One batch-sized distinct + one anti-join
+    * probe of the standing index — the history is only ever READ.
+    */
+  def appendGramIndex(batch: DataFrame, path: String, k: Int = 3): Unit = {
+    val idx = batch.sparkSession.read.parquet(path)
+    TextDedup.wordShingles(batch, k).select(col("sh")).distinct()
+      .join(idx, Seq("sh"), "left_anti")
+      .write.mode("append").parquet(path)
+  }
+
+  /** Ingest-time novelty: [[noveltyStats]] for a NEW batch against the
+    * standing gram index — per batch doc, how many of its distinct
+    * k-grams are first-seen here (absent from the history AND not
+    * first-claimed by a smaller-id batch doc). When the index holds
+    * the grams of all docs with smaller ids, this equals the
+    * full-corpus [[noveltyStats]] restricted to the batch — the gate's
+    * equivalence — while only the batch is ever shingled.
+    *
+    * Scale shape: batch grams anti-join the index (hash join on the
+    * gram key, index side never collected), then the same two
+    * batch-sized aggregations as the inline operator.
+    */
+  def noveltyAgainstIndex(batch: DataFrame, path: String,
+                          k: Int = 3): DataFrame = {
+    val idx = batch.sparkSession.read.parquet(path)
+    val grams = TextDedup.wordShingles(batch, k)
+    val totals = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = grams.join(idx, Seq("sh"), "left_anti")
+      .groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
+  }
+
   /** Corpus-wide hot n-grams by document frequency — the C4-style
     * boilerplate-discovery pass (grams that appear in many distinct
     * docs are headers/footers/licence text to strip). Per-doc distinct

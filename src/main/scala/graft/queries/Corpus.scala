@@ -588,6 +588,22 @@ object Corpus {
         .orderBy($"doc_id")
     },
 
+    // q147 at INGEST TIME: the new batch (doc_id >= 250) probes the
+    // standing distinct-gram index of the history — built on
+    // doc_id < 200, extended to 250 via the O(batch) append, so the
+    // gate covers build, append AND probe. Only the batch is ever
+    // shingled; the oracle is full-corpus first-occurrence novelty
+    // restricted to the batch, which the index path must equal exactly
+    "q151_novelty_index" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.gramIndexPath(s, dir,
+        buildAt = 200L, splitAt = 250L)
+      TextAnalysis.noveltyAgainstIndex(
+          Tables.loadParallel(s, dir, "documents").filter($"doc_id" >= 250),
+          path)
+        .orderBy($"doc_id")
+    },
+
     // the INCREMENTAL ingest pipeline end-to-end: snapshot diff →
     // delta-only dedup against the standing MinHash index →
     // decontamination of the survivors against the src0 benchmark →
@@ -1384,6 +1400,25 @@ object Corpus {
         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
         |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
         |FROM t LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence novelty over the FULL corpus, restricted to the
+    // batch — a gram in the history can never be first-seen by a
+    // batch doc (history ids are smaller), so the index path and this
+    // restriction are value-identical
+    "q151_novelty_index" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM w),
+        |t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |f AS (SELECT sh, min(doc_id) AS doc_id FROM g GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM f GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+        |FROM t LEFT JOIN nv USING (doc_id)
+        |WHERE t.doc_id >= 250 ORDER BY doc_id""".stripMargin,
 
     // the whole incremental pipeline replayed: the four delta arms
     // declaratively, the exact trigram-Jaccard join for the dup set

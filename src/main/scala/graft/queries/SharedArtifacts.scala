@@ -59,6 +59,23 @@ object SharedArtifacts {
           .filter(org.apache.spark.sql.functions.col("doc_id") < splitAt), path)
     }
 
+  /** Distinct-gram index over the doc_id < `splitAt` history of the
+    * documents table, built on doc_id < `buildAt` and then extended
+    * with [`buildAt`, `splitAt`) via the O(batch) append — so the
+    * gated probe (q151) exercises BOTH maintenance paths, exactly
+    * like [[ivfAppendedIndexPath]].
+    */
+  def gramIndexPath(s: SparkSession, dir: String, buildAt: Long,
+                    splitAt: Long): String =
+    artifact(dir, s"gram_index_${buildAt}_$splitAt") { path =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis.writeGramIndex(
+        docs.filter(col("doc_id") < buildAt), path)
+      graft.operators.TextAnalysis.appendGramIndex(
+        docs.filter(col("doc_id") >= buildAt && col("doc_id") < splitAt), path)
+    }
+
   /** IVF-flat index built on the vec_id < `splitAt` half of the
     * embeddings, then INCREMENTALLY extended with the other half via
     * [[graft.operators.IvfIndex.appendToIndex]] — the persisted state

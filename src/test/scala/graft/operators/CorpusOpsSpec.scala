@@ -176,6 +176,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(5L)._3 == false && out(5L)._6 == false)
   }
 
+  test("gram-index novelty: append+probe ≡ rebuild ≡ inline restricted") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"),          // history batch 1
+      (3L, "a b c x"), (4L, "p q r"),            // history batch 2
+      (5L, "a b c d"),                           // new: all grams old -> 0
+      (6L, "p q r s"),                           // new: qrs, rs? -> pqr old, qrs new
+      (7L, "m n o")                              // new: all new
+    ).toDF("doc_id", "text")
+    val inline = TextAnalysis.noveltyStats(docs)
+      .filter(col("doc_id") >= 5L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val built = tempDir("graft_gram_idx_a")
+    TextAnalysis.writeGramIndex(docs.filter(col("doc_id") <= 2L), built)
+    TextAnalysis.appendGramIndex(
+      docs.filter(col("doc_id") === 3L || col("doc_id") === 4L), built)
+    val rebuilt = tempDir("graft_gram_idx_b")
+    TextAnalysis.writeGramIndex(docs.filter(col("doc_id") <= 4L), rebuilt)
+    def probe(p: String) = TextAnalysis.noveltyAgainstIndex(
+        docs.filter(col("doc_id") >= 5L), p)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(probe(built) == inline)
+    assert(probe(rebuilt) == inline)
+    // appended index holds each gram once (the anti-join dedups)
+    val grams = spark.read.parquet(built).as[String].collect()
+    assert(grams.length == grams.distinct.length)
+    assert(inline.map(r => (r._1, r._3)) ==
+      Seq((5L, 0L), (6L, 1L), (7L, 1L)))
+  }
+
   test("noveltyStats credits each gram to its first doc in id order") {
     val df = Seq(
       (1L, "a b c d"),          // grams: abc, bcd — both novel

@@ -66,7 +66,9 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # window cumsum, linear in docs), and the incremental-ingest
            # composition (q150 — delta-sized shingling + index probe +
            # survivor decontamination)
-           "q148", "q149", "q150"]
+           # ingest-time novelty probe (q151 — batch grams anti-join
+           # the standing index, two batch-sized aggregations)
+           "q148", "q149", "q150", "q151"]
 SLACK = 2.0
 
 # Re-measured standalone (same JVM flags, SPARK_GRAFT_ONLY, reps=3)
