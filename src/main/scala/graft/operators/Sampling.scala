@@ -371,6 +371,30 @@ object Sampling {
           .as("n_repeats"))
   }
 
+  /** The physical training order of an [[epochRepeats]] schedule:
+    * every (document, repeat) instance gets a deterministic
+    * (shard, shard_pos) — repeats explode into one row each, the
+    * instance seed is `id#rep` so two repeats of the same doc land in
+    * INDEPENDENT hash positions (the well-mixed global shuffle
+    * pretraining wants — epochs interleave instead of concatenating),
+    * and [[assignShards]] turns the seed into the writer layout.
+    * Reproducible on any engine/partitioning; scale cost = the explode
+    * (output ∝ scheduled instances) + assignShards' one window.
+    */
+  def trainOrder(schedule: DataFrame, idCol: String,
+                 nShards: Int): DataFrame = {
+    require(schedule.columns.contains("n_repeats"),
+      "trainOrder consumes epochRepeats output (needs n_repeats)")
+    val seed = "_graft_order_seed"
+    require(!schedule.columns.contains(seed),
+      s"input already has a $seed column; rename it before trainOrder")
+    val exploded = schedule.filter(col("n_repeats") > 0)
+      .withColumn("rep", explode(sequence(lit(1L), col("n_repeats"))))
+      .withColumn(seed, concat(col(idCol).cast("string"), lit("#"),
+        col("rep").cast("string")))
+    assignShards(exploded, seed, nShards).drop(seed)
+  }
+
   /** Token-budget subset selection: keep the best-scoring documents
     * whose token counts fit a budget of `budgetNum/budgetDen` of the
     * corpus total — the "fill N tokens with the highest-quality data"

@@ -142,6 +142,26 @@ object Patterns {
         .orderBy($"doc_id")
     },
 
+    // q149's schedule made PHYSICAL: every (doc, repeat) instance
+    // explodes to a row seeded by `id#rep`, so repeats of one doc land
+    // in independent hash positions — epochs interleave instead of
+    // concatenating — and assignShards fixes the writer layout. The
+    // gate replays every instance's shard and exact rank
+    "q152_train_order" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val weights = docs.select($"source").distinct()
+        .withColumn("weight", expr("cast(substr(source, 4) as int) % 3 + 1"))
+      val budget = 3L * docs.agg(sum($"n_tokens")).head.getLong(0)
+      val schedule = graft.operators.Sampling.epochRepeats(docs, "doc_id",
+        "source", "n_tokens", weights, budget)
+      graft.operators.Sampling.trainOrder(schedule, "doc_id", nShards = 8)
+        .select($"shard", $"shard_pos", $"doc_id", $"rep")
+        .orderBy($"shard", $"shard_pos")
+    },
+
     // fixed-boundary sequence packing: ~500-token bins per source
     // (window cumsum — the parallelizable packing; greedy reset packing
     // is sequential state and does not scale).
@@ -335,6 +355,48 @@ object Patterns {
         |  CAST(g.fl + CASE WHEN c.cb < g.rem THEN 1 ELSE 0 END AS BIGINT)
         |    AS n_repeats
         |FROM c JOIN g USING (source) ORDER BY doc_id""".stripMargin,
+
+    // the schedule CTEs continued: one generate_series per doc over
+    // its repeats, the `id#rep` seed hashed, sharded, and ranked —
+    // bit-exact replay of every instance's (shard, shard_pos)
+    "q152_train_order" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (SELECT * FROM t WHERE n_tokens > 0),
+        |b AS (SELECT 3 * sum(n_tokens) AS budget FROM t),
+        |w AS (SELECT source, CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+        |      FROM (SELECT DISTINCT source FROM t)),
+        |den AS (SELECT sum(wt) AS den FROM w),
+        |tg AS (SELECT source, sum(n_tokens) AS st FROM d GROUP BY 1),
+        |f AS (SELECT tg.source, tg.st,
+        |        (b.budget * w.wt) // den.den AS target,
+        |        ((b.budget * w.wt) // den.den) // tg.st AS fl
+        |      FROM tg JOIN w USING (source), b, den),
+        |g AS (SELECT source, fl, target - fl * st AS rem FROM f),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d),
+        |r AS (SELECT c.doc_id,
+        |        g.fl + CASE WHEN c.cb < g.rem THEN 1 ELSE 0 END AS n_repeats
+        |      FROM c JOIN g USING (source)),
+        |x AS (SELECT doc_id,
+        |        unnest(generate_series(1, CAST(n_repeats AS BIGINT))) AS rep
+        |      FROM r WHERE n_repeats > 0),
+        |hx AS (SELECT doc_id, rep,
+        |         CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS seed
+        |       FROM x),
+        |sx AS (SELECT doc_id, rep, seed, md5(seed) AS h FROM hx),
+        |sh AS (SELECT doc_id, rep, seed, h,
+        |         CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard
+        |       FROM sx)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, seed ASC)
+        |    AS BIGINT) AS shard_pos,
+        |  doc_id, CAST(rep AS BIGINT) AS rep
+        |FROM sh ORDER BY shard, shard_pos""".stripMargin,
 
     "q67_token_packing" ->
       """WITH t AS (SELECT source, doc_id,

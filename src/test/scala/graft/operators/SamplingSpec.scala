@@ -216,6 +216,31 @@ class SamplingSpec extends SparkSpec {
     assert(sched("a") == 500L && sched("b") == 250L && sched("c") == 250L)
   }
 
+  test("trainOrder: one row per scheduled instance, interleaved repeats, dense ranks") {
+    import org.apache.spark.sql.functions.col
+    val sched = Seq(
+      (1L, "a", 10L, 3L), (2L, "a", 10L, 2L),
+      (3L, "b", 5L, 0L),                       // not in the mixture
+      (4L, "b", 5L, 4L)
+    ).toDF("doc_id", "source", "n_tokens", "n_repeats")
+    val out = Sampling.trainOrder(sched, "doc_id", nShards = 4)
+      .select(col("doc_id"), col("rep"), col("shard"), col("shard_pos"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.length == 9) // 3 + 2 + 0 + 4
+    assert(!out.exists(_._1 == 3L))
+    // every (doc, rep) instance appears exactly once
+    assert(out.map(r => (r._1, r._2)).distinct.size == 9)
+    // per shard, positions are the dense 1..n ranks
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+    // repeats interleave: at least one doc's repeats land in
+    // different shards (id#rep seeds are independent hashes; with 9
+    // instances over 4 shards an all-same-shard layout per doc would
+    // mean the seed ignores rep)
+    assert(out.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1))
+  }
+
   test("chunkManifest segments tile both the docs and the sequences") {
     val t = docs.select($"source", $"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"))

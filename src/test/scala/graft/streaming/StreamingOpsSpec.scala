@@ -440,6 +440,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.map(h => (h._1, h._2)) == Seq((3L, 3L), (101L, 1L)))
   }
 
+  test("ingest-time novelty probes the standing gram index stream/batch identically") {
+    // the q151 probe in streaming form: each micro-batch anti-joins
+    // the immutable gram index with the SAME operator call as batch.
+    // (Per-batch novelty is per-batch state by design — cross-batch
+    // first-occurrence belongs to the appendGramIndex maintenance
+    // step between batches, not to the probe.)
+    implicit val sq = spark.sqlContext
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val history = Seq((1L, words(0, 20)), (2L, words(15, 35)))
+      .toDF("doc_id", "text")
+    val dir = tempDir("graft_stream_gram_idx")
+    graft.operators.TextAnalysis.writeGramIndex(history, dir)
+    val batch = Seq((10L, words(0, 10)),    // all grams in history -> 0
+      (11L, words(30, 45)),                 // partially new
+      (12L, words(100, 110)))               // all new
+    val want = graft.operators.TextAnalysis.noveltyAgainstIndex(
+        batch.toDF("doc_id", "text"), dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.transformPerBatch(mem.toDF().toDF("doc_id", "text"),
+      b => graft.operators.TextAnalysis.noveltyAgainstIndex(b, dir),
+      (df, _) => df.as[(Long, Long, Long)].collect().foreach(got.add))
+    mem.addData(batch); q.processAllAvailable(); q.stop()
+    assert(got.toArray.map(_.asInstanceOf[(Long, Long, Long)])
+      .sortBy(_._1).toSeq == want)
+    assert(want.find(_._1 == 10L).get._3 == 0L)
+    assert(want.find(_._1 == 12L).get._3 > 0L)
+  }
+
   test("media fingerprints are stream/batch identical (stateless kernel scans)") {
     // graft_ahash / graft_afp are narrow per-blob kernels with no
     // state: an ingestion stream fingerprints media with the SAME
