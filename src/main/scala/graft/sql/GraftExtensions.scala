@@ -324,6 +324,49 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_novelty('<view>'[, k])` — q147's first-occurrence k-gram
+    * novelty per document over a (doc_id, text) view: how much of each
+    * doc is genuinely new content in ingestion order.
+    */
+  private def noveltyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      "graft_novelty expects (table_name[, k]) literals")
+    val str = lit("graft_novelty") _
+    val k = if (args.length == 2) str(args(1)).toInt else 3
+    graft.operators.TextAnalysis.noveltyStats(
+        SparkSession.active.table(str(args.head)), k)
+      .queryExecution.logical
+  }
+
+  /** `graft_dedup_index('<view>', '<index_path>'[, threshold])` —
+    * ingestion dedup of a new (doc_id, text) batch against a persisted
+    * MinHash signature index (the q77/q145 probe): only the batch is
+    * shingled, the history is reached through its index.
+    */
+  private def dedupIndexPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_dedup_index expects (table_name, index_path[, threshold]) literals")
+    val str = lit("graft_dedup_index") _
+    val thr = if (args.length == 3) str(args(2)).toDouble else 0.5
+    graft.operators.TextDedup.nearDupsAgainstIndex(
+        SparkSession.active.table(str(args.head)), str(args(1)), thr)
+      .queryExecution.logical
+  }
+
+  /** `graft_kmeans('<view>', k, rounds)` — the q148 integer-exact
+    * Lloyd iterations over a (vec_id, embedding) view: final
+    * (vec_id, cluster, d2) after `rounds` assign→recompute passes.
+    */
+  private def kmeansPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "graft_kmeans expects (table_name, k, rounds) literals")
+    val str = lit("graft_kmeans") _
+    graft.operators.Similarity.kmeansIntRounds(
+        SparkSession.active.table(str(args.head)),
+        str(args(1)).toInt, str(args(2)).toInt)
+      .queryExecution.logical
+  }
+
   /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy
     * farthest-point-first diverse selection: one row per round
     * (round, vec_id, dist).
@@ -547,6 +590,15 @@ object GraftExtensions {
     "graft_kcenter" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_kcenter"),
       kcenterPlan _),
+    "graft_novelty" -> (
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName, "graft_novelty"),
+      noveltyPlan _),
+    "graft_dedup_index" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_dedup_index"),
+      dedupIndexPlan _),
+    "graft_kmeans" -> (
+      new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_kmeans"),
+      kmeansPlan _),
     "graft_pq" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_pq"),
       pqPlan _),

@@ -261,6 +261,36 @@ class GraftSqlSpec extends SparkSpec {
     assert(tapi.nonEmpty && ttvf == tapi)
   }
 
+  test("graft_novelty, graft_dedup_index and graft_kmeans equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val napi = graft.operators.TextAnalysis.noveltyStats(docs)
+      .orderBy($"doc_id").collect().toSeq
+    val ntvf = spark.sql(
+      "SELECT * FROM graft_novelty('documents') ORDER BY doc_id")
+      .collect().toSeq
+    assert(napi.nonEmpty && ntvf == napi)
+    val idx = tempDir("graft_sql_dedup_idx")
+    graft.operators.TextDedup.writeSignatureIndex(
+      docs.filter($"doc_id" < 250), idx)
+    val batch = docs.filter($"doc_id" >= 250)
+    batch.createOrReplaceTempView("new_batch")
+    val dapi = graft.operators.TextDedup.nearDupsAgainstIndex(batch, idx, 0.5)
+      .collect().toSeq
+    val dtvf = spark.sql(
+      s"SELECT * FROM graft_dedup_index('new_batch', '$idx', '0.5')")
+      .collect().toSeq
+    assert(dapi.nonEmpty && dtvf == dapi)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val kapi = graft.operators.Similarity.kmeansIntRounds(emb, 4, 2)
+      .orderBy($"vec_id").collect().toSeq
+    val ktvf = spark.sql(
+      "SELECT * FROM graft_kmeans('embeddings', '4', '2') ORDER BY vec_id")
+      .collect().toSeq
+    assert(kapi.nonEmpty && ktvf == kapi)
+  }
+
   test("graft_near_dup mines text AND image signatures from plain SQL") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
