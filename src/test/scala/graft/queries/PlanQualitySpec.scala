@@ -506,6 +506,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q149 epoch schedule: targets broadcast onto the docs, one source window, no cartesian") {
+    val plan = formatted("q149_epoch_repeats")
+    // the per-source target table joins back via broadcast (|sources|
+    // rows), never a shuffled join of the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q151 novelty probe: batch grams anti-join the index scan, never collect it") {
+    val plan = formatted("q151_novelty_index")
+    assert(plan.contains("LeftAnti"), plan)
+    // the standing index is read as a parquet scan inside the join —
+    // no IN-literal rewrite, no driver-side materialization
+    assert("""Scan parquet[\s\S]*gram_index""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q152 train order: explode then ONE shard-keyed window, no join at all") {
+    val plan = formatted("q152_train_order")
+    assert(plan.contains("Generate"), plan) // the repeats explode
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q148 k-means: the argmin pass reads the materialized codes, no join") {
+    val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // centroids ride as literals into graft_dot; the only input is the
+    // cached quantized table — no Join of any kind in the assignment
+    assert(plan.contains("graft_dot"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
 
 /** Test-side accessor that keeps PlanQualitySpec free of the SparkEntry
