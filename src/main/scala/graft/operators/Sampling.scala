@@ -395,6 +395,35 @@ object Sampling {
     assignShards(exploded, seed, nShards).drop(seed)
   }
 
+  /** Deterministic fill-in-the-middle (FIM) split plan: for a
+    * hash-chosen `fimNum/fimDen` fraction of documents, cut the token
+    * stream into prefix `[0, a)` / middle `[a, b)` / suffix `[b, n)`
+    * at hash-derived points, plus the PSM-vs-SPM mode flag — the
+    * standard code-model pretraining transform (Bavarian et al. 2022 /
+    * StarCoder), emitted as an integer PLAN (lengths, not strings) so
+    * the downstream packer can apply it during sequence writing.
+    * Every decision is a pure function of the id: any engine, retry,
+    * or partitioning reproduces the same splits, and an oracle replays
+    * them bit-for-bit. Unselected docs (and docs under 2 tokens) pass
+    * through whole (`a = b = n`). Prefix is never empty; middle and
+    * suffix may be. Pure narrow projection — no shuffle.
+    */
+  def fimSplit(docs: DataFrame, idCol: String, tokensCol: String,
+               fimNum: Long = 1L, fimDen: Long = 2L): DataFrame = {
+    require(fimDen > 0 && fimNum >= 0,
+      s"fim fraction must be >= 0 with positive denominator, got $fimNum/$fimDen")
+    def h(tag: String) = expr(
+      s"cast(conv(substr(md5(cast(concat(cast($idCol as string), '$tag') " +
+        s"as binary)), 1, 13), 16, 10) as bigint)")
+    val n = col(tokensCol).cast("long")
+    val applied = pmod(h(":f"), lit(fimDen)) < lit(fimNum) && n >= 2L
+    val a = when(applied, lit(1L) + pmod(h(":a"), n - 1L)).otherwise(n)
+    val b = when(applied, a + pmod(h(":b"), n - a + 1L)).otherwise(n)
+    docs.select(col(idCol), n.as(tokensCol),
+      a.as("prefix_len"), (b - a).as("middle_len"), (n - b).as("suffix_len"),
+      (applied && pmod(h(":m"), lit(2L)) === 1L).as("spm_mode"))
+  }
+
   /** Token-budget subset selection: keep the best-scoring documents
     * whose token counts fit a budget of `budgetNum/budgetDen` of the
     * corpus total — the "fill N tokens with the highest-quality data"

@@ -162,6 +162,18 @@ object Patterns {
         .orderBy($"shard", $"shard_pos")
     },
 
+    // deterministic FIM split plan (Bavarian et al. 2022): half the
+    // docs (hash-chosen) get hash-derived prefix/middle/suffix cuts +
+    // the PSM/SPM mode flag, the rest pass through whole — all
+    // integer lengths, every decision a pure function of doc_id
+    "q153_fim" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.fimSplit(docs, "doc_id", "n_tokens")
+        .orderBy($"doc_id")
+    },
+
     // fixed-boundary sequence packing: ~500-token bins per source
     // (window cumsum — the parallelizable packing; greedy reset packing
     // is sequential state and does not scale).
@@ -397,6 +409,36 @@ object Patterns {
         |    AS BIGINT) AS shard_pos,
         |  doc_id, CAST(rep AS BIGINT) AS rep
         |FROM sh ORDER BY shard, shard_pos""".stripMargin,
+
+    // the same md5-derived cut arithmetic: h(tag) = first 13 hex of
+    // md5(id || tag); a in [1, n-1], b in [a, n]; unselected or
+    // sub-2-token docs pass through whole
+    "q153_fim" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT doc_id, n,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':f'), 1, 13))
+        |      AS BIGINT) % 2 AS hf,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 13))
+        |      AS BIGINT) AS ha,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 13))
+        |      AS BIGINT) AS hb,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'), 1, 13))
+        |      AS BIGINT) % 2 AS hm
+        |  FROM t),
+        |c AS (SELECT doc_id, n, hf < 1 AND n >= 2 AS applied, ha, hb, hm
+        |      FROM h),
+        |ab AS (SELECT doc_id, n, applied, hm,
+        |    CASE WHEN applied THEN 1 + ha % (n - 1) ELSE n END AS a
+        |  FROM c),
+        |f AS (SELECT doc_id, n, applied, hm, a,
+        |    CASE WHEN applied THEN a + hb % (n - a + 1) ELSE n END AS b
+        |  FROM (SELECT ab.*, c.hb FROM ab JOIN c USING (doc_id)))
+        |SELECT doc_id, n AS n_tokens, a AS prefix_len,
+        |  CAST(b - a AS BIGINT) AS middle_len,
+        |  CAST(n - b AS BIGINT) AS suffix_len,
+        |  (applied AND hm = 1) AS spm_mode
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q67_token_packing" ->
       """WITH t AS (SELECT source, doc_id,

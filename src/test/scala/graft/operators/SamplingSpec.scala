@@ -216,6 +216,27 @@ class SamplingSpec extends SparkSpec {
     assert(sched("a") == 500L && sched("b") == 250L && sched("c") == 250L)
   }
 
+  test("fimSplit: cuts tile the doc, prefix never empty, pass-throughs whole") {
+    import org.apache.spark.sql.functions.col
+    val t = (1L to 200L).map(i => (i, 5L + i % 40L)).toDF("doc_id", "n_tokens")
+      .union(Seq((999L, 1L)).toDF("doc_id", "n_tokens")) // sub-2-token doc
+    val out = Sampling.fimSplit(t, "doc_id", "n_tokens")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 201)
+    // the three segments always tile [0, n)
+    assert(out.forall(r => r._3 + r._4 + r._5 == r._2))
+    assert(out.forall(_._3 >= 1)) // prefix never empty
+    val applied = out.filter(r => r._4 > 0 || r._5 > 0)
+    // ~half the docs split (hash fraction 1/2); all splits have n >= 2
+    assert(applied.size > 60 && applied.size < 140)
+    assert(applied.forall(_._2 >= 2))
+    // the 1-token doc passes through whole and unflagged
+    val tiny = out.find(_._1 == 999L).get
+    assert(tiny._3 == 1L && tiny._4 == 0L && tiny._5 == 0L && !tiny._6)
+    // SPM mode only ever set on split docs
+    assert(out.filter(_._6).forall(r => r._4 > 0 || r._5 > 0 || r._3 < r._2))
+  }
+
   test("trainOrder: one row per scheduled instance, interleaved repeats, dense ranks") {
     import org.apache.spark.sql.functions.col
     val sched = Seq(
