@@ -174,6 +174,37 @@ object Patterns {
         .orderBy($"doc_id")
     },
 
+    // the full export path chained: mixture schedule (q149) → physical
+    // interleaved order (q152) → token-exact sequence packing (q143's
+    // concatChunk over the SCHEDULED stream, repeats included). Gated
+    // per shard with the span fingerprint keyed by (doc_id + rep) so
+    // every instance's boundary arithmetic is pinned
+    "q154_schedule_pack" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val weights = docs.select($"source").distinct()
+        .withColumn("weight", expr("cast(substr(source, 4) as int) % 3 + 1"))
+      val budget = 3L * docs.agg(sum($"n_tokens")).head.getLong(0)
+      val order = graft.operators.Sampling.trainOrder(
+        graft.operators.Sampling.epochRepeats(docs, "doc_id", "source",
+          "n_tokens", weights, budget),
+        "doc_id", nShards = 8)
+      val packed = graft.operators.Sampling.concatChunk(order, "n_tokens",
+        seqLen = 64L, partitionCol = "shard", orderCol = "shard_pos")
+      packed.groupBy($"shard")
+        .agg(count(lit(1)).as("n_instances"),
+          sum($"n_tokens").as("n_tokens"),
+          expr("(sum(n_tokens) + 63) div 64").as("n_seqs"),
+          sum(when($"n_seqs_spanned" > 1L, 1L).otherwise(0L))
+            .as("n_split_instances"),
+          sum($"first_seq" * ($"doc_id" + $"rep") + $"last_seq")
+            .as("span_fingerprint"))
+        .withColumn("tail_padding", $"n_seqs" * 64L - $"n_tokens")
+        .orderBy($"shard")
+    },
+
     // fixed-boundary sequence packing: ~500-token bins per source
     // (window cumsum — the parallelizable packing; greedy reset packing
     // is sequential state and does not scale).
@@ -409,6 +440,67 @@ object Patterns {
         |    AS BIGINT) AS shard_pos,
         |  doc_id, CAST(rep AS BIGINT) AS rep
         |FROM sh ORDER BY shard, shard_pos""".stripMargin,
+
+    // the q152 chain continued: per-shard rank, cumulative-token
+    // offsets, integer-div sequence boundaries, then the q143 rollup
+    // with the (doc_id + rep)-keyed span fingerprint
+    "q154_schedule_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (SELECT * FROM t WHERE n_tokens > 0),
+        |b AS (SELECT 3 * sum(n_tokens) AS budget FROM t),
+        |w AS (SELECT source, CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+        |      FROM (SELECT DISTINCT source FROM t)),
+        |den AS (SELECT sum(wt) AS den FROM w),
+        |tg AS (SELECT source, sum(n_tokens) AS st FROM d GROUP BY 1),
+        |f AS (SELECT tg.source, tg.st,
+        |        (b.budget * w.wt) // den.den AS target,
+        |        ((b.budget * w.wt) // den.den) // tg.st AS fl
+        |      FROM tg JOIN w USING (source), b, den),
+        |g AS (SELECT source, fl, target - fl * st AS rem FROM f),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d),
+        |r AS (SELECT c.doc_id, c.n_tokens,
+        |        g.fl + CASE WHEN c.cb < g.rem THEN 1 ELSE 0 END AS n_repeats
+        |      FROM c JOIN g USING (source)),
+        |x AS (SELECT doc_id, n_tokens,
+        |        unnest(generate_series(1, CAST(n_repeats AS BIGINT))) AS rep
+        |      FROM r WHERE n_repeats > 0),
+        |sh AS (SELECT doc_id, rep, n_tokens,
+        |         CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS seed,
+        |         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)) AS h
+        |       FROM x),
+        |sd AS (SELECT doc_id, rep, n_tokens, seed, h,
+        |         CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard
+        |       FROM sh),
+        |p AS (SELECT doc_id, rep, n_tokens, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h ASC, seed ASC)
+        |          AS pos
+        |      FROM sd),
+        |o AS (SELECT doc_id, rep, n_tokens, shard,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS start_off
+        |      FROM p),
+        |q AS (SELECT shard, doc_id, rep, n_tokens,
+        |        start_off // 64 AS first_seq,
+        |        (start_off + n_tokens - 1) // 64 AS last_seq
+        |      FROM o)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_instances,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((sum(n_tokens) + 63) // 64 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_instances,
+        |  CAST(sum(first_seq * (doc_id + rep) + last_seq) AS BIGINT)
+        |    AS span_fingerprint,
+        |  CAST((sum(n_tokens) + 63) // 64 * 64 - sum(n_tokens) AS BIGINT)
+        |    AS tail_padding
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same md5-derived cut arithmetic: h(tag) = first 13 hex of
     // md5(id || tag); a in [1, n-1], b in [a, n]; unselected or

@@ -68,7 +68,7 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # survivor decontamination)
            # ingest-time novelty probe (q151 — batch grams anti-join
            # the standing index, two batch-sized aggregations)
-           "q148", "q149", "q150", "q151", "q152", "q153"]
+           "q148", "q149", "q150", "q151", "q152", "q153", "q154"]
 SLACK = 2.0
 
 # Re-measured standalone (same JVM flags, SPARK_GRAFT_ONLY, reps=3)
@@ -84,7 +84,7 @@ REMEASURED_NOTES = [
     "q148_kmeans_int: re-measured after replacing the interpreted "
     "HOF quantize chain with the codegen'd graft_quantize8_arr kernel "
     "+ cache barrier (3.9/41.2 s -> 0.76/0.93 s at sf0.1/sf1).",
-    "q151_novelty_index, q152_train_order and q153_fim landed after "
+    "q151_novelty_index, q152_train_order, q153_fim and q154_schedule_pack landed after "
     "the full-suite pass; both tiers measured standalone (reps=3) "
     "and merged into the cache.",
 ]
