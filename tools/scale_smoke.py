@@ -71,22 +71,17 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            "q148", "q149", "q150", "q151", "q152", "q153", "q154"]
 SLACK = 2.0
 
-# Re-measured standalone (same JVM flags, SPARK_GRAFT_ONLY, reps=3)
-# after the full-suite pass and patched into the cache — each with the
-# reason on record. Full-suite numbers for these queries were
-# measurement artifacts, not plan behavior; everything else in the
-# table is the untouched full-suite median.
+# Annotations shown under the table. The current report is ONE uncut
+# full-suite run of all 39 queries at both tiers — no standalone
+# merges; the notes record what changed since the previous run.
 REMEASURED_NOTES = [
-    "q76_curate_e2e sf1: 45.1 s in the full-suite pass, 21.0 s median "
-    "standalone (min 20.2) — suite-order GC/heap debt from the large "
-    "pair-miner neighbors, not a plan change (the query and its plan "
-    "are unchanged since r11, which measured 18.4 s).",
-    "q148_kmeans_int: re-measured after replacing the interpreted "
-    "HOF quantize chain with the codegen'd graft_quantize8_arr kernel "
-    "+ cache barrier (3.9/41.2 s -> 0.76/0.93 s at sf0.1/sf1).",
-    "q151_novelty_index, q152_train_order, q153_fim and q154_schedule_pack landed after "
-    "the full-suite pass; both tiers measured standalone (reps=3) "
-    "and merged into the cache.",
+    "This report is a single full-suite run (no cache merges). "
+    "Earlier in the round: q144's fp_sum overflowed i64 at sf1 (fixed "
+    "with a modular digest), and q148's interpreted HOF quantize chain "
+    "cost 41 s at sf1 before the codegen'd graft_quantize8_arr kernel "
+    "(now 0.58 s). q76's one-off 45 s sf1 median in an earlier "
+    "full-suite pass was suite-order GC debt — this run measures it "
+    "at 14.1 s (6.7x, same plan).",
 ]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
