@@ -315,8 +315,7 @@ def main():
         + ("every miner grew at or below its linear-in-work budget."
            if all_ok else "a miner exceeded the linear budget; see FAIL rows."),
         "",
-        "Measurement notes (standalone re-measurements patched into the",
-        "cache; all other rows are untouched full-suite medians):",
+        "Measurement notes:",
     ] + [f"- {n}" for n in REMEASURED_NOTES] + [
         "",
         "Raw measurements:",
