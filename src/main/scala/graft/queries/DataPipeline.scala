@@ -570,6 +570,29 @@ object DataPipeline {
       TextDedup.hammingPairs64(sigs, maxHamming = 3,
         maxBandFreq = Some(HammingBandCap))
     },
+    // media dedup APPLIED: the q141 capped pairs feed the q75
+    // pointer-jumping components and the smallest-id keep policy —
+    // per image, its cluster and the keep verdict. The oracle chains
+    // the q141 pair replay into the recursive closure, so one wrong
+    // pair, label or verdict flips the hash
+    "q155_image_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = graft.operators.Multimodal
+        .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
+        .filter($"ahash".isNotNull)
+        .select($"doc_id", $"ahash".as("simhash"))
+      val pairs = TextDedup.hammingPairs64(sigs, maxHamming = 3,
+          maxBandFreq = Some(HammingBandCap))
+        .select($"doc_a", $"doc_b")
+      val labels = graft.operators.Components.dupClusters(pairs)
+      sigs.select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("component"),
+          (coalesce($"component", $"doc_id") === $"doc_id").as("kept"))
+        .orderBy($"doc_id")
+    },
+
     "q80_image_codec" -> { (s, dir) =>
       import s.implicits._
       val packed = SharedArtifacts.mediaFixture(s, dir, "pgm")
@@ -746,6 +769,52 @@ object DataPipeline {
   // are hot), so the gate proves the capped universe's pair set
   // shifts exactly as designed, not a no-op configuration
   private final val HammingBandCap = 2L
+
+  /** The q141 oracle's CTE chain (aHash replay, band keys, hot keys),
+    * shared verbatim with the q155 closure replay. `WITH RECURSIVE` so
+    * a consumer may append recursive CTEs.
+    */
+  private lazy val imageCappedCtes: String = {
+    val bands = (0 until 4)
+      .map(j => s"CAST((ahash >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
+      .mkString(",\n        ")
+    val hots = (0 until 4)
+      .map(j => s"h$j AS (SELECT k$j AS kv FROM k GROUP BY 1 " +
+        s"HAVING count(*) > $HammingBandCap)")
+      .mkString(",\n")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(0, 8), c ->
+       |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+       |            AS BIGINT)) AS cs
+       |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+       |h AS (SELECT doc_id,
+       |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+       |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+       |                    > 8 * list_aggregate(cs, 'sum') THEN
+       |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+       |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+       |            END
+       |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+       |      FROM g),
+       |k AS (SELECT doc_id, ahash,
+       |        $bands
+       |      FROM h),
+       |$hots""".stripMargin
+  }
+
+  /** The q141 oracle's capped pair SELECT over [[imageCappedCtes]]. */
+  private lazy val imageCappedPairSelect: String = {
+    val keep = (0 until 4)
+      .map(j => s"(a.k$j = b.k$j AND a.k$j NOT IN (SELECT kv FROM h$j))")
+      .mkString("\n     OR ")
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+       |FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+       |  AND ($keep)""".stripMargin
+  }
 
   // rotation rounds for q133's rotated PQ
   private final val RotRounds = 16
@@ -1560,44 +1629,30 @@ object DataPipeline {
     // has a key shared by <= cap docs (the q140 declarative semantics
     // over aHash — `>>` is arithmetic in DuckDB but the & 65535 mask
     // extracts the same 16 bits as Spark's shiftrightunsigned)
-    "q141_image_near_dup_capped" -> {
-      val bands = (0 until 4)
-        .map(j => s"CAST((ahash >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
-        .mkString(",\n        ")
-      val hots = (0 until 4)
-        .map(j => s"h$j AS (SELECT k$j AS kv FROM k GROUP BY 1 " +
-          s"HAVING count(*) > $HammingBandCap)")
-        .mkString(",\n")
-      val keep = (0 until 4)
-        .map(j => s"(a.k$j = b.k$j AND a.k$j NOT IN (SELECT kv FROM h$j))")
-        .mkString("\n     OR ")
-      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
-        |           FROM documents),
-        |g AS (SELECT doc_id,
-        |        list_transform(range(0, 8), c ->
-        |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
-        |            AS BIGINT)) AS cs
-        |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
-        |h AS (SELECT doc_id,
-        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
-        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
-        |                    > 8 * list_aggregate(cs, 'sum') THEN
-        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
-        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
-        |            END
-        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
-        |      FROM g),
-        |k AS (SELECT doc_id, ahash,
-        |        $bands
-        |      FROM h),
-        |$hots
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
-        |FROM k a JOIN k b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-        |  AND ($keep)
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q141_image_near_dup_capped" ->
+      s"""$imageCappedCtes
+        |$imageCappedPairSelect
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the q141 pair replay chained into the recursive closure: labels
+    // = min reachable doc over the undirected pair graph, kept iff a
+    // doc IS its own component (or unpaired); universe = every image
+    // with a hash (the h CTE)
+    "q155_image_dedup_apply" ->
+      s"""$imageCappedCtes,
+        |dup AS ($imageCappedPairSelect),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |      UNION SELECT doc_b, doc_a FROM dup),
+        |reach(a, b) AS (SELECT a, a FROM e
+        |                UNION
+        |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |labels AS (SELECT a AS doc_id, min(b) AS component FROM reach
+        |           GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(coalesce(l.component, h.doc_id) AS BIGINT) AS component,
+        |  (coalesce(l.component, h.doc_id) = h.doc_id) AS kept
+        |FROM h LEFT JOIN labels l USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
 
     "q80_image_codec" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
