@@ -251,9 +251,17 @@ object Sampling {
     * token counts are excluded — an empty doc occupies no tokens of
     * the stream, so it has no defensible sequence span.
     */
+  /** `sepTokens`: tokens the writer appends after EVERY document
+    * (EOS/BOS separators — real packers always insert at least one,
+    * and it shifts every later boundary). A doc's span covers its own
+    * tokens plus its trailing separators; offsets are over the
+    * separated stream. 0 (the default) is the raw concatenation.
+    */
   def concatChunk(df: DataFrame, tokensCol: String, seqLen: Long,
-                  partitionCol: String, orderCol: String): DataFrame = {
+                  partitionCol: String, orderCol: String,
+                  sepTokens: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(sepTokens >= 0, s"sepTokens must be >= 0, got $sepTokens")
     val added = Seq("start_off", "first_seq", "last_seq", "n_seqs_spanned")
     require(added.forall(!df.columns.contains(_)),
       s"input already has one of ${added.mkString("/")}; rename it first")
@@ -261,13 +269,14 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.filter(col(tokensCol) > 0)
       .withColumn("start_off",
-        coalesce(sum(col(tokensCol)).over(before), lit(0L)).cast("long"))
+        coalesce(sum(col(tokensCol) + lit(sepTokens)).over(before), lit(0L))
+          .cast("long"))
       // `div`, not `/`: float division truncates wrongly past 2^53 —
       // real token offsets at corpus scale sit within a long, so the
       // boundary math stays integer end-to-end
       .withColumn("first_seq", expr(s"start_off div $seqLen"))
       .withColumn("last_seq",
-        expr(s"(start_off + $tokensCol - 1) div $seqLen"))
+        expr(s"(start_off + $tokensCol + $sepTokens - 1) div $seqLen"))
       .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1L)
   }
 
@@ -280,7 +289,10 @@ object Sampling {
     * prefix), and per document the segments tile `[0, tokens)`.
     *
     * Input must be [[concatChunk]] output (carries `start_off` /
-    * `first_seq` / `last_seq`). Adds per segment:
+    * `first_seq` / `last_seq`) produced with `sepTokens = 0` — the
+    * interval arithmetic below assumes a doc's span is exactly its
+    * own tokens; separator-aware manifests belong to the writer that
+    * knows what the separators are. Adds per segment:
     *
     *  - `seq`: the training-sequence id within the shard
     *  - `seg_doc_from` / `seg_doc_to`: the doc's token interval

@@ -506,6 +506,29 @@ object Corpus {
         .orderBy($"shard")
     },
 
+    // q143 with ONE trailing EOS per document — what real packers
+    // write. Every boundary after the first doc shifts; the rollup's
+    // stream totals count the separators and the per-shard span
+    // fingerprint pins the shifted arithmetic doc-for-doc
+    "q156_concat_chunk_eos" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      val packed = Sampling.concatChunk(
+        Sampling.assignShards(docs, "doc_id", nShards = 8),
+        "n_tokens", seqLen = 64L, partitionCol = "shard",
+        orderCol = "shard_pos", sepTokens = 1L)
+      packed.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          (sum($"n_tokens") + count(lit(1))).as("n_stream_tokens"),
+          expr("(sum(n_tokens) + count(1) + 63) div 64").as("n_seqs"),
+          sum(when($"n_seqs_spanned" > 1L, 1L).otherwise(0L)).as("n_split_docs"),
+          sum($"first_seq" * $"doc_id" + $"last_seq").as("span_fingerprint"))
+        .withColumn("tail_padding", $"n_seqs" * 64L - $"n_stream_tokens")
+        .orderBy($"shard")
+    },
+
     // snapshot diff for incremental ingestion: old = the documents
     // table, new = a deterministic rewrite (drop doc_id%7=0, edit
     // doc_id%5=0, re-add doc_id%11=0 under offset ids), both
@@ -1290,6 +1313,39 @@ object Corpus {
         |  CAST(sum(first_seq * doc_id + last_seq) AS BIGINT) AS span_fingerprint,
         |  CAST((sum(n_tokens) + 63) // 64 * 64 - sum(n_tokens) AS BIGINT)
         |    AS tail_padding
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q143 chain with (n_tokens + 1) in the cumsum and the span
+    // boundaries — the separated stream — while n_tokens still reports
+    // the docs' own tokens
+    "q156_concat_chunk_eos" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |        CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard FROM t),
+        |r AS (SELECT doc_id, n_tokens, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS pos
+        |      FROM s),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        CAST(coalesce(sum(n_tokens + 1) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_off
+        |      FROM r WHERE n_tokens > 0),
+        |f AS (SELECT shard, doc_id, n_tokens,
+        |        start_off // 64 AS first_seq,
+        |        (start_off + n_tokens + 1 - 1) // 64 AS last_seq
+        |      FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens) + count(*) AS BIGINT) AS n_stream_tokens,
+        |  CAST((sum(n_tokens) + count(*) + 63) // 64 AS BIGINT) AS n_seqs,
+        |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(sum(first_seq * doc_id + last_seq) AS BIGINT) AS span_fingerprint,
+        |  CAST((sum(n_tokens) + count(*) + 63) // 64 * 64
+        |    - (sum(n_tokens) + count(*)) AS BIGINT) AS tail_padding
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // full-outer fingerprint diff, per-status rollup; fp_sum folds the

@@ -216,6 +216,27 @@ class SamplingSpec extends SparkSpec {
     assert(sched("a") == 500L && sched("b") == 250L && sched("c") == 250L)
   }
 
+  test("concatChunk sepTokens: one EOS per doc shifts every later boundary") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one shard, fixed order: docs of 10 tokens each, seqLen 16
+    val t = (1L to 6L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+      .withColumn("g", lit("all"))
+    def spans(sep: Long) = Sampling.concatChunk(t, "n_tokens", 16L, "g",
+        "doc_id", sepTokens = sep)
+      .select(col("doc_id"), col("start_off"), col("first_seq"), col("last_seq"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val raw = spans(0L)
+    val sep = spans(1L)
+    // raw stream: offsets 0,10,20,... separated stream: 0,11,22,...
+    assert(raw.map(_._2) == Seq(0L, 10L, 20L, 30L, 40L, 50L))
+    assert(sep.map(_._2) == Seq(0L, 11L, 22L, 33L, 44L, 55L))
+    // doc 2 raw spans [10,20) -> seqs 0..1; separated [11,22) covers
+    // its EOS too -> seqs 0..1 but doc 3 separated [22,33) -> 1..2
+    // while raw [20,30) -> 1..1: the separator provably moves splits
+    assert(raw.find(_._1 == 3L).get._3 == raw.find(_._1 == 3L).get._4)
+    assert(sep.find(_._1 == 3L).get._3 != sep.find(_._1 == 3L).get._4)
+  }
+
   test("fimSplit: cuts tile the doc, prefix never empty, pass-throughs whole") {
     import org.apache.spark.sql.functions.col
     val t = (1L to 200L).map(i => (i, 5L + i % 40L)).toDF("doc_id", "n_tokens")

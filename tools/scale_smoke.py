@@ -71,7 +71,7 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            "q148", "q149", "q150", "q151", "q152", "q153", "q154",
            # media dedup apply (q155 — capped pairs + pointer-jumping
            # components, work ~ pairs)
-           "q155"]
+           "q155", "q156"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
@@ -84,8 +84,8 @@ REMEASURED_NOTES = [
     "cost 41 s at sf1 before the codegen'd graft_quantize8_arr kernel "
     "(now 0.58 s). q76's one-off 45 s sf1 median in an earlier "
     "full-suite pass was suite-order GC debt — this run measures it "
-    "at 14.1 s (6.7x, same plan). q155_image_dedup_apply landed after "
-    "this run; both tiers measured standalone (reps=3) and merged.",
+    "at 14.1 s (6.7x, same plan). q155 and q156 landed after this "
+    "run; both tiers measured standalone (reps=3) and merged.",
 ]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
