@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Schema-metadata key [[concatChunk]] stamps on `start_off` with the
+    * `sepTokens` it packed with, so interval consumers
+    * ([[chunkManifest]]) can reject a separated stream loudly.
+    */
+  final val SepTokensMetaKey = "graft_sep_tokens"
+
   /** u in [0,1) from the first 13 hex digits (52 bits — exact in an
     * IEEE double) of a 32-hex hash string: prefix / 16^13. One hex
     * parse per row instead of the earlier 16-term per-digit expansion,
@@ -267,10 +273,16 @@ object Sampling {
       s"input already has one of ${added.mkString("/")}; rename it first")
     val before = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // stamp the separator width into the output schema so consumers
+    // that assume the raw concatenation (chunkManifest) can DETECT a
+    // separated stream instead of silently mis-tiling it — nothing in
+    // the data itself distinguishes the two
+    val sepMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SepTokensMetaKey, sepTokens).build()
     df.filter(col(tokensCol) > 0)
       .withColumn("start_off",
         coalesce(sum(col(tokensCol) + lit(sepTokens)).over(before), lit(0L))
-          .cast("long"))
+          .cast("long").as("start_off", sepMeta))
       // `div`, not `/`: float division truncates wrongly past 2^53 —
       // real token offsets at corpus scale sit within a long, so the
       // boundary math stays integer end-to-end
@@ -312,6 +324,16 @@ object Sampling {
     require(Seq("start_off", "first_seq", "last_seq").forall(
         packed.columns.contains(_)),
       "chunkManifest consumes concatChunk output (start_off/first_seq/last_seq)")
+    // loud-fail on a separated stream: concatChunk stamps sepTokens
+    // into start_off's metadata; a doc's span there covers separator
+    // tokens this manifest's doc-interval arithmetic knows nothing
+    // about, so the segment tiling would be silently wrong
+    val m = packed.schema("start_off").metadata
+    val sep = if (m.contains(SepTokensMetaKey)) m.getLong(SepTokensMetaKey) else 0L
+    require(sep == 0L,
+      s"chunkManifest requires concatChunk output built with sepTokens = 0 " +
+        s"(got $sep): separator-aware manifests belong to the writer that " +
+        "knows what the separators are")
     packed
       .withColumn("seq", explode(sequence(col("first_seq"), col("last_seq"))))
       .withColumn("seg_doc_from",
@@ -356,6 +378,18 @@ object Sampling {
     // first gives duplicates one well-defined meaning (they add)
     val w1 = weights.groupBy(col(sourceCol))
       .agg(sum(col("weight").cast("long")).as("_w"))
+    // weights is a config table (a handful of rows by construction),
+    // so validating its total eagerly is a bounded driver action —
+    // an empty table or zero total would otherwise surface as null
+    // targets rows later instead of failing here. NOTE the documented
+    // denominator semantics: the total includes weight rows for
+    // sources ABSENT from `df` — their budget share is deliberately
+    // left unspent (the mixture says what fraction each source GETS,
+    // not how to redistribute a missing source's share); filter the
+    // weights table first if redistribution is wanted.
+    val denRow = w1.agg(sum(col("_w"))).head
+    require(!denRow.isNullAt(0) && denRow.getLong(0) > 0,
+      "epochRepeats needs a non-empty weights table with positive total weight")
     val den = w1.agg(sum(col("_w")).as("_den"))
     val targets = df.filter(col(tokensCol) > 0)
       .groupBy(col(sourceCol))

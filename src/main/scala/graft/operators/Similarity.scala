@@ -594,6 +594,14 @@ object Similarity {
     * coordinates over different sub-codebooks — the decorrelation OPQ
     * exists for, with none of OPQ's non-replayable SVD. One extra
     * narrow kernel pass; same m-byte payload.
+    *
+    * OPERATING-POINT WARNING (measured, `ANN_RECALL.md`): the fixed
+    * rotation helps only at m >= 8 — at m = 4 it measures WORSE than
+    * plain [[pqEncodeAdc]] (recall@10 0.613 vs 0.794 at sf1): with
+    * only 4 wide subspaces, mixing dimensions smears the query signal
+    * across sub-codebooks the 16-entry seed codebook can't resolve.
+    * Use plain PQ at coarse m; the default m = 8 is the supported
+    * floor (AnnRecallSpec pins rotated >= plain there).
     */
   def rotatedPqAdc(emb: DataFrame, rounds: Int = 16, m: Int = 8,
                    kCode: Int = 16, queryVecId: Long = 0L): DataFrame = {
@@ -810,8 +818,20 @@ object Similarity {
         }
       }
     }
-    q.withColumn("b", best(cents))
+    // materialize the final assignment THROUGH the cache (one scan),
+    // then drop the quantized table — repeated calls in a long-lived
+    // session (the graft_kmeans TVF) no longer accumulate cached
+    // copies of the full corpus. The small (vec_id, cluster, d2)
+    // result stays persisted as the codegen/evaluation barrier (k
+    // argmin references per row would otherwise re-run the quantize
+    // kernel k times on every downstream scan); callers running many
+    // clusterings should unpersist the returned frame when done.
+    val out = q.withColumn("b", best(cents))
       .select(col("vec_id"), col("b.cid").cast("long").as("cluster"),
         (dot(col("q"), col("q")) + col("b.score")).cast("long").as("d2"))
+      .persist()
+    out.count()
+    q.unpersist(blocking = false)
+    out
   }
 }

@@ -32,6 +32,10 @@ object SnapshotDiff {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
            fpCol: String): DataFrame = {
+    // the output schema is (keyCol, status, old_fp, new_fp) — a key
+    // named like one of the added columns would emit duplicate names
+    require(!Seq("status", "old_fp", "new_fp").contains(keyCol),
+      s"keyCol '$keyCol' collides with a diff output column")
     val o = oldDf.select(col(keyCol).as("_k"), col(fpCol).as("old_fp"))
     val n = newDf.select(col(keyCol).as("_k"), col(fpCol).as("new_fp"))
     o.join(n, Seq("_k"), "full_outer")
@@ -51,6 +55,11 @@ object SnapshotDiff {
     */
   def delta(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
             fpCol: String): DataFrame = {
+    // the diff's status column joins onto newDf's full row — a newDf
+    // that already carries one would end ambiguous or silently doubled
+    // (the same collision guard concatChunk/assignShards use)
+    require(!newDf.columns.contains("status"),
+      "newDf already has a 'status' column; rename it before delta")
     val d = diff(oldDf, newDf, keyCol, fpCol)
       .filter(col("status").isin("added", "changed"))
       .select(col(keyCol), col("status"))

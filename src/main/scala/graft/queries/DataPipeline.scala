@@ -542,7 +542,11 @@ object DataPipeline {
     // 4×16 banded equi-join as text SimHash (TextDedup.hammingPairs64)
     // — perceptually-identical/near images pair up with output ∝ band
     // collisions; the oracle recomputes hashes and the brute-force
-    // hamming join (banding recall is 1 at maxHamming <= 3)
+    // hamming join (banding recall is 1 at maxHamming <= 3).
+    // This UNCAPPED form is the oracle baseline (it proves the banded
+    // join equals the exact hamming join); the production 100 TB
+    // configuration is q141's hot-band-capped variant, mirroring the
+    // q38 (uncapped) / q140 (capped) text SimHash pair.
     "q136_image_near_dup" -> { (s, dir) =>
       import s.implicits._
       val sigs = graft.operators.Multimodal

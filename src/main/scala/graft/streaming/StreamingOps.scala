@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Hard ceiling on the driver-held state the per-batch incremental
+    * operators fold micro-batches into (distinct integer scores for
+    * the bucket/budget flavors, sources for the KMV flavor). The
+    * bound is structural for the gated score functions — integer
+    * deciles / source ids — but a caller feeding a CONTINUOUS score
+    * would grow the map without limit; the `limit(n+1)`+require makes
+    * that fail loudly instead of OOMing the driver.
+    */
+  final val MaxDriverGroups = 100000
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double,
@@ -289,9 +299,18 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        batch.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
-          .collect() // bounded: distinct integer scores in the batch
+        val perScore = batch.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
+          .limit(MaxDriverGroups + 1) // driver never receives more
+          .collect()
+        require(perScore.length <= MaxDriverGroups,
+          s"pplBucketsPerBatch: > $MaxDriverGroups distinct $scoreCol values " +
+            "in one batch — the driver-held distribution assumes a bounded " +
+            "integer score (bucket/round the score upstream)")
+        perScore
           .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+        require(cum.size <= MaxDriverGroups,
+          s"pplBucketsPerBatch: cumulative distribution exceeded " +
+            s"$MaxDriverGroups distinct scores")
         // bucketThresholds' distribution contract is the (lm_mean, cnt)
         // schema; rename on the way in and out so any scoreCol works
         val dist = cum.toSeq.toDF("lm_mean", "cnt")
@@ -325,9 +344,18 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        batch.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("st"))
-          .collect() // bounded: distinct integer scores in the batch
+        val perScore = batch.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("st"))
+          .limit(MaxDriverGroups + 1) // driver never receives more
+          .collect()
+        require(perScore.length <= MaxDriverGroups,
+          s"tokenBudgetPerBatch: > $MaxDriverGroups distinct $scoreCol values " +
+            "in one batch — the driver-held distribution assumes a bounded " +
+            "integer score (bucket/round the score upstream)")
+        perScore
           .foreach(r => cum(r.getLong(0)) = cum.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+        require(cum.size <= MaxDriverGroups,
+          s"tokenBudgetPerBatch: cumulative distribution exceeded " +
+            s"$MaxDriverGroups distinct scores")
         val dist = cum.toSeq.toDF("s", "st")
         val groups = graft.operators.Sampling
           .tokenBudgetGroups(dist, budgetNum, budgetDen)
@@ -362,9 +390,15 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val keyField = batch.schema(groupCol)
-        batch.groupBy(col(groupCol))
+        val perSource = batch.groupBy(col(groupCol))
           .agg(graft.operators.Sketches.kmvValues(col(uCol), k).as("vals"))
-          .collect() // bounded: one row per source, k doubles each
+          .limit(MaxDriverGroups + 1) // driver never receives more
+          .collect()
+        require(perSource.length <= MaxDriverGroups,
+          s"kmvSetOpsPerBatch: > $MaxDriverGroups distinct $groupCol values " +
+            "in one batch — the driver-held sketch map assumes a bounded " +
+            "source/group cardinality")
+        perSource
           .foreach { r =>
             val src = r.get(0)
             val incoming = graft.operators.Sketches.KmvState(
@@ -372,6 +406,8 @@ object StreamingOps {
             states(src) = states.get(src)
               .map(_ merge incoming).getOrElse(incoming)
           }
+        require(states.size <= MaxDriverGroups,
+          s"kmvSetOpsPerBatch: cumulative source map exceeded $MaxDriverGroups")
         val sk = spark.createDataFrame(
           java.util.Arrays.asList(states.toSeq.map { case (s, st) =>
             Row(s, st.values.toSeq) }: _*),

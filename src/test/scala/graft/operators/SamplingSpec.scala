@@ -283,6 +283,45 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1))
   }
 
+  test("chunkManifest refuses a separator-packed stream (metadata contract)") {
+    val t = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    // concatChunk stamps sepTokens into start_off's metadata; the
+    // manifest's doc-interval arithmetic is only valid for the raw
+    // concatenation, so a separated stream must fail loudly
+    val sep = Sampling.concatChunk(t, "n_tokens", 50L, "source", "doc_id",
+      sepTokens = 1L)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.chunkManifest(sep, "n_tokens", 50L)
+    }
+    assert(e.getMessage.contains("sepTokens"))
+    // and the metadata survives the projections a consumer would do
+    val projected = sep.select($"doc_id", $"start_off", $"first_seq",
+      $"last_seq", $"n_tokens")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.chunkManifest(projected, "n_tokens", 50L)
+    }.getMessage.contains("sepTokens"))
+  }
+
+  test("epochRepeats fails fast on an empty or zero-total weights table") {
+    val t = Seq((1L, "a", 100L)).toDF("doc_id", "source", "n_tokens")
+    val none = Seq.empty[(String, Long)].toDF("source", "weight")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochRepeats(t, "doc_id", "source", "n_tokens", none, 1000L)
+    }.getMessage.contains("weights"))
+    val zero = Seq(("a", 0L)).toDF("source", "weight")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochRepeats(t, "doc_id", "source", "n_tokens", zero, 1000L)
+    }.getMessage.contains("weights"))
+    // weights for sources absent from the input are DOCUMENTED to
+    // leave their budget share unspent, not fail: only source "a"
+    // exists, so it gets floor(1000 * 1/2) = 500 tokens -> 5 repeats
+    val w = Seq(("a", 1L), ("ghost", 1L)).toDF("source", "weight")
+    val out = Sampling.epochRepeats(t, "doc_id", "source", "n_tokens", w, 1000L)
+      .select($"n_repeats").as[Long].collect().toSeq
+    assert(out == Seq(5L))
+  }
+
   test("chunkManifest segments tile both the docs and the sequences") {
     val t = docs.select($"source", $"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"))

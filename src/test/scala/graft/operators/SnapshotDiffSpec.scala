@@ -79,4 +79,19 @@ class SnapshotDiffSpec extends SparkSpec {
     val edited = hits.find(_._1 == 3L).get._3
     assert(edited > 0.94 && edited < 0.96)
   }
+
+  test("column-collision guards: status on newDf, reserved key names") {
+    val old = Seq((1L, "a")).toDF("doc_id", "fp")
+    val nw = Seq((1L, "b", "x")).toDF("doc_id", "fp", "status")
+    // delta joins the diff's status onto newDf — a pre-existing status
+    // column must fail loudly, not end ambiguous or silently doubled
+    assert(intercept[IllegalArgumentException] {
+      SnapshotDiff.delta(old, nw, "doc_id", "fp")
+    }.getMessage.contains("status"))
+    // a key named like a diff output column would duplicate names
+    val bad = Seq(("k", "a")).toDF("status", "fp")
+    assert(intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(bad, bad, "status", "fp")
+    }.getMessage.contains("status"))
+  }
 }

@@ -625,4 +625,23 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("per-batch driver state fails loudly on unbounded score cardinality") {
+    // the driver-held cumulative distribution assumes a bounded
+    // integer score; a CONTINUOUS score (every row distinct) must
+    // fail the stream with the cardinality message, not OOM the
+    // driver — the limit(n+1) bound means the driver never even
+    // receives the oversized result
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.pplBucketsPerBatch(
+      mem.toDF().toDF("doc_id", "lm_mean"), "lm_mean", 3, (_, _) => ())
+    mem.addData((0L to StreamingOps.MaxDriverGroups.toLong).map(i => (i, i)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("distinct lm_mean")),
+      messages(e).mkString(" | "))
+    q.stop()
+  }
 }

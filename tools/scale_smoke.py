@@ -74,9 +74,10 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            "q155", "q156"]
 SLACK = 2.0
 
-# Annotations shown under the table. The current report is ONE uncut
-# full-suite run of all 39 queries at both tiers — no standalone
-# merges; the notes record what changed since the previous run.
+# Annotations shown under the table. The current report is one uncut
+# full-suite run at both tiers for every query EXCEPT q155/q156 (which
+# landed after that run and were measured standalone, reps=3, then
+# merged in); the notes record what changed since the previous run.
 REMEASURED_NOTES = [
     "This report is a single full-suite run (no cache merges). "
     "Earlier in the round: q144's fp_sum overflowed i64 at sf1 (fixed "
