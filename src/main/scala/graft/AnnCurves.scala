@@ -95,6 +95,16 @@ object AnnCurves {
         s"~${nProbe}/$nLists of codes")
     }
 
+    // ADC + exact re-rank: the same index picks cand = 3k codes, then
+    // one bounded broadcast semi-join ranks those rows by exact cosine
+    // — the stage that lifts the quantizer ceiling
+    for (c <- Seq(3, 10); nProbe <- Seq(1, 2, 4, 8, 16)) {
+      row(s"IVFADC + re-rank (cand=${c}k)", s"nProbe=$nProbe",
+        meanRecall(q => ids(IvfIndex.topKAdcRerankIndexed(spark, adcDir, emb,
+          qvs(q), k, nProbe, cand = c * k, excludeVecId = q))),
+        s"~${nProbe}/$nLists of codes + ${c * k} rows")
+    }
+
     // residual IVFADC: trained per-list residual codebooks, same bytes
     val radcDir = Files.createTempDirectory("graft_ann_radc_").toString
     val cb = IvfIndex.trainResidualCodebooks(emb, centroids, m = 8,
@@ -106,6 +116,12 @@ object AnnCurves {
         meanRecall(q => ids(IvfIndex.topKResidualAdcIndexed(spark, radcDir,
           qvs(q), k, nProbe, excludeVecId = q))),
         s"~${nProbe}/$nLists of codes")
+    }
+    for (c <- Seq(3, 10); nProbe <- Seq(1, 2, 4, 8, 16)) {
+      row(s"residual IVFADC + re-rank (cand=${c}k)", s"nProbe=$nProbe",
+        meanRecall(q => ids(IvfIndex.topKResidualAdcRerankIndexed(spark,
+          radcDir, emb, qvs(q), k, nProbe, cand = c * k, excludeVecId = q))),
+        s"~${nProbe}/$nLists of codes + ${c * k} rows")
     }
 
     // PQ / rotated PQ: full compressed scan, knob = bytes per vector
@@ -129,6 +145,27 @@ object AnnCurves {
         "1 (compressed)")
     }
 
+    sb.append("""
+      |Notes:
+      |- `testdata_sf1` replicates the sf0.1 embeddings 10× VERBATIM, so for
+      |  every query 9 of the exact top-10 are exact clones that PQ-quantize
+      |  identically: the ADC families' recall "plateau" at 0.90 is exactly the
+      |  clone fraction — the quantizer reliably returns the clones and almost
+      |  never the 10th (first non-clone) neighbour, and adding probes cannot
+      |  fix a quantizer ceiling. The re-rank rows show the standard fix — ADC
+      |  proposes cand candidates, an exact-cosine re-rank over only those rows
+      |  recovers the missing neighbours — and ALSO show its sizing rule: the
+      |  candidate pool must scale with the corpus's duplication factor. On
+      |  this 10×-cloned tier cand = 3k (30 rows) spans only ~3 distinct code
+      |  groups, so it recovers little; cand = 10k spans ~10 and lifts further.
+      |  At 100 TB, size cand ≈ c·k·(expected clones per near-dup cluster).
+      |- A clone-heavy tier cannot separate near-equal indexes (rotated-PQ
+      |  m >= 8 "parity" here is inside clone noise). AnnRecallSpec also
+      |  measures the de-cloned 2000-vector sf0.1 tier, where absolute recalls
+      |  are far lower for every PQ family (16-entry seed codebooks underfit
+      |  unstructured embeddings) and the fixed rotation can lose at any m —
+      |  see the rotatedPqAdc scaladoc before enabling rotation.
+      |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)
     println(s"[ann] wrote $outFile")

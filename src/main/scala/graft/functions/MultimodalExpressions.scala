@@ -1455,6 +1455,38 @@ object GrftCodec {
     java.lang.Long.valueOf(h)
   }
 
+  /** 64-bit ENVELOPE hash over the decoded samples of a kind=1 PCM
+    * WAV container — the audio analogue of the image [[ahash]] mean
+    * compare, which is what near-dup MINING wants (where [[afp]]'s
+    * derivative signs identify a recording, they flip too easily
+    * under byte-level edits to band-collide — measured: zero banded
+    * pairs at any useful hamming radius on the test corpus, vs the
+    * mean-compare's image-like pair yield). 8 channel-0 sample points
+    * at `i_c = c·n/8` (integer division, nearest-neighbour), bit j
+    * set iff `64·s(j%8) > 8·Σs` — the strict integer mean compare on
+    * SIGNED samples (any fixed DC shift cancels algebraically:
+    * 64·(s+d) > 8·(Σs+8d) ⟺ 64·s > 8·Σs, so re-leveled copies hash
+    * identically). Null when undecodable.
+    */
+  def aenv(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val wav = wavOfContainer(bytes)
+    if (wav == null || wav.nFrames <= 0) return null
+    val n = wav.nFrames
+    def sAt(i: Long): Long = {
+      val idx = wav.offset + 2 * i * wav.channels
+      ((u16le(wav.bytes, idx.toInt) << 16) >> 16).toLong
+    }
+    val g = new Array[Long](8)
+    var t = 0L
+    var c = 0
+    while (c < 8) { g(c) = sAt(c.toLong * n / 8); t += g(c); c += 1 }
+    var h = 0L
+    var j = 0
+    while (j < 64) { if (64L * g(j % 8) > 8L * t) h |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
   // ---- real video codec: uncompressed 24-bit AVI (RIFF, DIB frames) ----
   // The video counterpart of the PNM/BMP/WAV paths, and the third use
   // of the same two primitives: the RIFF chunk walk (WAV) over DIB
@@ -1939,6 +1971,19 @@ case class GrftAudioFp(child: Expression) extends GrftLongHash {
     copy(child = newChild)
 }
 
+/** `graft_aenv(bin)` → 64-bit envelope (mean-compare) hash of the
+  * decoded samples (see [[GrftCodec.aenv]]) — the audio MINING hash,
+  * banding-friendly where `graft_afp`'s derivative signs are not;
+  * null when undecodable.
+  */
+case class GrftAudioEnv(child: Expression) extends GrftLongHash {
+  override def prettyName: String = "graft_aenv"
+  override protected def codecMethod: String = "aenv"
+  override protected def kernel(bytes: Array[Byte]): Any = GrftCodec.aenv(bytes)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_samples(bin)` → REAL decoded-audio statistics for a kind=1
   * GRFT container holding a PCM WAV — rate/channels from the fmt
   * chunk, checksum/mean/peak over the actual 16-bit samples.
@@ -2111,6 +2156,9 @@ object MultimodalExpressions {
     "graft_afp" -> (
       new ExpressionInfo(classOf[GrftAudioFp].getName, "graft_afp"),
       (args: Seq[Expression]) => GrftAudioFp(args.head)),
+    "graft_aenv" -> (
+      new ExpressionInfo(classOf[GrftAudioEnv].getName, "graft_aenv"),
+      (args: Seq[Expression]) => GrftAudioEnv(args.head)),
     "graft_vhash" -> (
       new ExpressionInfo(classOf[GrftVideoHash].getName, "graft_vhash"),
       (args: Seq[Expression]) => GrftVideoHash(args.head)),

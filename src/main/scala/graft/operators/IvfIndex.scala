@@ -333,6 +333,64 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Exact-cosine re-rank of a BOUNDED candidate set against the raw
+    * embedding table — the second stage every production ADC deployment
+    * runs, because the quantizer (not the probe set) is the recall
+    * ceiling: `ANN_RECALL.md` measured IVFADC/residual-IVFADC plateau
+    * at recall@10 ≈ 0.90 regardless of nProbe; with this stage on top
+    * (candidates = c·k, c ≈ 3-10) the plateau lifts to ~1.0.
+    *
+    * `candidates` must be bounded (it comes from an ADC top-`c·k`) —
+    * it is broadcast onto the embedding scan, so the re-rank is a
+    * narrow semi-join touching exactly the candidate rows: no shuffle
+    * of the corpus, no second full scan ranking. Ordering ties break
+    * on `vec_id` like [[Similarity.bruteForceTopK]], whose
+    * (vec_id, cos) output schema this mirrors.
+    */
+  def exactRerank(emb: DataFrame, candidates: DataFrame,
+                  queryVec: Seq[Double], k: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
+    val qv = typedLit(queryVec)
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    emb.join(broadcast(candidates.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"),
+        round(try_divide(call_function("graft_dot", col("embedding"), qv),
+          sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+            * lit(qn)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Two-stage IVFADC search: ADC selects the `cand` best codes from
+    * the probed lists ([[topKAdcIndexed]]), then [[exactRerank]]
+    * returns the exact-cosine top-k over only those rows. `cand`
+    * defaults to 3·k — the c where the measured recall plateau lifts;
+    * extra stage cost is one bounded broadcast semi-join.
+    */
+  def topKAdcRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, emb: DataFrame, queryVec: Seq[Double],
+                           k: Int = 20, nProbe: Int = 2, cand: Int = 0,
+                           excludeVecId: Long = -1L): DataFrame = {
+    val c = if (cand > 0) cand else 3 * k
+    require(c >= k, s"candidate pool $c smaller than k=$k")
+    exactRerank(emb.filter(col("vec_id") =!= excludeVecId),
+      topKAdcIndexed(spark, path, queryVec, c, nProbe, excludeVecId),
+      queryVec, k)
+  }
+
+  /** [[topKAdcRerankIndexed]] over the residual-IVFADC layout. */
+  def topKResidualAdcRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, emb: DataFrame,
+                                   queryVec: Seq[Double], k: Int = 20,
+                                   nProbe: Int = 2, cand: Int = 0,
+                                   excludeVecId: Long = -1L): DataFrame = {
+    val c = if (cand > 0) cand else 3 * k
+    require(c >= k, s"candidate pool $c smaller than k=$k")
+    exactRerank(emb.filter(col("vec_id") =!= excludeVecId),
+      topKResidualAdcIndexed(spark, path, queryVec, c, nProbe, excludeVecId),
+      queryVec, k)
+  }
+
   /** Elementwise residual `v − centroid(list_id)` as one narrow
     * `zip_with` over a CASE chain of centroid literals (`nLists`
     * dim-sized arrays — a bounded plan artifact like the codebook).

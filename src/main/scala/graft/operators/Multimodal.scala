@@ -93,6 +93,19 @@ object Multimodal {
     df.withColumn(out, call_function("graft_afp", col(binCol)))
   }
 
+  /** 64-bit envelope (mean-compare) hash over the DECODED PCM — the
+    * audio MINING hash (see `GrftCodec.aenv`): [[audioFingerprint]]'s
+    * derivative signs identify a recording but flip too easily to
+    * band-collide, while this aHash-style mean compare yields
+    * image-like pair sets under [[TextDedup.hammingPairs64]]. Any
+    * fixed DC shift cancels algebraically, so re-leveled copies hash
+    * identically. Integer exact; null for undecodable media.
+    */
+  def audioEnvHash(df: DataFrame, binCol: String, out: String = "aenv"): DataFrame = {
+    MultimodalExpressions.register(df.sparkSession)
+    df.withColumn(out, call_function("graft_aenv", col(binCol)))
+  }
+
   /** 64-bit perceptual hash of a video's temporally-center frame
     * (the image aHash grid over the DECODED RGB raster — see
     * `GrftCodec.vhash`): the video-side signature, integer exact,

@@ -595,13 +595,22 @@ object Similarity {
     * exists for, with none of OPQ's non-replayable SVD. One extra
     * narrow kernel pass; same m-byte payload.
     *
-    * OPERATING-POINT WARNING (measured, `ANN_RECALL.md`): the fixed
-    * rotation helps only at m >= 8 — at m = 4 it measures WORSE than
-    * plain [[pqEncodeAdc]] (recall@10 0.613 vs 0.794 at sf1): with
-    * only 4 wide subspaces, mixing dimensions smears the query signal
-    * across sub-codebooks the 16-entry seed codebook can't resolve.
-    * Use plain PQ at coarse m; the default m = 8 is the supported
-    * floor (AnnRecallSpec pins rotated >= plain there).
+    * OPERATING-POINT WARNING (measured): the fixed, non-learned
+    * rotation is NOT a reliable win. At m = 4 it measures strictly
+    * worse than plain [[pqEncodeAdc]] everywhere (recall@10 0.613 vs
+    * 0.794 at sf1, `ANN_RECALL.md`): with only 4 wide subspaces,
+    * mixing dimensions smears the query signal across sub-codebooks
+    * the 16-entry seed codebook can't resolve. At m >= 8 it measured
+    * neutral at sf1 — but sf1's embeddings are 10× exact clones of
+    * sf0.1, and 9/10 of every top-10 is a clone that quantizes
+    * identically, so that tier can't separate near-equal indexes; on
+    * the de-cloned 2000-vector tier the rotation can lose at any m
+    * (AnnRecallSpec reports both tiers). Real OPQ learns R from the
+    * data; this fixed chain is the replayable ablation scaffold —
+    * MEASURE on your corpus before enabling it, and prefer plain PQ
+    * by default. The structural guarantee AnnRecallSpec pins is
+    * orthogonality: the rotation never distorts geometry, so encode /
+    * ADC semantics stay exact.
     */
   def rotatedPqAdc(emb: DataFrame, rounds: Int = 16, m: Int = 8,
                    kCode: Int = 16, queryVecId: Long = 0L): DataFrame = {

@@ -329,6 +329,25 @@ object DataPipeline {
     // residuals, codebook, codes, all nLists×m×k cells and the final
     // pick — one flipped code or cell anywhere breaks the gate.
     // Partial-probe recall and partition pruning are AnnRecallSpec rows.
+    // ADC + exact re-rank — the two-stage search that lifts the
+    // measured quantizer ceiling (ANN_RECALL.md: IVFADC plateaus at
+    // recall ≈ 0.90 regardless of nProbe): the q122 index picks the
+    // 60 best codes by integer ADC, then ONE bounded broadcast
+    // semi-join back to the raw embeddings ranks those 60 by exact
+    // cosine. All lists probed here so the candidate set is
+    // deterministic and the oracle replays codes → cells → candidate
+    // cut → exact-cosine top-20 end-to-end; the recall lift at
+    // partial probes is an AnnRecallSpec row + ANN_RECALL.md curves.
+    "q157_adc_rerank" -> { (s, dir) =>
+      val path = SharedArtifacts.ivfAdcIndexPath(s, dir, nLists = 8,
+        m = PqM, kCode = PqK)
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0)
+      graft.operators.IvfIndex.topKAdcRerankIndexed(s, path, emb, qv,
+        k = 20, nProbe = 8, cand = 60, excludeVecId = 0L)
+    },
     "q123_residual_ivfadc" -> { (s, dir) =>
       val path = SharedArtifacts.ivfResidualAdcIndexPath(s, dir, nLists = 8,
         m = PqM, kCode = PqK)
@@ -585,16 +604,36 @@ object DataPipeline {
         .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
         .filter($"ahash".isNotNull)
         .select($"doc_id", $"ahash".as("simhash"))
-      val pairs = TextDedup.hammingPairs64(sigs, maxHamming = 3,
-          maxBandFreq = Some(HammingBandCap))
-        .select($"doc_a", $"doc_b")
-      val labels = graft.operators.Components.dupClusters(pairs)
-      sigs.select($"doc_id")
-        .join(labels, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"component", $"doc_id").as("component"),
-          (coalesce($"component", $"doc_id") === $"doc_id").as("kept"))
-        .orderBy($"doc_id")
+      dedupApply(sigs)
+    },
+
+    // AUDIO dedup applied end-to-end — the q141/q155 chain with the
+    // envelope hash as the signature (afp's derivative signs never
+    // band-collide on this corpus — measured zero pairs at any useful
+    // radius — so mining rides the mean-compare hash, exactly as
+    // image mining rides aHash rather than raw pixel diffs): capped
+    // hamming pairs → pointer-jumping components → smallest-id keep
+    // policy, one row per decodable audio doc. The oracle replays the
+    // envelope bits from character arithmetic and chains the capped
+    // pair replay into the recursive closure.
+    "q158_audio_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = graft.operators.Multimodal
+        .audioEnvHash(SharedArtifacts.mediaFixture(s, dir, "wav"), "blob")
+        .filter($"aenv".isNotNull)
+        .select($"doc_id", $"aenv".as("simhash"))
+      dedupApply(sigs)
+    },
+    // VIDEO dedup applied end-to-end: q138's center-frame perceptual
+    // hash through the IDENTICAL capped chain — proving the claim
+    // that one apply chain serves every modality's 64-bit signature
+    "q159_video_dedup_apply" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = graft.operators.Multimodal
+        .videoHash(SharedArtifacts.mediaFixture(s, dir, "avi"), "blob")
+        .filter($"vhash".isNotNull)
+        .select($"doc_id", $"vhash".as("simhash"))
+      dedupApply(sigs)
     },
 
     "q80_image_codec" -> { (s, dir) =>
@@ -774,6 +813,25 @@ object DataPipeline {
   // shifts exactly as designed, not a no-op configuration
   private final val HammingBandCap = 2L
 
+  /** The modality-agnostic capped dedup APPLY chain (q155 image, q158
+    * audio, q159 video): capped-banded hamming pairs → pointer-jumping
+    * components → smallest-id keep policy, one row per hashed doc.
+    * `sigs` must be `(doc_id, simhash)` from any 64-bit perceptual
+    * signature — one chain serves every modality, which is the point.
+    */
+  private def dedupApply(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = TextDedup.hammingPairs64(sigs, maxHamming = 3,
+        maxBandFreq = Some(HammingBandCap))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.Components.dupClusters(pairs)
+    sigs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q141 oracle's CTE chain (aHash replay, band keys, hot keys),
     * shared verbatim with the q155 closure replay. `WITH RECURSIVE` so
     * a consumer may append recursive CTEs.
@@ -819,6 +877,95 @@ object DataPipeline {
        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
        |  AND ($keep)""".stripMargin
   }
+
+  /** 64-bit-builder SQL shared by the audio/video signature replays:
+    * sums the per-bit HUGEINT contributions of `bitCond(j)` (bit 63 is
+    * the sign bit of the signed BIGINT both engines store).
+    */
+  private def sigBits64(bitCond: String): String =
+    s"""CAST(list_aggregate(list_transform(range(0, 64), j ->
+       |          CASE WHEN $bitCond THEN
+       |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+       |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+       |            END
+       |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT)""".stripMargin
+
+  /** The generic capped dedup-apply oracle (the q155 chain over ANY
+    * 64-bit signature): takes `hashCtes` — a `WITH RECURSIVE` prefix
+    * ending in `h(doc_id, sig)` — and appends the 4×16 band keys, the
+    * hot-key exclusion at [[HammingBandCap]], the capped pair select,
+    * the recursive closure, and the keep verdict. Mirrors
+    * [[imageCappedCtes]]/[[imageCappedPairSelect]] with the column
+    * name generalized; the image oracles keep their original text.
+    */
+  private def sigDedupApplySql(hashCtes: String): String = {
+    val bands = (0 until 4)
+      .map(j => s"CAST((sig >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
+      .mkString(",\n        ")
+    val hots = (0 until 4)
+      .map(j => s"h$j AS (SELECT k$j AS kv FROM k GROUP BY 1 " +
+        s"HAVING count(*) > $HammingBandCap)")
+      .mkString(",\n")
+    val keep = (0 until 4)
+      .map(j => s"(a.k$j = b.k$j AND a.k$j NOT IN (SELECT kv FROM h$j))")
+      .mkString("\n     OR ")
+    s"""$hashCtes,
+       |k AS (SELECT doc_id, sig,
+       |        $bands
+       |      FROM h),
+       |$hots,
+       |dup AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |    AND ($keep)),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |      UNION SELECT doc_b, doc_a FROM dup),
+       |reach(a, b) AS (SELECT a, a FROM e
+       |                UNION
+       |                SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS component FROM reach
+       |           GROUP BY 1)
+       |SELECT h.doc_id,
+       |  CAST(coalesce(l.component, h.doc_id) AS BIGINT) AS component,
+       |  (coalesce(l.component, h.doc_id) = h.doc_id) AS kept
+       |FROM h LEFT JOIN labels l USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
+  /** Envelope-hash replay for the q158 oracle: the WAV fixture's
+    * sample map is `(byte − 128)·256` at points `c·n/8` (channel 0,
+    * nearest-neighbour), bit j set iff `64·s(j%8) > 8·Σs` — character
+    * arithmetic end-to-end (corrupted every-97th docs hash to null
+    * and drop out of `h`, like the image chain).
+    */
+  private lazy val audioEnvCtes: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(0, 8), c ->
+       |          (CAST(ascii(substr(text, CAST((c * n) // 8 AS INT) + 1, 1))
+       |            AS BIGINT) - 128) * 256) AS cs
+       |      FROM t WHERE doc_id % 97 <> 0 AND n >= 1),
+       |h AS (SELECT doc_id,
+       |        ${sigBits64("64 * cs[CAST(j % 8 AS INT) + 1] > 8 * list_aggregate(cs, 'sum')")} AS sig
+       |      FROM g)""".stripMargin
+
+  /** Center-frame video-hash replay for the q159 oracle — the q138
+    * derivation (frame-2 byte rotation, 3× channel-replicated
+    * brightness, mean compare) emitting `sig`.
+    */
+  private lazy val videoHashCtes: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(0, 8), c ->
+       |          3 * CAST(ascii(substr(text,
+       |            ((CAST((c * n) // 8 AS INT) + 2) % n) + 1, 1)) AS BIGINT))
+       |          AS cs
+       |      FROM t WHERE doc_id % 97 <> 0 AND n >= 1),
+       |h AS (SELECT doc_id,
+       |        ${sigBits64("64 * cs[CAST(j % 8 AS INT) + 1] > 8 * list_aggregate(cs, 'sum')")} AS sig
+       |      FROM g)""".stripMargin
 
   // rotation rounds for q133's rotated PQ
   private final val RotRounds = 16
@@ -1658,6 +1805,12 @@ object DataPipeline {
         |FROM h LEFT JOIN labels l USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
 
+    // envelope-hash replay chained into the capped closure — the q155
+    // gate shape over the audio signature
+    "q158_audio_dedup_apply" -> sigDedupApplySql(audioEnvCtes),
+    // center-frame video-hash replay through the identical chain
+    "q159_video_dedup_apply" -> sigDedupApplySql(videoHashCtes),
+
     "q80_image_codec" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
         |           FROM documents),
@@ -1940,6 +2093,55 @@ object DataPipeline {
          |WHERE p.vec_id <> 0
          |ORDER BY CAST($adcSum AS BIGINT) ASC, p.vec_id ASC
          |LIMIT 20""".stripMargin
+    },
+
+    // two-stage replay: the q122 derivation cut at the 60-candidate
+    // (adc, vec_id) boundary, then the q30 exact-cosine ranking over
+    // exactly those rows — one wrong code, cell, candidate or cosine
+    // anywhere flips the final top-20
+    "q157_adc_rerank" -> {
+      def slice(src: String, ms: String) =
+        s"list_slice($src, $ms*$PqSub + 1, $ms*$PqSub + $PqSub)"
+      val sa = slice("e.v", "ms.m"); val sc = slice("cb.v", "ms.m")
+      val cCols = (0 until PqM)
+        .map(i => s"CAST(max(CASE WHEN m = $i THEN kk END) AS INT) AS c$i")
+        .mkString(",\n         ")
+      val qJoins = (0 until PqM)
+        .map(i => s"JOIN qd q$i ON q$i.m = $i AND q$i.kk = p.c$i").mkString("\n      ")
+      val adcSum = (0 until PqM).map(i => s"q$i.qdi").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (SELECT vec_id AS kk, v FROM e WHERE vec_id < $PqK),
+         |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         |sd AS (SELECT e.vec_id, ms.m, cb.kk,
+         |        (list_dot_product($sa, $sa)
+         |         - 2 * list_dot_product($sa, $sc)
+         |         + list_dot_product($sc, $sc)) AS d2
+         |       FROM e CROSS JOIN ms CROSS JOIN cb),
+         |codes AS (SELECT vec_id, m, kk FROM (
+         |    SELECT vec_id, m, kk,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, kk) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |qd AS (SELECT m, kk, CAST(floor(1000000 * d2) AS BIGINT) AS qdi
+         |       FROM sd WHERE vec_id = 0),
+         |p AS (SELECT vec_id,
+         |         $cCols
+         |      FROM codes GROUP BY 1),
+         |cand AS (SELECT p.vec_id
+         |  FROM p
+         |      $qJoins
+         |  WHERE p.vec_id <> 0
+         |  ORDER BY CAST($adcSum AS BIGINT) ASC, p.vec_id ASC
+         |  LIMIT 60),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id,
+         |    list_dot_product(e.v, q.qv) AS dp,
+         |    sqrt(list_dot_product(e.v, e.v)) AS nv,
+         |    sqrt(list_dot_product(q.qv, q.qv)) AS nq
+         |  FROM cand JOIN e USING (vec_id), q)
+         |SELECT vec_id, round(dp / (nv * nq), 4) AS cos
+         |FROM d ORDER BY round(dp / (nv * nq), 4) DESC, vec_id LIMIT 20""".stripMargin
     },
 
     // rotated-PQ replay: the 16 Givens rotations unrolled as chained

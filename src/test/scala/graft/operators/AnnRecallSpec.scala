@@ -353,6 +353,94 @@ class AnnRecallSpec extends SparkSpec {
     assert(literal == joined)
   }
 
+  // the PQ-family recall measurements need a corpus the 16-entry seed
+  // codebook is representative OF — at sf0.001's 500 vectors the
+  // quantizer is so coarse that every family floors; 2000 vectors is
+  // the smallest tier where the sf1-published orderings reproduce
+  private lazy val emb01 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+
+  test("ADC re-rank lifts the quantizer ceiling; candidates ride a broadcast join") {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir("graft_ivfadc_rr")
+    val centroids = IvfIndex.train(emb01, nLists = 4, iters = 2)
+    IvfIndex.writeAdcIndex(emb01, centroids, dir, m = 8, kCode = 16)
+    val k = 10
+    val qids = Seq(33L, 111L, 222L, 333L, 444L)
+    val qvs = qids.map(q => q -> emb01.filter(col("vec_id") === q)
+      .select(org.apache.spark.sql.functions
+        .transform(col("embedding"), x => x.cast("double")))
+      .head.getSeq[Double](0)).toMap
+    val exactK = qids.map(q =>
+      q -> ids(Similarity.bruteForceTopK(emb01, q, k))).toMap
+    def recall(f: Long => Set[Long]) =
+      qids.map(q => (f(q) & exactK(q)).size.toDouble / k).sum / qids.size
+    for (nProbe <- Seq(2, 4)) {
+      val adc = recall(q =>
+        ids(IvfIndex.topKAdcIndexed(spark, dir, qvs(q), k, nProbe, q)))
+      val rr = recall(q => ids(IvfIndex.topKAdcRerankIndexed(spark, dir, emb01,
+        qvs(q), k, nProbe, cand = 3 * k, excludeVecId = q)))
+      info(f"nProbe=$nProbe adc=$adc%.3f rerank=$rr%.3f")
+      // structural: rerank's top-k comes from a SUPERSET of ADC's
+      // top-k ranked by the exact metric, so recall can only go up
+      assert(rr >= adc - 1e-9, s"nProbe=$nProbe rerank $rr < adc $adc")
+      // and at the full probe the lift over the quantizer ceiling is
+      // real, not vacuous
+      if (nProbe == 4) assert(rr > adc, s"full-probe rerank $rr !> adc $adc")
+    }
+    // the candidate set joins the raw embeddings via broadcast — a
+    // bounded semi-join, never a shuffled or nested-loop corpus join
+    val p = IvfIndex.topKAdcRerankIndexed(spark, dir, emb01, qvs(33L), k,
+      nProbe = 4, cand = 3 * k, excludeVecId = 33L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("rotated PQ: rotation is orthogonal (geometry-preserving); recall effect is measured, corpus-dependent") {
+    import org.apache.spark.sql.functions.col
+    // The STRUCTURAL claim the operator makes — the fixed Givens
+    // chain is orthogonal, so any recall difference vs plain PQ comes
+    // from codebook interaction, never from distorted geometry:
+    // pairwise dot products in the rotated frame equal the originals.
+    graft.functions.VectorExpressions.register(spark)
+    val pairs = Similarity.givensPairs(64, 16).flatMap(p => Seq(p._1, p._2))
+    val rot = emb01.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("o"),
+        org.apache.spark.sql.functions.call_function("graft_rotate",
+          col("embedding"), org.apache.spark.sql.functions.typedLit(pairs),
+          org.apache.spark.sql.functions.lit(0.6),
+          org.apache.spark.sql.functions.lit(0.8)).as("r"))
+    val x = rot.as("a").crossJoin(rot.as("b"))
+      .select(Similarity.dot(col("a.o"), col("b.o")).as("od"),
+        Similarity.dot(col("a.r"), col("b.r")).as("rd"))
+      .collect()
+    assert(x.nonEmpty)
+    x.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+      s"rotation not orthogonal: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // The MEASURED claim (reported, not pinned as an ordering — see
+    // the rotatedPqAdc scaladoc and ANN_RECALL.md): the fixed
+    // non-learned rotation is neutral-at-best at m >= 8 on the sf1
+    // corpus and measures WORSE at m = 4 everywhere; on this
+    // de-cloned 2000-vector tier it can lose at any m, so the
+    // operator's doc tells users to measure before enabling it.
+    val k = 10
+    val qids = Seq(33L, 111L, 222L, 333L)
+    val exactK = qids.map(q =>
+      q -> ids(Similarity.bruteForceTopK(emb01, q, k))).toMap
+    def pqTop(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter(col("vec_id") =!= q)
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    for (m <- Seq(4, 8)) {
+      val plain = qids.map(q => (pqTop(Similarity.pqEncodeAdc(emb01, m, 16, q), q)
+        & exactK(q)).size.toDouble / k).sum / qids.size
+      val rotR = qids.map(q => (pqTop(Similarity.rotatedPqAdc(emb01, 16, m, 16, q), q)
+        & exactK(q)).size.toDouble / k).sum / qids.size
+      info(f"de-cloned sf0.1: m=$m plain=$plain%.3f rotated=$rotR%.3f")
+    }
+  }
+
   test("semanticContamination forced-literal over the bound fails fast") {
     import org.apache.spark.sql.functions.col
     val e = intercept[IllegalArgumentException] {
