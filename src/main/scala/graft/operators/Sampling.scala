@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -458,6 +458,9 @@ object Sampling {
                fimNum: Long = 1L, fimDen: Long = 2L): DataFrame = {
     require(fimDen > 0 && fimNum >= 0,
       s"fim fraction must be >= 0 with positive denominator, got $fimNum/$fimDen")
+    val added = Seq("prefix_len", "middle_len", "suffix_len", "spm_mode")
+    require(added.forall(!docs.columns.contains(_)),
+      s"input already has one of ${added.mkString("/")}; rename it first")
     def h(tag: String) = expr(
       s"cast(conv(substr(md5(cast(concat(cast($idCol as string), '$tag') " +
         s"as binary)), 1, 13), 16, 10) as bigint)")
@@ -465,9 +468,93 @@ object Sampling {
     val applied = pmod(h(":f"), lit(fimDen)) < lit(fimNum) && n >= 2L
     val a = when(applied, lit(1L) + pmod(h(":a"), n - 1L)).otherwise(n)
     val b = when(applied, a + pmod(h(":b"), n - a + 1L)).otherwise(n)
-    docs.select(col(idCol), n.as(tokensCol),
-      a.as("prefix_len"), (b - a).as("middle_len"), (n - b).as("suffix_len"),
-      (applied && pmod(h(":m"), lit(2L)) === 1L).as("spm_mode"))
+    // preserve pass-through columns (shard keys, order columns) so the
+    // plan can feed the packer directly — a narrow projection either way
+    docs.withColumn(tokensCol, n)
+      .withColumn("prefix_len", a)
+      .withColumn("middle_len", b - a)
+      .withColumn("suffix_len", n - b)
+      .withColumn("spm_mode", applied && pmod(h(":m"), lit(2L)) === 1L)
+  }
+
+  /** [[fimSplit]] APPLIED inside the packer — the production export
+    * step q153 only plans: the token stream the writer emits per doc
+    * is the FIM-reordered segment sequence (PSM: prefix, suffix,
+    * middle; SPM: suffix, prefix, middle — Bavarian et al. 2022),
+    * each segment preceded by one `sentinelTokens`-token sentinel
+    * (`<PRE>`/`<SUF>`/`<MID>`; unselected docs pass through whole
+    * with no sentinels), and [[concatChunk]] cuts that emitted stream
+    * into exact `seqLen` sequences — the reordered segments and their
+    * sentinels shift every later boundary exactly like q156's EOS
+    * tokens did.
+    *
+    * Output: one row per NON-EMPTY (doc, segment) — pass-through
+    * columns plus
+    *  - `seg` (`prefix`/`middle`/`suffix`/`whole`), `seg_order`
+    *    (emission rank within the doc)
+    *  - `src_from`/`src_to`: the segment's ORIGINAL token interval
+    *    (half-open) — the provenance a loss-masking writer needs
+    *  - `n_seg_tokens`, `seg_start_off` (absolute offset of the
+    *    segment's first own token in the shard stream, after its
+    *    sentinel), `first_seq`/`last_seq` (the training sequences the
+    *    segment's own tokens land in)
+    *
+    * Scale shape: [[fimSplit]] is a narrow projection, the offset
+    * cumsum is [[concatChunk]]'s ONE window, segments are a 3-way
+    * explode in the same projection — no extra shuffle, everything
+    * integer, any engine replays it bit-for-bit.
+    */
+  def fimPack(docs: DataFrame, idCol: String, tokensCol: String,
+              seqLen: Long, partitionCol: String, orderCol: String,
+              fimNum: Long = 1L, fimDen: Long = 2L,
+              sentinelTokens: Long = 1L): DataFrame = {
+    require(sentinelTokens >= 0,
+      s"sentinelTokens must be >= 0, got $sentinelTokens")
+    val plans = fimSplit(docs, idCol, tokensCol, fimNum, fimDen)
+    val n = col(tokensCol)
+    val p = col("prefix_len"); val sfx = col("suffix_len")
+    // applied ⟺ a < n (fimSplit draws a from [1, n-1] when selected
+    // and pins a = n otherwise)
+    val applied = col("prefix_len") < n
+    val emitted = plans.withColumn("_emit_len",
+      n + when(applied, lit(3L * sentinelTokens)).otherwise(lit(0L)))
+    val packed = concatChunk(emitted, "_emit_len", seqLen,
+      partitionCol, orderCol)
+    val s = lit(sentinelTokens)
+    def segment(name: String, order: Column, from: Column, to: Column,
+                off: Column) =
+      struct(lit(name).as("seg"), order.cast("long").as("seg_order"),
+        from.cast("long").as("src_from"), to.cast("long").as("src_to"),
+        off.cast("long").as("seg_off"))
+    val b = p + col("middle_len")
+    val segs = when(applied,
+      when(col("spm_mode"),
+        array( // SPM: suffix, prefix, middle
+          segment("suffix", lit(0L), b, n, s),
+          segment("prefix", lit(1L), lit(0L), p, s * 2 + sfx),
+          segment("middle", lit(2L), p, b, s * 3 + sfx + p)))
+      .otherwise(
+        array( // PSM: prefix, suffix, middle
+          segment("prefix", lit(0L), lit(0L), p, s),
+          segment("suffix", lit(1L), b, n, s * 2 + p),
+          segment("middle", lit(2L), p, b, s * 3 + p + sfx))))
+      .otherwise(array(segment("whole", lit(0L), lit(0L), n, lit(0L))))
+    packed
+      .withColumn("_sg", explode(segs))
+      .filter(col("_sg.src_to") > col("_sg.src_from")) // skip empty segments
+      .withColumn("seg", col("_sg.seg"))
+      .withColumn("seg_order", col("_sg.seg_order"))
+      .withColumn("src_from", col("_sg.src_from"))
+      .withColumn("src_to", col("_sg.src_to"))
+      .withColumn("n_seg_tokens", col("src_to") - col("src_from"))
+      .withColumn("seg_start_off", col("start_off") + col("_sg.seg_off"))
+      // doc-level spans are meaningless post-reorder: replace with the
+      // segment's own
+      .drop("first_seq", "last_seq", "n_seqs_spanned", "_sg")
+      .withColumn("first_seq", expr(s"seg_start_off div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(seg_start_off + n_seg_tokens - 1) div $seqLen"))
+      .drop("start_off", "_emit_len")
   }
 
   /** Token-budget subset selection: keep the best-scoring documents

@@ -174,6 +174,33 @@ object Patterns {
         .orderBy($"doc_id")
     },
 
+    // the q153 FIM plans APPLIED inside the packer: per doc the writer
+    // emits sentinel-prefixed reordered segments (PSM/SPM), concatChunk
+    // cuts the EMITTED stream — reordered segments + sentinels shift
+    // every later boundary exactly like q156's EOS tokens. Gated per
+    // shard with the (doc_id + seg_order)-keyed span fingerprint over
+    // the segment spans, so one wrong cut, order, sentinel or offset
+    // anywhere flips the hash
+    "q160_fim_pack" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      val packed = graft.operators.Sampling.fimPack(
+        graft.operators.Sampling.assignShards(docs, "doc_id", nShards = 8),
+        "doc_id", "n_tokens", seqLen = 64L,
+        partitionCol = "shard", orderCol = "shard_pos",
+        fimNum = 1L, fimDen = 2L, sentinelTokens = 1L)
+      packed.groupBy($"shard")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_segs"),
+          sum($"n_seg_tokens").as("n_seg_tokens"),
+          sum(when($"last_seq" > $"first_seq", 1L).otherwise(0L))
+            .as("n_split_segs"),
+          sum($"first_seq" * ($"doc_id" + $"seg_order") + $"last_seq")
+            .as("span_fingerprint"))
+        .orderBy($"shard")
+    },
+
     // the full export path chained: mixture schedule (q149) → physical
     // interleaved order (q152) → token-exact sequence packing (q143's
     // concatChunk over the SCHEDULED stream, repeats included). Gated
@@ -531,6 +558,73 @@ object Patterns {
         |  CAST(n - b AS BIGINT) AS suffix_len,
         |  (applied AND hm = 1) AS spm_mode
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the q153 cut arithmetic + the q156 shard/cumsum machinery over
+    // the EMITTED lengths (n + 3 sentinels when applied), then the
+    // per-mode segment offsets (PSM: [S]p [S]s [S]m; SPM: [S]s [S]p
+    // [S]m) and the segment-span rollup
+    "q160_fim_pack" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |hx AS (SELECT doc_id, n, h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':f'), 1, 13))
+        |      AS BIGINT) % 2 AS hf,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 13))
+        |      AS BIGINT) AS ha,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 13))
+        |      AS BIGINT) AS hb,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'), 1, 13))
+        |      AS BIGINT) % 2 AS hm
+        |  FROM t),
+        |c0 AS (SELECT doc_id, n, h, hf < 1 AND n >= 2 AS applied, ha, hb, hm
+        |       FROM hx),
+        |ab AS (SELECT doc_id, n, h, applied, hm, hb,
+        |    CASE WHEN applied THEN 1 + ha % (n - 1) ELSE n END AS a
+        |  FROM c0),
+        |f AS (SELECT doc_id, n, h, applied, hm, a,
+        |    CASE WHEN applied THEN a + hb % (n - a + 1) ELSE n END AS b
+        |  FROM ab),
+        |s AS (SELECT *, CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard
+        |      FROM f WHERE n > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY shard
+        |        ORDER BY h ASC, doc_id ASC) AS pos FROM s),
+        |e AS (SELECT *, n + CASE WHEN applied THEN 3 ELSE 0 END AS emit_len
+        |      FROM r),
+        |c AS (SELECT *, CAST(coalesce(sum(emit_len) OVER (PARTITION BY shard
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS BIGINT) AS start_off FROM e),
+        |seg AS (
+        |  SELECT shard, doc_id, CAST(0 AS BIGINT) AS seg_order,
+        |    CAST(0 AS BIGINT) AS src_from, n AS src_to, start_off AS abs_off
+        |  FROM c WHERE NOT applied
+        |  UNION ALL
+        |  SELECT shard, doc_id, CAST(CASE WHEN hm = 1 THEN 1 ELSE 0 END AS BIGINT),
+        |    CAST(0 AS BIGINT), a,
+        |    start_off + CASE WHEN hm = 1 THEN 2 + (n - b) ELSE 1 END
+        |  FROM c WHERE applied
+        |  UNION ALL
+        |  SELECT shard, doc_id, CAST(CASE WHEN hm = 1 THEN 0 ELSE 1 END AS BIGINT),
+        |    b, n,
+        |    start_off + CASE WHEN hm = 1 THEN 1 ELSE 2 + a END
+        |  FROM c WHERE applied AND n - b > 0
+        |  UNION ALL
+        |  SELECT shard, doc_id, CAST(2 AS BIGINT), a, b,
+        |    start_off + 3 + CASE WHEN hm = 1 THEN (n - b) + a ELSE a + (n - b) END
+        |  FROM c WHERE applied AND b - a > 0),
+        |g AS (SELECT shard, doc_id, seg_order, src_from, src_to,
+        |    abs_off // 64 AS first_seq,
+        |    (abs_off + (src_to - src_from) - 1) // 64 AS last_seq
+        |  FROM seg)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(src_to - src_from) AS BIGINT) AS n_seg_tokens,
+        |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_segs,
+        |  CAST(sum(first_seq * (doc_id + seg_order) + last_seq) AS BIGINT)
+        |    AS span_fingerprint
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q67_token_packing" ->
       """WITH t AS (SELECT source, doc_id,

@@ -283,6 +283,63 @@ class SamplingSpec extends SparkSpec {
     assert(out.groupBy(_._1).exists(_._2.map(_._3).distinct.size > 1))
   }
 
+  test("fimPack: segments tile each doc, sentinel offsets exact, degenerate config = concatChunk") {
+    val t = docs.select($"source", $"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val out = Sampling.fimPack(t, "doc_id", "n_tokens", seqLen = 50L,
+        partitionCol = "source", orderCol = "doc_id",
+        fimNum = 1L, fimDen = 2L, sentinelTokens = 1L)
+      .select($"source", $"doc_id", $"n_tokens", $"seg", $"seg_order",
+        $"src_from", $"src_to", $"n_seg_tokens", $"seg_start_off",
+        $"first_seq", $"last_seq")
+      .as[(String, Long, Long, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty && out.forall(_._8 > 0)) // no empty segments
+    // per doc: the src intervals PARTITION [0, n) (order-independent)
+    out.groupBy(_._2).foreach { case (_, segs) =>
+      val n = segs.head._3
+      val ivs = segs.map(s => (s._6, s._7)).sortBy(_._1)
+      assert(ivs.head._1 == 0L && ivs.last._2 == n)
+      ivs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 == b._1, s"gap/overlap: $segs")
+        case _ =>
+      }
+      // emitted layout: consecutive emitted segments are separated by
+      // one sentinel per emission slot between them — a skipped EMPTY
+      // segment still occupies its sentinel (the <SUF> marker is
+      // written even when the suffix is empty, as in real FIM formats)
+      val em = segs.sortBy(_._5)
+      if (em.head._4 != "whole") {
+        em.sliding(2).foreach {
+          case Seq(a, b) => assert(a._9 + a._8 + (b._5 - a._5) == b._9,
+            s"sentinel arithmetic broken: $segs")
+          case _ =>
+        }
+        // mode ordering: middle is always emitted last
+        assert(em.last._4 == "middle" || em.size < 3)
+      }
+      // spans follow from offsets
+      segs.foreach { s =>
+        assert(s._10 == s._9 / 50L && s._11 == (s._9 + s._8 - 1) / 50L)
+      }
+    }
+    // both modes and both shapes occur on this corpus
+    assert(out.exists(_._4 == "whole") && out.exists(_._4 == "suffix"))
+    assert(out.count(_._4 == "prefix") > 0)
+    // fimNum = 0, sentinels = 0 degenerates to concatChunk exactly
+    val deg = Sampling.fimPack(t, "doc_id", "n_tokens", seqLen = 50L,
+        partitionCol = "source", orderCol = "doc_id",
+        fimNum = 0L, fimDen = 2L, sentinelTokens = 0L)
+      .select($"doc_id", $"seg", $"seg_start_off", $"first_seq", $"last_seq")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val cc = Sampling.concatChunk(t, "n_tokens", 50L, "source", "doc_id")
+      .select($"doc_id", $"start_off", $"first_seq", $"last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(deg.forall(_._2 == "whole"))
+    assert(deg.map(d => (d._1, d._3, d._4, d._5)).sortBy(_._1) ==
+      cc.sortBy(_._1))
+  }
+
   test("chunkManifest refuses a separator-packed stream (metadata contract)") {
     val t = docs.select($"source", $"doc_id",
       size(split($"text", " ")).cast("long").as("n_tokens"))
