@@ -365,6 +365,59 @@ object StreamingOps {
       .start()
   }
 
+  /** The full q150 incremental-ingest verdict chain per micro-batch:
+    * each arriving batch of candidate-new `(doc_id, text)` docs is
+    * diffed against the standing snapshot fingerprints (only
+    * added/changed content proceeds), the delta near-dup-probes the
+    * standing MinHash signature index, survivors are decontaminated
+    * against the benchmark windows, and the sink receives one
+    * `(doc_id, status, n_chars)` verdict per delta doc
+    * (dup > contaminated > kept).
+    *
+    * All cross-doc state lives OUTSIDE the stream — `oldSnap` (a
+    * static `(doc_id, fp)` fingerprint table), the persisted
+    * signature index, and the static benchmark — and each doc's
+    * verdict is a pure function of (doc, standing state), so the
+    * stream is embarrassingly batchable: any batching of the new
+    * snapshot yields the union of the batch verdicts, and a
+    * single-batch stream reproduces the q150 batch chain bit-for-bit
+    * (the StreamingOpsSpec parity pin). A batch here is a PARTIAL
+    * snapshot: 'removed' keys are what the full diff of the final
+    * snapshot says, not a per-batch notion, so only added/changed
+    * flow through — the at-ingestion admission flavor, like the other
+    * per-batch operators.
+    */
+  def ingestVerdictPerBatch(newDocs: DataFrame, oldSnap: DataFrame,
+                            sigIndexPath: String, bench: DataFrame,
+                            threshold: Double = 0.8, windowChars: Int = 40,
+                            sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fpNew = batch.withColumn("fp", md5(col("text").cast("binary")))
+        val delta = graft.operators.SnapshotDiff
+          .delta(oldSnap, fpNew, "doc_id", "fp")
+          .select(col("doc_id"), col("text"))
+        val dups = graft.operators.TextDedup
+          .nearDupsAgainstIndex(delta, sigIndexPath, threshold)
+          .select(col("doc_id")).distinct()
+        val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
+        val contaminated = graft.operators.TextDedup
+          .substringMatches(survivors, bench, windowChars)
+          .select(col("doc_id")).distinct()
+        sink(delta
+          .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .join(contaminated.withColumn("is_cont", lit(true)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("is_dup"), lit("dup"))
+              .when(col("is_cont"), lit("contaminated"))
+              .otherwise(lit("kept")).as("status"),
+            length(col("text")).cast("long").as("n_chars")), batchId)
+      }
+      .start()
+
   /** Incremental cross-source KMV set-operation estimates over a
     * stream of `(groupCol, uCol)` rows: each micro-batch is sketched
     * distributed (one mergeable partial aggregate), the per-source

@@ -626,6 +626,82 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("ingest verdict chain: 3-batch stream ≡ single batch ≡ batch replay") {
+    // the q150 composition (diff → delta dedup vs the standing index →
+    // decontam of survivors → verdict) run per micro-batch against
+    // standing state; verdicts must be independent of the batching
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+    val base = docs.select($"doc_id", $"text")
+    // new snapshot planting all three outcomes (the q150 recipe)
+    val edits = base.filter($"doc_id" % 7 =!= 0)
+      .withColumn("text", when($"doc_id" % 5 === 0,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+    val readds = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    val contamAdds = docs.filter($"source" === "src0" && $"doc_id" % 3 === 0)
+      .select(($"doc_id" + 20000000L).as("doc_id"),
+        substring($"text", 1, 80).as("text"))
+    val freshAdds = base.filter($"doc_id" % 17 === 0)
+      .select($"doc_id",
+        array_join(transform(sequence(lit(1), lit(25)),
+          i => concat(lit("zz"), $"doc_id", lit("w"), i)), " ").as("text"))
+      .select(($"doc_id" + 30000000L).as("doc_id"), $"text")
+    val newSnap = edits.unionByName(readds).unionByName(contamAdds)
+      .unionByName(freshAdds)
+      .as[(Long, String)].collect().toSeq
+    assert(newSnap.nonEmpty)
+    val oldSnap = base.withColumn("fp", md5($"text".cast("binary")))
+      .select($"doc_id", $"fp")
+    val idx = tempDir("graft_stream_ingest_idx")
+    graft.operators.TextDedup.writeSignatureIndex(base, idx)
+    val bench = docs.filter($"source" === "src0").select($"doc_id", $"text")
+
+    def runStream(batches: Seq[Seq[(Long, String)]]): Seq[(Long, String, Long)] = {
+      val got = new ConcurrentLinkedQueue[(Long, String, Long)]()
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.ingestVerdictPerBatch(
+        mem.toDF().toDF("doc_id", "text"), oldSnap, idx, bench,
+        sink = (df, _) => df.as[(Long, String, Long)].collect().foreach(got.add))
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      got.toArray.map(_.asInstanceOf[(Long, String, Long)]).sortBy(_._1).toSeq
+    }
+    // batch replay: the same operator calls over the whole snapshot
+    val fpNew = newSnap.toDF("doc_id", "text")
+      .withColumn("fp", md5($"text".cast("binary")))
+    val delta = graft.operators.SnapshotDiff
+      .delta(oldSnap, fpNew, "doc_id", "fp").select($"doc_id", $"text")
+    val dups = graft.operators.TextDedup
+      .nearDupsAgainstIndex(delta, idx, threshold = 0.8)
+      .select($"doc_id").distinct()
+    val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
+    val cont = graft.operators.TextDedup
+      .substringMatches(survivors, bench, windowChars = 40)
+      .select($"doc_id").distinct()
+    val replay = delta
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .join(cont.withColumn("is_cont", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_dup", lit("dup")).when($"is_cont", lit("contaminated"))
+          .otherwise(lit("kept")).as("status"),
+        length($"text").cast("long").as("n_chars"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+    val single = runStream(Seq(newSnap))
+    val grouped = newSnap.groupBy(t => (t._1 % 3).toInt)
+    val three = runStream(Seq(grouped.getOrElse(0, Nil),
+      grouped.getOrElse(1, Nil), grouped.getOrElse(2, Nil)))
+    assert(single == replay && replay.nonEmpty)
+    assert(three == replay)
+    // the batch planted every verdict class
+    assert(Set("dup", "contaminated", "kept").subsetOf(
+      replay.map(_._2).toSet),
+      replay.groupBy(_._2).map { case (k, v) => s"$k=${v.size}" }.mkString(", "))
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must
