@@ -343,6 +343,89 @@ object TextDedup {
       bandBits = 16, maxHamming, maxBandFreq)
   }
 
+  /** Materialise the 64-bit-signature index of accepted history: one
+    * parquet row per doc `(doc_id, simhash)` — the standing state a
+    * MEDIA ingestion pipeline keeps between batches (the signature
+    * analogue of [[writeSignatureIndex]]; the signature is any
+    * modality's 64-bit perceptual hash — image aHash, audio envelope,
+    * video center-frame). Plain columnar parquet: the banded probe
+    * reads both columns, nothing else is stored — 16 bytes/doc.
+    */
+  def writeHashIndex(sigs: DataFrame, path: String): Unit =
+    sigs.select(col("doc_id"), col("simhash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) index maintenance: new part files only — the historical
+    * rows are never read or rewritten (band keys are derived at probe
+    * time from the signature, so there is no index structure to
+    * rebuild).
+    */
+  def appendToHashIndex(sigs: DataFrame, path: String): Unit =
+    sigs.select(col("doc_id"), col("simhash"))
+      .write.mode("append").parquet(path)
+
+  /** Incremental banded near-dup probe against [[writeHashIndex]]
+    * state: which NEW signatures are within `maxHamming` of an indexed
+    * one? The band join runs batch bands against index bands with the
+    * [[hammingPairs64]] first-match discipline (every matching pair is
+    * emitted by exactly one band join, no distinct over candidates),
+    * and `maxBandFreq` applies the hot-key cap to the INDEX side —
+    * the standing corpus is where boilerplate accumulates; a hot index
+    * key (> cap docs share it) is excluded from its band's join, and
+    * a pair survives iff SOME equal band has a non-hot index key —
+    * so no per-key join group exceeds cap index rows at any history
+    * size. The batch is hashed once; the history is only ever READ
+    * from its index — per-batch media dedup is O(batch + collisions),
+    * not O(corpus).
+    *
+    * Output: (doc_id, dup_of, hamming) — one row per (new doc,
+    * indexed doc) pair within the radius.
+    */
+  def nearDupsAgainstHashIndex(newSigs: DataFrame, path: String,
+                               maxHamming: Int = 3,
+                               maxBandFreq: Option[Long] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
+    val spark = newSigs.sparkSession
+    def keyed(df: DataFrame) = df.select(
+      col("doc_id") +: col("simhash") +:
+        (0 until 4).map(j =>
+          expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as(s"k$j")): _*)
+    val idx0 = keyed(spark.read.parquet(path))
+    val batch = keyed(newSigs.select(col("doc_id"), col("simhash")))
+    // hot flags ride the index rows (one distinct-key aggregate + one
+    // 1:≤1 flag join per band — the bandedSimhashPairs shape); the
+    // index is cached across the 4 hot aggregates + 4 probe joins,
+    // released via graft.Tables.releaseOperatorCaches
+    val idx = maxBandFreq.fold(idx0) { cap =>
+      val base = idx0.cache()
+      (0 until 4).foldLeft(base) { (df, j) =>
+        val hot = base.groupBy(col(s"k$j"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col(s"k$j"), lit(true).as(s"h$j"))
+        df.join(hot, Seq(s"k$j"), "left")
+          .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
+      }.cache()
+    }
+    val capped = maxBandFreq.isDefined
+    val perBand = (0 until 4).map { j =>
+      val eligible = if (capped) !col(s"b.h$j") else lit(true)
+      val firstMatch = (0 until j)
+        .map(k =>
+          if (capped) col(s"a.k$k") =!= col(s"b.k$k") || col(s"b.h$k")
+          else col(s"a.k$k") =!= col(s"b.k$k"))
+        .foldLeft(eligible)(_ && _)
+      batch.as("a")
+        .join(idx.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    }
+    perBand.reduce(_ unionAll _)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("dup_of"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
   /** Shared first-match band miner over a `(doc_id, simhash)` table:
     * the band-j self-join additionally requires bands 0..j-1 to DIFFER,
     * so every candidate pair is emitted by exactly one join — no

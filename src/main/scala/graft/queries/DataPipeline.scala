@@ -636,6 +636,29 @@ object DataPipeline {
       dedupApply(sigs)
     },
 
+    // MEDIA dedup at INGEST time — the media analogue of q145/q151:
+    // the standing aHash index (built on doc_id < 200, extended to 250
+    // by the O(batch) append, so the gate covers build + append +
+    // probe) is probed by the new batch (doc_id >= 250) through the
+    // capped banded join — only the batch is ever hashed; the history
+    // is READ from its 16-byte/doc index. The hot-band cap applies to
+    // the INDEX side (the standing corpus is where boilerplate
+    // accumulates). The oracle states the capped probe declaratively:
+    // a hamming<=3 (batch, indexed) pair survives iff some equal band
+    // has a non-hot INDEX key — at sf0.01 the cap shrinks 755 cross
+    // pairs to 82, far from vacuous.
+    "q161_media_ingest_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.hashIndexPath(s, dir,
+        buildAt = 200L, splitAt = 250L)
+      val batch = graft.operators.Multimodal
+        .imageAHash(SharedArtifacts.mediaFixture(s, dir, "pgm"), "blob")
+        .filter($"ahash".isNotNull && $"doc_id" >= 250)
+        .select($"doc_id", $"ahash".as("simhash"))
+      TextDedup.nearDupsAgainstHashIndex(batch, path, maxHamming = 3,
+        maxBandFreq = Some(HammingBandCap))
+    },
+
     "q80_image_codec" -> { (s, dir) =>
       import s.implicits._
       val packed = SharedArtifacts.mediaFixture(s, dir, "pgm")
@@ -1804,6 +1827,50 @@ object DataPipeline {
         |  (coalesce(l.component, h.doc_id) = h.doc_id) AS kept
         |FROM h LEFT JOIN labels l USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
+
+    // aHash replay split at the index boundary: hot keys measured on
+    // the INDEX side only, pairs = batch × index with the declarative
+    // capped-band keep rule
+    "q161_media_ingest_dedup" -> {
+      val bands = (0 until 4)
+        .map(j => s"CAST((ahash >> ${j * 16}) & 65535 AS BIGINT) AS k$j")
+        .mkString(",\n        ")
+      val hots = (0 until 4)
+        .map(j => s"h$j AS (SELECT k$j AS kv FROM idx GROUP BY 1 " +
+          s"HAVING count(*) > $HammingBandCap)")
+        .mkString(",\n")
+      val keep = (0 until 4)
+        .map(j => s"(a.k$j = b.k$j AND b.k$j NOT IN (SELECT kv FROM h$j))")
+        .mkString("\n     OR ")
+      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(0, 8), c ->
+         |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+         |            AS BIGINT)) AS cs
+         |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+         |h AS (SELECT doc_id,
+         |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+         |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+         |                    > 8 * list_aggregate(cs, 'sum') THEN
+         |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+         |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+         |            END
+         |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+         |      FROM g),
+         |k AS (SELECT doc_id, ahash,
+         |        $bands
+         |      FROM h),
+         |idx AS (SELECT * FROM k WHERE doc_id < 250),
+         |bat AS (SELECT * FROM k WHERE doc_id >= 250),
+         |$hots
+         |SELECT a.doc_id, b.doc_id AS dup_of,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         |FROM bat a JOIN idx b
+         |  ON bit_count(xor(a.ahash, b.ahash)) <= 3
+         | AND ($keep)
+         |ORDER BY a.doc_id, dup_of""".stripMargin
+    },
 
     // envelope-hash replay chained into the capped closure — the q155
     // gate shape over the audio signature

@@ -76,6 +76,25 @@ object SharedArtifacts {
         docs.filter(col("doc_id") >= buildAt && col("doc_id") < splitAt), path)
     }
 
+  /** Standing 64-bit media-signature index (q161): image aHash
+    * signatures of the decodable docs with doc_id < `buildAt`, then
+    * extended with [`buildAt`, `splitAt`) via the O(batch) append —
+    * the probe gate exercises build, append AND probe, like
+    * [[gramIndexPath]].
+    */
+  def hashIndexPath(s: SparkSession, dir: String, buildAt: Long,
+                    splitAt: Long): String =
+    artifact(dir, s"hash_index_${buildAt}_$splitAt") { path =>
+      import org.apache.spark.sql.functions.col
+      def sigs(lo: Long, hi: Long) = graft.operators.Multimodal
+        .imageAHash(mediaFixture(s, dir, "pgm"), "blob")
+        .filter(col("ahash").isNotNull)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("ahash").as("simhash"))
+      graft.operators.TextDedup.writeHashIndex(sigs(Long.MinValue, buildAt), path)
+      graft.operators.TextDedup.appendToHashIndex(sigs(buildAt, splitAt), path)
+    }
+
   /** IVF-flat index built on the vec_id < `splitAt` half of the
     * embeddings, then INCREMENTALLY extended with the other half via
     * [[graft.operators.IvfIndex.appendToIndex]] — the persisted state

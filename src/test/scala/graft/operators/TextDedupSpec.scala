@@ -354,6 +354,43 @@ class TextDedupSpec extends SparkSpec {
     assert(appended == inline)
   }
 
+  test("hash index probe: build+append ≡ rebuild; index-side hot cap bounds planted skew") {
+    // standing history: 5000 identical blob signatures (boilerplate)
+    // plus two distinct anchors; batch: one probe near each anchor and
+    // one near the blob. Index-side hot cap must kill the blob match
+    // (its every band key is hot in the INDEX) and keep the anchor
+    // matches, each emitted exactly once despite 4 equal bands.
+    val blobSig = 0x0123456789abcdefL
+    val anchorA = 0x1111222233334444L
+    val anchorB = 0x5555666677778888L
+    val history = ((0 until 5000).map(i => (i.toLong, blobSig)) ++
+      Seq((9001L, anchorA), (9002L, anchorB))).toDF("doc_id", "simhash")
+    val dir = tempDir("graft_hash_idx")
+    // build on a prefix, append the rest — probe results must equal a
+    // one-shot rebuild (the O(batch) maintenance claim)
+    TextDedup.writeHashIndex(history.filter($"doc_id" < 3000), dir)
+    TextDedup.appendToHashIndex(history.filter($"doc_id" >= 3000), dir)
+    val batch = Seq(
+      (100001L, anchorA ^ 1L),          // 1 bit from anchor A
+      (100002L, anchorB),               // exact dup of anchor B
+      (100003L, blobSig ^ 2L)           // 1 bit from the hot blob
+    ).toDF("doc_id", "simhash")
+    val hits = TextDedup.nearDupsAgainstHashIndex(batch, dir,
+        maxHamming = 3, maxBandFreq = Some(8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(hits == Seq((100001L, 9001L, 1), (100002L, 9002L, 0)))
+    val dir2 = tempDir("graft_hash_idx_rebuild")
+    TextDedup.writeHashIndex(history, dir2)
+    val rebuilt = TextDedup.nearDupsAgainstHashIndex(batch, dir2,
+        maxHamming = 3, maxBandFreq = Some(8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rebuilt == hits)
+    // uncapped, the blob probe matches every blob row — the quadratic
+    // group the cap exists to bound
+    assert(TextDedup.nearDupsAgainstHashIndex(batch, dir2, maxHamming = 3)
+      .filter($"doc_id" === 100003L).count() == 5000L)
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))

@@ -533,6 +533,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q157 ADC re-rank: bounded broadcast semi-join back to the embeddings, no corpus shuffle") {
+    val plan = formatted("q157_adc_rerank")
+    // stage 1 reads the pruned index lists; stage 2 joins the bounded
+    // candidate set to the raw embeddings via broadcast — never a
+    // shuffled or nested-loop join of the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q158/q159 media dedup apply: banded pair join, no cartesian, one labels join") {
+    for (q <- Seq("q158_audio_dedup_apply", "q159_video_dedup_apply")) {
+      val plan = formatted(q)
+      // pairs come from the capped banded equi-join (same machinery as
+      // q140/q141) — a cartesian or nested-loop anywhere means the
+      // hamming join degenerated
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+      // the signature kernel runs as a codegen'd projection
+      assert(plan.contains(if (q.startsWith("q158")) "graft_aenv" else "graft_vhash"),
+        s"$q: $plan")
+    }
+  }
+
+  test("q160 FIM pack: two windows (shard rank + emitted cumsum), explode, no extra shuffle") {
+    val plan = formatted("q160_fim_pack")
+    // the segment fan-out is a Generate in the same stage as the
+    // offset arithmetic — no join at all in the whole plan
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q148 k-means: the argmin pass reads the materialized codes, no join") {
     val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
     df.collect()

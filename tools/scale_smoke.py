@@ -71,22 +71,26 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            "q148", "q149", "q150", "q151", "q152", "q153", "q154",
            # media dedup apply (q155 — capped pairs + pointer-jumping
            # components, work ~ pairs)
-           "q155", "q156"]
+           "q155", "q156",
+           # r14: ADC + exact re-rank (q157 — pruned index probe + a
+           # bounded broadcast semi-join), audio/video capped dedup
+           # apply (q158/q159 — the q141/q155 chain, work ~ capped
+           # pairs), FIM-applied packing (q160 — two windows + explode,
+           # work ~ segments)
+           "q157", "q158", "q159", "q160"]
 SLACK = 2.0
 
-# Annotations shown under the table. The current report is one uncut
-# full-suite run at both tiers for every query EXCEPT q155/q156 (which
-# landed after that run and were measured standalone, reps=3, then
-# merged in); the notes record what changed since the previous run.
+# Annotations shown under the table. The current report is ONE uncut
+# full-suite run of every listed query (q155-q160 included) at both
+# tiers — no standalone merges; the notes record what changed since
+# the previous run.
 REMEASURED_NOTES = [
-    "This report is a single full-suite run (no cache merges). "
-    "Earlier in the round: q144's fp_sum overflowed i64 at sf1 (fixed "
-    "with a modular digest), and q148's interpreted HOF quantize chain "
-    "cost 41 s at sf1 before the codegen'd graft_quantize8_arr kernel "
-    "(now 0.58 s). q76's one-off 45 s sf1 median in an earlier "
-    "full-suite pass was suite-order GC debt — this run measures it "
-    "at 14.1 s (6.7x, same plan). q155 and q156 landed after this "
-    "run; both tiers measured standalone (reps=3) and merged.",
+    "This report is a single full-suite run (no cache merges), "
+    "re-measured in r14 with the four new queries (q157-q160) in the "
+    "suite. Historical context kept from r13: q144's fp_sum overflowed "
+    "i64 at sf1 (fixed with a modular digest), and q148's interpreted "
+    "HOF quantize chain cost 41 s at sf1 before the codegen'd "
+    "graft_quantize8_arr kernel.",
 ]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
