@@ -418,6 +418,29 @@ object StreamingOps {
       }
       .start()
 
+  /** Per-batch MEDIA ingest dedup: each micro-batch of `(doc_id,
+    * simhash)` signatures (any modality's 64-bit perceptual hash)
+    * probes the standing [[graft.operators.TextDedup.writeHashIndex]]
+    * state through the capped banded join — the streaming flavor of
+    * q161, with the index as static state outside the stream (the
+    * same per-batch-vs-standing-state shape as
+    * [[ingestVerdictPerBatch]]). Each batch's hit set is a pure
+    * function of (batch, index), so any batching yields the union of
+    * batch results — the StreamingOpsSpec parity pin.
+    */
+  def mediaDedupPerBatch(sigs: DataFrame, indexPath: String,
+                         maxHamming: Int = 3,
+                         maxBandFreq: Option[Long] = None,
+                         sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    sigs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.TextDedup.nearDupsAgainstHashIndex(
+          batch, indexPath, maxHamming, maxBandFreq), batchId)
+      }
+      .start()
+
   /** Incremental cross-source KMV set-operation estimates over a
     * stream of `(groupCol, uCol)` rows: each micro-batch is sketched
     * distributed (one mergeable partial aggregate), the per-source

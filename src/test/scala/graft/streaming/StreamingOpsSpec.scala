@@ -702,6 +702,34 @@ class StreamingOpsSpec extends SparkSpec {
       replay.groupBy(_._2).map { case (k, v) => s"$k=${v.size}" }.mkString(", "))
   }
 
+  test("media ingest dedup probes the standing hash index stream/batch identically") {
+    implicit val sq = spark.sqlContext
+    val blobSig = 0x0123456789abcdefL
+    val anchorA = 0x1111222233334444L
+    val anchorB = 0x5555666677778888L
+    val history = ((0 until 200).map(i => (i.toLong, blobSig)) ++
+      Seq((9001L, anchorA), (9002L, anchorB))).toDF("doc_id", "simhash")
+    val idx = tempDir("graft_stream_media_idx")
+    graft.operators.TextDedup.writeHashIndex(history, idx)
+    val batch = Seq((100001L, anchorA ^ 1L), (100002L, anchorB),
+      (100003L, blobSig ^ 2L))
+    val expected = graft.operators.TextDedup
+      .nearDupsAgainstHashIndex(batch.toDF("doc_id", "simhash"), idx,
+        maxHamming = 3, maxBandFreq = Some(8L))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.mediaDedupPerBatch(
+      mem.toDF().toDF("doc_id", "simhash"), idx, 3, Some(8L),
+      (df, _) => df.as[(Long, Long, Int)].collect().foreach(got.add))
+    // two batches: the anchors, then the blob probe
+    mem.addData(batch.take(2)); q.processAllAvailable()
+    mem.addData(batch.drop(2)); q.processAllAvailable(); q.stop()
+    val streamed = got.toArray.map(_.asInstanceOf[(Long, Long, Int)])
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed == expected && expected.nonEmpty)
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must
