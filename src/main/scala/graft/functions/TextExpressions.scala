@@ -305,6 +305,40 @@ object TextShingling {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** Content-defined chunk boundaries (see [[CdcCuts]]): the complete
+    * ascending list of chunk-END word indices — word index i (0-based)
+    * ends a chunk when the 48-bit md5 prefix of the w-word gram ending
+    * at i is ≡ 0 mod d, plus the forced final end n-1. One narrow
+    * O(n·w) pass, no state across documents.
+    */
+  def cdcCuts(text: UTF8String, w: Int, d: Long): GenericArrayData = {
+    require(w >= 1 && d >= 1, s"graft_cdc requires w >= 1 and d >= 1, got ($w, $d)")
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val md = md5.get()
+    val sb = new java.lang.StringBuilder()
+    val ends = new java.util.ArrayList[Any]()
+    var i = w - 1
+    while (i < n - 1) { // the final index is a forced end, never a gram cut
+      sb.setLength(0)
+      var j = i - w + 1
+      while (j <= i) {
+        if (j > i - w + 1) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val dg = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      if (h % d == 0L) ends.add(i)
+      i += 1
+    }
+    ends.add(n - 1)
+    new GenericArrayData(ends.toArray)
+  }
+
   /** Winnowing fingerprint selection (see [[WinnowFingerprints]]):
     * word k-gram md5-prefix hashes, O(n) monotonic-deque sliding-window
     * minimum with RIGHTMOST tie-break, distinct selected positions in
@@ -625,6 +659,66 @@ object WinnowFingerprints {
     containsNull = false)
 }
 
+/** Content-defined chunk boundaries — `graft_cdc(text, w, d)`.
+  *
+  * The gear/Rabin family's position-independent core: word index i
+  * ends a chunk when hash(w-gram ending at i) ≡ 0 mod d (expected
+  * chunk length ≈ d words), plus the forced final end. Because each
+  * cut decision depends only on the w words before it, an insertion
+  * or deletion perturbs boundaries only until the gram stream
+  * realigns (≤ w words) — the property that makes chunk-hash equality
+  * find shared content ACROSS positions, where fixed-size chunking
+  * (q74) loses alignment after any edit. Deliberately unbounded
+  * (no min/max clamp): the clamped variants make every boundary
+  * depend on the previous one (sequential state an oracle cannot
+  * replay positionally); the unbounded cut set is what the DuckDB
+  * gate replays hash-for-hash, and chunk-length concentration around
+  * d is measured, not enforced.
+  *
+  * Returns `array<int>` of 0-based chunk-end word indices, ascending,
+  * always ending with n-1; null text → null. The gram hash is the
+  * same 48-bit md5 prefix as `graft_winnow`. One narrow codegen'd
+  * pass next to the scan — the only shuffle in a CDC dedup is the
+  * chunk-hash equi-join, sized by chunks, not the corpus.
+  */
+case class CdcCuts(text: Expression, w: Expression, d: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = w
+  override def third: Expression = d
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || w.dataType != IntegerType ||
+        d.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc expects (string, int, int), got " +
+          s"(${text.dataType.simpleString}, ${w.dataType.simpleString}, " +
+          s"${d.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, ww: Any, dd: Any): Any =
+    TextShingling.cdcCuts(t.asInstanceOf[UTF8String],
+      ww.asInstanceOf[Int], dd.asInstanceOf[Int].toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ww, dd) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.cdcCuts($t, $ww, (long) $dd);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(text = newFirst, w = newSecond, d = newThird)
+}
+
 object TextExpressions {
   /** Register the text kernels in the session's function registry
     * (idempotent), for the DataFrame API and SQL alike.
@@ -642,6 +736,8 @@ object TextExpressions {
       "graft_grams", exprs => WordGrams(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc", exprs => CdcCuts(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fhash", exprs => FeatureHash(exprs(0), exprs(1)), "built-in")
   }

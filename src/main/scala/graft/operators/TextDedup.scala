@@ -1028,4 +1028,53 @@ object TextDedup {
     fps.join(shared, Seq("h"))
       .select(col("doc_id"), col("pos"), col("h"), col("n_docs"))
   }
+
+  /** Content-defined chunking (the gear/Rabin family's
+    * position-independent core — see `graft_cdc`): tile every document
+    * into variable-size word chunks cut where the 48-bit gram hash ≡ 0
+    * mod `d` (expected chunk ≈ d words). Local edits perturb only the
+    * boundaries within `w` words of the edit — chunk hashes realign
+    * after it — so chunk-hash equality finds content shared ACROSS
+    * positions and documents, where fixed-size chunking (q74) loses
+    * alignment after any edit. The storage/sub-doc-dedup primitive.
+    *
+    * Output: one row per (doc, chunk) — `(doc_id, chunk_idx,
+    * from_word, to_word, n_words, chunk_hash)` with word intervals
+    * 0-based inclusive tiling `[0, n)` per doc, `chunk_hash` =
+    * md5 of the space-joined chunk words. One narrow kernel pass +
+    * one Generate; no shuffle.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        call_function("graft_cdc", col("text"), lit(w), lit(d)).as("ends"))
+      .select(col("doc_id"), col("ws"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "to_word")))
+      .withColumn("from_word",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("chunk_idx")) + 1))
+      .withColumn("n_words", col("to_word") - col("from_word") + 1)
+      .withColumn("chunk_hash",
+        md5(array_join(slice(col("ws"), col("from_word") + 1, col("n_words")),
+          " ").cast("binary")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("from_word").cast("long").as("from_word"),
+        col("to_word").cast("long").as("to_word"),
+        col("n_words").cast("long").as("n_words"), col("chunk_hash"))
+  }
+
+  /** [[cdcChunks]] annotated with cross-doc share counts — per chunk,
+    * how many distinct docs contain a chunk with the same hash (the
+    * sub-document dedup signal). The only shuffle is the chunk-hash
+    * aggregation + join, sized by chunks, never by pairs.
+    */
+  def cdcChunkStats(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
+    val ch = cdcChunks(docs, w, d)
+    val shared = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(shared, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_idx"), col("from_word"),
+        col("to_word"), col("n_words"), col("chunk_hash"), col("n_docs"))
+  }
 }

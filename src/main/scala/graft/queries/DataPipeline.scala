@@ -813,6 +813,20 @@ object DataPipeline {
     // oracle replays each window's rightmost-min selection from the
     // same md5 prefixes, so the gate pins the whole sketch, not a
     // summary of it
+    // content-defined chunking (gear/Rabin family core): every doc
+    // tiled into variable-size word chunks cut where the 48-bit gram
+    // hash ≡ 0 mod 32, annotated with cross-doc share counts — the
+    // sub-document / storage dedup primitive (fixed chunking loses
+    // alignment after any edit; CDC boundaries realign within w
+    // words). The oracle replays every cut decision hash-for-hash and
+    // every chunk hash, so one moved boundary anywhere flips the gate
+    "q162_cdc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.cdcChunkStats(Tables.loadParallel(s, dir, "documents"),
+          w = CdcW, d = CdcD)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     "q114_winnowing" -> { (s, dir) =>
       import s.implicits._
       TextDedup.winnowMatchStats(Tables.loadParallel(s, dir, "documents"),
@@ -826,6 +840,11 @@ object DataPipeline {
   // ~2/(w+1) = a third of the gram count
   private val WinnowK = 4
   private val WinnowW = 5
+
+  // CDC parameters: 4-word gram window, expected chunk ~16 words —
+  // small enough that the sf0.01 docs produce several chunks each
+  private val CdcW = 4
+  private val CdcD = 16
 
   private val KCenterK = 8
 
@@ -2617,6 +2636,41 @@ object DataPipeline {
     // the same rightmost-min rule — rightmost position of the window
     // minimum = i + W - (1-based position of the min in the REVERSED
     // window slice)
+    // every cut decision replayed from the same 48-bit md5 prefixes
+    // (i ends a chunk iff hash(w-gram ending at i) % d = 0, plus the
+    // forced final end), then chunk intervals, chunk hashes, and the
+    // cross-doc share counts
+    "q162_cdc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         |cuts AS (SELECT doc_id, ws, n,
+         |    list_filter(range($CdcW - 1, n - 1), i ->
+         |      CAST(('0x' || substr(md5(array_to_string(
+         |        list_slice(ws, i - $CdcW + 2, i + 1), ' ')), 1, 12))
+         |        AS BIGINT) % $CdcD = 0) AS cs
+         |  FROM g),
+         |e AS (SELECT doc_id, ws, n, list_concat(cs, [n - 1]) AS ends FROM cuts),
+         |seg AS (SELECT doc_id, ws, ends,
+         |    unnest(range(0, len(ends))) AS chunk_idx
+         |  FROM e),
+         |c AS (SELECT doc_id, ws, chunk_idx,
+         |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
+         |    END AS fw,
+         |    ends[CAST(chunk_idx AS INT) + 1] AS tw
+         |  FROM seg),
+         |ch AS (SELECT doc_id, chunk_idx, fw, tw,
+         |    md5(array_to_string(list_slice(ws, CAST(fw AS INT) + 1,
+         |      CAST(tw AS INT) + 1), ' ')) AS chunk_hash
+         |  FROM c),
+         |sh AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+         |       FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(fw AS BIGINT) AS from_word, CAST(tw AS BIGINT) AS to_word,
+         |  CAST(tw - fw + 1 AS BIGINT) AS n_words, chunk_hash,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM ch JOIN sh USING (chunk_hash)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q114_winnowing" -> {
       val gram = (0 until WinnowK)
         .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString("||' '||")

@@ -391,6 +391,34 @@ class TextDedupSpec extends SparkSpec {
       .filter($"doc_id" === 100003L).count() == 5000L)
   }
 
+  test("CDC chunks tile the doc; an edit perturbs only boundaries near it") {
+    val words = (0 until 400).map(i => s"w${i * 7 % 131}")
+    val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextDedup.cdcChunks(doc, w = 4, d = 16)
+      .select($"chunk_idx", $"from_word", $"to_word", $"chunk_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // chunks tile [0, n) contiguously
+    assert(chunks.head._2 == 0L && chunks.last._3 == 399L && chunks.size > 3)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 + 1 == b._2)
+      case _ =>
+    }
+    // THE CDC property: insert a word near the front — every chunk
+    // hash after the boundaries realign (within w words of the edit)
+    // is unchanged, which is what makes chunk-hash equality find
+    // shared content across positions. Fixed-size chunking (q74)
+    // would shift every later chunk.
+    val edited = Seq((1L, ("INSERTED" +: words).mkString(" ")))
+      .toDF("doc_id", "text")
+    val editedHashes = TextDedup.cdcChunks(edited, w = 4, d = 16)
+      .select($"chunk_hash").as[String].collect().toSet
+    val origHashes = chunks.map(_._4).toSet
+    val preserved = (origHashes & editedHashes).size.toDouble / origHashes.size
+    assert(preserved > 0.7, s"only $preserved of chunk hashes survived the edit")
+    // and the first chunk (containing the edit) did change
+    assert(!editedHashes.contains(chunks.head._4))
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))

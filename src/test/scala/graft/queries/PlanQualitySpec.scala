@@ -568,6 +568,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q162 CDC chunks: narrow kernel + generate, one hash-agg share join, no cartesian") {
+    val plan = formatted("q162_cdc_chunks")
+    assert(plan.contains("graft_cdc"), plan)
+    assert(plan.contains("Generate"), plan)
+    // the share counts come from a hash aggregation joined back — the
+    // only join in the plan; never a cartesian/nested-loop
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q148 k-means: the argmin pass reads the materialized codes, no join") {
     val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
     df.collect()

@@ -77,7 +77,10 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # apply (q158/q159 — the q141/q155 chain, work ~ capped
            # pairs), FIM-applied packing (q160 — two windows + explode,
            # work ~ segments)
-           "q157", "q158", "q159", "q160"]
+           "q157", "q158", "q159", "q160",
+           # content-defined chunking (q162 — one narrow kernel pass +
+           # generate; the share join is sized by chunks)
+           "q162"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
