@@ -353,6 +353,37 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_cdc_chunks('<view>'[, w[, d]])` — q162's content-defined
+    * chunking with cross-doc share counts over a (doc_id, text) view:
+    * the sub-document dedup tiling.
+    */
+  private def cdcChunksPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "graft_cdc_chunks expects (table_name[, w[, d]]) literals")
+    val str = lit("graft_cdc_chunks") _
+    val w = if (args.length >= 2) str(args(1)).toInt else 8
+    val d = if (args.length >= 3) str(args(2)).toInt else 32
+    graft.operators.TextDedup.cdcChunkStats(
+        SparkSession.active.table(str(args.head)), w, d)
+      .queryExecution.logical
+  }
+
+  /** `graft_media_dedup_index('<view>', '<index_path>'[, max_hamming[,
+    * max_band_freq]])` — q161's capped banded probe of a (doc_id,
+    * simhash) batch against a persisted 64-bit signature index: media
+    * dedup at ingest time, O(batch + collisions).
+    */
+  private def mediaDedupIndexPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "graft_media_dedup_index expects (table_name, index_path[, max_hamming[, max_band_freq]]) literals")
+    val str = lit("graft_media_dedup_index") _
+    val mh = if (args.length >= 3) str(args(2)).toInt else 3
+    val cap = if (args.length >= 4) Some(str(args(3)).toLong) else None
+    graft.operators.TextDedup.nearDupsAgainstHashIndex(
+        SparkSession.active.table(str(args.head)), str(args(1)), mh, cap)
+      .queryExecution.logical
+  }
+
   /** `graft_kmeans('<view>', k, rounds)` — the q148 integer-exact
     * Lloyd iterations over a (vec_id, embedding) view: final
     * (vec_id, cluster, d2) after `rounds` assign→recompute passes.
@@ -599,6 +630,12 @@ object GraftExtensions {
     "graft_kmeans" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_kmeans"),
       kmeansPlan _),
+    "graft_cdc_chunks" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_cdc_chunks"),
+      cdcChunksPlan _),
+    "graft_media_dedup_index" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_media_dedup_index"),
+      mediaDedupIndexPlan _),
     "graft_pq" -> (
       new ExpressionInfo(graft.operators.Similarity.getClass.getName, "graft_pq"),
       pqPlan _),

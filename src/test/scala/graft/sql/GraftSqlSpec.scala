@@ -291,6 +291,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(kapi.nonEmpty && ktvf == kapi)
   }
 
+  test("graft_cdc_chunks and graft_media_dedup_index equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val capi = graft.operators.TextDedup.cdcChunkStats(docs, w = 4, d = 16)
+      .orderBy($"doc_id", $"chunk_idx").collect().toSeq
+    val ctvf = spark.sql(
+      "SELECT * FROM graft_cdc_chunks('documents', '4', '16') " +
+        "ORDER BY doc_id, chunk_idx").collect().toSeq
+    assert(capi.nonEmpty && ctvf == capi)
+    // media index probe: simhash view + persisted index, capped
+    val sigs = graft.operators.TextDedup.simhash64(docs)
+    val idx = tempDir("graft_sql_media_idx")
+    graft.operators.TextDedup.writeHashIndex(
+      sigs.filter($"doc_id" < 250), idx)
+    val batch = sigs.filter($"doc_id" >= 250)
+    batch.createOrReplaceTempView("media_batch")
+    val mapi = graft.operators.TextDedup
+      .nearDupsAgainstHashIndex(batch, idx, 3, Some(2L)).collect().toSeq
+    val mtvf = spark.sql(
+      s"SELECT * FROM graft_media_dedup_index('media_batch', '$idx', '3', '2')")
+      .collect().toSeq
+    assert(mtvf == mapi)
+  }
+
   test("graft_near_dup mines text AND image signatures from plain SQL") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
