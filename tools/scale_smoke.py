@@ -89,11 +89,27 @@ SLACK = 2.0
 # the previous run.
 REMEASURED_NOTES = [
     "This report is a single full-suite run (no cache merges), "
-    "re-measured in r14 with the four new queries (q157-q160) in the "
+    "re-measured in r14 with the new queries (q157-q162) in the "
     "suite. Historical context kept from r13: q144's fp_sum overflowed "
     "i64 at sf1 (fixed with a modular digest), and q148's interpreted "
     "HOF quantize chain cost 41 s at sf1 before the codegen'd "
     "graft_quantize8_arr kernel.",
+    "q34's sf1 FAIL was investigated and is HOST-I/O VARIANCE, not a "
+    "plan change: code and data are identical to r13 (both tiers' "
+    "output row counts match r13's report exactly, 154,782,010 pairs "
+    "at sf1), sf0.1 time is flat (0.94 -> 1.05 s), and standalone "
+    "re-runs of the same binary measured 96.6 / 172.0 / 211.6 / 320.8 "
+    "s for the same query on the same data within one afternoon (r13 "
+    "measured 24.4 s). q34 is the suite's most spill-intensive query "
+    "(155M-pair global sort; direct-IO dd measured 189 MB/s during "
+    "the run) and its wall time tracks the shared host's disk, which "
+    "the linearity budget cannot distinguish from a plan regression. "
+    "A distinct-value-domain rewrite (mine pairs over <=2^16 distinct "
+    "signatures, expand to doc pairs) was prototyped and REJECTED: it "
+    "cuts candidate probes ~4x but concentrates the 155M-row pair "
+    "generation into the few value-pair partitions, measuring slower "
+    "than the banded plan. The verdict row is left as the formula "
+    "grades it, with this analysis attached.",
 ]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/scale_smoke_cache_v2.json"
