@@ -1461,12 +1461,15 @@ object GrftCodec {
     * derivative signs identify a recording, they flip too easily
     * under byte-level edits to band-collide — measured: zero banded
     * pairs at any useful hamming radius on the test corpus, vs the
-    * mean-compare's image-like pair yield). 8 channel-0 sample points
-    * at `i_c = c·n/8` (integer division, nearest-neighbour), bit j
-    * set iff `64·s(j%8) > 8·Σs` — the strict integer mean compare on
-    * SIGNED samples (any fixed DC shift cancels algebraically:
-    * 64·(s+d) > 8·(Σs+8d) ⟺ 64·s > 8·Σs, so re-leveled copies hash
-    * identically). Null when undecodable.
+    * mean-compare's image-like pair yield). 64 DISTINCT channel-0
+    * sample points at `i_j = j·n/64` (integer division,
+    * nearest-neighbour — mirroring [[afp]]'s 65-point sampling and
+    * the image [[ahash]]'s 64 distinct grid samples, so hamming
+    * distances take every value in 0..64 and all four 16-bit bands
+    * carry independent signal), bit j set iff `64·s(i_j) > Σs` — the
+    * strict integer mean compare on SIGNED samples (any fixed DC
+    * shift cancels algebraically: 64·(s+d) > Σs+64d ⟺ 64·s > Σs, so
+    * re-leveled copies hash identically). Null when undecodable.
     */
   def aenv(bytes: Array[Byte]): Any = {
     if (bytes == null) return null
@@ -1477,13 +1480,13 @@ object GrftCodec {
       val idx = wav.offset + 2 * i * wav.channels
       ((u16le(wav.bytes, idx.toInt) << 16) >> 16).toLong
     }
-    val g = new Array[Long](8)
+    val g = new Array[Long](64)
     var t = 0L
     var c = 0
-    while (c < 8) { g(c) = sAt(c.toLong * n / 8); t += g(c); c += 1 }
+    while (c < 64) { g(c) = sAt(c.toLong * n / 64); t += g(c); c += 1 }
     var h = 0L
     var j = 0
-    while (j < 64) { if (64L * g(j % 8) > 8L * t) h |= (1L << j); j += 1 }
+    while (j < 64) { if (64L * g(j) > t) h |= (1L << j); j += 1 }
     java.lang.Long.valueOf(h)
   }
 

@@ -510,6 +510,14 @@ object Sampling {
               sentinelTokens: Long = 1L): DataFrame = {
     require(sentinelTokens >= 0,
       s"sentinelTokens must be >= 0, got $sentinelTokens")
+    // same name-collision contract as concatChunk/fimSplit: these are
+    // the columns fimPack adds (or uses internally) — a pass-through
+    // input column with one of these names would be silently
+    // overwritten, breaking the documented pass-through preservation
+    val fimAdded = Seq("seg", "seg_order", "src_from", "src_to",
+      "n_seg_tokens", "seg_start_off", "_emit_len", "_sg")
+    require(fimAdded.forall(!docs.columns.contains(_)),
+      s"input already has one of ${fimAdded.mkString("/")}; rename it first")
     val plans = fimSplit(docs, idCol, tokensCol, fimNum, fimDen)
     val n = col(tokensCol)
     val p = col("prefix_len"); val sfx = col("suffix_len")

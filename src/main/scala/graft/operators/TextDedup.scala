@@ -1077,4 +1077,100 @@ object TextDedup {
       .select(col("doc_id"), col("chunk_idx"), col("from_word"),
         col("to_word"), col("n_words"), col("chunk_hash"), col("n_docs"))
   }
+
+  /** Materialise the standing CDC chunk-hash index of accepted
+    * history: one parquet row per (doc, chunk) occurrence —
+    * `(doc_id, chunk_idx, chunk_hash)` — the sub-document analogue of
+    * [[writeSignatureIndex]]/[[writeHashIndex]]. Plain columnar
+    * parquet; band-free (chunk equality is exact), so there is no
+    * index structure to rebuild on append.
+    */
+  def writeChunkIndex(docs: DataFrame, path: String,
+                      w: Int = 8, d: Int = 32): Unit =
+    cdcChunks(docs, w, d)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) chunk-index maintenance: only the new docs are chunked
+    * and written as new part files — historical rows are never read
+    * or rewritten (the [[appendToHashIndex]] discipline).
+    */
+  def appendToChunkIndex(docs: DataFrame, path: String,
+                         w: Int = 8, d: Int = 32): Unit =
+    cdcChunks(docs, w, d)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+      .write.mode("append").parquet(path)
+
+  /** Ingest-time sub-document dedup probe against [[writeChunkIndex]]
+    * state: CDC-chunk the NEW batch only and annotate every batch
+    * chunk with how many distinct indexed docs already contain a
+    * chunk with the same hash (`n_index_docs` = 0 ⟺ genuinely new
+    * content). The history is only ever READ from its 3-column index
+    * — never re-chunked — and the per-hash aggregate is map-side
+    * combined (shuffle sized by the index's distinct hashes, each a
+    * 16-byte digest, not by documents); at corpus scale the index
+    * would be written bucketed by `chunk_hash` so the probe join
+    * prunes to the batch's buckets. Batch-side cost is O(batch): one
+    * narrow kernel pass + Generate.
+    *
+    * Output: one row per batch chunk — `(doc_id, chunk_idx,
+    * from_word, to_word, n_words, chunk_hash, n_index_docs)`.
+    */
+  def cdcProbeAgainstChunkIndex(newDocs: DataFrame, path: String,
+                                w: Int = 8, d: Int = 32): DataFrame = {
+    val spark = newDocs.sparkSession
+    val counts = spark.read.parquet(path)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_index_docs"))
+    cdcChunks(newDocs, w, d)
+      .join(counts, Seq("chunk_hash"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("from_word"),
+        col("to_word"), col("n_words"), col("chunk_hash"),
+        coalesce(col("n_index_docs"), lit(0L)).as("n_index_docs"))
+  }
+
+  /** The APPLY side of CDC sub-document dedup (the chunk-granular
+    * q131): every chunk whose hash occurred EARLIER — at a smaller
+    * (doc_id, chunk_idx) — is removed; the first occurrence owns its
+    * hash and is kept (so exactly one copy of every distinct chunk
+    * survives, including within-doc repeats). The manifest emitted is
+    * what a rewrite step consumes: per doc, the maximal runs of kept
+    * chunks as word intervals — `(doc_id, span_idx, from_word,
+    * to_word, n_words_kept, n_chunks)`; docs whose every chunk is
+    * owned elsewhere emit no rows.
+    *
+    * Scale shape: ownership is ONE map-side-combinable aggregate
+    * (`min(struct(doc_id, chunk_idx))` per hash — an aggregate, not a
+    * window, so a boilerplate chunk shared by millions of docs never
+    * concentrates in one window partition) plus one chunk-sized
+    * equi-join back; the run-merge window is partitioned by doc
+    * (bounded by document length). Chunks tile the doc disjointly, so
+    * unlike q131's overlapping spans no interval union is needed —
+    * adjacent kept chunks merge by the gap-and-island window.
+    */
+  def cdcKeepFirstManifest(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
+    val ch = cdcChunks(docs, w, d)
+    val owner = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_idx").as("o_idx"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    ch.join(owner, Seq("chunk_hash"))
+      .filter(col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
+      .withColumn("prev_idx", lag(col("chunk_idx"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev_idx").isNull ||
+          col("prev_idx") =!= col("chunk_idx") - 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("from_word")).as("from_word"),
+        max(col("to_word")).as("to_word"),
+        sum(col("n_words")).as("n_words_kept"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), (col("span_id") - 1).cast("long").as("span_idx"),
+        col("from_word"), col("to_word"), col("n_words_kept"),
+        col("n_chunks"))
+  }
 }

@@ -826,6 +826,37 @@ object DataPipeline {
           w = CdcW, d = CdcD)
         .orderBy($"doc_id", $"chunk_idx")
     },
+    // sub-document dedup at INGEST time — the chunk-granular q151/q161:
+    // the new batch (doc_id >= 250) is CDC-chunked and probes the
+    // standing chunk-hash index of the history (built on doc_id < 200,
+    // extended to 250 by the O(batch) append, so the gate covers
+    // build + append + probe). Only the batch is ever chunked; the
+    // history is READ from its 3-column index, and the per-hash count
+    // aggregate is map-side combined. n_index_docs = 0 marks the
+    // chunks that are genuinely new content.
+    "q163_cdc_ingest_probe" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.cdcChunkIndexPath(s, dir,
+        buildAt = 200L, splitAt = 250L, w = CdcW, d = CdcD)
+      TextDedup.cdcProbeAgainstChunkIndex(
+          Tables.loadParallel(s, dir, "documents").filter($"doc_id" >= 250),
+          path, w = CdcW, d = CdcD)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    // the APPLY side of q162 (keep-first at chunk granularity —
+    // Lee et al.'s policy applied to CDC chunks): every chunk whose
+    // hash occurred at a smaller (doc_id, chunk_idx) is removed, and
+    // each doc's surviving chunks merge into maximal kept word
+    // intervals — the rewrite manifest sub-document storage dedup
+    // consumes. Ownership is one aggregate (never a window over a hot
+    // hash); the oracle replays cuts, hashes, first-occurrence
+    // selection and the island merge end-to-end.
+    "q164_cdc_keep_manifest" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.cdcKeepFirstManifest(Tables.loadParallel(s, dir, "documents"),
+          w = CdcW, d = CdcD)
+        .orderBy($"doc_id", $"span_idx")
+    },
 
     "q114_winnowing" -> { (s, dir) =>
       import s.implicits._
@@ -845,6 +876,34 @@ object DataPipeline {
   // small enough that the sf0.01 docs produce several chunks each
   private val CdcW = 4
   private val CdcD = 16
+
+  /** Shared CDC chunk replay for the q162/q163/q164 oracles: the
+    * WITH-chain ending in `ch(doc_id, chunk_idx, fw, tw, chunk_hash)`
+    * — every cut decision from the same 48-bit md5 prefixes, chunk
+    * intervals, chunk hashes.
+    */
+  private lazy val cdcChunkCtes: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+       |cuts AS (SELECT doc_id, ws, n,
+       |    list_filter(range($CdcW - 1, n - 1), i ->
+       |      CAST(('0x' || substr(md5(array_to_string(
+       |        list_slice(ws, i - $CdcW + 2, i + 1), ' ')), 1, 12))
+       |        AS BIGINT) % $CdcD = 0) AS cs
+       |  FROM g),
+       |e AS (SELECT doc_id, ws, n, list_concat(cs, [n - 1]) AS ends FROM cuts),
+       |seg AS (SELECT doc_id, ws, ends,
+       |    unnest(range(0, len(ends))) AS chunk_idx
+       |  FROM e),
+       |c AS (SELECT doc_id, ws, chunk_idx,
+       |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
+       |    END AS fw,
+       |    ends[CAST(chunk_idx AS INT) + 1] AS tw
+       |  FROM seg),
+       |ch AS (SELECT doc_id, chunk_idx, fw, tw,
+       |    md5(array_to_string(list_slice(ws, CAST(fw AS INT) + 1,
+       |      CAST(tw AS INT) + 1), ' ')) AS chunk_hash
+       |  FROM c)""".stripMargin
 
   private val KCenterK = 8
 
@@ -984,12 +1043,12 @@ object DataPipeline {
     s"""WITH RECURSIVE t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
        |           FROM documents),
        |g AS (SELECT doc_id,
-       |        list_transform(range(0, 8), c ->
-       |          (CAST(ascii(substr(text, CAST((c * n) // 8 AS INT) + 1, 1))
+       |        list_transform(range(0, 64), c ->
+       |          (CAST(ascii(substr(text, CAST((c * n) // 64 AS INT) + 1, 1))
        |            AS BIGINT) - 128) * 256) AS cs
        |      FROM t WHERE doc_id % 97 <> 0 AND n >= 1),
        |h AS (SELECT doc_id,
-       |        ${sigBits64("64 * cs[CAST(j % 8 AS INT) + 1] > 8 * list_aggregate(cs, 'sum')")} AS sig
+       |        ${sigBits64("64 * cs[CAST(j AS INT) + 1] > list_aggregate(cs, 'sum')")} AS sig
        |      FROM g)""".stripMargin
 
   /** Center-frame video-hash replay for the q159 oracle — the q138
@@ -2641,27 +2700,7 @@ object DataPipeline {
     // forced final end), then chunk intervals, chunk hashes, and the
     // cross-doc share counts
     "q162_cdc_chunks" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g AS (SELECT doc_id, ws, len(ws) AS n FROM w),
-         |cuts AS (SELECT doc_id, ws, n,
-         |    list_filter(range($CdcW - 1, n - 1), i ->
-         |      CAST(('0x' || substr(md5(array_to_string(
-         |        list_slice(ws, i - $CdcW + 2, i + 1), ' ')), 1, 12))
-         |        AS BIGINT) % $CdcD = 0) AS cs
-         |  FROM g),
-         |e AS (SELECT doc_id, ws, n, list_concat(cs, [n - 1]) AS ends FROM cuts),
-         |seg AS (SELECT doc_id, ws, ends,
-         |    unnest(range(0, len(ends))) AS chunk_idx
-         |  FROM e),
-         |c AS (SELECT doc_id, ws, chunk_idx,
-         |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
-         |    END AS fw,
-         |    ends[CAST(chunk_idx AS INT) + 1] AS tw
-         |  FROM seg),
-         |ch AS (SELECT doc_id, chunk_idx, fw, tw,
-         |    md5(array_to_string(list_slice(ws, CAST(fw AS INT) + 1,
-         |      CAST(tw AS INT) + 1), ' ')) AS chunk_hash
-         |  FROM c),
+      s"""$cdcChunkCtes,
          |sh AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
          |       FROM ch GROUP BY 1)
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
@@ -2670,6 +2709,49 @@ object DataPipeline {
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM ch JOIN sh USING (chunk_hash)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the same CDC replay split into index (doc_id < 250) and batch
+    // (>= 250): per batch chunk, how many distinct index docs already
+    // hold its hash — the lifecycle split (build < 200, append
+    // 200..249) is invisible to the oracle because the append is
+    // required to be equivalent to having built at 250
+    "q163_cdc_ingest_probe" ->
+      s"""$cdcChunkCtes,
+         |idx AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_index_docs
+         |        FROM ch WHERE doc_id < 250 GROUP BY 1),
+         |bat AS (SELECT * FROM ch WHERE doc_id >= 250)
+         |SELECT bat.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(fw AS BIGINT) AS from_word, CAST(tw AS BIGINT) AS to_word,
+         |  CAST(tw - fw + 1 AS BIGINT) AS n_words, chunk_hash,
+         |  CAST(coalesce(idx.n_index_docs, 0) AS BIGINT) AS n_index_docs
+         |FROM bat LEFT JOIN idx USING (chunk_hash)
+         |ORDER BY bat.doc_id, chunk_idx""".stripMargin,
+
+    // keep-first replay: first occurrence per chunk hash by
+    // (doc_id, chunk_idx), then the gap-and-island merge of each
+    // doc's surviving chunks into maximal kept intervals
+    "q164_cdc_keep_manifest" ->
+      s"""$cdcChunkCtes,
+         |kept AS (SELECT doc_id, chunk_idx, fw, tw FROM (
+         |    SELECT doc_id, chunk_idx, fw, tw,
+         |      row_number() OVER (PARTITION BY chunk_hash
+         |                         ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) WHERE rn = 1),
+         |il AS (SELECT doc_id, chunk_idx, fw, tw,
+         |    CASE WHEN lag(chunk_idx) OVER (PARTITION BY doc_id
+         |                                   ORDER BY chunk_idx)
+         |              = chunk_idx - 1 THEN 0 ELSE 1 END AS ns
+         |  FROM kept),
+         |sp AS (SELECT doc_id, fw, tw,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS span_id
+         |  FROM il)
+         |SELECT doc_id, CAST(span_id - 1 AS BIGINT) AS span_idx,
+         |  CAST(min(fw) AS BIGINT) AS from_word,
+         |  CAST(max(tw) AS BIGINT) AS to_word,
+         |  CAST(sum(tw - fw + 1) AS BIGINT) AS n_words_kept,
+         |  CAST(count(*) AS BIGINT) AS n_chunks
+         |FROM sp GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_idx""".stripMargin,
 
     "q114_winnowing" -> {
       val gram = (0 until WinnowK)

@@ -95,6 +95,24 @@ object SharedArtifacts {
       graft.operators.TextDedup.appendToHashIndex(sigs(buildAt, splitAt), path)
     }
 
+  /** Standing CDC chunk-hash index (q163): chunk occurrences of the
+    * doc_id < `buildAt` history, extended with [`buildAt`, `splitAt`)
+    * via the O(batch) append — the sub-document analogue of
+    * [[gramIndexPath]]/[[hashIndexPath]], so the probe gate covers
+    * build, append AND probe.
+    */
+  def cdcChunkIndexPath(s: SparkSession, dir: String, buildAt: Long,
+                        splitAt: Long, w: Int, d: Int): String =
+    artifact(dir, s"cdc_index_${buildAt}_${splitAt}_${w}_$d") { path =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      TextDedup.writeChunkIndex(docs.filter(col("doc_id") < buildAt),
+        path, w, d)
+      TextDedup.appendToChunkIndex(
+        docs.filter(col("doc_id") >= buildAt && col("doc_id") < splitAt),
+        path, w, d)
+    }
+
   /** IVF-flat index built on the vec_id < `splitAt` half of the
     * embeddings, then INCREMENTALLY extended with the other half via
     * [[graft.operators.IvfIndex.appendToIndex]] — the persisted state

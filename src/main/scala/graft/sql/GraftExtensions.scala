@@ -368,6 +368,38 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_cdc_probe('<view>', '<index_path>'[, w[, d]])` — q163's
+    * ingest-time sub-document dedup: CDC-chunk a (doc_id, text) batch
+    * and annotate every chunk with how many indexed docs already hold
+    * its hash (the history is read from its chunk-hash index, never
+    * re-chunked).
+    */
+  private def cdcProbePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "graft_cdc_probe expects (table_name, index_path[, w[, d]]) literals")
+    val str = lit("graft_cdc_probe") _
+    val w = if (args.length >= 3) str(args(2)).toInt else 8
+    val d = if (args.length >= 4) str(args(3)).toInt else 32
+    graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
+        SparkSession.active.table(str(args.head)), str(args(1)), w, d)
+      .queryExecution.logical
+  }
+
+  /** `graft_cdc_manifest('<view>'[, w[, d]])` — q164's keep-first
+    * chunk-removal manifest over a (doc_id, text) view: per doc, the
+    * maximal word intervals of chunks whose hash occurs here first.
+    */
+  private def cdcManifestPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "graft_cdc_manifest expects (table_name[, w[, d]]) literals")
+    val str = lit("graft_cdc_manifest") _
+    val w = if (args.length >= 2) str(args(1)).toInt else 8
+    val d = if (args.length >= 3) str(args(2)).toInt else 32
+    graft.operators.TextDedup.cdcKeepFirstManifest(
+        SparkSession.active.table(str(args.head)), w, d)
+      .queryExecution.logical
+  }
+
   /** `graft_media_dedup_index('<view>', '<index_path>'[, max_hamming[,
     * max_band_freq]])` — q161's capped banded probe of a (doc_id,
     * simhash) batch against a persisted 64-bit signature index: media
@@ -377,10 +409,25 @@ object GraftExtensions {
     require(args.length >= 2 && args.length <= 4,
       "graft_media_dedup_index expects (table_name, index_path[, max_hamming[, max_band_freq]]) literals")
     val str = lit("graft_media_dedup_index") _
+    val df = SparkSession.active.table(str(args.head))
+    // same fail-loudly contract as graft_near_dup: a string/float
+    // doc_id or simhash would flow into shiftrightunsigned and mine
+    // wrong (or silently empty) band keys
+    def longCol(name: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(name).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"graft_media_dedup_index column '$name' must be integral " +
+          s"(64-bit signature semantics); got ${dt.simpleString} — cast " +
+          "it explicitly in the view if that is intended")
+      df(name).cast("long")
+    }
     val mh = if (args.length >= 3) str(args(2)).toInt else 3
     val cap = if (args.length >= 4) Some(str(args(3)).toLong) else None
     graft.operators.TextDedup.nearDupsAgainstHashIndex(
-        SparkSession.active.table(str(args.head)), str(args(1)), mh, cap)
+        df.select(longCol("doc_id").as("doc_id"),
+          longCol("simhash").as("simhash")),
+        str(args(1)), mh, cap)
       .queryExecution.logical
   }
 
@@ -392,10 +439,16 @@ object GraftExtensions {
     require(args.length == 3,
       "graft_kmeans expects (table_name, k, rounds) literals")
     val str = lit("graft_kmeans") _
-    graft.operators.Similarity.kmeansIntRounds(
-        SparkSession.active.table(str(args.head)),
-        str(args(1)).toInt, str(args(2)).toInt)
-      .queryExecution.logical
+    val out = graft.operators.Similarity.kmeansIntRounds(
+      SparkSession.active.table(str(args.head)),
+      str(args(1)).toInt, str(args(2)).toInt)
+    val plan = out.queryExecution.logical
+    // the operator returns a persisted frame (its evaluation barrier);
+    // the TVF only needs the logical plan, so release the storage here
+    // — repeated graft_kmeans calls in a long-lived session must not
+    // accumulate persisted results nobody can reach to unpersist
+    out.unpersist(blocking = false)
+    plan
   }
 
   /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy
@@ -633,6 +686,12 @@ object GraftExtensions {
     "graft_cdc_chunks" -> (
       new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_cdc_chunks"),
       cdcChunksPlan _),
+    "graft_cdc_probe" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_cdc_probe"),
+      cdcProbePlan _),
+    "graft_cdc_manifest" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_cdc_manifest"),
+      cdcManifestPlan _),
     "graft_media_dedup_index" -> (
       new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_media_dedup_index"),
       mediaDedupIndexPlan _),

@@ -419,6 +419,71 @@ class TextDedupSpec extends SparkSpec {
     assert(!editedHashes.contains(chunks.head._4))
   }
 
+  test("CDC keep-first manifest: first occurrence owns, islands merge") {
+    // one 40-word block B with internal variety, tiled so doc 1 holds
+    // B twice (within-doc repeat) and doc 2 holds B once plus unique
+    // tail — with (w=4, d=16) the block is long enough to carry whole
+    // chunks
+    val block = (0 until 60).map(i => s"b${i * 11 % 97}").mkString(" ")
+    val tail = (0 until 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, s"$block $block"), (2L, s"$block $tail"))
+      .toDF("doc_id", "text")
+    val chunks = TextDedup.cdcChunks(docs, w = 4, d = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(5)))
+    val manifest = TextDedup.cdcKeepFirstManifest(docs, w = 4, d = 16)
+      .orderBy($"doc_id", $"span_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // keep-first replay in Scala: the manifest's kept chunk count per
+    // doc equals the first-occurrence selection
+    val firstOwner = chunks.groupBy(_._3).map { case (_, occ) =>
+      occ.minBy(o => (o._1, o._2)) }.toSet
+    val keptPerDoc = firstOwner.groupBy(_._1).view.mapValues(_.size).toMap
+    val manifestChunksPerDoc = manifest.groupBy(_._1)
+      .view.mapValues(_.map(_._6).sum).toMap
+    assert(manifestChunksPerDoc == keptPerDoc)
+    // doc 1's repeated block: at least one chunk hash repeats within
+    // the doc and only the first copy is kept (fewer kept than total)
+    val d1Total = chunks.count(_._1 == 1L)
+    assert(keptPerDoc(1L) < d1Total, "within-doc repeat was not deduped")
+    // spans are disjoint, ordered, and sum their chunk words exactly
+    manifest.foreach { case (_, _, fw, tw, nw, _) => assert(nw == tw - fw + 1) }
+    manifest.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 < b._3 - 1 ||
+          (a._4 < b._3), "spans overlap or touch unmerged")
+        case _ =>
+      }
+    }
+  }
+
+  test("CDC chunk index: append-built probe equals rebuild-from-scratch") {
+    val mk = (id: Long, seed: Int) =>
+      (id, (0 until 120).map(i => s"w${(i * 13 + seed) % 211}").mkString(" "))
+    val history = (0L until 8L).map(i => mk(i, i.toInt)).toDF("doc_id", "text")
+    // doc 101 must be genuinely fresh: a different seed of the same
+    // cyclic progression would be a rotation of the history's word
+    // stream, which CDC (position-independent by design) would find
+    val batch = Seq(mk(100L, 3),
+      (101L, (0 until 120).map(i => s"fresh$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir1 = tempDir("graft_cdc_idx_append")
+    TextDedup.writeChunkIndex(history.filter($"doc_id" < 4), dir1, w = 4, d = 16)
+    TextDedup.appendToChunkIndex(history.filter($"doc_id" >= 4), dir1, w = 4, d = 16)
+    val dir2 = tempDir("graft_cdc_idx_full")
+    TextDedup.writeChunkIndex(history, dir2, w = 4, d = 16)
+    def probe(p: String) =
+      TextDedup.cdcProbeAgainstChunkIndex(batch, p, w = 4, d = 16)
+        .orderBy($"doc_id", $"chunk_idx").collect().toSeq
+    val appended = probe(dir1)
+    assert(appended == probe(dir2))
+    // doc 100 clones doc 3's text → all its chunks indexed; doc 101 is
+    // fresh → no chunk indexed
+    val byDoc = appended.groupBy(_.getLong(0))
+    assert(byDoc(100L).forall(_.getLong(6) > 0))
+    assert(byDoc(101L).forall(_.getLong(6) == 0))
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))

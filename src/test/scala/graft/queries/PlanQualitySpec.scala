@@ -579,6 +579,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q163 CDC probe: batch-only kernel, index read via hash-agg equi-join") {
+    val plan = formatted("q163_cdc_ingest_probe")
+    // the batch side is chunked by the codegen'd kernel; the history
+    // arrives ONLY as a parquet scan of its 3-column index, aggregated
+    // per hash and equi-joined — never a cartesian/nested-loop
+    assert(plan.contains("graft_cdc"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the index scan is pruned to exactly the two columns the count
+    // aggregate needs (chunk_idx is stored but not read)
+    assert(plan.contains("struct<doc_id:bigint,chunk_hash:string>"), plan)
+  }
+
+  test("q164 CDC keep-first: one ownership aggregate + doc-partitioned window") {
+    val plan = formatted("q164_cdc_keep_manifest")
+    assert(plan.contains("graft_cdc"), plan)
+    // ownership is an AGGREGATE on chunk_hash (map-side combinable),
+    // not a window over the hash — a boilerplate chunk shared by
+    // millions of docs must never concentrate in one window partition
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q148 k-means: the argmin pass reads the materialized codes, no join") {
     val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
     df.collect()

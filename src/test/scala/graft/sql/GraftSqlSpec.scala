@@ -316,6 +316,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(mtvf == mapi)
   }
 
+  test("graft_cdc_probe and graft_cdc_manifest equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val idx = tempDir("graft_sql_cdc_idx")
+    graft.operators.TextDedup.writeChunkIndex(
+      docs.filter($"doc_id" < 250), idx, w = 4, d = 16)
+    val batch = docs.filter($"doc_id" >= 250)
+    batch.createOrReplaceTempView("cdc_batch")
+    val papi = graft.operators.TextDedup
+      .cdcProbeAgainstChunkIndex(batch, idx, w = 4, d = 16)
+      .orderBy($"doc_id", $"chunk_idx").collect().toSeq
+    val ptvf = spark.sql(
+      s"SELECT * FROM graft_cdc_probe('cdc_batch', '$idx', '4', '16') " +
+        "ORDER BY doc_id, chunk_idx").collect().toSeq
+    assert(papi.nonEmpty && ptvf == papi)
+    assert(papi.exists(_.getLong(6) > 0),
+      "probe found no indexed chunks — vacuous fixture")
+    val mapi2 = graft.operators.TextDedup
+      .cdcKeepFirstManifest(docs, w = 4, d = 16)
+      .orderBy($"doc_id", $"span_idx").collect().toSeq
+    val mtvf2 = spark.sql(
+      "SELECT * FROM graft_cdc_manifest('documents', '4', '16') " +
+        "ORDER BY doc_id, span_idx").collect().toSeq
+    assert(mapi2.nonEmpty && mtvf2 == mapi2)
+  }
+
+  test("graft_media_dedup_index rejects non-integral doc_id/simhash") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    Tables.load(spark, sf, "documents")
+      .selectExpr("CAST(doc_id AS STRING) AS doc_id",
+        "CAST(doc_id AS DOUBLE) AS simhash")
+      .createOrReplaceTempView("bad_sigs")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_media_dedup_index('bad_sigs', '/tmp/x')")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("graft_near_dup mines text AND image signatures from plain SQL") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
