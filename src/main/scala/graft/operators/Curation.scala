@@ -62,4 +62,59 @@ object Curation {
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     Sampling.assignSplit(clean, "doc_id", splits)
   }
+
+  /** UNIFIED multimodal ingest admission — the q150 (text) and q161
+    * (media) per-batch verdicts composed into ONE chain over docs
+    * carrying both a text and a media `blob` column: the delta batch
+    * near-dup-probes the standing MinHash signature index, text
+    * survivors' media signatures probe the standing 64-bit hash index
+    * (capped banded join, index-side hot cap), media survivors are
+    * decontaminated against the benchmark windows, and every delta
+    * doc gets one verdict with a REASON —
+    * `dup_text > dup_media > contaminated > kept`.
+    *
+    * `mediaSig` is the signature extractor column (e.g.
+    * `graft_ahash(blob)` for images, `graft_aenv`/`graft_vhash` for
+    * audio/video); docs whose signature is null (no media, or
+    * undecodable) simply skip the media stage. Both standing indexes
+    * are read-only state outside the batch — only the batch is ever
+    * shingled/hashed, so the chain is O(batch + collisions) and each
+    * doc's verdict is a pure function of (doc, standing state): any
+    * batching of the snapshot yields the union of the batch verdicts
+    * (the StreamingOpsSpec parity pin for the per-batch flavor).
+    */
+  def multimodalIngestVerdict(delta: DataFrame,
+                              mediaSig: org.apache.spark.sql.Column,
+                              sigIndexPath: String, hashIndexPath: String,
+                              bench: DataFrame,
+                              threshold: Double = 0.8, windowChars: Int = 40,
+                              maxHamming: Int = 3,
+                              maxBandFreq: Option[Long] = None): DataFrame = {
+    val textDups = TextDedup
+      .nearDupsAgainstIndex(delta.select(col("doc_id"), col("text")),
+        sigIndexPath, threshold)
+      .select(col("doc_id")).distinct()
+    val tSurv = delta.join(textDups, Seq("doc_id"), "left_anti")
+    val mediaSigs = tSurv.select(col("doc_id"), mediaSig.as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val mediaDups = TextDedup
+      .nearDupsAgainstHashIndex(mediaSigs, hashIndexPath, maxHamming,
+        maxBandFreq)
+      .select(col("doc_id")).distinct()
+    val mSurv = tSurv.join(mediaDups, Seq("doc_id"), "left_anti")
+    val contaminated = TextDedup
+      .substringMatches(mSurv.select(col("doc_id"), col("text")), bench,
+        windowChars)
+      .select(col("doc_id")).distinct()
+    delta
+      .join(textDups.withColumn("is_tdup", lit(true)), Seq("doc_id"), "left")
+      .join(mediaDups.withColumn("is_mdup", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_cont", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_tdup"), lit("dup_text"))
+          .when(col("is_mdup"), lit("dup_media"))
+          .when(col("is_cont"), lit("contaminated"))
+          .otherwise(lit("kept")).as("status"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
 }

@@ -273,20 +273,33 @@ object IvfIndex {
     * projection as [[Similarity.pqEncodeAdc]].
     */
   def writeAdcIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
-                    path: String, m: Int = 8, kCode: Int = 16): Unit = {
+                    path: String, m: Int = 8, kCode: Int = 16,
+                    codebook: Option[Seq[Double]] = None): Unit = {
     val spark = emb.sparkSession
     VectorExpressions.register(spark)
-    val seeds = emb.filter(col("vec_id") < kCode)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
-    val dim = seeds.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val flat = Array.tabulate(m * kCode * sub) { idx =>
-      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
-      seeds(kk)(ms * sub + i)
+    // an explicit (trained — [[trainPqCodebooksIntRaw]]) codebook
+    // needs no seed rows; the seed collect only runs on the default
+    // replayable-seed path
+    val flat: Array[Double] = codebook.map { cb =>
+      val dim = centroids.head._2.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      require(cb.length == m * kCode * (dim / m),
+        s"codebook length ${cb.length} != ${m * kCode * (dim / m)}")
+      cb.toArray
+    }.getOrElse {
+      val seeds = emb.filter(col("vec_id") < kCode)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+      val dim = seeds.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      Array.tabulate(m * kCode * sub) { idx =>
+        val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+        seeds(kk)(ms * sub + i)
+      }
     }
+    val sub = centroids.head._2.length / m
     assign(emb, centroids)
       .select(col("vec_id"),
         call_function("graft_pq_encode", col("v"),
@@ -434,6 +447,131 @@ object IvfIndex {
     }
     withRes.unpersist()
     flat.toSeq
+  }
+
+  /** Integer-exact per-subspace PQ codebook TRAINING — the
+    * [[Similarity.kmeansIntRounds]] arithmetic applied per subspace,
+    * so the trained codebook is bit-replayable by any engine (the
+    * q165 gate) while fixing the measured recall collapse of seed
+    * codebooks on clone-free corpora (`ANN_RECALL.md`): 16 seed
+    * subvectors underfit unstructured embeddings; Lloyd rounds move
+    * each subspace's entries to (floor-divided) residual-mass centers.
+    *
+    * Geometry: the corpus is quantized onto a GLOBAL integer grid —
+    * `q_i = floor(x_i / (gmx/127) + 0.5)` with `gmx` = max |entry|
+    * over the corpus — ONE uniform scale factor (unlike the
+    * per-vector scaling of `graft_quantize8_arr`, which distorts
+    * relative geometry across vectors), so clustering the grid is
+    * clustering the raw space and the trained entries transfer back
+    * to raw units by multiplying with `gmx/127`. Seeds = subvectors
+    * of the first `kCode` vectors (the replayable convention);
+    * assignment argmin breaks ties on the smaller entry id, exactly
+    * like `graft_pq_encode`; empty entries keep their previous value.
+    * `m` × `rounds` small distributed aggregate jobs over one cached
+    * narrow projection — an offline index-build cost.
+    *
+    * Returns (gmx, flat m·kCode·sub codebook in QUANTIZED units —
+    * integer-valued doubles).
+    */
+  def trainPqCodebooksInt(emb: DataFrame, m: Int = 8, kCode: Int = 16,
+                          rounds: Int = 2): (Double, Seq[Double]) = {
+    require(m >= 1 && kCode >= 1 && rounds >= 0,
+      s"need m >= 1, kCode >= 1, rounds >= 0; got ($m, $kCode, $rounds)")
+    VectorExpressions.register(emb.sparkSession)
+    val gmx = emb.select(max(expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
+      .head.getDouble(0)
+    require(gmx > 0, "all-zero embedding corpus cannot seed a codebook")
+    val q = emb.select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / " +
+          s"(${gmx}D / 127.0D) + 0.5D) AS DOUBLE))").as("q"))
+      .cache()
+    val seeds = q.filter(col("vec_id") < kCode)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val flat = new Array[Double](m * kCode * sub)
+    for (ms <- 0 until m) {
+      val proj = q.select(col("vec_id"),
+        slice(col("q"), ms * sub + 1, sub).as("v"))
+      // score = cc − 2·v·c (the per-row vv term is constant across
+      // entries, so the (score, id)-min is the true d2 argmin with
+      // the graft_pq_encode tie-break)
+      def best(cents: Seq[Seq[Double]]) = array_min(array(
+        cents.zipWithIndex.map { case (c, kk) =>
+          struct((lit(c.map(x => x * x).sum) -
+            lit(2.0) * Similarity.dot(col("v"), typedLit(c))).as("score"),
+            lit(kk).as("kk"))
+        }: _*))
+      var cents: Seq[Seq[Double]] =
+        (0 until kCode).map(kk => seeds(kk).slice(ms * sub, ms * sub + sub).toSeq)
+      for (_ <- 0 until rounds) {
+        val sums = proj.withColumn("kk", best(cents).getField("kk"))
+          .select(col("kk"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("kk"), col("d"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+          .toMap
+        cents = cents.zipWithIndex.map { case (c, kk) =>
+          c.indices.map { d =>
+            sums.get((kk, d))
+              .map { case (s, n) => math.floor(s / n) }.getOrElse(c(d))
+          }
+        }
+      }
+      for (kk <- 0 until kCode; i <- 0 until sub)
+        flat((ms * kCode + kk) * sub + i) = cents(kk)(i)
+    }
+    q.unpersist(blocking = false)
+    (gmx, flat.toSeq)
+  }
+
+  /** [[trainPqCodebooksInt]]'s codebook moved to RAW-vector units
+    * (each entry × gmx/127) — drop-in for every codebook consumer
+    * ([[writeAdcIndex]], [[Similarity.pqEncodeAdc]]).
+    */
+  def trainPqCodebooksIntRaw(emb: DataFrame, m: Int = 8, kCode: Int = 16,
+                             rounds: Int = 2): Seq[Double] = {
+    val (gmx, flat) = trainPqCodebooksInt(emb, m, kCode, rounds)
+    flat.map(_ * (gmx / 127.0))
+  }
+
+  /** The q165 gate surface: train with [[trainPqCodebooksInt]], then
+    * emit every vector's per-subspace code assignment against the
+    * TRAINED codebook — one row per (vec_id, m_sub) with the entry id
+    * and the exact integer squared distance. Because training is
+    * integer-exact end-to-end, the oracle re-derives gmx, the grid,
+    * every Lloyd round and this final assignment from the raw
+    * embeddings — a codebook entry drifting by 1 anywhere flips the
+    * hash. The emit is one narrow pass (codebook rides as literals);
+    * training cost is m·rounds small aggregates (offline index build).
+    */
+  def pqTrainAssignInt(emb: DataFrame, m: Int = 8, kCode: Int = 16,
+                       rounds: Int = 2): DataFrame = {
+    val (gmx, flat) = trainPqCodebooksInt(emb, m, kCode, rounds)
+    val sub = flat.length / (m * kCode)
+    val q = emb.select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / " +
+        s"(${gmx}D / 127.0D) + 0.5D) AS DOUBLE))").as("q"))
+    val perMs = (0 until m).map { ms =>
+      val qs = slice(col("q"), ms * sub + 1, sub)
+      val cents = (0 until kCode).map(kk =>
+        flat.slice((ms * kCode + kk) * sub, (ms * kCode + kk) * sub + sub))
+      val best = array_min(array(cents.zipWithIndex.map { case (c, kk) =>
+        struct((lit(c.map(x => x * x).sum) -
+          lit(2.0) * Similarity.dot(qs, typedLit(c))).as("score"),
+          lit(kk).as("kk"))
+      }: _*))
+      struct(lit(ms).cast("long").as("m_sub"),
+        best.getField("kk").cast("long").as("code"),
+        (Similarity.dot(qs, qs) + best.getField("score")).cast("long").as("d2"))
+    }
+    q.select(col("vec_id"), explode(array(perMs: _*)).as("e"))
+      .select(col("vec_id"), col("e.m_sub").as("m_sub"),
+        col("e.code").as("code"), col("e.d2").as("d2"))
   }
 
   /** Materialise the RESIDUAL IVFADC layout — the classical Jégou

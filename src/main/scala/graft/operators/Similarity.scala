@@ -527,21 +527,27 @@ object Similarity {
     * replays exactly. Returns (vec_id, c0..c{m-1}, adc).
     */
   def pqEncodeAdc(emb: DataFrame, m: Int = 8, kCode: Int = 16,
-                  queryVecId: Long = 0L): DataFrame = {
+                  queryVecId: Long = 0L,
+                  codebook: Option[Seq[Double]] = None): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    val seeds = emb.filter(col("vec_id") < kCode)
-      .select(col("vec_id"), col("embedding"))
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray)
-    require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
-    val dim = seeds.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    // flat [m][k][sub] codebook — centroid (ms,kk) = subvector ms of seed kk
-    val flat = Array.tabulate(m * kCode * sub) { idx =>
-      val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
-      seeds(kk)(ms * sub + i).toDouble
+    // trained codebooks ([[IvfIndex.trainPqCodebooksIntRaw]]) arrive
+    // explicitly; the default is the replayable seed convention —
+    // centroid (ms,kk) = subvector ms of seed kk
+    val flat: Array[Double] = codebook.map(_.toArray).getOrElse {
+      val seeds = emb.filter(col("vec_id") < kCode)
+        .select(col("vec_id"), col("embedding"))
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray)
+      require(seeds.length == kCode, s"need $kCode seed vectors, got ${seeds.length}")
+      val dim = seeds.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      Array.tabulate(m * kCode * sub) { idx =>
+        val ms = idx / (kCode * sub); val kk = idx / sub % kCode; val i = idx % sub
+        seeds(kk)(ms * sub + i).toDouble
+      }
     }
+    val sub = flat.length / (m * kCode)
     val query = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect()
     require(query.nonEmpty, s"query vector $queryVecId not found")

@@ -682,6 +682,78 @@ object Corpus {
             .otherwise(lit("kept")).as("status"),
           length($"text").cast("long").as("n_chars"))
         .orderBy($"doc_id")
+    },
+
+    // the UNIFIED multimodal ingest verdict — q150 (text) and q161
+    // (media) composed into ONE admission chain over docs carrying
+    // BOTH columns: a multimodal fingerprint diff (md5(text) + the
+    // 64-bit image aHash, so a media-only change re-ingests the doc —
+    // the %19 blob swaps enter the delta on their aHash alone), then
+    // text dedup against the standing MinHash index, media dedup of
+    // text survivors against the standing aHash index, decontamination
+    // of the rest, one verdict with a REASON column
+    // (dup_text > dup_media > contaminated > kept). Planted outcomes:
+    // %5 edits and %11 re-adds → dup_text; %19 blob swaps (unchanged
+    // text) → delta via media fp, then dup_text; src0 %3 excerpts
+    // (no media) → contaminated; %17 fresh docs (no media) → kept;
+    // %13 fresh-text docs carrying an EXISTING doc's image → dup_media
+    // — the case neither unimodal chain can catch.
+    "q166_multimodal_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      val media = SharedArtifacts.mediaFixture(s, dir, "pgm")
+      val base = all.select($"doc_id", $"text")
+        .join(media, Seq("doc_id"), "left")
+      val edits0 = base.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 5 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+      val swapped = media.select(($"doc_id" - 1).as("doc_id"),
+        $"blob".as("swap_blob"))
+      val edits = edits0.join(swapped, Seq("doc_id"), "left")
+        .withColumn("blob",
+          when($"doc_id" % 19 === 0 && $"doc_id" % 5 =!= 0, $"swap_blob")
+            .otherwise($"blob"))
+        .drop("swap_blob")
+      val readds = base.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"blob")
+      val contamAdds = all.filter($"source" === "src0" && $"doc_id" % 3 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"),
+          substring($"text", 1, 80).as("text"),
+          lit(null).cast("binary").as("blob"))
+      // two selects per q150's lateral-column-alias note
+      val freshAdds = base.filter($"doc_id" % 17 === 0)
+        .select($"doc_id",
+          array_join(transform(sequence(lit(1), lit(25)),
+            i => concat(lit("zz"), $"doc_id", lit("w"), i)), " ").as("text"))
+        .select(($"doc_id" + 30000000L).as("doc_id"), $"text",
+          lit(null).cast("binary").as("blob"))
+      val mediaAdds = base.filter($"doc_id" % 13 === 0)
+        .select($"doc_id", $"blob",
+          array_join(transform(sequence(lit(1), lit(25)),
+            i => concat(lit("mm"), $"doc_id", lit("w"), i)), " ").as("text"))
+        .select(($"doc_id" + 40000000L).as("doc_id"), $"text", $"blob")
+      val newSnap = edits.select($"doc_id", $"text", $"blob")
+        .unionByName(readds).unionByName(contamAdds)
+        .unionByName(freshAdds).unionByName(mediaAdds)
+      def fp(df: DataFrame) = graft.operators.Multimodal
+        .imageAHash(df, "blob", "ah")
+        .withColumn("fp", concat(md5($"text".cast("binary")), lit(":"),
+          coalesce($"ah".cast("string"), lit("none"))))
+        .drop("ah")
+      val delta = graft.operators.SnapshotDiff
+        .delta(fp(base), fp(newSnap), "doc_id", "fp")
+        .select($"doc_id", $"text", $"blob")
+      val sigIdx = SharedArtifacts.signatureIndexPath(s, dir,
+        splitAt = 10000000L)
+      val hashIdx = SharedArtifacts.hashIndexPath(s, dir,
+        buildAt = 200L, splitAt = Long.MaxValue)
+      val bench = all.filter($"source" === "src0").select($"doc_id", $"text")
+      graft.functions.MultimodalExpressions.register(s)
+      graft.operators.Curation.multimodalIngestVerdict(delta,
+          call_function("graft_ahash", $"blob"), sigIdx, hashIdx, bench,
+          threshold = 0.8, windowChars = 40, maxHamming = 3)
+        .orderBy($"doc_id")
     }
   )
 
@@ -1529,6 +1601,108 @@ object Corpus {
         |         WHERE g IN (SELECT g FROM ev))
         |SELECT d.doc_id,
         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM dup) THEN 'dup'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |       ELSE 'kept' END AS status,
+        |  CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM delta d ORDER BY d.doc_id""".stripMargin,
+
+    // the q150 replay extended with the media dimension: the image
+    // aHash of every decodable doc (the q161 derivation over the pgm
+    // fixture), a delta that includes the %19 blob swaps IFF their
+    // aHash actually changed (the multimodal fingerprint), the text
+    // near-dup stage, the media stage over text survivors (hamming<=3
+    // vs any indexed doc), decontamination of the rest, and the
+    // reason-ranked verdict
+    "q166_multimodal_ingest" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, 8), c ->
+        |          CAST(ascii(substr(text, CAST((c * w) // 8 AS INT) + 1, 1))
+        |            AS BIGINT)) AS cs
+        |      FROM t WHERE doc_id % 97 <> 0 AND w >= 1),
+        |h AS (SELECT doc_id,
+        |        CAST(list_aggregate(list_transform(range(0, 64), j ->
+        |          CASE WHEN 64 * cs[CAST(j % 8 AS INT) + 1]
+        |                    > 8 * list_aggregate(cs, 'sum') THEN
+        |            CASE WHEN j = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+        |                 ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT)
+        |            END
+        |          ELSE CAST(0 AS HUGEINT) END), 'sum') AS BIGINT) AS ahash
+        |      FROM g),
+        |delta AS (
+        |  SELECT d.doc_id, d.text || ' v2' AS text, h.ahash
+        |  FROM documents d LEFT JOIN h USING (doc_id)
+        |  WHERE d.doc_id % 5 = 0 AND d.doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT d.doc_id, d.text, h2.ahash
+        |  FROM documents d
+        |  LEFT JOIN h h1 ON h1.doc_id = d.doc_id
+        |  LEFT JOIN h h2 ON h2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 19 = 0 AND d.doc_id % 5 <> 0 AND d.doc_id % 7 <> 0
+        |    AND h2.ahash IS DISTINCT FROM h1.ahash
+        |  UNION ALL
+        |  SELECT d.doc_id + 10000000, d.text, h.ahash
+        |  FROM documents d LEFT JOIN h USING (doc_id)
+        |  WHERE d.doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, substr(text, 1, 80),
+        |    CAST(NULL AS BIGINT)
+        |  FROM documents WHERE source = 'src0' AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000,
+        |    list_aggregate(list_transform(range(1, 26),
+        |      i -> 'zz' || doc_id || 'w' || i), 'string_agg', ' '),
+        |    CAST(NULL AS BIGINT)
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id + 40000000,
+        |    list_aggregate(list_transform(range(1, 26),
+        |      i -> 'mm' || d.doc_id || 'w' || i), 'string_agg', ' '),
+        |    h.ahash
+        |  FROM documents d LEFT JOIN h USING (doc_id)
+        |  WHERE d.doc_id % 13 = 0),
+        |wn AS (SELECT doc_id, string_split(text, ' ') AS w FROM delta
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wn),
+        |wo AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |sho AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |        FROM wo),
+        |cand AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+        |         FROM shn a JOIN sho b ON a.sh = b.sh GROUP BY 1, 2),
+        |sn AS (SELECT doc_id, count(*) n FROM shn GROUP BY 1),
+        |so AS (SELECT doc_id, count(*) n FROM sho GROUP BY 1),
+        |dup AS (SELECT DISTINCT da AS doc_id
+        |        FROM cand JOIN sn sa ON da = sa.doc_id
+        |                  JOIN so sb ON db = sb.doc_id
+        |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+        |mdup AS (SELECT DISTINCT d.doc_id FROM delta d
+        |         WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |           AND d.ahash IS NOT NULL
+        |           AND EXISTS (SELECT 1 FROM h i
+        |                       WHERE bit_count(xor(i.ahash, d.ahash)) <= 3)),
+        |ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+        |    FROM (SELECT text,
+        |            unnest(generate_series(1, length(text) - 39)) AS i
+        |          FROM documents WHERE source = 'src0')),
+        |sv AS (SELECT * FROM delta
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |         AND doc_id NOT IN (SELECT doc_id FROM mdup)),
+        |tw AS (SELECT doc_id, substr(text, CAST(i AS INT), 40) AS g
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 39)) AS i
+        |             FROM sv)),
+        |cont AS (SELECT DISTINCT doc_id FROM tw
+        |         WHERE g IN (SELECT g FROM ev))
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IN (SELECT doc_id FROM dup) THEN 'dup_text'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM mdup) THEN 'dup_media'
         |       WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
         |       ELSE 'kept' END AS status,
         |  CAST(length(d.text) AS BIGINT) AS n_chars

@@ -436,6 +436,19 @@ object DataPipeline {
           k = 4, rounds = 2)
         .orderBy(col("vec_id"))
     },
+    // TRAINED PQ codebooks (the step real PQ deployments never skip —
+    // ANN_RECALL.md measured seed codebooks collapsing on the
+    // de-cloned tier): per-subspace integer Lloyd on a GLOBAL int8
+    // grid (one uniform scale preserves geometry; per-vector scaling
+    // would not), floor-divided means, graft_pq_encode tie-break —
+    // so the oracle replays gmx, the grid, both rounds and every
+    // final (code, d2) bit-for-bit. One row per (vector, subspace).
+    "q165_pq_train_int" -> { (s, dir) =>
+      graft.operators.IvfIndex.pqTrainAssignInt(
+          Tables.load(s, dir, "embeddings"),
+          m = PqM, kCode = PqK, rounds = PqTrainRounds)
+        .orderBy(col("vec_id"), col("m_sub"))
+    },
     // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
     // narrow pass of 16 codegen'd dot products against md5-derived
     // sign literals — the downstream-byte-shrinking lever for every
@@ -1077,6 +1090,8 @@ object DataPipeline {
   private final val PqM = 8
   private final val PqK = 16
   private final val PqSub = 8
+  // integer-Lloyd rounds for the q165 trained-codebook gate
+  private final val PqTrainRounds = 2
 
   // ---- oracle SQL (generated from the same definitions the operators use) ----
 
@@ -1726,6 +1741,66 @@ object DataPipeline {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |  FROM df)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // trained-PQ replay: the q148 integer-Lloyd oracle generalized
+    // with the subspace as a DATA dimension — gmx and the global grid
+    // from the raw embeddings, per-(ms) seed codebooks, each round's
+    // (d2, kk)-argmin assignment + floor-divided update unrolled, and
+    // the final per-(vector, subspace) code + exact integer d2
+    "q165_pq_train_int" -> {
+      val rounds = (1 to PqTrainRounds).map { r =>
+        val prevC = s"c${r - 1}"
+        s"""d$r AS (SELECT p.vec_id, p.ms, c.kk,
+           |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
+           |      + list_dot_product(c.cq, c.cq) AS d2
+           |  FROM p JOIN $prevC c USING (ms)),
+           |a$r AS (SELECT vec_id, ms, kk FROM (
+           |    SELECT vec_id, ms, kk,
+           |      row_number() OVER (PARTITION BY vec_id, ms
+           |                         ORDER BY d2, kk) AS rn
+           |    FROM d$r) WHERE rn = 1),
+           |x$r AS (SELECT a.ms, a.kk, unnest(p.qs) AS x,
+           |         unnest(range(1, len(p.qs) + 1)) AS dd
+           |  FROM a$r a JOIN p USING (vec_id, ms)),
+           |s$r AS (SELECT ms, kk, dd, sum(x) AS s, count(*) AS n FROM x$r
+           |       GROUP BY 1, 2, 3),
+           |c$r AS (SELECT ms, kk, list(CAST(floor(s / n) AS DOUBLE)
+           |                            ORDER BY dd) AS cq
+           |    FROM s$r GROUP BY 1, 2
+           |  UNION ALL SELECT pc.ms, pc.kk, pc.cq FROM $prevC pc
+           |    WHERE NOT EXISTS (SELECT 1 FROM s$r z
+           |                      WHERE z.ms = pc.ms AND z.kk = pc.kk))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |gm AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)),
+         |                                 'max')) AS gmx FROM e),
+         |qz AS (SELECT vec_id, list_transform(v,
+         |    x -> CAST(CAST(floor(x / (gmx / 127.0) + 0.5) AS BIGINT)
+         |              AS DOUBLE)) AS q
+         |  FROM e, gm),
+         |sb AS (SELECT unnest(range(0, $PqM)) AS ms),
+         |p AS (SELECT vec_id, ms,
+         |    list_slice(q, CAST(ms * $PqSub + 1 AS INT),
+         |      CAST(ms * $PqSub + $PqSub AS INT)) AS qs
+         |  FROM qz CROSS JOIN sb),
+         |c0 AS (SELECT ms, CAST(vec_id AS INT) AS kk, qs AS cq FROM p
+         |       WHERE vec_id < $PqK),
+         |$rounds,
+         |df AS (SELECT p.vec_id, p.ms, c.kk,
+         |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
+         |      + list_dot_product(c.cq, c.cq) AS d2
+         |  FROM p JOIN c$PqTrainRounds c USING (ms))
+         |SELECT vec_id, CAST(ms AS BIGINT) AS m_sub,
+         |  CAST(kk AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2
+         |FROM (SELECT vec_id, ms, kk, d2,
+         |    row_number() OVER (PARTITION BY vec_id, ms
+         |                       ORDER BY d2, kk) AS rn
+         |  FROM df) WHERE rn = 1
+         |ORDER BY vec_id, m_sub""".stripMargin
+    },
 
     "q92_semantic_decontam" ->
       """WITH e AS (SELECT vec_id, label,

@@ -418,6 +418,48 @@ object StreamingOps {
       }
       .start()
 
+  /** The UNIFIED multimodal admission chain per micro-batch: each
+    * arriving batch of candidate-new `(doc_id, text, blob)` docs is
+    * diffed against the standing multimodal snapshot fingerprints
+    * (md5(text) + media signature, so a media-only change re-ingests
+    * the doc), and the delta runs
+    * [[graft.operators.Curation.multimodalIngestVerdict]] — text
+    * dedup against the MinHash index, media dedup of text survivors
+    * against the 64-bit hash index, decontamination — emitting one
+    * `(doc_id, status, n_chars)` verdict with a reason
+    * (dup_text > dup_media > contaminated > kept).
+    *
+    * All cross-doc state is OUTSIDE the stream (`oldSnap` with its
+    * precomputed `fp`, the two persisted indexes, the static
+    * benchmark), so each doc's verdict is a pure function of (doc,
+    * standing state) and any batching yields the union of the batch
+    * verdicts — single-batch ≡ the q166 batch chain bit-for-bit
+    * (the StreamingOpsSpec parity pin).
+    */
+  def multimodalIngestPerBatch(newDocs: DataFrame, oldSnap: DataFrame,
+                               mediaSig: org.apache.spark.sql.Column,
+                               sigIndexPath: String, hashIndexPath: String,
+                               bench: DataFrame,
+                               threshold: Double = 0.8, windowChars: Int = 40,
+                               maxHamming: Int = 3,
+                               maxBandFreq: Option[Long] = None,
+                               sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fpNew = batch.withColumn("fp",
+          concat(md5(col("text").cast("binary")), lit(":"),
+            coalesce(mediaSig.cast("string"), lit("none"))))
+        val delta = graft.operators.SnapshotDiff
+          .delta(oldSnap, fpNew, "doc_id", "fp")
+          .select(col("doc_id"), col("text"), col("blob"))
+        sink(graft.operators.Curation.multimodalIngestVerdict(delta,
+          mediaSig, sigIndexPath, hashIndexPath, bench,
+          threshold, windowChars, maxHamming, maxBandFreq), batchId)
+      }
+      .start()
+
   /** Per-batch MEDIA ingest dedup: each micro-batch of `(doc_id,
     * simhash)` signatures (any modality's 64-bit perceptual hash)
     * probes the standing [[graft.operators.TextDedup.writeHashIndex]]

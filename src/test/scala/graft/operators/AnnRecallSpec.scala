@@ -441,6 +441,56 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("trained PQ codebooks lift de-cloned recall over seed codebooks") {
+    import org.apache.spark.sql.functions.col
+    // the ANN_RECALL.md finding this operator exists for: 16-entry
+    // SEED codebooks underfit clone-free embeddings; integer-Lloyd
+    // training (global grid, floor-divided means — bit-replayable,
+    // gated by q165) must recover recall at every published operating
+    // point, both in the full-scan PQ ranking and inside the IVFADC
+    // index layout
+    val k = 10
+    val qids = Seq(33L, 111L, 222L, 333L, 444L)
+    val exactK = qids.map(q =>
+      q -> ids(Similarity.bruteForceTopK(emb01, q, k))).toMap
+    def pqTop(df: org.apache.spark.sql.DataFrame, q: Long): Set[Long] =
+      df.filter(col("vec_id") =!= q)
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(f: Long => Set[Long]) =
+      qids.map(q => (f(q) & exactK(q)).size.toDouble / k).sum / qids.size
+    for (m <- Seq(4, 8)) {
+      val cb = IvfIndex.trainPqCodebooksIntRaw(emb01, m, 16, rounds = 2)
+      val seed = recall(q => pqTop(Similarity.pqEncodeAdc(emb01, m, 16, q), q))
+      val trained = recall(q =>
+        pqTop(Similarity.pqEncodeAdc(emb01, m, 16, q, Some(cb)), q))
+      info(f"de-cloned sf0.1 PQ: m=$m seed=$seed%.3f trained=$trained%.3f")
+      assert(trained >= seed - 1e-9,
+        s"m=$m trained codebook lost recall: $trained < $seed")
+    }
+    // IVFADC layout with the trained m=8 codebook: same comparison
+    // through the materialised index probe
+    val centroids = IvfIndex.train(emb01, nLists = 4, iters = 2)
+    val qvs = qids.map(q => q -> emb01.filter(col("vec_id") === q)
+      .select(org.apache.spark.sql.functions
+        .transform(col("embedding"), x => x.cast("double")))
+      .head.getSeq[Double](0)).toMap
+    val cb8 = IvfIndex.trainPqCodebooksIntRaw(emb01, 8, 16, rounds = 2)
+    val seedDir = tempDir("graft_adc_seedcb")
+    val trainedDir = tempDir("graft_adc_traincb")
+    IvfIndex.writeAdcIndex(emb01, centroids, seedDir, m = 8, kCode = 16)
+    IvfIndex.writeAdcIndex(emb01, centroids, trainedDir, m = 8, kCode = 16,
+      codebook = Some(cb8))
+    for (nProbe <- Seq(2, 4)) {
+      val s = recall(q =>
+        ids(IvfIndex.topKAdcIndexed(spark, seedDir, qvs(q), k, nProbe, q)))
+      val t = recall(q =>
+        ids(IvfIndex.topKAdcIndexed(spark, trainedDir, qvs(q), k, nProbe, q)))
+      info(f"de-cloned sf0.1 IVFADC: nProbe=$nProbe seed=$s%.3f trained=$t%.3f")
+      assert(t >= s - 1e-9, s"nProbe=$nProbe trained lost recall: $t < $s")
+    }
+  }
+
   test("semanticContamination forced-literal over the bound fails fast") {
     import org.apache.spark.sql.functions.col
     val e = intercept[IllegalArgumentException] {

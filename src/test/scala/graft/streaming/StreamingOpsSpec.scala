@@ -702,6 +702,85 @@ class StreamingOpsSpec extends SparkSpec {
       replay.groupBy(_._2).map { case (k, v) => s"$k=${v.size}" }.mkString(", "))
   }
 
+  test("unified multimodal ingest: 3-batch stream ≡ single batch ≡ batch replay") {
+    // the q166 composition (multimodal fp diff → text dedup → media
+    // dedup → decontam → reason-ranked verdict) per micro-batch
+    // against standing state; verdicts must be batching-independent
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    graft.functions.MultimodalExpressions.register(spark)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+    val media = graft.queries.SharedArtifacts.mediaFixture(spark, sf, "pgm")
+    val base = docs.select($"doc_id", $"text").join(media, Seq("doc_id"), "left")
+    val edits = base.filter($"doc_id" % 7 =!= 0)
+      .withColumn("text", when($"doc_id" % 5 === 0,
+        concat($"text", lit(" v2"))).otherwise($"text"))
+    val readds = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"blob")
+    val contamAdds = docs.filter($"source" === "src0" && $"doc_id" % 3 === 0)
+      .select(($"doc_id" + 20000000L).as("doc_id"),
+        substring($"text", 1, 80).as("text"),
+        lit(null).cast("binary").as("blob"))
+    val mediaAdds = base.filter($"doc_id" % 13 === 0)
+      .select($"doc_id", $"blob",
+        array_join(transform(sequence(lit(1), lit(25)),
+          i => concat(lit("mm"), $"doc_id", lit("w"), i)), " ").as("text"))
+      .select(($"doc_id" + 40000000L).as("doc_id"), $"text", $"blob")
+    val newSnap = edits.unionByName(readds).unionByName(contamAdds)
+      .unionByName(mediaAdds)
+      .as[(Long, String, Array[Byte])].collect().toSeq
+    assert(newSnap.nonEmpty)
+    def fp(df: DataFrame) = df.withColumn("fp",
+      concat(md5($"text".cast("binary")), lit(":"),
+        coalesce(call_function("graft_ahash", $"blob").cast("string"),
+          lit("none"))))
+    val oldSnap = fp(base).select($"doc_id", $"fp")
+    val sigIdx = tempDir("graft_stream_mm_sig")
+    graft.operators.TextDedup.writeSignatureIndex(
+      base.select($"doc_id", $"text"), sigIdx)
+    val hashIdx = tempDir("graft_stream_mm_hash")
+    graft.operators.TextDedup.writeHashIndex(
+      graft.operators.Multimodal.imageAHash(base, "blob")
+        .filter($"ahash".isNotNull)
+        .select($"doc_id", $"ahash".as("simhash")), hashIdx)
+    val bench = docs.filter($"source" === "src0").select($"doc_id", $"text")
+    val sig = call_function("graft_ahash", col("blob"))
+
+    def runStream(batches: Seq[Seq[(Long, String, Array[Byte])]])
+    : Seq[(Long, String, Long)] = {
+      val got = new ConcurrentLinkedQueue[(Long, String, Long)]()
+      val mem = MemoryStream[(Long, String, Array[Byte])]
+      val q = StreamingOps.multimodalIngestPerBatch(
+        mem.toDF().toDF("doc_id", "text", "blob"), oldSnap, sig,
+        sigIdx, hashIdx, bench,
+        sink = (df, _) => df.as[(Long, String, Long)].collect().foreach(got.add))
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      got.toArray.map(_.asInstanceOf[(Long, String, Long)]).sortBy(_._1).toSeq
+    }
+    // batch replay through the shared operator
+    val delta = graft.operators.SnapshotDiff
+      .delta(oldSnap, fp(newSnap.toDF("doc_id", "text", "blob")),
+        "doc_id", "fp")
+      .select($"doc_id", $"text", $"blob")
+    val replay = graft.operators.Curation
+      .multimodalIngestVerdict(delta, sig, sigIdx, hashIdx, bench)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+    val single = runStream(Seq(newSnap))
+    val grouped = newSnap.groupBy(t => (t._1 % 3).toInt)
+    val three = runStream(Seq(grouped.getOrElse(0, Nil),
+      grouped.getOrElse(1, Nil), grouped.getOrElse(2, Nil)))
+    assert(single == replay && replay.nonEmpty)
+    assert(three == replay)
+    // every verdict class fired, including the one neither unimodal
+    // chain can produce (fresh text carrying an already-indexed image)
+    assert(Set("dup_text", "dup_media", "contaminated", "kept").subsetOf(
+      replay.map(_._2).toSet),
+      replay.groupBy(_._2).map { case (k, v) => s"$k=${v.size}" }.mkString(", "))
+  }
+
   test("media ingest dedup probes the standing hash index stream/batch identically") {
     implicit val sq = spark.sqlContext
     val blobSig = 0x0123456789abcdefL
