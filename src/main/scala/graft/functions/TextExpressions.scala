@@ -339,6 +339,36 @@ object TextShingling {
     new GenericArrayData(ends.toArray)
   }
 
+  /** Byte-level content-defined chunk boundaries (see
+    * [[CdcByteCuts]]): byte offset i ends a chunk when the 48-bit md5
+    * prefix of the w-byte window ending at i ≡ 0 mod d, plus the
+    * forced final end at n-1. The [[cdcCuts]] arithmetic with raw
+    * bytes as the symbol stream — BINARY columns (media blobs,
+    * serialized records) have no word boundaries, so the gear window
+    * slides per byte. Null for empty input (no content, no chunks).
+    */
+  def cdcCutsBytes(bin: Array[Byte], w: Int, d: Long): GenericArrayData = {
+    require(w >= 1 && d >= 1,
+      s"graft_cdc_bytes requires w >= 1 and d >= 1, got ($w, $d)")
+    val n = bin.length
+    if (n == 0) return null
+    val md = md5.get()
+    val ends = new java.util.ArrayList[Any]()
+    var i = w - 1
+    while (i < n - 1) { // the final offset is a forced end, never a gear cut
+      md.reset()
+      md.update(bin, i - w + 1, w)
+      val dg = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      if (h % d == 0L) ends.add(i)
+      i += 1
+    }
+    ends.add(n - 1)
+    new GenericArrayData(ends.toArray)
+  }
+
   /** Winnowing fingerprint selection (see [[WinnowFingerprints]]):
     * word k-gram md5-prefix hashes, O(n) monotonic-deque sliding-window
     * minimum with RIGHTMOST tie-break, distinct selected positions in
@@ -719,6 +749,57 @@ case class CdcCuts(text: Expression, w: Expression, d: Expression)
     copy(text = newFirst, w = newSecond, d = newThird)
 }
 
+/** Byte-level content-defined chunk boundaries —
+  * `graft_cdc_bytes(bin, w, d)`: the [[CdcCuts]] gear over a BINARY
+  * column's raw bytes (media blobs, packed records — the reference's
+  * binary-attribute pathway, `py_pkg/examples/4-machine-learning.py:49-109`,
+  * treats binary columns as first-class). Offset i (0-based) ends a
+  * chunk when the 48-bit md5 prefix of the w-byte window ending at i
+  * ≡ 0 mod d, plus the forced final end — expected chunk ≈ d bytes,
+  * boundaries realign within w bytes of an edit, so chunk-hash
+  * equality finds shared byte regions across offsets and blobs (the
+  * storage-dedup primitive at sub-file granularity). Returns
+  * `array<int>` of 0-based chunk-end offsets; null/empty input →
+  * null. One narrow codegen'd pass.
+  */
+case class CdcByteCuts(bin: Expression, w: Expression, d: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = bin
+  override def second: Expression = w
+  override def third: Expression = d
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc_bytes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (bin.dataType != org.apache.spark.sql.types.BinaryType ||
+        w.dataType != IntegerType || d.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_bytes expects (binary, int, int), got " +
+          s"(${bin.dataType.simpleString}, ${w.dataType.simpleString}, " +
+          s"${d.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(b: Any, ww: Any, dd: Any): Any =
+    TextShingling.cdcCutsBytes(b.asInstanceOf[Array[Byte]],
+      ww.asInstanceOf[Int], dd.asInstanceOf[Int].toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, ww, dd) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.cdcCutsBytes($b, $ww, (long) $dd);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(bin = newFirst, w = newSecond, d = newThird)
+}
+
 object TextExpressions {
   /** Register the text kernels in the session's function registry
     * (idempotent), for the DataFrame API and SQL alike.
@@ -738,6 +819,8 @@ object TextExpressions {
       "graft_winnow", exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc", exprs => CdcCuts(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_bytes", exprs => CdcByteCuts(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fhash", exprs => FeatureHash(exprs(0), exprs(1)), "built-in")
   }

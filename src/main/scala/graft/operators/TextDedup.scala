@@ -1078,6 +1078,49 @@ object TextDedup {
         col("to_word"), col("n_words"), col("chunk_hash"), col("n_docs"))
   }
 
+  /** Byte-level CDC tiling of a BINARY column (`graft_cdc_bytes` —
+    * the [[cdcChunks]] gear with raw bytes as the symbol stream, for
+    * media blobs and packed records that have no word boundaries):
+    * one row per (doc, chunk) — `(doc_id, chunk_idx, from_byte,
+    * to_byte, n_bytes, chunk_hash)` with byte intervals 0-based
+    * inclusive tiling `[0, n)`, `chunk_hash` = md5 of the chunk's raw
+    * bytes. Empty/null blobs emit no rows. One narrow kernel pass +
+    * one Generate; no shuffle.
+    */
+  def cdcByteChunks(docs: DataFrame, binCol: String,
+                    w: Int = 16, d: Int = 64): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col(binCol).as("_b"),
+        call_function("graft_cdc_bytes", col(binCol), lit(w), lit(d)).as("ends"))
+      .select(col("doc_id"), col("_b"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "to_byte")))
+      .withColumn("from_byte",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("chunk_idx")) + 1))
+      .withColumn("n_bytes", col("to_byte") - col("from_byte") + 1)
+      .withColumn("chunk_hash",
+        md5(expr("substring(_b, from_byte + 1, n_bytes)")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("from_byte").cast("long").as("from_byte"),
+        col("to_byte").cast("long").as("to_byte"),
+        col("n_bytes").cast("long").as("n_bytes"), col("chunk_hash"))
+  }
+
+  /** [[cdcByteChunks]] with cross-doc share counts — the q162 signal
+    * at byte granularity; the only shuffle is the chunk-hash
+    * aggregate + join, sized by chunks.
+    */
+  def cdcByteChunkStats(docs: DataFrame, binCol: String,
+                        w: Int = 16, d: Int = 64): DataFrame = {
+    val ch = cdcByteChunks(docs, binCol, w, d)
+    val shared = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(shared, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_idx"), col("from_byte"),
+        col("to_byte"), col("n_bytes"), col("chunk_hash"), col("n_docs"))
+  }
+
   /** Materialise the standing CDC chunk-hash index of accepted
     * history: one parquet row per (doc, chunk) occurrence —
     * `(doc_id, chunk_idx, chunk_hash)` — the sub-document analogue of

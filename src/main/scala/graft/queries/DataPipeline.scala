@@ -870,6 +870,22 @@ object DataPipeline {
           w = CdcW, d = CdcD)
         .orderBy($"doc_id", $"span_idx")
     },
+    // CDC at BYTE granularity (graft_cdc_bytes): the gear window
+    // slides per byte, so BINARY columns — media blobs, packed
+    // records — dedup at sub-file granularity with no word-boundary
+    // assumption. Gated over the corpus text's raw bytes (pure-ASCII
+    // fixture, so the oracle replays every windowed md5 cut, chunk
+    // hash and share count with substr arithmetic); TextDedupSpec
+    // proves the same operator on real GRFT containers (shared
+    // payload regions share chunk hashes across different headers).
+    "q167_cdc_byte_chunks" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.cdcByteChunkStats(
+          Tables.loadParallel(s, dir, "documents")
+            .select($"doc_id", $"text".cast("binary").as("b")),
+          "b", w = CdcByteW, d = CdcByteD)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
 
     "q114_winnowing" -> { (s, dir) =>
       import s.implicits._
@@ -889,6 +905,9 @@ object DataPipeline {
   // small enough that the sf0.01 docs produce several chunks each
   private val CdcW = 4
   private val CdcD = 16
+  // byte-gear CDC shape (q167): 16-byte gear window, ~64-byte chunks
+  private val CdcByteW = 16
+  private val CdcByteD = 64
 
   /** Shared CDC chunk replay for the q162/q163/q164 oracles: the
     * WITH-chain ending in `ch(doc_id, chunk_idx, fw, tw, chunk_hash)`
@@ -2801,6 +2820,44 @@ object DataPipeline {
          |  CAST(coalesce(idx.n_index_docs, 0) AS BIGINT) AS n_index_docs
          |FROM bat LEFT JOIN idx USING (chunk_hash)
          |ORDER BY bat.doc_id, chunk_idx""".stripMargin,
+
+    // byte-gear replay: window ending at 0-based byte i covers
+    // 1-based chars [i - W + 2, i + 1] (pure-ASCII corpus: chars ≡
+    // bytes, asserted by the media fixtures), cut iff the 48-bit md5
+    // prefix ≡ 0 mod D; then chunk intervals, chunk hashes of the
+    // raw slices, and cross-doc share counts
+    "q167_cdc_byte_chunks" ->
+      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+         |           FROM documents
+         |           WHERE octet_length(encode(text)) >= 1),
+         |cuts AS (SELECT doc_id, text, n,
+         |    list_filter(range(${CdcByteW - 1}, n - 1), i ->
+         |      CAST(('0x' || substr(md5(substr(text,
+         |        CAST(i AS INT) - ${CdcByteW - 2}, $CdcByteW)), 1, 12))
+         |        AS BIGINT) % $CdcByteD = 0) AS cs
+         |  FROM t),
+         |e AS (SELECT doc_id, text, n, list_concat(cs, [n - 1]) AS ends
+         |      FROM cuts),
+         |seg AS (SELECT doc_id, text, ends,
+         |    unnest(range(0, len(ends))) AS chunk_idx
+         |  FROM e),
+         |c AS (SELECT doc_id, text, chunk_idx,
+         |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
+         |    END AS fb,
+         |    ends[CAST(chunk_idx AS INT) + 1] AS tb
+         |  FROM seg),
+         |ch AS (SELECT doc_id, chunk_idx, fb, tb,
+         |    md5(substr(text, CAST(fb AS INT) + 1,
+         |      CAST(tb - fb + 1 AS INT))) AS chunk_hash
+         |  FROM c),
+         |sh AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+         |       FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(fb AS BIGINT) AS from_byte, CAST(tb AS BIGINT) AS to_byte,
+         |  CAST(tb - fb + 1 AS BIGINT) AS n_bytes, chunk_hash,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM ch JOIN sh USING (chunk_hash)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // keep-first replay: first occurrence per chunk hash by
     // (doc_id, chunk_idx), then the gap-and-island merge of each

@@ -484,6 +484,41 @@ class TextDedupSpec extends SparkSpec {
     assert(byDoc(101L).forall(_.getLong(6) == 0))
   }
 
+  test("byte-CDC over GRFT blobs: shared payload regions share chunk hashes") {
+    import graft.operators.Multimodal
+    // two real GRFT containers with different headers whose payloads
+    // share a 4000-byte region (container B front-inserts 97 bytes):
+    // the gear realigns within w bytes, so interior chunk hashes match
+    // across the offset — the sub-file storage-dedup property no
+    // fixed-offset scheme has
+    val payload = Array.tabulate[Byte](4000)(i => ((i * 31 + 7) % 251).toByte)
+    val a = Multimodal.pack(10, 1, 1, 0, payload)
+    val b = Multimodal.pack(11, 2, 1, 0,
+      Array.fill[Byte](97)(3) ++ payload)
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "blob")
+    val ch = TextDedup.cdcByteChunks(df, "blob", w = 16, d = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(5)))
+    // tiling: per doc, chunks start at 0, are contiguous, end at n-1
+    for ((id, blob) <- Seq((1L, a), (2L, b))) {
+      val cs = ch.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L && cs.last._4 == blob.length - 1L && cs.size > 3)
+      cs.sliding(2).foreach {
+        case Array(x, y) => assert(x._4 + 1 == y._3)
+        case _ =>
+      }
+    }
+    val h1 = ch.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._5).toSet
+    val preserved = (h1 & h2).size.toDouble / h1.size
+    assert(preserved > 0.7,
+      s"only $preserved of chunk hashes survived the 97-byte offset")
+    // and the first chunk (the differing header region) did NOT match
+    val first1 = ch.filter(_._1 == 1L).minBy(_._2)._5
+    assert(!h2.contains(first1) ||
+      ch.filter(_._1 == 2L).minBy(_._2)._5 != first1)
+  }
+
   test("substringMatches shuffle fallback equals the broadcast path") {
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
     val train = Seq((1L, ("X" * 10) + benchText.substring(5, 55)))

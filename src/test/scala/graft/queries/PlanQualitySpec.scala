@@ -605,6 +605,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q167 byte-CDC: narrow kernel + generate, hash-agg share join, no cartesian") {
+    val plan = formatted("q167_cdc_byte_chunks")
+    assert(plan.contains("graft_cdc_bytes"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q166 multimodal ingest: every join keyed, no cartesian/nested-loop") {
+    val plan = formatted("q166_multimodal_ingest")
+    // the chain composes a full-outer fp diff, banded equi-joins and
+    // anti/semi joins — all key-partitioned; a cartesian or NLJ
+    // anywhere would be quadratic in the corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q148 k-means: the argmin pass reads the materialized codes, no join") {
     val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
     df.collect()
