@@ -90,23 +90,37 @@ object Curation {
                               threshold: Double = 0.8, windowChars: Int = 40,
                               maxHamming: Int = 3,
                               maxBandFreq: Option[Long] = None): DataFrame = {
+    // cache(): the verdict references the delta through FOUR lineages
+    // (text probe, text-survivor anti-join, decontam, final join) and
+    // the delta's own lineage is expensive — a media-signature kernel
+    // pass over two snapshots plus the full-outer diff — so without a
+    // barrier each stage would recompute it (measured: the uncached
+    // q166 chain cost ~10x its cached cost). Same contract as
+    // minhashLshPairs: callers release via
+    // graft.Tables.releaseOperatorCaches after the terminal action.
+    val d = delta.cache()
+    // each stage's doc_id set is also cached: the sets are tiny, but
+    // their LINEAGES are the expensive probes (LSH band join, banded
+    // hash join, window decontam) and each set is referenced by both
+    // the next stage's anti-join and the final verdict join — without
+    // the barrier every probe re-runs 2-4x
     val textDups = TextDedup
-      .nearDupsAgainstIndex(delta.select(col("doc_id"), col("text")),
+      .nearDupsAgainstIndex(d.select(col("doc_id"), col("text")),
         sigIndexPath, threshold)
-      .select(col("doc_id")).distinct()
-    val tSurv = delta.join(textDups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).distinct().cache()
+    val tSurv = d.join(textDups, Seq("doc_id"), "left_anti")
     val mediaSigs = tSurv.select(col("doc_id"), mediaSig.as("simhash"))
       .filter(col("simhash").isNotNull)
     val mediaDups = TextDedup
       .nearDupsAgainstHashIndex(mediaSigs, hashIndexPath, maxHamming,
         maxBandFreq)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")).distinct().cache()
     val mSurv = tSurv.join(mediaDups, Seq("doc_id"), "left_anti")
     val contaminated = TextDedup
       .substringMatches(mSurv.select(col("doc_id"), col("text")), bench,
         windowChars)
       .select(col("doc_id")).distinct()
-    delta
+    d
       .join(textDups.withColumn("is_tdup", lit(true)), Seq("doc_id"), "left")
       .join(mediaDups.withColumn("is_mdup", lit(true)), Seq("doc_id"), "left")
       .join(contaminated.withColumn("is_cont", lit(true)), Seq("doc_id"), "left")

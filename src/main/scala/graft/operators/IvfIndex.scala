@@ -552,10 +552,29 @@ object IvfIndex {
   def pqTrainAssignInt(emb: DataFrame, m: Int = 8, kCode: Int = 16,
                        rounds: Int = 2): DataFrame = {
     val (gmx, flat) = trainPqCodebooksInt(emb, m, kCode, rounds)
+    pqAssignInt(emb, gmx, flat, m, kCode)
+  }
+
+  /** The APPLY half of [[pqTrainAssignInt]]: per-subspace code
+    * assignment of the quantized corpus against an already-trained
+    * integer codebook (`gmx`/`flat` from [[trainPqCodebooksInt]]) —
+    * ONE narrow pass, codebook as literals. Split out so training (an
+    * offline index-build cost, memoized per process by the query
+    * layer like the BPE merge table) is not re-paid per query run.
+    */
+  def pqAssignInt(emb: DataFrame, gmx: Double, flat: Seq[Double],
+                  m: Int, kCode: Int): DataFrame = {
+    VectorExpressions.register(emb.sparkSession)
     val sub = flat.length / (m * kCode)
+    // cache(): the quantize transform is an interpreted HOF that
+    // CollapseProject would otherwise re-inline into every one of the
+    // m·(kCode+1) argmin references per row (the q148 lesson — the
+    // barrier keeps it at ONE evaluation per row). Callers release via
+    // graft.Tables.releaseOperatorCaches.
     val q = emb.select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / " +
         s"(${gmx}D / 127.0D) + 0.5D) AS DOUBLE))").as("q"))
+      .cache()
     val perMs = (0 until m).map { ms =>
       val qs = slice(col("q"), ms * sub + 1, sub)
       val cents = (0 until kCode).map(kk =>

@@ -444,9 +444,10 @@ object DataPipeline {
     // so the oracle replays gmx, the grid, both rounds and every
     // final (code, d2) bit-for-bit. One row per (vector, subspace).
     "q165_pq_train_int" -> { (s, dir) =>
-      graft.operators.IvfIndex.pqTrainAssignInt(
-          Tables.load(s, dir, "embeddings"),
-          m = PqM, kCode = PqK, rounds = PqTrainRounds)
+      val (gmx, flat) = SharedArtifacts.pqIntCodebook(s, dir,
+        m = PqM, kCode = PqK, rounds = PqTrainRounds)
+      graft.operators.IvfIndex.pqAssignInt(
+          Tables.load(s, dir, "embeddings"), gmx, flat, m = PqM, kCode = PqK)
         .orderBy(col("vec_id"), col("m_sub"))
     },
     // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
