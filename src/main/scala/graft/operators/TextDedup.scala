@@ -79,6 +79,49 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** Canonical text for [[normalizedDedup]]: lower-cased, every run of
+    * characters outside `[a-z0-9]` collapsed to a single space, then
+    * trimmed — the CCNet/RefinedWeb normalization discipline that
+    * makes case, punctuation and whitespace variants of the same
+    * document hash-equal. Deliberately ASCII-scoped (no NFKC): both
+    * pieces are engine-portable built-ins (`lower`, `regexp_replace`,
+    * `trim` exist with identical semantics in Spark and DuckDB), so
+    * the oracle replays the exact canonical form rather than trusting
+    * a library's Unicode tables.
+    */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " "))
+
+  /** NORMALIZED exact dedup — the variant-collapsing keep-first
+    * manifest [[exactDedup]] cannot produce: documents that differ
+    * only by case, punctuation or whitespace (re-crawls of the same
+    * page through different extractors, the most common exact-dedup
+    * miss in web corpora) share a [[normalizeText]] canonical form and
+    * therefore a group. Per document: its canonical hash, the group's
+    * keeper (smallest doc_id), the group size, and `is_kept` —
+    * directly consumable by a keep-filter, joinable back to any doc
+    * attribute.
+    *
+    * Scale shape: one narrow projection (lower/regexp/md5 are all
+    * codegen'd built-ins, no UDF) + one hash aggregate keyed by the
+    * 32-hex digest + one equi-join of the doc list against the
+    * group table — the same two-shuffle shape as [[exactDedup]]
+    * with the manifest join, both keyed by a uniform digest (no
+    * skew: identical docs collapse into ONE aggregate row map-side).
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+    val groups = keyed.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    keyed.join(groups, Seq("norm_hash"))
+      .select(col("doc_id"), col("norm_hash"), col("keep_id"),
+        col("n_copies"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)
+          .as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LSH banding from a (doc_id, sig) table: (doc_id, band, bkey) with
     * bkey = xxhash64 of the band's two signature mins (a cross-band
     * xxhash collision only adds a false candidate, which exact
@@ -792,6 +835,81 @@ object TextDedup {
       .agg(count(lit(1)).as("n_hits"),
         countDistinct(col("g")).as("n_grams"),
         min(col("pos")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The APPLY side of [[substringMatches]] — the decontamination
+    * counterpart of [[dupSpanRemovalStats]] (q131) and
+    * [[cdcKeepFirstManifest]] (q164): instead of dropping a whole
+    * training document because one 40-char window leaked from an eval
+    * set, CUT the leaked region and keep the rest. Every matching
+    * window position becomes a removal interval `[pos − padChars,
+    * pos + windowChars − 1 + padChars]` (padding removes the context
+    * a verbatim leak usually drags along), clamped to the document;
+    * the per-document removal is the INTERVAL UNION of those — the
+    * q131 running-max window — because consecutive match positions
+    * overlap by construction.
+    *
+    * Returns one row per training doc (zero rows filled in):
+    * `(doc_id, n_chars, n_hits, n_spans_removed, n_chars_removed)`
+    * where `n_spans_removed` counts maximal contiguous removed
+    * regions (what a rewrite step cuts) and `n_chars_removed` is the
+    * union size. All integers; the oracle replays every window match
+    * and the union arithmetic.
+    *
+    * Scale shape: identical to [[substringMatches]] until the hits
+    * exist — one corpus scan, a transient per-char Generate, a
+    * broadcast left-semi join — so shuffle is ∝ contamination found,
+    * and the union window partitions by doc (bounded by document
+    * length, never by corpus size). The final left join restores the
+    * uncontaminated majority without widening anything.
+    */
+  def decontamSpanRemovalStats(docs: DataFrame, bench: DataFrame,
+                               windowChars: Int = 40, padChars: Int = 0,
+                               maxBroadcastChars: Long = 100000000L)
+  : DataFrame = {
+    val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
+    val benchChars = Option(
+      bench.agg(sum(length(col("text")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val benchSide =
+      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
+      else benchGrams
+    val hits = docs
+      .filter(col("text").isNotNull && length(col("text")) >= windowChars)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(expr(s"sequence(1, length(text) - ${windowChars - 1})"))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("n_chars"),
+        col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $windowChars)").as("g"))
+      .join(benchSide, Seq("g"), "left_semi")
+    val iv = hits.select(col("doc_id"),
+      greatest(lit(1L), col("pos") - padChars).as("s"),
+      least(col("n_chars"),
+        col("pos") + lit((windowChars - 1 + padChars).toLong)).as("e"))
+    val prevMax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = iv
+      .withColumn("prev_end", max(col("e")).over(prevMax))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(when(col("s") > coalesce(col("prev_end"), lit(-2L)) + 1, 1L)
+          .otherwise(0L)).as("n_spans_removed"),
+        sum(greatest(lit(0L), col("e") - greatest(col("s") - 1,
+          coalesce(col("prev_end"), lit(-1L))))).as("n_chars_removed"))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_spans_removed"), lit(0L)).cast("long")
+          .as("n_spans_removed"),
+        coalesce(col("n_chars_removed"), lit(0L)).cast("long")
+          .as("n_chars_removed"))
       .orderBy(col("doc_id"))
   }
 

@@ -429,6 +429,21 @@ object Corpus {
         docs.filter(col("source") === "src0"), windowChars = 40)
     },
 
+    // the APPLY side of q101 (decontamination's q131): instead of
+    // dropping a contaminated doc, CUT the leaked windows — each match
+    // position padded 20 chars both ways, clamped to the doc, and the
+    // per-doc removal is the interval UNION (consecutive match
+    // positions overlap by construction). The oracle replays every
+    // window match, the clamping and the union arithmetic; zero-hit
+    // docs appear with zeros (the manifest covers the corpus).
+    "q168_decontam_apply" -> { (s, dir) =>
+      val docs = Tables.loadParallel(s, dir, "documents")
+      graft.operators.TextDedup.decontamSpanRemovalStats(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        windowChars = 40, padChars = 20)
+    },
+
     // index-backed decontamination: q101's exact semantics probed
     // against a PERSISTED benchmark window index (the q77/q84
     // maintenance pattern — eval sets change rarely, ingest batches
@@ -1297,6 +1312,43 @@ object Corpus {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q101_substr_decontam" -> substrDecontamSql,
+
+    // q168: q101's window matches → padded clamped intervals → the
+    // q131 running-max interval union, counted as maximal contiguous
+    // removed regions + removed-char union size
+    "q168_decontam_apply" ->
+      """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+        |    FROM (SELECT text,
+        |            unnest(generate_series(1, length(text) - 39)) AS i
+        |          FROM documents WHERE source = 'src0')),
+        |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substr(text, CAST(i AS INT), 40) AS g,
+        |         CAST(length(text) AS BIGINT) AS n_chars
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 39)) AS i
+        |             FROM documents WHERE source <> 'src0')),
+        |iv AS (SELECT doc_id, greatest(1, pos - 20) AS s,
+        |         least(n_chars, pos + 59) AS e
+        |       FROM tr WHERE g IN (SELECT g FROM ev)),
+        |r2 AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |       FROM iv),
+        |cut AS (SELECT doc_id, count(*) AS nh,
+        |         sum(CASE WHEN s > coalesce(prev_end, -2) + 1
+        |             THEN 1 ELSE 0 END) AS nsp,
+        |         sum(greatest(0, e - greatest(s - 1,
+        |           coalesce(prev_end, -1)))) AS nc
+        |        FROM r2 GROUP BY 1),
+        |al AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |       FROM documents WHERE source <> 'src0')
+        |SELECT al.doc_id, al.n_chars,
+        |  CAST(coalesce(cut.nh, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(cut.nsp, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(coalesce(cut.nc, 0) AS BIGINT) AS n_chars_removed
+        |FROM al LEFT JOIN cut USING (doc_id)
+        |ORDER BY al.doc_id""".stripMargin,
 
     // q142: the q101 window aggregate per eval set — both suites'
     // window sets recomputed inline, independent of the index layout

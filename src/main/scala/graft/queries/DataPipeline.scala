@@ -20,6 +20,26 @@ object DataPipeline {
     "q20_dedup_exact" -> { (s, dir) =>
       TextDedup.exactDedup(Tables.load(s, dir, "documents"))
     },
+    // NORMALIZED exact dedup (q169): the corpus is lowercase
+    // single-spaced by construction, so the variants exact-dedup must
+    // miss are PLANTED — every %7 doc re-enters upper-cased with
+    // trailing punctuation, every %11 doc re-enters comma-separated —
+    // and the gate proves normalizedDedup groups each variant with its
+    // original (q20 over the same union would put them in singleton
+    // groups). The oracle replays the planting and the normalization
+    // (lower + regexp collapse + trim) verbatim.
+    "q169_norm_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val caseVar = docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat(upper($"text"), lit("!!!")).as("text"))
+      val punctVar = docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          regexp_replace($"text", " ", ", ").as("text"))
+      TextDedup.normalizedDedup(
+        docs.unionByName(caseVar).unionByName(punctVar))
+    },
     "q21_minhash_lsh" -> { (s, dir) =>
       TextDedup.minhashLshPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.5)
     },
@@ -1305,6 +1325,30 @@ object DataPipeline {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // normalized dedup replay: the same planted variants, DuckDB's
+    // lower/regexp_replace('g')/trim as the canonical form
+    "q169_norm_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |al AS (SELECT doc_id, text FROM base
+        |       UNION ALL
+        |       SELECT doc_id + 100000, upper(text) || '!!!'
+        |       FROM base WHERE doc_id % 7 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 200000, replace(text, ' ', ', ')
+        |       FROM base WHERE doc_id % 11 = 0),
+        |k AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |          'g'))) AS norm_hash
+        |      FROM al),
+        |g AS (SELECT norm_hash, min(doc_id) AS keep_id,
+        |        CAST(count(*) AS BIGINT) AS n_copies
+        |      FROM k GROUP BY 1)
+        |SELECT k.doc_id, k.norm_hash, g.keep_id, g.n_copies,
+        |  CAST(CASE WHEN k.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_kept
+        |FROM k JOIN g USING (norm_hash)
+        |ORDER BY k.doc_id""".stripMargin,
 
     "q21_minhash_lsh" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -483,6 +483,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Per-batch SUB-DOCUMENT ingest dedup: each micro-batch of
+    * `(doc_id, text)` docs is CDC-chunked (batch-only kernel pass) and
+    * probed against the standing
+    * [[graft.operators.TextDedup.writeChunkIndex]] state — the
+    * streaming flavor of q163, closing the per-batch symmetry the
+    * other standing indexes already have ([[ingestVerdictPerBatch]]
+    * for MinHash, [[mediaDedupPerBatch]] for media hashes). With
+    * `appendAfterProbe` the batch's chunks then extend the index as
+    * new part files (O(batch), history never rewritten), so batch n+1
+    * sees batch n's content — the incremental-ingest lifecycle in one
+    * sink. The probe DataFrame handed to `sink` must be materialized
+    * by the sink BEFORE the append runs (every provided sink — write,
+    * collect — does exactly that; a sink that defers evaluation would
+    * observe its own batch in the index).
+    *
+    * Each batch's probe result is a pure function of (batch, index
+    * state), so with `appendAfterProbe = false` any batching yields
+    * the union of batch results, and with it the 3-batch run equals
+    * the sequential replay — both pinned by StreamingOpsSpec.
+    */
+  def cdcProbePerBatch(docs: DataFrame, indexPath: String,
+                       w: Int = 8, d: Int = 32,
+                       appendAfterProbe: Boolean = false,
+                       sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
+          batch, indexPath, w, d), batchId)
+        if (appendAfterProbe)
+          graft.operators.TextDedup.appendToChunkIndex(batch, indexPath, w, d)
+      }
+      .start()
+
   /** Incremental cross-source KMV set-operation estimates over a
     * stream of `(groupCol, uCol)` rows: each micro-batch is sketched
     * distributed (one mergeable partial aggregate), the per-source

@@ -287,6 +287,59 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 11L, 11L, 11L)))
   }
 
+  test("decontamSpanRemovalStats pads, clamps and unions the leaked windows") {
+    // windowChars = 5, padChars = 2; bench "ABCDEF" contributes the
+    // two overlapping windows ABCDE / BCDEF — every interval below is
+    // hand-computed
+    val bench = Seq((100L, "ABCDEF")).toDF("doc_id", "text")
+    val train = Seq(
+      // hits at pos 3 and 12 -> intervals [1,9] [10,18]: ADJACENT, so
+      // one contiguous removed region covering the whole doc
+      (1L, "xxABCDExxxxABCDExx"),
+      // hit at pos 1: pad clamps at both doc edges -> [1,5]
+      (2L, "ABCDE"),
+      (3L, "nomatchhere"), // length >= window, zero hits -> zeros
+      (4L, "abc"),         // shorter than the window -> zeros
+      // overlapping hits pos 3 (ABCDE) and 4 (BCDEF) -> [1,9] [2,10]
+      // union to ONE region of 10 chars, n_hits counts both
+      (5L, "zzABCDEFzz"),
+      // hits at pos 1 and 15 -> [1,7] [13,19]: gap at 8..12 -> TWO
+      // regions, 14 chars
+      (6L, "ABCDEzzzzzzzzzABCDE")
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TextDedup.decontamSpanRemovalStats(train, bench,
+        windowChars = 5, padChars = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 18L, 2L, 1L, 18L),
+      (2L, 5L, 1L, 1L, 5L),
+      (3L, 11L, 0L, 0L, 0L),
+      (4L, 3L, 0L, 0L, 0L),
+      (5L, 10L, 2L, 1L, 10L),
+      (6L, 19L, 2L, 2L, 14L)))
+  }
+
+  test("normalizedDedup groups case/punct/whitespace variants, keeps alnum splits apart") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO  WORLD"),
+      (4L, "different text"),
+      (5L, "abc123"),   // punctuation INSIDE an alnum run becomes a
+      (6L, "ABC-123")   // space -> 5 and 6 must NOT group
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TextDedup.normalizedDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L),
+      (4L, 4L, 1L, 1L), (5L, 5L, 1L, 1L), (6L, 6L, 1L, 1L)))
+    // and exactDedup over the same input sees six distinct texts
+    assert(TextDedup.exactDedup(d).count() == 6L)
+  }
+
   test("maxDupSpans merges seed runs into one maximal planted span") {
     import spark.implicits._
     // doc 1 and doc 2 share words 5..19 of doc 1 (a 15-word run →

@@ -623,6 +623,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q168 decontam apply: benchmark broadcast-semi-joins the windows, no cartesian") {
+    val plan = formatted("q168_decontam_apply")
+    // identical to q101 until hits exist: the benchmark's distinct
+    // windows broadcast into a LEFT-SEMI join over the transient
+    // per-char Generate — the only shuffles carry hits (the union
+    // window + final doc join), never window rows
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q169 normalized dedup: one digest aggregate + one manifest join, no cartesian") {
+    val plan = formatted("q169_norm_dedup")
+    // the canonical form is codegen'd built-ins (no UDF anywhere) and
+    // ownership is an md5-keyed HashAggregate with map-side partials
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q148 k-means: the argmin pass reads the materialized codes, no join") {
     val df = SparkEntryAccess.query("q148_kmeans_int")(spark, sf)
     df.collect()

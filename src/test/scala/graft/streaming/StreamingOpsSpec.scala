@@ -809,6 +809,69 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == expected && expected.nonEmpty)
   }
 
+  test("CDC probe: 3-batch stream ≡ batch operator; append lifecycle ≡ sequential replay") {
+    implicit val sq = spark.sqlContext
+    def mk(id: Long, seed: Int) =
+      (id, (0 until 120).map(i => s"w${(i * 13 + seed) % 211}").mkString(" "))
+    val history = (0L until 6L).map(i => mk(i, i.toInt))
+      .toDF("doc_id", "text")
+    val batch = Seq(mk(100L, 2), mk(101L, 4),
+      (102L, (0 until 120).map(i => s"fresh$i").mkString(" ")))
+    // probe-only flavor: any batching unions to the batch result
+    val idx = tempDir("graft_stream_cdc_idx")
+    graft.operators.TextDedup.writeChunkIndex(history, idx, w = 4, d = 16)
+    val want = graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
+        batch.toDF("doc_id", "text"), idx, w = 4, d = 16)
+      .as[(Long, Long, Long, Long, Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, String, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.cdcProbePerBatch(
+      mem.toDF().toDF("doc_id", "text"), idx, w = 4, d = 16,
+      sink = (df, _) => df.as[(Long, Long, Long, Long, Long, String, Long)]
+        .collect().foreach(got.add))
+    batch.foreach { d => mem.addData(d); q.processAllAvailable() }
+    q.stop()
+    assert(got.toArray
+      .map(_.asInstanceOf[(Long, Long, Long, Long, Long, String, Long)])
+      .sortBy(r => (r._1, r._2)).toSeq == want && want.nonEmpty)
+    // the clone probes indexed, the fresh doc probes 0
+    assert(want.filter(_._1 == 100L).forall(_._7 > 0))
+    assert(want.filter(_._1 == 102L).forall(_._7 == 0))
+
+    // append lifecycle: batch n+1 sees batch n's chunks — equal to the
+    // sequential replay of probe-then-append with the batch operator
+    val idxS = tempDir("graft_stream_cdc_idx_s")
+    val idxR = tempDir("graft_stream_cdc_idx_r")
+    graft.operators.TextDedup.writeChunkIndex(history, idxS, w = 4, d = 16)
+    graft.operators.TextDedup.writeChunkIndex(history, idxR, w = 4, d = 16)
+    val gotS = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.cdcProbePerBatch(
+      mem2.toDF().toDF("doc_id", "text"), idxS, w = 4, d = 16,
+      appendAfterProbe = true,
+      sink = (df, _) => df.select("doc_id", "chunk_idx", "n_index_docs")
+        .as[(Long, Long, Long)].collect().foreach(gotS.add))
+    // 102 is fresh in batch 1; its re-add in batch 2 must probe > 0
+    val b1 = Seq(batch(2)); val b2 = Seq((202L, batch(2)._2), mk(201L, 5))
+    mem2.addData(b1); q2.processAllAvailable()
+    mem2.addData(b2); q2.processAllAvailable(); q2.stop()
+    val replay = Seq(b1, b2).flatMap { b =>
+      val r = graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
+          b.toDF("doc_id", "text"), idxR, w = 4, d = 16)
+        .select("doc_id", "chunk_idx", "n_index_docs")
+        .as[(Long, Long, Long)].collect().toSeq
+      graft.operators.TextDedup.appendToChunkIndex(
+        b.toDF("doc_id", "text"), idxR, w = 4, d = 16)
+      r
+    }.sortBy(r => (r._1, r._2))
+    val streamed2 = gotS.toArray.map(_.asInstanceOf[(Long, Long, Long)])
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed2 == replay)
+    assert(streamed2.filter(_._1 == 102L).forall(_._3 == 0))
+    assert(streamed2.filter(_._1 == 202L).forall(_._3 > 0))
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must

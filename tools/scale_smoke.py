@@ -87,8 +87,12 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # ownership aggregate + doc-partitioned window); trained
            # PQ codebooks (q165 — m·rounds small aggregates + one
            # narrow emit); unified multimodal ingest (q166 — the
-           # q150+q161 chains composed, delta-sized work)
-           "q163", "q164", "q165", "q166"]
+           # q150+q161 chains composed, delta-sized work); byte-gear
+           # CDC (q167 — one narrow kernel pass + generate, rows ~
+           # chunks ~ input bytes); decontam apply (q168 — q101's
+           # broadcast-semi hits + a hit-sized union window) and
+           # normalized dedup (q169 — one digest agg + manifest join)
+           "q163", "q164", "q165", "q166", "q167", "q168", "q169"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
