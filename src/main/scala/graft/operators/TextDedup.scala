@@ -741,6 +741,65 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The REWRITE that consumes [[dupSpanRemovalStats]]'s manifest —
+    * the word-granular sibling of [[decontamRewrite]], making good on
+    * the stats operator's "a removal transform follows" promise: every
+    * document is re-emitted with its NON-OWNER duplicated spans
+    * excised (the owner — the (doc_id, start_pos)-minimal span of each
+    * content key — keeps its occurrence), so exactly one copy of every
+    * duplicated substring survives corpus-wide.
+    *
+    * Scale shape: mining and ownership are [[dupSpanRemovalStats]]
+    * verbatim (one gram-hash shuffle, output ∝ duplication). The
+    * non-owner intervals merge into maximal regions per doc (window
+    * bounded by doc length), collect into ONE array per affected doc,
+    * and the word filter is a narrow higher-order expression — no
+    * per-word shuffle, no reassembly join; untouched docs pass through
+    * byte-identical via the left join.
+    *
+    * Returns `(doc_id, n_words, clean_text, n_words_kept)` with
+    * `n_words − n_words_kept` = the stats operator's
+    * `n_words_removed` (spec-pinned).
+    */
+  def dupSpanRewrite(docs: DataFrame, spanWords: Int = 10,
+                     minDocs: Int = 2): DataFrame = {
+    val spans = seedIslands(dupSeedHits(docs, spanWords, minDocs))
+      .select(col("doc_id"), col("s").as("start_pos"),
+        (col("e") + spanWords - 1).as("end_pos"), col("key_gh"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key_gh")).orderBy(col("doc_id"), col("start_pos"))
+    val nonOwner = spans
+      .withColumn("rk", row_number().over(byKey))
+      .filter(col("rk") > 1)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_pos"), col("end_pos"))
+    val prevMax = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val regions = nonOwner
+      .withColumn("prev_end", max(col("end_pos")).over(prevMax))
+      .withColumn("new_r",
+        when(col("start_pos") > coalesce(col("prev_end"), lit(-2)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("rid", sum(col("new_r")).over(run))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("start_pos")).as("rs"), max(col("end_pos")).as("re"))
+    val ivs = regions.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("rs"), col("re"))).as("ivs"))
+    val ws = split(col("text"), " ")
+    val kept = filter(ws, (_, i) =>
+      !exists(col("ivs"), iv => i >= iv("rs") && i <= iv("re")))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        when(col("ivs").isNull, col("text"))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("ivs").isNull, size(ws))
+          .otherwise(size(kept)).cast("long").as("n_words_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per document — the corpus-scale default.
     *
     * The word hash is the first 16 hex digits of md5(word) read as a
@@ -838,6 +897,40 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared hit→interval stage of the decontamination APPLY family:
+    * the [[substringMatches]] probe (guarded broadcast of the
+    * benchmark's distinct windows, transient per-char Generate,
+    * left-semi join) with every match position turned into a removal
+    * interval `[pos − padChars, pos + windowChars − 1 + padChars]`
+    * clamped to the document. Returns `(doc_id, s, e)`, one row per
+    * hit — the input both the stats and the rewrite union per doc.
+    */
+  private def decontamIntervals(docs: DataFrame, bench: DataFrame,
+                                windowChars: Int, padChars: Int,
+                                maxBroadcastChars: Long): DataFrame = {
+    val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
+    val benchChars = Option(
+      bench.agg(sum(length(col("text")))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val benchSide =
+      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
+      else benchGrams
+    docs
+      .filter(col("text").isNotNull && length(col("text")) >= windowChars)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(expr(s"sequence(1, length(text) - ${windowChars - 1})"))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("n_chars"),
+        col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $windowChars)").as("g"))
+      .join(benchSide, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        greatest(lit(1L), col("pos") - padChars).as("s"),
+        least(col("n_chars"),
+          col("pos") + lit((windowChars - 1 + padChars).toLong)).as("e"))
+  }
+
   /** The APPLY side of [[substringMatches]] — the decontamination
     * counterpart of [[dupSpanRemovalStats]] (q131) and
     * [[cdcKeepFirstManifest]] (q164): instead of dropping a whole
@@ -868,27 +961,8 @@ object TextDedup {
                                windowChars: Int = 40, padChars: Int = 0,
                                maxBroadcastChars: Long = 100000000L)
   : DataFrame = {
-    val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
-    val benchChars = Option(
-      bench.agg(sum(length(col("text")))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val benchSide =
-      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
-      else benchGrams
-    val hits = docs
-      .filter(col("text").isNotNull && length(col("text")) >= windowChars)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(expr(s"sequence(1, length(text) - ${windowChars - 1})"))
-          .as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("n_chars"),
-        col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $windowChars)").as("g"))
-      .join(benchSide, Seq("g"), "left_semi")
-    val iv = hits.select(col("doc_id"),
-      greatest(lit(1L), col("pos") - padChars).as("s"),
-      least(col("n_chars"),
-        col("pos") + lit((windowChars - 1 + padChars).toLong)).as("e"))
+    val iv = decontamIntervals(docs, bench, windowChars, padChars,
+      maxBroadcastChars)
     val prevMax = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
       .rowsBetween(
@@ -910,6 +984,89 @@ object TextDedup {
           .as("n_spans_removed"),
         coalesce(col("n_chars_removed"), lit(0L)).cast("long")
           .as("n_chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The REWRITE that consumes [[decontamSpanRemovalStats]]'s
+    * intervals — the first manifest CONSUMER in the apply family (the
+    * stats operators end at counts; this one emits the cut corpus):
+    * each training doc is re-emitted with the union of its removal
+    * intervals excised, i.e. `clean_text` = the ordered concatenation
+    * of the kept complement segments. Uncontaminated docs pass through
+    * byte-identical; a fully-covered doc becomes the empty string.
+    *
+    * Scale shape: the hits/union stage is [[decontamSpanRemovalStats]]
+    * verbatim (shuffle ∝ contamination). The complement and the
+    * re-assembly touch ONLY contaminated docs — kept segments group
+    * per doc and `array_sort` over the collected (offset, segment)
+    * structs rebuilds the text deterministically (segment counts are
+    * bounded by the doc's hit count, not the corpus) — and one final
+    * left join restores the untouched majority without materializing
+    * anything for them.
+    *
+    * Returns `(doc_id, n_chars, clean_text, n_chars_clean)` with
+    * `n_chars − n_chars_clean` = the stats operator's
+    * `n_chars_removed` (spec-pinned).
+    */
+  def decontamRewrite(docs: DataFrame, bench: DataFrame,
+                      windowChars: Int = 40, padChars: Int = 0,
+                      maxBroadcastChars: Long = 100000000L): DataFrame = {
+    val iv = decontamIntervals(docs, bench, windowChars, padChars,
+      maxBroadcastChars)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // merge the hit intervals into maximal removed regions (rs, re)
+    val regions = iv
+      .withColumn("prev_end", max(col("e")).over(prevMax))
+      .withColumn("new_r",
+        when(col("s") > coalesce(col("prev_end"), lit(-2L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("rid", sum(col("new_r")).over(run))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    // kept complement: the gap before each region + the tail after the
+    // last one, all within [1, n_chars]
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    val byRs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rs"))
+    val gaps = regions
+      .withColumn("prev_re", lag(col("re"), 1).over(byRs))
+      .select(col("doc_id"),
+        (coalesce(col("prev_re"), lit(0L)) + 1).as("ks"),
+        (col("rs") - 1).as("ke"))
+      .filter(col("ks") <= col("ke"))
+    val tails = regions.groupBy(col("doc_id"))
+      .agg(max(col("re")).as("mre"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), (col("mre") + 1).as("ks"),
+        col("n_chars").as("ke"))
+      .filter(col("ks") <= col("ke"))
+    // assemble the cut docs; mark them so empty-after-cut is distinct
+    // from never-touched
+    val cutDocs = regions.select(col("doc_id")).distinct()
+    val assembled = gaps.unionByName(tails)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), struct(col("ks"),
+        expr("substring(text, ks, ke - ks + 1)").as("seg")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("p"))), x => x("seg")), "")
+        .as("clean_text"))
+    docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(cutDocs.withColumn("is_cut", lit(1)), Seq("doc_id"), "left")
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("is_cut").isNull, col("text"))
+          .otherwise(coalesce(col("clean_text"), lit("")))
+          .as("clean_text"))
+      .withColumn("n_chars_clean",
+        length(col("clean_text")).cast("long"))
       .orderBy(col("doc_id"))
   }
 

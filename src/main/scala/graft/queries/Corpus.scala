@@ -444,6 +444,20 @@ object Corpus {
         windowChars = 40, padChars = 20)
     },
 
+    // the REWRITE consuming q168's manifest: the cut corpus itself —
+    // contaminated docs re-emitted with their removal intervals
+    // excised (ordered concatenation of the kept complement),
+    // untouched docs byte-identical. The oracle rebuilds every clean
+    // text with string_agg over the same complement arithmetic, so
+    // the hash match proves the rewrite character-for-character.
+    "q170_decontam_rewrite" -> { (s, dir) =>
+      val docs = Tables.loadParallel(s, dir, "documents")
+      graft.operators.TextDedup.decontamRewrite(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        windowChars = 40, padChars = 20)
+    },
+
     // index-backed decontamination: q101's exact semantics probed
     // against a PERSISTED benchmark window index (the q77/q84
     // maintenance pattern — eval sets change rarely, ingest batches
@@ -1349,6 +1363,64 @@ object Corpus {
         |  CAST(coalesce(cut.nc, 0) AS BIGINT) AS n_chars_removed
         |FROM al LEFT JOIN cut USING (doc_id)
         |ORDER BY al.doc_id""".stripMargin,
+
+    // q170: q168's intervals merged into maximal regions, the kept
+    // complement (gaps + tail), and the clean text reassembled with
+    // an ordered string_agg — character-for-character
+    "q170_decontam_rewrite" ->
+      """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 40) AS g
+        |    FROM (SELECT text,
+        |            unnest(generate_series(1, length(text) - 39)) AS i
+        |          FROM documents WHERE source = 'src0')),
+        |tr AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         substr(text, CAST(i AS INT), 40) AS g,
+        |         CAST(length(text) AS BIGINT) AS n_chars
+        |       FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 39)) AS i
+        |             FROM documents WHERE source <> 'src0')),
+        |iv AS (SELECT doc_id, greatest(1, pos - 20) AS s,
+        |         least(n_chars, pos + 59) AS e
+        |       FROM tr WHERE g IN (SELECT g FROM ev)),
+        |r2 AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |       FROM iv),
+        |r3 AS (SELECT doc_id, s, e,
+        |        sum(CASE WHEN s > coalesce(prev_end, -2) + 1
+        |            THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS rid
+        |       FROM r2),
+        |reg AS (SELECT doc_id, rid, min(s) AS rs, max(e) AS re
+        |        FROM r3 GROUP BY 1, 2),
+        |ln AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        |       FROM documents WHERE source <> 'src0'),
+        |gaps AS (SELECT doc_id,
+        |          coalesce(lag(re) OVER (PARTITION BY doc_id ORDER BY rs),
+        |            0) + 1 AS ks,
+        |          rs - 1 AS ke
+        |         FROM reg),
+        |tails AS (SELECT r.doc_id, max(r.re) + 1 AS ks,
+        |           min(l.n_chars) AS ke
+        |          FROM reg r JOIN ln l USING (doc_id) GROUP BY 1),
+        |kept AS (SELECT * FROM gaps WHERE ks <= ke
+        |         UNION ALL SELECT * FROM tails WHERE ks <= ke),
+        |asm AS (SELECT k.doc_id,
+        |         string_agg(substr(l.text, CAST(k.ks AS INT),
+        |           CAST(k.ke - k.ks + 1 AS INT)), '' ORDER BY k.ks)
+        |           AS clean_text
+        |        FROM kept k JOIN ln l USING (doc_id) GROUP BY 1),
+        |cut AS (SELECT DISTINCT doc_id FROM reg)
+        |SELECT ln.doc_id, ln.n_chars,
+        |  CASE WHEN cut.doc_id IS NULL THEN ln.text
+        |       ELSE coalesce(asm.clean_text, '') END AS clean_text,
+        |  CAST(length(CASE WHEN cut.doc_id IS NULL THEN ln.text
+        |       ELSE coalesce(asm.clean_text, '') END) AS BIGINT)
+        |    AS n_chars_clean
+        |FROM ln LEFT JOIN cut USING (doc_id) LEFT JOIN asm USING (doc_id)
+        |ORDER BY ln.doc_id""".stripMargin,
 
     // q142: the q101 window aggregate per eval set — both suites'
     // window sets recomputed inline, independent of the index layout

@@ -423,6 +423,15 @@ object DataPipeline {
       TextDedup.dupSpanRemovalStats(Tables.loadParallel(s, dir, "documents"),
         spanWords = 10, minDocs = 2)
     },
+    // the REWRITE consuming q131's manifest: the deduplicated corpus
+    // itself — non-owner duplicated spans excised word-for-word, the
+    // owner occurrence and all untouched docs byte-identical. The
+    // oracle rebuilds every clean text by anti-joining covered word
+    // positions and re-agreeing the words in order.
+    "q171_dedup_rewrite" -> { (s, dir) =>
+      TextDedup.dupSpanRewrite(Tables.loadParallel(s, dir, "documents"),
+        spanWords = 10, minDocs = 2)
+    },
     // ANN index built ENTIRELY from raw text: hashed vectors inside
     // the q32-style IVF-flat list layout, probing HALF the lists —
     // and because hashed geometry is integer-exact, the oracle
@@ -2670,6 +2679,47 @@ object DataPipeline {
         |  CAST(coalesce(cut.nw, 0) AS BIGINT) AS n_words_removed
         |FROM wl LEFT JOIN cut USING (doc_id)
         |ORDER BY wl.doc_id""".stripMargin,
+
+    // q171: q131's CTE chain to the merged non-owner regions, then
+    // covered word positions anti-joined away and the clean text
+    // re-agreed in word order
+    "q171_dedup_rewrite" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        CAST(('0x' || substr(md5(array_to_string(
+        |          list_slice(ws, i + 1, i + 10), ' ')), 1, 12)) AS BIGINT) AS gh
+        |      FROM w, unnest(range(0, len(ws) - 9)) AS t(i)),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+        |                        FROM g GROUP BY 1) WHERE nd >= 2),
+        |h AS (SELECT doc_id, pos, gh FROM g
+        |      WHERE gh IN (SELECT gh FROM dup)),
+        |r AS (SELECT doc_id, pos, gh,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h),
+        |isl AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e,
+        |         arg_min(gh, pos) AS key_gh
+        |        FROM r GROUP BY doc_id, grp),
+        |no AS (SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e,
+        |      row_number() OVER (PARTITION BY key_gh ORDER BY doc_id, s) AS rk
+        |    FROM isl) WHERE rk > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS i
+        |        FROM no),
+        |wi AS (SELECT doc_id, i, ws[CAST(i AS INT) + 1] AS word
+        |       FROM w, unnest(range(0, len(ws))) AS t(i)),
+        |keptw AS (SELECT wi.doc_id, wi.i, wi.word
+        |          FROM wi LEFT JOIN cov
+        |            ON wi.doc_id = cov.doc_id AND wi.i = cov.i
+        |          WHERE cov.i IS NULL),
+        |asm AS (SELECT doc_id,
+        |         string_agg(word, ' ' ORDER BY i) AS clean_text,
+        |         count(*) AS nw
+        |        FROM keptw GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  coalesce(asm.clean_text, '') AS clean_text,
+        |  CAST(coalesce(asm.nw, 0) AS BIGINT) AS n_words_kept
+        |FROM w LEFT JOIN asm USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     // text-IVF replay: the ONLY pruned-probe gate — hashed sparse
     // vectors, 8-seed Voronoi assignment, integer centroid distances

@@ -385,6 +385,36 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
+  /** `graft_decontam_apply('<train_view>', '<bench_view>'
+    * [, window_chars[, pad_chars]])` — q168's decontamination APPLY:
+    * per training doc, the padded/clamped/unioned removal intervals of
+    * every char window found verbatim in the benchmark view.
+    */
+  private def decontamApplyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "graft_decontam_apply expects (train_table, bench_table" +
+        "[, window_chars[, pad_chars]]) literals")
+    val str = lit("graft_decontam_apply") _
+    val w = if (args.length >= 3) str(args(2)).toInt else 40
+    val p = if (args.length >= 4) str(args(3)).toInt else 0
+    graft.operators.TextDedup.decontamSpanRemovalStats(
+        SparkSession.active.table(str(args.head)),
+        SparkSession.active.table(str(args(1))), w, p)
+      .queryExecution.logical
+  }
+
+  /** `graft_norm_dedup('<view>')` — q169's normalization-collapsing
+    * keep-first dedup manifest over a (doc_id, text) view.
+    */
+  private def normDedupPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      "graft_norm_dedup expects a (table_name) literal")
+    val str = lit("graft_norm_dedup") _
+    graft.operators.TextDedup.normalizedDedup(
+        SparkSession.active.table(str(args.head)))
+      .queryExecution.logical
+  }
+
   /** `graft_cdc_manifest('<view>'[, w[, d]])` — q164's keep-first
     * chunk-removal manifest over a (doc_id, text) view: per doc, the
     * maximal word intervals of chunks whose hash occurs here first.
@@ -692,6 +722,12 @@ object GraftExtensions {
     "graft_cdc_manifest" -> (
       new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_cdc_manifest"),
       cdcManifestPlan _),
+    "graft_decontam_apply" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_decontam_apply"),
+      decontamApplyPlan _),
+    "graft_norm_dedup" -> (
+      new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_norm_dedup"),
+      normDedupPlan _),
     "graft_media_dedup_index" -> (
       new ExpressionInfo(graft.operators.TextDedup.getClass.getName, "graft_media_dedup_index"),
       mediaDedupIndexPlan _),

@@ -321,6 +321,60 @@ class TextDedupSpec extends SparkSpec {
       (6L, 19L, 2L, 2L, 14L)))
   }
 
+  test("dupSpanRewrite excises non-owner spans word-for-word, owners untouched") {
+    import spark.implicits._
+    // the q131 fixture: doc 9's two non-owner spans [5,14] and [10,19]
+    // overlap — the rewrite must cut their 15-word UNION and keep the
+    // 5-word prefix; owner docs 2 and 3 must pass through identically
+    val as = (1 to 15).map(i => s"a$i")
+    val d9 = ((0 to 4).map(i => s"w$i") ++ as).mkString(" ")
+    val d2 = (Seq("b1", "b2") ++ as.take(10)).mkString(" ")
+    val d3 = (Seq("c1") ++ as.drop(5)).mkString(" ")
+    val docs = Seq((9L, d9), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .repartition(3)
+    val out = TextDedup.dupSpanRewrite(docs, spanWords = 10, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (2L, 12L, d2, 12L),
+      (3L, 11L, d3, 11L),
+      (9L, 20L, "w0 w1 w2 w3 w4", 5L)))
+    // consistency with the stats manifest: words removed agree per doc
+    val stats = TextDedup.dupSpanRemovalStats(docs, spanWords = 10,
+        minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(3)))
+      .toMap
+    assert(out.forall { case (id, _, _, nKept) => stats(id) == nKept })
+  }
+
+  test("decontamRewrite re-emits the cut corpus character-for-character") {
+    val bench = Seq((100L, "ABCDEF")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xxABCDExxxxABCDExx"),       // union covers the whole doc
+      (2L, "ABCDE"),                    // exact-match doc -> empty
+      (3L, "nomatchhere"),              // untouched, byte-identical
+      (6L, "ABCDEzzzzzzzzzABCDE"),      // two regions, middle kept
+      (7L, "headxxABCDEyyytail")        // one region, head+tail kept
+    ).toDF("doc_id", "text").repartition(2)
+    val out = TextDedup.decontamRewrite(train, bench,
+        windowChars = 5, padChars = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "", 0L),
+      (2L, "", 0L),
+      (3L, "nomatchhere", 11L),
+      (6L, "zzzzz", 5L),        // kept [8,12] of ABCDE + 9 z's + ABCDE
+      (7L, "headytail", 9L)))   // removed [5,13] of the 18-char doc
+    // consistency with the stats manifest: chars removed agree per doc
+    val stats = TextDedup.decontamSpanRemovalStats(train, bench,
+        windowChars = 5, padChars = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(4)))
+      .toMap
+    assert(out.forall { case (id, _, nClean) => stats(id) == nClean })
+  }
+
   test("normalizedDedup groups case/punct/whitespace variants, keeps alnum splits apart") {
     val d = Seq(
       (1L, "Hello, World!"),

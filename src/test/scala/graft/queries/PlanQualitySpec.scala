@@ -637,6 +637,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q170 decontam rewrite: hits-sized reassembly, untouched majority via left joins") {
+    val plan = formatted("q170_decontam_rewrite")
+    // same broadcast-semi hit stage as q168; the complement windows
+    // and the collect_list reassembly run only over contaminated
+    // docs, and the corpus re-enters through keyed left joins
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q171 dedup rewrite: interval arrays join the corpus once, word filter is narrow") {
+    val plan = formatted("q171_dedup_rewrite")
+    // mining/ownership is q131's shape; the rewrite itself is one
+    // collect_list aggregate + one keyed left join + a higher-order
+    // filter expression — no per-word shuffle, no reassembly join
+    assert(plan.contains("graft_grams"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q169 normalized dedup: one digest aggregate + one manifest join, no cartesian") {
     val plan = formatted("q169_norm_dedup")
     // the canonical form is codegen'd built-ins (no UDF anywhere) and

@@ -343,6 +343,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(mapi2.nonEmpty && mtvf2 == mapi2)
   }
 
+  test("graft_decontam_apply and graft_norm_dedup equal the operator API") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val train = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    train.createOrReplaceTempView("dc_train")
+    bench.createOrReplaceTempView("dc_bench")
+    val dapi = graft.operators.TextDedup
+      .decontamSpanRemovalStats(train, bench, windowChars = 40,
+        padChars = 20)
+      .collect().toSeq
+    val dtvf = spark.sql(
+      "SELECT * FROM graft_decontam_apply('dc_train', 'dc_bench', " +
+        "'40', '20') ORDER BY doc_id").collect().toSeq
+    assert(dapi.nonEmpty && dtvf == dapi)
+    val napi = graft.operators.TextDedup.normalizedDedup(docs)
+      .collect().toSeq
+    val ntvf = spark.sql(
+      "SELECT * FROM graft_norm_dedup('documents') ORDER BY doc_id")
+      .collect().toSeq
+    assert(napi.nonEmpty && ntvf == napi)
+  }
+
   test("graft_media_dedup_index rejects non-integral doc_id/simhash") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
