@@ -1491,4 +1491,43 @@ object TextDedup {
         col("from_word"), col("to_word"), col("n_words_kept"),
         col("n_chunks"))
   }
+
+  /** The REWRITE that consumes [[cdcKeepFirstManifest]] — the third
+    * and last manifest consumer, completing the rewrite symmetry
+    * across all three cut families (decontamination
+    * [[decontamRewrite]], duplicated spans [[dupSpanRewrite]], CDC
+    * chunks here): every document re-emitted as the ordered
+    * concatenation of the words inside its KEPT chunk spans, so
+    * exactly one copy of every distinct chunk survives corpus-wide. A
+    * doc whose every chunk is owned elsewhere becomes the empty
+    * string; a doc owning all its chunks is byte-identical.
+    *
+    * Scale shape: mining/ownership is [[cdcKeepFirstManifest]]
+    * verbatim (one map-side-combinable ownership aggregate + one
+    * chunk-sized join); the kept spans collect into ONE array per doc
+    * (bounded by the doc's chunk count) and the word selection is the
+    * same narrow two-arg higher-order filter as [[dupSpanRewrite]] —
+    * no per-word shuffle.
+    *
+    * Returns `(doc_id, n_words, clean_text, n_words_kept)` with
+    * `n_words_kept` = the manifest's per-doc `n_words_kept` sum
+    * (spec-pinned).
+    */
+  def cdcRewrite(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
+    val ivs = cdcKeepFirstManifest(docs, w, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("from_word").as("fw"),
+        col("to_word").as("tw"))).as("ivs"))
+    val ws = split(col("text"), " ")
+    val kept = filter(ws, (_, i) =>
+      exists(col("ivs"), iv => i >= iv("fw") && i <= iv("tw")))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        when(col("ivs").isNull, lit(""))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("ivs").isNull, lit(0))
+          .otherwise(size(kept)).cast("long").as("n_words_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -900,6 +900,15 @@ object DataPipeline {
           w = CdcW, d = CdcD)
         .orderBy($"doc_id", $"span_idx")
     },
+    // the REWRITE consuming q164's manifest: the chunk-deduplicated
+    // corpus itself — each doc re-emitted as its kept chunk spans'
+    // words in order (one copy of every distinct chunk survives
+    // corpus-wide); the oracle rebuilds every clean text by joining
+    // kept word positions and re-agreeing the words.
+    "q172_cdc_rewrite" -> { (s, dir) =>
+      TextDedup.cdcRewrite(Tables.loadParallel(s, dir, "documents"),
+        w = CdcW, d = CdcD)
+    },
     // CDC at BYTE granularity (graft_cdc_bytes): the gear window
     // slides per byte, so BINARY columns — media blobs, packed
     // records — dedup at sub-file granularity with no word-boundary
@@ -2979,6 +2988,32 @@ object DataPipeline {
          |  CAST(count(*) AS BIGINT) AS n_chunks
          |FROM sp GROUP BY doc_id, span_id
          |ORDER BY doc_id, span_idx""".stripMargin,
+
+    // q172: q164's first-occurrence chunk selection, then kept word
+    // positions joined back and the clean text re-agreed in order
+    "q172_cdc_rewrite" ->
+      s"""$cdcChunkCtes,
+         |kept AS (SELECT doc_id, chunk_idx, fw, tw FROM (
+         |    SELECT doc_id, chunk_idx, fw, tw,
+         |      row_number() OVER (PARTITION BY chunk_hash
+         |                         ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) WHERE rn = 1),
+         |cov AS (SELECT doc_id, unnest(generate_series(fw, tw)) AS i
+         |        FROM kept),
+         |wi AS (SELECT doc_id, i, ws[CAST(i AS INT) + 1] AS word
+         |       FROM w, unnest(range(0, len(ws))) AS t(i)),
+         |kw AS (SELECT wi.doc_id, wi.i, wi.word
+         |       FROM wi JOIN cov
+         |         ON wi.doc_id = cov.doc_id AND wi.i = cov.i),
+         |asm AS (SELECT doc_id,
+         |         string_agg(word, ' ' ORDER BY i) AS clean_text,
+         |         count(*) AS nw
+         |        FROM kw GROUP BY 1)
+         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+         |  coalesce(asm.clean_text, '') AS clean_text,
+         |  CAST(coalesce(asm.nw, 0) AS BIGINT) AS n_words_kept
+         |FROM w LEFT JOIN asm USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
 
     "q114_winnowing" -> {
       val gram = (0 until WinnowK)

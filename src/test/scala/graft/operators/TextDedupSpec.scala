@@ -564,6 +564,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcRewrite keeps exactly the manifest's words, first copy survives") {
+    // the keep-first fixture: doc 1 = block twice (within-doc repeat),
+    // doc 2 = the same block + a unique tail
+    val block = (0 until 60).map(i => s"b${i * 11 % 97}").mkString(" ")
+    val tail = (0 until 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, s"$block $block"), (2L, s"$block $tail"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.cdcRewrite(docs, w = 4, d = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // rewrite-vs-manifest consistency: kept words agree per doc, and
+    // the clean text is exactly the kept spans' words in order
+    val manifest = TextDedup.cdcKeepFirstManifest(docs, w = 4, d = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val keptWords = manifest.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    out.foreach { case (id, nWords, clean, nKept) =>
+      assert(keptWords(id) == nKept)
+      assert(nKept < nWords, "nothing deduped — vacuous fixture")
+      val ws = docs.filter($"doc_id" === id).head.getString(1).split(" ")
+      val expect = manifest.filter(_._1 == id).sortBy(_._2)
+        .flatMap { case (_, fw, tw, _) =>
+          ws.slice(fw.toInt, tw.toInt + 1) }.mkString(" ")
+      assert(clean == expect)
+    }
+    // doc 1 keeps strictly more than zero and loses its repeat
+    assert(out.find(_._1 == 1L).get._4 > 0)
+  }
+
   test("CDC chunk index: append-built probe equals rebuild-from-scratch") {
     val mk = (id: Long, seed: Int) =>
       (id, (0 until 120).map(i => s"w${(i * 13 + seed) % 211}").mkString(" "))

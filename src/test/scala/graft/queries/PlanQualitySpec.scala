@@ -660,6 +660,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q172 CDC rewrite: ownership aggregate + one interval-array join, narrow word cut") {
+    val plan = formatted("q172_cdc_rewrite")
+    assert(plan.contains("graft_cdc"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q169 normalized dedup: one digest aggregate + one manifest join, no cartesian") {
     val plan = formatted("q169_norm_dedup")
     // the canonical form is codegen'd built-ins (no UDF anywhere) and

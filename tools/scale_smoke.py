@@ -92,10 +92,11 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # chunks ~ input bytes); decontam apply (q168 — q101's
            # broadcast-semi hits + a hit-sized union window) and
            # normalized dedup (q169 — one digest agg + manifest join);
-           # the two manifest-consuming rewrites (q170/q171 — hit- and
-           # duplication-sized region work + narrow reassembly)
+           # the three manifest-consuming rewrites (q170/q171/q172 —
+           # hit-/duplication-/chunk-sized region work + narrow
+           # reassembly)
            "q163", "q164", "q165", "q166", "q167", "q168", "q169",
-           "q170", "q171"]
+           "q170", "q171", "q172"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
