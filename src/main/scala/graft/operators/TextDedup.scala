@@ -122,6 +122,50 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialise the corpus's canonical-form hashes as a STANDING
+    * index (33 bytes/doc) — the [[writeHashIndex]] lifecycle applied
+    * to [[normalizedDedup]]: normalized exact dedup is the cheapest
+    * first filter an ingest pipeline runs, and it must check the new
+    * batch against ALL history, which a per-batch group-by cannot do.
+    */
+  def writeNormHashIndex(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"),
+        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) index maintenance: only the new docs are hashed and
+    * appended as new part files; history is never read or rewritten.
+    */
+  def appendToNormHashIndex(docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"),
+        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+      .write.mode("append").parquet(path)
+
+  /** Ingest-time normalized dedup against [[writeNormHashIndex]]
+    * state: hash the NEW batch's canonical forms and annotate each doc
+    * with how many indexed docs share its form (`n_index_docs` = 0 ⟺
+    * genuinely new content) and the earliest holder (`first_doc`,
+    * null when fresh). History is only ever read from its 2-column
+    * index; the per-hash aggregate is map-side combined (shuffle sized
+    * by the index's distinct 32-hex digests, no skew — identical docs
+    * collapse into one row); batch-side cost is one narrow projection.
+    */
+  def normalizedDedupAgainstIndex(newDocs: DataFrame, path: String)
+  : DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(path)
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_index_docs"))
+    newDocs.select(col("doc_id"),
+        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+      .join(idx, Seq("norm_hash"), "left")
+      .select(col("doc_id"), col("norm_hash"),
+        coalesce(col("n_index_docs"), lit(0L)).as("n_index_docs"),
+        col("first_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LSH banding from a (doc_id, sig) table: (doc_id, band, bkey) with
     * bkey = xxhash64 of the band's two signature mins (a cross-band
     * xxhash collision only adds a false candidate, which exact
@@ -1394,6 +1438,78 @@ object TextDedup {
     ch.join(shared, Seq("chunk_hash"))
       .select(col("doc_id"), col("chunk_idx"), col("from_byte"),
         col("to_byte"), col("n_bytes"), col("chunk_hash"), col("n_docs"))
+  }
+
+  /** [[cdcKeepFirstManifest]] at BYTE granularity — the apply side the
+    * byte-gear miner ([[cdcByteChunks]]) was missing: every blob chunk
+    * whose hash occurred EARLIER (smaller (doc_id, chunk_idx)) is
+    * removed, the first occurrence owns its hash, and each doc's
+    * surviving chunks merge into maximal KEPT byte intervals —
+    * `(doc_id, span_idx, from_byte, to_byte, n_bytes_kept, n_chunks)`.
+    * Same shapes as the word-granular manifest: one
+    * map-side-combinable ownership aggregate, one chunk-sized
+    * equi-join, one doc-partitioned run-merge window.
+    */
+  def cdcByteKeepFirstManifest(docs: DataFrame, binCol: String,
+                               w: Int = 16, d: Int = 64): DataFrame = {
+    val ch = cdcByteChunks(docs, binCol, w, d)
+    val owner = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_idx").as("o_idx"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    ch.join(owner, Seq("chunk_hash"))
+      .filter(col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
+      .withColumn("prev_idx", lag(col("chunk_idx"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev_idx").isNull ||
+          col("prev_idx") =!= col("chunk_idx") - 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("from_byte")).as("from_byte"),
+        max(col("to_byte")).as("to_byte"),
+        sum(col("n_bytes")).as("n_bytes_kept"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), (col("span_id") - 1).cast("long").as("span_idx"),
+        col("from_byte"), col("to_byte"), col("n_bytes_kept"),
+        col("n_chunks"))
+  }
+
+  /** The BYTE-granular rewrite — [[cdcRewrite]]'s sibling for BINARY
+    * columns, consuming [[cdcByteKeepFirstManifest]]: each blob
+    * re-emitted as the concatenation of its kept byte ranges, so one
+    * copy of every distinct byte chunk survives corpus-wide (the
+    * storage-dedup compaction for media blobs and packed records).
+    * The reassembly is a narrow expression — kept spans sort in one
+    * array per doc and `aggregate` folds their `substr` slices with
+    * binary `concat` — so nothing byte-level ever shuffles. Because a
+    * raw blob column would defeat the gate's hash compare (and be
+    * large), the gate-facing output is the rewritten blob's md5 and
+    * byte length: `(doc_id, n_bytes, clean_md5, n_bytes_clean)`; a
+    * doc whose every chunk is owned elsewhere yields the empty blob.
+    */
+  def cdcByteRewrite(docs: DataFrame, binCol: String,
+                     w: Int = 16, d: Int = 64): DataFrame = {
+    val ivs = cdcByteKeepFirstManifest(docs, binCol, w, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("from_byte").as("fb"),
+        col("to_byte").as("tb"))).as("ivs"))
+    val cleanBin = aggregate(
+      transform(array_sort(col("ivs")), iv =>
+        col(binCol).substr((iv("fb") + 1).cast("int"),
+          (iv("tb") - iv("fb") + 1).cast("int"))),
+      lit(Array.empty[Byte]),
+      (acc, x) => concat(acc, x))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col(binCol)).cast("long").as("n_bytes"),
+        when(col("ivs").isNull, md5(lit(Array.empty[Byte])))
+          .otherwise(md5(cleanBin)).as("clean_md5"),
+        when(col("ivs").isNull, lit(0L))
+          .otherwise(length(cleanBin)).cast("long").as("n_bytes_clean"))
+      .orderBy(col("doc_id"))
   }
 
   /** Materialise the standing CDC chunk-hash index of accepted

@@ -40,6 +40,23 @@ object DataPipeline {
       TextDedup.normalizedDedup(
         docs.unionByName(caseVar).unionByName(punctVar))
     },
+    // normalized dedup at INGEST time: the standing 33-byte/doc
+    // canonical-hash index (built at doc_id < 200, O(batch)-appended
+    // to < 350) probed by the rest of the corpus plus planted
+    // upper-cased variants of HISTORY docs — the variants prove the
+    // canonical form (not the raw text) is what the index catches,
+    // and the lifecycle proves build + append + probe compose
+    "q175_norm_dedup_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val path = SharedArtifacts.normHashIndexPath(s, dir,
+        buildAt = 200L, splitAt = 350L)
+      val batch = docs.filter($"doc_id" >= 350)
+        .unionByName(docs.filter($"doc_id" < 350 && $"doc_id" % 7 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"),
+            concat(upper($"text"), lit("!!!")).as("text")))
+      TextDedup.normalizedDedupAgainstIndex(batch, path)
+    },
     "q21_minhash_lsh" -> { (s, dir) =>
       TextDedup.minhashLshPairs(Tables.loadParallel(s, dir, "documents"), threshold = 0.5)
     },
@@ -925,6 +942,27 @@ object DataPipeline {
           "b", w = CdcByteW, d = CdcByteD)
         .orderBy($"doc_id", $"chunk_idx")
     },
+    // byte-CDC APPLY: the q164 keep-first discipline at byte
+    // granularity — first occurrence of each byte-chunk hash owns it,
+    // surviving chunks merge into maximal kept byte intervals
+    "q173_cdc_byte_manifest" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.cdcByteKeepFirstManifest(
+          Tables.loadParallel(s, dir, "documents")
+            .select($"doc_id", $"text".cast("binary").as("b")),
+          "b", w = CdcByteW, d = CdcByteD)
+        .orderBy($"doc_id", $"span_idx")
+    },
+    // byte-CDC REWRITE: each blob re-emitted as its kept byte ranges
+    // concatenated (the storage-dedup compaction for binary columns),
+    // gated by the rewritten blob's md5 + byte length
+    "q174_cdc_byte_rewrite" -> { (s, dir) =>
+      import s.implicits._
+      TextDedup.cdcByteRewrite(
+          Tables.loadParallel(s, dir, "documents")
+            .select($"doc_id", $"text".cast("binary").as("b")),
+          "b", w = CdcByteW, d = CdcByteD)
+    },
 
     "q114_winnowing" -> { (s, dir) =>
       import s.implicits._
@@ -974,6 +1012,35 @@ object DataPipeline {
        |ch AS (SELECT doc_id, chunk_idx, fw, tw,
        |    md5(array_to_string(list_slice(ws, CAST(fw AS INT) + 1,
        |      CAST(tw AS INT) + 1), ' ')) AS chunk_hash
+       |  FROM c)""".stripMargin
+
+  // byte-gear CDC replay over the pure-ASCII corpus bytes, shared by
+  // q167 (chunks + share counts), q173 (keep-first byte manifest) and
+  // q174 (byte rewrite); ends at ch = (doc_id, chunk_idx, fb, tb,
+  // chunk_hash) with t = (doc_id, text, n) still in scope
+  private lazy val cdcByteCtes: String =
+    s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+       |           FROM documents
+       |           WHERE octet_length(encode(text)) >= 1),
+       |cuts AS (SELECT doc_id, text, n,
+       |    list_filter(range(${CdcByteW - 1}, n - 1), i ->
+       |      CAST(('0x' || substr(md5(substr(text,
+       |        CAST(i AS INT) - ${CdcByteW - 2}, $CdcByteW)), 1, 12))
+       |        AS BIGINT) % $CdcByteD = 0) AS cs
+       |  FROM t),
+       |e AS (SELECT doc_id, text, n, list_concat(cs, [n - 1]) AS ends
+       |      FROM cuts),
+       |seg AS (SELECT doc_id, text, ends,
+       |    unnest(range(0, len(ends))) AS chunk_idx
+       |  FROM e),
+       |c AS (SELECT doc_id, text, chunk_idx,
+       |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
+       |    END AS fb,
+       |    ends[CAST(chunk_idx AS INT) + 1] AS tb
+       |  FROM seg),
+       |ch AS (SELECT doc_id, chunk_idx, fb, tb,
+       |    md5(substr(text, CAST(fb AS INT) + 1,
+       |      CAST(tb - fb + 1 AS INT))) AS chunk_hash
        |  FROM c)""".stripMargin
 
   private val KCenterK = 8
@@ -1366,6 +1433,32 @@ object DataPipeline {
         |  CAST(CASE WHEN k.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_kept
         |FROM k JOIN g USING (norm_hash)
+        |ORDER BY k.doc_id""".stripMargin,
+
+    // q175: the index is definitionally the history's canonical
+    // hashes, so the oracle recomputes it inline — the hash match
+    // proves the build + O(batch) append + probe lifecycle changed
+    // nothing semantic
+    "q175_norm_dedup_ingest" ->
+      """WITH hist AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |          'g'))) AS norm_hash
+        |      FROM documents WHERE doc_id < 350),
+        |idx AS (SELECT norm_hash, min(doc_id) AS first_doc,
+        |         CAST(count(*) AS BIGINT) AS n_index_docs
+        |        FROM hist GROUP BY 1),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 350
+        |          UNION ALL
+        |          SELECT doc_id + 100000, upper(text) || '!!!'
+        |          FROM documents WHERE doc_id < 350 AND doc_id % 7 = 0),
+        |k AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |          'g'))) AS norm_hash
+        |      FROM batch)
+        |SELECT k.doc_id, k.norm_hash,
+        |  CAST(coalesce(idx.n_index_docs, 0) AS BIGINT) AS n_index_docs,
+        |  idx.first_doc
+        |FROM k LEFT JOIN idx USING (norm_hash)
         |ORDER BY k.doc_id""".stripMargin,
 
     "q21_minhash_lsh" ->
@@ -2931,29 +3024,7 @@ object DataPipeline {
     // prefix ≡ 0 mod D; then chunk intervals, chunk hashes of the
     // raw slices, and cross-doc share counts
     "q167_cdc_byte_chunks" ->
-      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-         |           FROM documents
-         |           WHERE octet_length(encode(text)) >= 1),
-         |cuts AS (SELECT doc_id, text, n,
-         |    list_filter(range(${CdcByteW - 1}, n - 1), i ->
-         |      CAST(('0x' || substr(md5(substr(text,
-         |        CAST(i AS INT) - ${CdcByteW - 2}, $CdcByteW)), 1, 12))
-         |        AS BIGINT) % $CdcByteD = 0) AS cs
-         |  FROM t),
-         |e AS (SELECT doc_id, text, n, list_concat(cs, [n - 1]) AS ends
-         |      FROM cuts),
-         |seg AS (SELECT doc_id, text, ends,
-         |    unnest(range(0, len(ends))) AS chunk_idx
-         |  FROM e),
-         |c AS (SELECT doc_id, text, chunk_idx,
-         |    CASE WHEN chunk_idx = 0 THEN 0 ELSE ends[CAST(chunk_idx AS INT)] + 1
-         |    END AS fb,
-         |    ends[CAST(chunk_idx AS INT) + 1] AS tb
-         |  FROM seg),
-         |ch AS (SELECT doc_id, chunk_idx, fb, tb,
-         |    md5(substr(text, CAST(fb AS INT) + 1,
-         |      CAST(tb - fb + 1 AS INT))) AS chunk_hash
-         |  FROM c),
+      s"""$cdcByteCtes,
          |sh AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
          |       FROM ch GROUP BY 1)
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
@@ -2962,6 +3033,53 @@ object DataPipeline {
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM ch JOIN sh USING (chunk_hash)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q173: byte-CDC first-occurrence selection + the gap-and-island
+    // merge into maximal KEPT byte intervals (q164 at byte granularity)
+    "q173_cdc_byte_manifest" ->
+      s"""$cdcByteCtes,
+         |kept AS (SELECT doc_id, chunk_idx, fb, tb FROM (
+         |    SELECT doc_id, chunk_idx, fb, tb,
+         |      row_number() OVER (PARTITION BY chunk_hash
+         |                         ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) WHERE rn = 1),
+         |il AS (SELECT doc_id, chunk_idx, fb, tb,
+         |    CASE WHEN lag(chunk_idx) OVER (PARTITION BY doc_id
+         |                                   ORDER BY chunk_idx)
+         |              = chunk_idx - 1 THEN 0 ELSE 1 END AS ns
+         |  FROM kept),
+         |sp AS (SELECT doc_id, fb, tb,
+         |    sum(ns) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS span_id
+         |  FROM il)
+         |SELECT doc_id, CAST(span_id - 1 AS BIGINT) AS span_idx,
+         |  CAST(min(fb) AS BIGINT) AS from_byte,
+         |  CAST(max(tb) AS BIGINT) AS to_byte,
+         |  CAST(sum(tb - fb + 1) AS BIGINT) AS n_bytes_kept,
+         |  CAST(count(*) AS BIGINT) AS n_chunks
+         |FROM sp GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    // q174: the byte rewrite — kept chunk slices concatenated in
+    // order, compared by md5 + byte length (a raw blob column would
+    // defeat the scalar hash compare)
+    "q174_cdc_byte_rewrite" ->
+      s"""$cdcByteCtes,
+         |kept AS (SELECT doc_id, chunk_idx, fb, tb FROM (
+         |    SELECT doc_id, chunk_idx, fb, tb,
+         |      row_number() OVER (PARTITION BY chunk_hash
+         |                         ORDER BY doc_id, chunk_idx) AS rn
+         |    FROM ch) WHERE rn = 1),
+         |asm AS (SELECT k.doc_id,
+         |         string_agg(substr(t.text, CAST(k.fb AS INT) + 1,
+         |           CAST(k.tb - k.fb + 1 AS INT)), '' ORDER BY k.fb)
+         |           AS clean
+         |        FROM kept k JOIN t USING (doc_id) GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_bytes,
+         |  md5(coalesce(asm.clean, '')) AS clean_md5,
+         |  CAST(octet_length(encode(coalesce(asm.clean, ''))) AS BIGINT)
+         |    AS n_bytes_clean
+         |FROM t LEFT JOIN asm USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // keep-first replay: first occurrence per chunk hash by
     // (doc_id, chunk_idx), then the gap-and-island merge of each

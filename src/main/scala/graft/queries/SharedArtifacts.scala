@@ -95,6 +95,23 @@ object SharedArtifacts {
       graft.operators.TextDedup.appendToHashIndex(sigs(buildAt, splitAt), path)
     }
 
+  /** Standing normalized-hash index (q175): canonical-form hashes of
+    * the doc_id < `buildAt` history, extended with [`buildAt`,
+    * `splitAt`) via the O(batch) append — the exact-dedup analogue of
+    * [[hashIndexPath]], so the probe gate covers build, append AND
+    * probe.
+    */
+  def normHashIndexPath(s: SparkSession, dir: String, buildAt: Long,
+                        splitAt: Long): String =
+    artifact(dir, s"norm_hash_index_${buildAt}_$splitAt") { path =>
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      TextDedup.writeNormHashIndex(docs.filter(col("doc_id") < buildAt), path)
+      TextDedup.appendToNormHashIndex(
+        docs.filter(col("doc_id") >= buildAt && col("doc_id") < splitAt),
+        path)
+    }
+
   /** Standing CDC chunk-hash index (q163): chunk occurrences of the
     * doc_id < `buildAt` history, extended with [`buildAt`, `splitAt`)
     * via the O(batch) append — the sub-document analogue of

@@ -668,12 +668,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q173/q174 byte-CDC apply: ownership aggregate + narrow binary reassembly") {
+    for (q <- Seq("q173_cdc_byte_manifest", "q174_cdc_byte_rewrite")) {
+      val plan = formatted(q)
+      assert(plan.contains("graft_cdc_bytes"), plan)
+      assert(plan.contains("HashAggregate"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("q169 normalized dedup: one digest aggregate + one manifest join, no cartesian") {
     val plan = formatted("q169_norm_dedup")
     // the canonical form is codegen'd built-ins (no UDF anywhere) and
     // ownership is an md5-keyed HashAggregate with map-side partials
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q175 ingest norm dedup: history arrives only as its 2-column index scan") {
+    val plan = formatted("q175_norm_dedup_ingest")
+    // the batch is one narrow projection; history is a parquet scan
+    // of (doc_id, norm_hash) aggregated per hash — never re-hashed
+    assert(plan.contains("struct<doc_id:bigint,norm_hash:string>"), plan)
+    assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }

@@ -92,11 +92,14 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # chunks ~ input bytes); decontam apply (q168 — q101's
            # broadcast-semi hits + a hit-sized union window) and
            # normalized dedup (q169 — one digest agg + manifest join);
-           # the three manifest-consuming rewrites (q170/q171/q172 —
-           # hit-/duplication-/chunk-sized region work + narrow
-           # reassembly)
+           # the manifest-consuming rewrites (q170/q171/q172 — hit-/
+           # duplication-/chunk-sized region work + narrow reassembly)
+           # and the byte-CDC apply pair (q173/q174 — ownership
+           # aggregate + narrow binary reassembly)
+           # and the ingest-time normalized dedup probe (q175 — batch
+           # projection + index-sized hash aggregate)
            "q163", "q164", "q165", "q166", "q167", "q168", "q169",
-           "q170", "q171", "q172"]
+           "q170", "q171", "q172", "q173", "q174", "q175"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
