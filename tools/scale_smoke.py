@@ -108,15 +108,16 @@ SLACK = 2.0
 # the previous run.
 REMEASURED_NOTES = [
     "This report is a single full-suite run (no cache merges), "
-    "re-measured in r15 with the round's new queries (q163-q172) in "
+    "re-measured in r15 with the round's new queries (q163-q175) in "
     "the suite and the grading statistic changed from median to MIN "
     "of the 3 timed reps (r14 verdict directive 2): r14's q34 FAIL "
     "and q150 19.1x drift were both host-I/O spikes on a shared VM "
     "that a median cannot shed — min-of-reps grades the plan, the "
-    "medians stay in the raw JSON for contention forensics. An "
-    "earlier same-day full run (q163-q169 suite) already re-"
-    "established q34 at 20.2x and q150 at 4.5x; this run adds the "
-    "three manifest-consuming rewrites (q170-q172).",
+    "medians stay in the raw JSON for contention forensics. Two "
+    "earlier same-day full runs already re-established q34 at "
+    "20.2x/15.1x and q150 at 4.5x/3.8x; this final run adds the "
+    "byte-CDC apply pair (q173/q174) and the ingest-time normalized "
+    "dedup probe (q175).",
     "Historical context: q144's fp_sum overflowed i64 at sf1 (fixed "
     "with a modular digest); q148's interpreted HOF quantize chain "
     "cost 41 s at sf1 before the codegen'd graft_quantize8_arr "
