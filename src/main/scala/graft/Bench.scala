@@ -27,10 +27,20 @@ private[graft] class ProfCounters {
 }
 
 object Bench {
-  // round stamp for the default artifact name — bump each round so a
-  // committed bench_out_rN.json can never be silently overwritten by
-  // a later round's (or an investigation's) run
-  private val Round = 15
+  // round stamp for the default artifact name, DERIVED so it can
+  // never go stale: the driver commits BENCH_r{N}.json at each round
+  // close, so the current round is max(N)+1 — a hardcoded constant
+  // would let one forgotten bump silently overwrite the previous
+  // round's committed artifact with the next round's first clean run
+  private lazy val Round: Int = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .flatMap(f => f.getName match {
+        case re(n) => Some(n.toInt)
+        case _ => None
+      })
+    if (seen.isEmpty) 15 else seen.max + 1
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

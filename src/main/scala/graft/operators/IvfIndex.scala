@@ -539,28 +539,14 @@ object IvfIndex {
     flat.map(_ * (gmx / 127.0))
   }
 
-  /** The q165 gate surface: train with [[trainPqCodebooksInt]], then
-    * emit every vector's per-subspace code assignment against the
-    * TRAINED codebook — one row per (vec_id, m_sub) with the entry id
-    * and the exact integer squared distance. Because training is
-    * integer-exact end-to-end, the oracle re-derives gmx, the grid,
-    * every Lloyd round and this final assignment from the raw
-    * embeddings — a codebook entry drifting by 1 anywhere flips the
-    * hash. The emit is one narrow pass (codebook rides as literals);
-    * training cost is m·rounds small aggregates (offline index build).
-    */
-  def pqTrainAssignInt(emb: DataFrame, m: Int = 8, kCode: Int = 16,
-                       rounds: Int = 2): DataFrame = {
-    val (gmx, flat) = trainPqCodebooksInt(emb, m, kCode, rounds)
-    pqAssignInt(emb, gmx, flat, m, kCode)
-  }
-
-  /** The APPLY half of [[pqTrainAssignInt]]: per-subspace code
-    * assignment of the quantized corpus against an already-trained
-    * integer codebook (`gmx`/`flat` from [[trainPqCodebooksInt]]) —
-    * ONE narrow pass, codebook as literals. Split out so training (an
-    * offline index-build cost, memoized per process by the query
-    * layer like the BPE merge table) is not re-paid per query run.
+  /** The APPLY half of the q165 gate: per-subspace code assignment of
+    * the quantized corpus against an already-trained integer codebook
+    * (`gmx`/`flat` from [[trainPqCodebooksInt]]) — ONE narrow pass,
+    * codebook as literals. Training (an offline index-build cost) is
+    * memoized per process by the query layer like the BPE merge
+    * table, so it is not re-paid per query run; a one-call
+    * train-then-assign wrapper would re-quantize and re-cache the
+    * full corpus a second time, which is why none exists.
     */
   def pqAssignInt(emb: DataFrame, gmx: Double, flat: Seq[Double],
                   m: Int, kCode: Int): DataFrame = {

@@ -92,6 +92,17 @@ object TextDedup {
   def normalizeText(textCol: Column): Column =
     trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " "))
 
+  /** The canonical `(doc_id, norm_hash)` projection — ONE definition
+    * for all four normalized-dedup call sites (the batch manifest,
+    * index build, index append and index probe): the ingest-probe
+    * contract requires the batch hash and the standing index hash to
+    * be the same function, so a canonical-form tweak applied to some
+    * sites but not others would silently miss every future probe.
+    */
+  private def normHashed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+
   /** NORMALIZED exact dedup — the variant-collapsing keep-first
     * manifest [[exactDedup]] cannot produce: documents that differ
     * only by case, punctuation or whitespace (re-crawls of the same
@@ -110,8 +121,7 @@ object TextDedup {
     * skew: identical docs collapse into ONE aggregate row map-side).
     */
   def normalizedDedup(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+    val keyed = normHashed(docs)
     val groups = keyed.groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     keyed.join(groups, Seq("norm_hash"))
@@ -129,17 +139,13 @@ object TextDedup {
     * batch against ALL history, which a per-batch group-by cannot do.
     */
   def writeNormHashIndex(docs: DataFrame, path: String): Unit =
-    docs.select(col("doc_id"),
-        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
-      .write.mode("overwrite").parquet(path)
+    normHashed(docs).write.mode("overwrite").parquet(path)
 
   /** O(batch) index maintenance: only the new docs are hashed and
     * appended as new part files; history is never read or rewritten.
     */
   def appendToNormHashIndex(docs: DataFrame, path: String): Unit =
-    docs.select(col("doc_id"),
-        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
-      .write.mode("append").parquet(path)
+    normHashed(docs).write.mode("append").parquet(path)
 
   /** Ingest-time normalized dedup against [[writeNormHashIndex]]
     * state: hash the NEW batch's canonical forms and annotate each doc
@@ -157,8 +163,7 @@ object TextDedup {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("first_doc"),
         count(lit(1)).as("n_index_docs"))
-    newDocs.select(col("doc_id"),
-        md5(normalizeText(col("text")).cast("binary")).as("norm_hash"))
+    normHashed(newDocs)
       .join(idx, Seq("norm_hash"), "left")
       .select(col("doc_id"), col("norm_hash"),
         coalesce(col("n_index_docs"), lit(0L)).as("n_index_docs"),
@@ -754,16 +759,29 @@ object TextDedup {
     * filtering each doc's words against the same intervals; the stats
     * are what the gate pins (and what a curation report needs).
     */
-  def dupSpanRemovalStats(docs: DataFrame, spanWords: Int = 10,
-                          minDocs: Int = 2): DataFrame = {
+  /** Non-owner duplicated spans — the ownership kernel shared by
+    * [[dupSpanRemovalStats]] and [[dupSpanRewrite]] (their
+    * "words removed agree" contract is spec-pinned, so the mining and
+    * ownership MUST be one code path): spans cluster by their content
+    * key, the (doc_id, start_pos)-minimal span of each cluster owns it
+    * and stays, every other occurrence is returned as
+    * `(doc_id, start_pos, end_pos)` word intervals (0-based inclusive).
+    */
+  private def nonOwnerSpans(docs: DataFrame, spanWords: Int,
+                            minDocs: Int): DataFrame = {
     val spans = seedIslands(dupSeedHits(docs, spanWords, minDocs))
       .select(col("doc_id"), col("s").as("start_pos"),
         (col("e") + spanWords - 1).as("end_pos"), col("key_gh"))
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key_gh")).orderBy(col("doc_id"), col("start_pos"))
-    val nonOwner = spans
-      .withColumn("rk", row_number().over(byKey))
+    spans.withColumn("rk", row_number().over(byKey))
       .filter(col("rk") > 1)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"))
+  }
+
+  def dupSpanRemovalStats(docs: DataFrame, spanWords: Int = 10,
+                          minDocs: Int = 2): DataFrame = {
+    val nonOwner = nonOwnerSpans(docs, spanWords, minDocs)
     val prevMax = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start_pos"), col("end_pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -807,14 +825,7 @@ object TextDedup {
     */
   def dupSpanRewrite(docs: DataFrame, spanWords: Int = 10,
                      minDocs: Int = 2): DataFrame = {
-    val spans = seedIslands(dupSeedHits(docs, spanWords, minDocs))
-      .select(col("doc_id"), col("s").as("start_pos"),
-        (col("e") + spanWords - 1).as("end_pos"), col("key_gh"))
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key_gh")).orderBy(col("doc_id"), col("start_pos"))
-    val nonOwner = spans
-      .withColumn("rk", row_number().over(byKey))
-      .filter(col("rk") > 1)
+    val nonOwner = nonOwnerSpans(docs, spanWords, minDocs)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start_pos"), col("end_pos"))
     val prevMax = byDoc.rowsBetween(
@@ -922,16 +933,26 @@ object TextDedup {
     * positions, distinct matched windows, and the earliest match
     * position (`first_pos`, 1-based).
     */
-  def substringMatches(docs: DataFrame, bench: DataFrame,
-                       windowChars: Int = 40,
-                       maxBroadcastChars: Long = 100000000L): DataFrame = {
+  /** The benchmark side of every exact-substring decontamination
+    * operator: its distinct char windows, broadcast when the guarded
+    * size estimate (total bench chars × window width) fits — shared by
+    * [[substringMatches]] and the apply family ([[decontamIntervals]])
+    * so the broadcast heuristic can never drift between find and cut.
+    */
+  private def benchWindowSide(bench: DataFrame, windowChars: Int,
+                              maxBroadcastChars: Long): DataFrame = {
     val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
     val benchChars = Option(
       bench.agg(sum(length(col("text")))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val benchSide =
-      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
-      else benchGrams
+    if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
+    else benchGrams
+  }
+
+  def substringMatches(docs: DataFrame, bench: DataFrame,
+                       windowChars: Int = 40,
+                       maxBroadcastChars: Long = 100000000L): DataFrame = {
+    val benchSide = benchWindowSide(bench, windowChars, maxBroadcastChars)
     charWindows(docs, windowChars)
       .join(benchSide, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
@@ -952,13 +973,7 @@ object TextDedup {
   private def decontamIntervals(docs: DataFrame, bench: DataFrame,
                                 windowChars: Int, padChars: Int,
                                 maxBroadcastChars: Long): DataFrame = {
-    val benchGrams = charWindows(bench, windowChars).select(col("g")).distinct()
-    val benchChars = Option(
-      bench.agg(sum(length(col("text")))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val benchSide =
-      if (benchChars * windowChars <= maxBroadcastChars) broadcast(benchGrams)
-      else benchGrams
+    val benchSide = benchWindowSide(bench, windowChars, maxBroadcastChars)
     docs
       .filter(col("text").isNotNull && length(col("text")) >= windowChars)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
@@ -1383,19 +1398,56 @@ object TextDedup {
         col("n_words").cast("long").as("n_words"), col("chunk_hash"))
   }
 
-  /** [[cdcChunks]] annotated with cross-doc share counts — per chunk,
-    * how many distinct docs contain a chunk with the same hash (the
-    * sub-document dedup signal). The only shuffle is the chunk-hash
-    * aggregation + join, sized by chunks, never by pairs.
+  /** Cross-doc share counts over any chunks frame (word- or
+    * byte-granular): each chunk annotated with how many distinct docs
+    * hold a chunk with the same hash. The only shuffle is the
+    * chunk-hash aggregation + join, sized by chunks, never by pairs.
     */
-  def cdcChunkStats(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
-    val ch = cdcChunks(docs, w, d)
+  private def chunkShareCounts(ch: DataFrame): DataFrame = {
     val shared = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     ch.join(shared, Seq("chunk_hash"))
-      .select(col("doc_id"), col("chunk_idx"), col("from_word"),
-        col("to_word"), col("n_words"), col("chunk_hash"), col("n_docs"))
+      .select(ch.columns.map(col) :+ col("n_docs"): _*)
   }
+
+  /** First-occurrence chunk selection + gap-and-island merge — the
+    * keep-first kernel shared by the word- and byte-granular
+    * manifests (a tie-break or island-merge fix must land in BOTH
+    * granularities at once, hence one code path): the smallest
+    * (doc_id, chunk_idx) occurrence of each chunk hash owns it and
+    * stays; each doc's surviving chunks merge into maximal kept
+    * intervals over the `from`/`to` columns, with the interval sum
+    * emitted as `keptOut`.
+    */
+  private def keepFirstSpans(ch: DataFrame, from: String, to: String,
+                             n: String, keptOut: String): DataFrame = {
+    val owner = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_idx").as("o_idx"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    ch.join(owner, Seq("chunk_hash"))
+      .filter(col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
+      .withColumn("prev_idx", lag(col("chunk_idx"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev_idx").isNull ||
+          col("prev_idx") =!= col("chunk_idx") - 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col(from)).as(from), max(col(to)).as(to),
+        sum(col(n)).as(keptOut), count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), (col("span_id") - 1).cast("long").as("span_idx"),
+        col(from), col(to), col(keptOut), col("n_chunks"))
+  }
+
+  /** [[cdcChunks]] annotated with cross-doc share counts — per chunk,
+    * how many distinct docs contain a chunk with the same hash (the
+    * sub-document dedup signal).
+    */
+  def cdcChunkStats(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame =
+    chunkShareCounts(cdcChunks(docs, w, d))
 
   /** Byte-level CDC tiling of a BINARY column (`graft_cdc_bytes` —
     * the [[cdcChunks]] gear with raw bytes as the symbol stream, for
@@ -1431,14 +1483,8 @@ object TextDedup {
     * aggregate + join, sized by chunks.
     */
   def cdcByteChunkStats(docs: DataFrame, binCol: String,
-                        w: Int = 16, d: Int = 64): DataFrame = {
-    val ch = cdcByteChunks(docs, binCol, w, d)
-    val shared = ch.groupBy(col("chunk_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    ch.join(shared, Seq("chunk_hash"))
-      .select(col("doc_id"), col("chunk_idx"), col("from_byte"),
-        col("to_byte"), col("n_bytes"), col("chunk_hash"), col("n_docs"))
-  }
+                        w: Int = 16, d: Int = 64): DataFrame =
+    chunkShareCounts(cdcByteChunks(docs, binCol, w, d))
 
   /** [[cdcKeepFirstManifest]] at BYTE granularity — the apply side the
     * byte-gear miner ([[cdcByteChunks]]) was missing: every blob chunk
@@ -1446,36 +1492,12 @@ object TextDedup {
     * removed, the first occurrence owns its hash, and each doc's
     * surviving chunks merge into maximal KEPT byte intervals —
     * `(doc_id, span_idx, from_byte, to_byte, n_bytes_kept, n_chunks)`.
-    * Same shapes as the word-granular manifest: one
-    * map-side-combinable ownership aggregate, one chunk-sized
-    * equi-join, one doc-partitioned run-merge window.
+    * One [[keepFirstSpans]] kernel serves both granularities.
     */
   def cdcByteKeepFirstManifest(docs: DataFrame, binCol: String,
-                               w: Int = 16, d: Int = 64): DataFrame = {
-    val ch = cdcByteChunks(docs, binCol, w, d)
-    val owner = ch.groupBy(col("chunk_hash"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
-      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
-        col("o.chunk_idx").as("o_idx"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
-    ch.join(owner, Seq("chunk_hash"))
-      .filter(col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
-      .withColumn("prev_idx", lag(col("chunk_idx"), 1).over(byDoc))
-      .withColumn("new_span",
-        when(col("prev_idx").isNull ||
-          col("prev_idx") =!= col("chunk_idx") - 1, 1L).otherwise(0L))
-      .withColumn("span_id", sum(col("new_span")).over(byDoc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("from_byte")).as("from_byte"),
-        max(col("to_byte")).as("to_byte"),
-        sum(col("n_bytes")).as("n_bytes_kept"),
-        count(lit(1)).as("n_chunks"))
-      .select(col("doc_id"), (col("span_id") - 1).cast("long").as("span_idx"),
-        col("from_byte"), col("to_byte"), col("n_bytes_kept"),
-        col("n_chunks"))
-  }
+                               w: Int = 16, d: Int = 64): DataFrame =
+    keepFirstSpans(cdcByteChunks(docs, binCol, w, d),
+      "from_byte", "to_byte", "n_bytes", "n_bytes_kept")
 
   /** The BYTE-granular rewrite — [[cdcRewrite]]'s sibling for BINARY
     * columns, consuming [[cdcByteKeepFirstManifest]]: each blob
@@ -1582,31 +1604,9 @@ object TextDedup {
     * unlike q131's overlapping spans no interval union is needed —
     * adjacent kept chunks merge by the gap-and-island window.
     */
-  def cdcKeepFirstManifest(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame = {
-    val ch = cdcChunks(docs, w, d)
-    val owner = ch.groupBy(col("chunk_hash"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
-      .select(col("chunk_hash"), col("o.doc_id").as("o_doc"),
-        col("o.chunk_idx").as("o_idx"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
-    ch.join(owner, Seq("chunk_hash"))
-      .filter(col("doc_id") === col("o_doc") && col("chunk_idx") === col("o_idx"))
-      .withColumn("prev_idx", lag(col("chunk_idx"), 1).over(byDoc))
-      .withColumn("new_span",
-        when(col("prev_idx").isNull ||
-          col("prev_idx") =!= col("chunk_idx") - 1, 1L).otherwise(0L))
-      .withColumn("span_id", sum(col("new_span")).over(byDoc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("from_word")).as("from_word"),
-        max(col("to_word")).as("to_word"),
-        sum(col("n_words")).as("n_words_kept"),
-        count(lit(1)).as("n_chunks"))
-      .select(col("doc_id"), (col("span_id") - 1).cast("long").as("span_idx"),
-        col("from_word"), col("to_word"), col("n_words_kept"),
-        col("n_chunks"))
-  }
+  def cdcKeepFirstManifest(docs: DataFrame, w: Int = 8, d: Int = 32): DataFrame =
+    keepFirstSpans(cdcChunks(docs, w, d),
+      "from_word", "to_word", "n_words", "n_words_kept")
 
   /** The REWRITE that consumes [[cdcKeepFirstManifest]] — the third
     * and last manifest consumer, completing the rewrite symmetry

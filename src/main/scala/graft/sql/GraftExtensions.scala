@@ -472,13 +472,16 @@ object GraftExtensions {
     val out = graft.operators.Similarity.kmeansIntRounds(
       SparkSession.active.table(str(args.head)),
       str(args(1)).toInt, str(args(2)).toInt)
-    val plan = out.queryExecution.logical
-    // the operator returns a persisted frame (its evaluation barrier);
-    // the TVF only needs the logical plan, so release the storage here
-    // — repeated graft_kmeans calls in a long-lived session must not
-    // accumulate persisted results nobody can reach to unpersist
-    out.unpersist(blocking = false)
-    plan
+    // the operator returns a PERSISTED frame — that persist is the
+    // evaluation barrier that keeps the k argmin struct references
+    // from re-inlining the quantize kernel per reference (measured
+    // 41 s at sf1 interpreted), so it must survive until the TVF's
+    // consumer has executed. Do NOT unpersist here: the (vec_id,
+    // cluster, d2) result is rows-sized, and like every operator
+    // cache in this engine it is released by the caller's
+    // `graft.Tables.releaseOperatorCaches` (clearCache) between
+    // queries — Verify/Bench already do exactly that.
+    out.queryExecution.logical
   }
 
   /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy

@@ -226,6 +226,12 @@ def run_bench(sf_dir):
     # three reps, so min is the contention-robust statistic for a
     # LINEARITY grade; medians stay in the report's raw JSON
     spread_path = f"/tmp/scale_smoke_spread_{os.path.basename(sf_dir)}.json"
+    # Bench wraps the spread write in try/catch and still exits 0 on a
+    # failed write; a stale file from a previous run would then grade
+    # this round's linearity on last round's timings with no error.
+    # Delete first so a missing write fails loudly at the open() below.
+    if os.path.exists(spread_path):
+        os.remove(spread_path)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=CPUS,
