@@ -119,8 +119,16 @@ object Components {
     * winning document (the witness a curation report needs).
     *
     * Scale shape: components come from the same pointer-jumping
-    * labels, and the policy itself is one component-keyed window —
-    * no extra corpus pass beyond the labels join.
+    * labels, and the policy itself is one map-side-combinable
+    * aggregate (max(struct(score, -id)) per component) plus a
+    * component-keyed equi-join back — NOT a window over `component`:
+    * a boilerplate-heavy corpus can put millions of docs in one
+    * component, and a per-component window would concentrate that
+    * whole cluster in a single straggler task, while the aggregate
+    * collapses it to one winner row map-side (the q131/q171 ownership
+    * discipline). Scores must be non-null (a null score row would
+    * sort after every real score in the old window form and is
+    * rejected the same way by the struct-max).
     */
   def keepBestInCluster(pairs: DataFrame, scored: DataFrame, idCol: String,
                         scoreCol: String, aCol: String = "doc_a",
@@ -131,16 +139,15 @@ object Components {
         "left")
       .drop("_graft_label_id")
       .withColumn("component", coalesce(col("component"), col(idCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    base
-      .withColumn("rk", row_number().over(w))
-      .withColumn("kept_by", first(col(idCol)).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    // winner per component = best score, ties -> smallest id: the
+    // struct-max on (score, -id) replays ORDER BY score DESC, id ASC
+    val winners = base.groupBy(col("component"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("nid"))).as("w"))
+      .select(col("component"), (-col("w.nid")).as("kept_by"))
+    base.join(winners, Seq("component"))
       .select(col(idCol), col("component"), col(scoreCol).as("score"),
-        (col("rk") === 1).as("kept"), col("kept_by"))
+        (col(idCol) === col("kept_by")).as("kept"), col("kept_by"))
   }
 
   /** Fixed-point integer PageRank over an undirected pair graph — the

@@ -473,10 +473,23 @@ object Similarity {
     * caller; q113 gates one such policy end-to-end.
     *
     * Scale: narrow argmin + a centroid re-join (broadcast, k rows) +
-    * one window partitioned by cluster — no pair work at all.
+    * one rank window partitioned by cluster — no pair work at all.
+    * Cluster sizes come from an aggregate + equi-join (never a
+    * count-over-window, which would pay the full-partition pass
+    * twice). The rank window's partition size IS the cluster size —
+    * bounded by the k knob (~n/k rows per cluster, the
+    * [[semanticDedup]] sizing rule). For corpora where one degenerate
+    * cluster can swallow the corpus (every near-clone lands on one
+    * centroid), pass `maxClusterN`: clusters larger than the cap are
+    * EXCLUDED from the ranking output (the q86/q87 hot-key
+    * discipline — declarative semantics an oracle can state without
+    * knowing the plan: rank within clusters of ≤ cap members). The
+    * cap filter runs on the aggregate's output BEFORE the window, so
+    * no window partition ever exceeds the cap.
     */
   def prototypicality(emb: DataFrame, seedIds: Seq[Long],
-                      iters: Int = 0): DataFrame = {
+                      iters: Int = 0,
+                      maxClusterN: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorExpressions.register(emb.sparkSession)
     val spark = emb.sparkSession
@@ -484,14 +497,19 @@ object Similarity {
     val centroids = seedCentroids(vecs, seedIds, iters)
     import spark.implicits._
     val cents = broadcast(centroids.toDF("cluster_id", "cv"))
-    val w = Window.partitionBy(col("cluster_id"))
-    val scored = vecs.withColumn("cluster_id", IvfIndex.argmin(centroids))
+    val asn = vecs.withColumn("cluster_id", IvfIndex.argmin(centroids))
+    val sizes = asn.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    val bounded = maxClusterN.fold(sizes)(cap =>
+      sizes.filter(col("cluster_n") <= cap))
+    val scored = asn
+      .join(bounded, Seq("cluster_id"))
       .join(cents, Seq("cluster_id"))
       .withColumn("pc", cosine(col("v"), col("cv")))
     scored
-      .withColumn("proto_rank", row_number().over(
-        w.orderBy(col("pc").desc, col("vec_id"))))
-      .withColumn("cluster_n", count(lit(1)).over(w))
+      .withColumn("proto_rank", row_number().over(Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("pc").desc, col("vec_id"))))
       .select(col("vec_id"), col("cluster_id"),
         round(col("pc"), 4).as("proto_cos"),
         col("proto_rank"), col("cluster_n"))

@@ -772,10 +772,22 @@ object TextDedup {
     val spans = seedIslands(dupSeedHits(docs, spanWords, minDocs))
       .select(col("doc_id"), col("s").as("start_pos"),
         (col("e") + spanWords - 1).as("end_pos"), col("key_gh"))
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key_gh")).orderBy(col("doc_id"), col("start_pos"))
-    spans.withColumn("rk", row_number().over(byKey))
-      .filter(col("rk") > 1)
+    // Ownership is ONE map-side-combinable aggregate
+    // (min(struct(doc_id, start_pos)) per content key) + a span-sized
+    // equi-join back — the keepFirstSpans discipline, NOT a
+    // row_number window over key_gh: a boilerplate span occurring in
+    // millions of docs would concentrate that window's whole key
+    // partition in a single straggler task, while the aggregate
+    // collapses it to one row map-side. (doc_id, start_pos) is unique
+    // per island within a doc (islands are disjoint pos runs), so the
+    // struct-min picks exactly the (doc_id, start_pos)-minimal span.
+    val owner = spans.groupBy(col("key_gh"))
+      .agg(min(struct(col("doc_id"), col("start_pos"))).as("o"))
+      .select(col("key_gh"), col("o.doc_id").as("o_doc"),
+        col("o.start_pos").as("o_start"))
+    spans.join(owner, Seq("key_gh"))
+      .filter(col("doc_id") =!= col("o_doc") ||
+        col("start_pos") =!= col("o_start"))
       .select(col("doc_id"), col("start_pos"), col("end_pos"))
   }
 

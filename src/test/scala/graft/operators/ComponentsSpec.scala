@@ -52,6 +52,25 @@ class ComponentsSpec extends SparkSpec {
     assert(got(9L) == ((true, 9L)))
   }
 
+  test("keepBestInCluster survives a planted giant cluster (aggregate, not window)") {
+    import spark.implicits._
+    // one component swallowing 500 docs (the boilerplate-corpus skew
+    // case): the winner must come from a map-side-combinable
+    // aggregate, and the plan must carry NO window over component
+    val pairs = (1L until 500L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val scored = (0L until 500L).map(i => (i, if (i == 250L) 99L else 1L))
+      .toDF("doc_id", "score")
+    val out = Components.keepBestInCluster(pairs, scored, "doc_id", "score")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(got.size == 500)
+    assert(got(250L) == ((true, 250L)))
+    assert(got.count(_._2._1) == 1, "exactly one keeper in the giant cluster")
+    assert(got(0L) == ((false, 250L)) && got(499L) == ((false, 250L)))
+  }
+
   test("superseded round state is released; only final labels stay pinned") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -89,4 +89,25 @@ class SemanticDedupSpec extends SparkSpec {
       assert(rows.find(_._4 == 1).get._3 >= rows.map(_._3).max - 1e-12)
     }
   }
+
+  test("prototypicality maxClusterN excludes the planted giant cluster") {
+    // a degenerate corpus: 40 near-clones collapse onto blob A's
+    // centroid while blob B keeps 2 members — with a cap below 40
+    // only blob B's rows survive, still ranked 1..n (the
+    // degenerate-centroid guard for clone-heavy corpora)
+    val giant = (10L until 50L).map(i =>
+      (i, Array(1.0f, 0.0f, (i % 7) * 1e-4f, 0.0f)))
+    val small = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f)))
+    val emb = (small ++ giant).toDF("vec_id", "embedding")
+    val capped = Similarity.prototypicality(emb, seedIds = Seq(0L, 1L),
+        iters = 0, maxClusterN = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+    // only blob B (vec 1 and 3) survives the cap
+    assert(capped.map(_._1).toSet == Set(1L, 3L), capped.toSeq.toString)
+    assert(capped.map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(capped.forall(_._3 == 2L))
+  }
 }

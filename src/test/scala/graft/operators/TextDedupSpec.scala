@@ -348,6 +348,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall { case (id, _, _, nKept) => stats(id) == nKept })
   }
 
+  test("dupSpan ownership survives a planted hot key (one span in every doc)") {
+    import spark.implicits._
+    // 200 docs all carry the SAME 10-word boilerplate span (one key_gh
+    // shared corpus-wide — the skew case the min-struct ownership
+    // aggregate exists for); doc 0 is the (doc_id, start_pos)-minimal
+    // occurrence and must be the only doc keeping its words
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    val docs = (0L until 200L).map(i => (i, s"u${i}a u${i}b " + boiler))
+      .toDF("doc_id", "text").repartition(8)
+    val out = TextDedup.dupSpanRemovalStats(docs, spanWords = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((0L, 0L)), s"owner doc 0 lost words: ${out(0L)}")
+    (1L until 200L).foreach { i =>
+      assert(out(i) == ((1L, 10L)), s"doc $i: ${out(i)}")
+    }
+    // and the rewrite agrees: every non-owner doc keeps only its two
+    // unique words, the owner keeps everything
+    val rw = TextDedup.dupSpanRewrite(docs, spanWords = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rw(0L) == s"u0a u0b " + boiler)
+    assert(rw(7L) == "u7a u7b")
+  }
+
   test("decontamRewrite re-emits the cut corpus character-for-character") {
     val bench = Seq((100L, "ABCDEF")).toDF("doc_id", "text")
     val train = Seq(

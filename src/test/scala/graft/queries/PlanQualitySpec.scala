@@ -660,6 +660,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q131/q171 span ownership is a HashAggregate, never a window over key_gh") {
+    // a boilerplate span occurring in millions of docs is ONE key_gh
+    // value: ownership must collapse it map-side (min(struct) per
+    // key), not sort the whole key partition in one window task. The
+    // only windows left in the plan partition by doc_id (island merge
+    // + interval union), whose partitions are bounded by doc length.
+    for (q <- Seq("q131_dedup_apply_spans", "q171_dedup_rewrite")) {
+      val plan = formatted(q)
+      val windowSpecs = plan.linesIterator
+        .filter(_.contains("Window ")).mkString("\n")
+      assert(!windowSpecs.contains("key_gh"),
+        s"$q has a window partitioned by key_gh:\n$windowSpecs")
+      assert(plan.contains("HashAggregate"), plan)
+    }
+  }
+
   test("q172 CDC rewrite: ownership aggregate + one interval-array join, narrow word cut") {
     val plan = formatted("q172_cdc_rewrite")
     assert(plan.contains("graft_cdc"), plan)
