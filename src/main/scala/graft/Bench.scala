@@ -31,15 +31,21 @@ object Bench {
   // never go stale: the driver commits BENCH_r{N}.json at each round
   // close, so the current round is max(N)+1 — a hardcoded constant
   // would let one forgotten bump silently overwrite the previous
-  // round's committed artifact with the next round's first clean run
-  private lazy val Round: Int = {
+  // round's committed artifact with the next round's first clean run.
+  // The artifact directory is resolved EXPLICITLY (SPARK_GRAFT_REPO,
+  // default the launch CWD) and a directory with no BENCH_r files
+  // yields None — the writer then falls back to an unstamped name and
+  // says so, instead of silently stamping a wrong round from a stray
+  // working directory (r15 advice).
+  private lazy val Round: Option[Int] = {
+    val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "."))
     val re = "BENCH_r(\\d+)\\.json".r
-    val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+    val seen = Option(dir.listFiles()).getOrElse(Array())
       .flatMap(f => f.getName match {
         case re(n) => Some(n.toInt)
         case _ => None
       })
-    if (seen.isEmpty) 15 else seen.max + 1
+    if (seen.isEmpty) None else Some(seen.max + 1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,7 +198,17 @@ object Bench {
     try {
       val clean = failed.isEmpty && only.isEmpty
       val default =
-        if (clean) s"bench_out_r$Round.json" else "bench_out_partial.json"
+        if (!clean) "bench_out_partial.json"
+        else Round match {
+          case Some(r) => s"bench_out_r$r.json"
+          case None =>
+            System.err.println("[bench] no BENCH_r*.json found in " +
+              s"'${sys.env.getOrElse("SPARK_GRAFT_REPO", ".")}' — cannot " +
+              "derive the round; writing bench_out_unstamped.json (set " +
+              "SPARK_GRAFT_REPO to the repo root or SPARK_GRAFT_BENCH_OUT " +
+              "explicitly)")
+            "bench_out_unstamped.json"
+        }
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", default))
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

@@ -94,11 +94,44 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  // Persisted frames produced by SQL-facing TVF calls (graft_kmeans
+  // and friends), tracked per session so a LONG-LIVED SQL session can
+  // release exactly the operator state it created — repeated TVF
+  // calls otherwise accumulate persisted frames until the global
+  // clearCache hammer runs, which also evicts unrelated user caches
+  // (r15 advice). Weakly keyed nowhere: entries die with the session
+  // via the same stopped-session sweep as the loader cache.
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Register a persisted operator result for per-session release. */
+  def trackOperatorCache(df: DataFrame): DataFrame = {
+    tracked.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Unpersist ONLY the frames registered via [[trackOperatorCache]]
+    * for this session — the surgical release a long-lived SQL session
+    * calls between TVF queries; user caches are untouched.
+    */
+  def releaseTrackedCaches(spark: SparkSession): Unit = {
+    tracked.keySet().removeIf(s => s.sparkContext.isStopped)
+    Option(tracked.remove(spark)).foreach { q =>
+      q.forEach(df => df.unpersist(blocking = false))
+    }
+  }
+
   /** Release every operator-internal `cache()` (see the cache contract
     * in [[graft.operators.TextDedup]]). Call after the terminal action
     * of a query whose operators cache intermediates — long-lived
-    * sessions that skip this accumulate storage until eviction.
+    * sessions that skip this accumulate storage until eviction. This
+    * is the BLUNT instrument (it clears the whole SQL cache, including
+    * user caches); sessions that only ran TVFs can use
+    * [[releaseTrackedCaches]] instead.
     */
-  def releaseOperatorCaches(spark: SparkSession): Unit =
+  def releaseOperatorCaches(spark: SparkSession): Unit = {
+    releaseTrackedCaches(spark)
     spark.catalog.clearCache()
+  }
 }

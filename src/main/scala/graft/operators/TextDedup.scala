@@ -1524,8 +1524,13 @@ object TextDedup {
     * byte length: `(doc_id, n_bytes, clean_md5, n_bytes_clean)`; a
     * doc whose every chunk is owned elsewhere yields the empty blob.
     */
-  def cdcByteRewrite(docs: DataFrame, binCol: String,
+  def cdcByteRewrite(docs0: DataFrame, binCol: String,
                      w: Int = 16, d: Int = 64): DataFrame = {
+    // empty/null blobs emit NO row — symmetric with [[cdcByteChunks]]
+    // (which never chunks them) and with the q174 oracle's base CTE
+    // (octet_length >= 1): without this filter the left join below
+    // would fabricate an md5-of-empty row the chunk side never saw
+    val docs = docs0.filter(col(binCol).isNotNull && length(col(binCol)) >= 1)
     val ivs = cdcByteKeepFirstManifest(docs, binCol, w, d)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("from_byte").as("fb"),

@@ -31,11 +31,18 @@ object DataPipeline {
     "q169_norm_dedup" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      // planted-variant ids live ABOVE the real id range at every
+      // scale factor: off = max(doc_id)+1 (a one-column aggregate the
+      // oracle replays as a scalar subquery), so case variants occupy
+      // [off, 2·off) and punct variants [2·off, 3·off) — disjoint from
+      // the corpus and from each other, and the original (smallest id)
+      // stays each group's keeper
+      val off = docs.agg(max($"doc_id")).head.getLong(0) + 1L
       val caseVar = docs.filter($"doc_id" % 7 === 0)
-        .select(($"doc_id" + 100000L).as("doc_id"),
+        .select(($"doc_id" + off).as("doc_id"),
           concat(upper($"text"), lit("!!!")).as("text"))
       val punctVar = docs.filter($"doc_id" % 11 === 0)
-        .select(($"doc_id" + 200000L).as("doc_id"),
+        .select(($"doc_id" + 2L * off).as("doc_id"),
           regexp_replace($"text", " ", ", ").as("text"))
       TextDedup.normalizedDedup(
         docs.unionByName(caseVar).unionByName(punctVar))
@@ -51,9 +58,11 @@ object DataPipeline {
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
       val path = SharedArtifacts.normHashIndexPath(s, dir,
         buildAt = 200L, splitAt = 350L)
+      // variant ids above the real range at every SF (see q169)
+      val off = docs.agg(max($"doc_id")).head.getLong(0) + 1L
       val batch = docs.filter($"doc_id" >= 350)
         .unionByName(docs.filter($"doc_id" < 350 && $"doc_id" % 7 === 0)
-          .select(($"doc_id" + 100000L).as("doc_id"),
+          .select(($"doc_id" + off).as("doc_id"),
             concat(upper($"text"), lit("!!!")).as("text")))
       TextDedup.normalizedDedupAgainstIndex(batch, path)
     },
@@ -1415,12 +1424,14 @@ object DataPipeline {
     // lower/regexp_replace('g')/trim as the canonical form
     "q169_norm_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
+        |off AS (SELECT max(doc_id) + 1 AS o FROM base),
         |al AS (SELECT doc_id, text FROM base
         |       UNION ALL
-        |       SELECT doc_id + 100000, upper(text) || '!!!'
+        |       SELECT doc_id + (SELECT o FROM off), upper(text) || '!!!'
         |       FROM base WHERE doc_id % 7 = 0
         |       UNION ALL
-        |       SELECT doc_id + 200000, replace(text, ' ', ', ')
+        |       SELECT doc_id + 2 * (SELECT o FROM off),
+        |         replace(text, ' ', ', ')
         |       FROM base WHERE doc_id % 11 = 0),
         |k AS (SELECT doc_id,
         |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
@@ -1447,9 +1458,10 @@ object DataPipeline {
         |idx AS (SELECT norm_hash, min(doc_id) AS first_doc,
         |         CAST(count(*) AS BIGINT) AS n_index_docs
         |        FROM hist GROUP BY 1),
+        |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 350
         |          UNION ALL
-        |          SELECT doc_id + 100000, upper(text) || '!!!'
+        |          SELECT doc_id + (SELECT o FROM off), upper(text) || '!!!'
         |          FROM documents WHERE doc_id < 350 AND doc_id % 7 = 0),
         |k AS (SELECT doc_id,
         |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',

@@ -476,12 +476,13 @@ object GraftExtensions {
     // evaluation barrier that keeps the k argmin struct references
     // from re-inlining the quantize kernel per reference (measured
     // 41 s at sf1 interpreted), so it must survive until the TVF's
-    // consumer has executed. Do NOT unpersist here: the (vec_id,
-    // cluster, d2) result is rows-sized, and like every operator
-    // cache in this engine it is released by the caller's
-    // `graft.Tables.releaseOperatorCaches` (clearCache) between
-    // queries — Verify/Bench already do exactly that.
-    out.queryExecution.logical
+    // consumer has executed. Do NOT unpersist here; instead REGISTER
+    // it, so a long-lived SQL session can release exactly the TVF
+    // state it created (`graft.Tables.releaseTrackedCaches`) without
+    // the clearCache hammer evicting unrelated user caches.
+    // Verify/Bench's releaseOperatorCaches releases tracked frames
+    // first and then clears, unchanged.
+    graft.Tables.trackOperatorCache(out).queryExecution.logical
   }
 
   /** `graft_kcenter('<view>', k[, start_id])` — the q117 greedy

@@ -493,10 +493,16 @@ object StreamingOps {
     * `appendAfterProbe` the batch's chunks then extend the index as
     * new part files (O(batch), history never rewritten), so batch n+1
     * sees batch n's content — the incremental-ingest lifecycle in one
-    * sink. The probe DataFrame handed to `sink` must be materialized
-    * by the sink BEFORE the append runs (every provided sink — write,
-    * collect — does exactly that; a sink that defers evaluation would
-    * observe its own batch in the index).
+    * sink. With `appendAfterProbe` the probe result is DEFENSIVELY
+    * materialized (persist + count) before the sink sees it and before
+    * the append runs, so correctness cannot hinge on whether the sink
+    * evaluates eagerly — a deferring sink (one that stashes the
+    * DataFrame and collects later) would otherwise observe its own
+    * batch in the index. The pinned blocks are released once the
+    * batch's append completes (the extra pass is batch-sized); a sink
+    * that defers collection beyond its own foreachBatch invocation
+    * must copy the rows it needs — after release a recompute would
+    * read the extended index.
     *
     * Each batch's probe result is a pure function of (batch, index
     * state), so with `appendAfterProbe = false` any batching yields
@@ -511,10 +517,16 @@ object StreamingOps {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
-          batch, indexPath, w, d), batchId)
-        if (appendAfterProbe)
-          graft.operators.TextDedup.appendToChunkIndex(batch, indexPath, w, d)
+        val probe = graft.operators.TextDedup.cdcProbeAgainstChunkIndex(
+          batch, indexPath, w, d)
+        if (appendAfterProbe) {
+          val pinned = probe.persist()
+          try {
+            pinned.count() // break the probe->index dependency NOW
+            sink(pinned, batchId)
+            graft.operators.TextDedup.appendToChunkIndex(batch, indexPath, w, d)
+          } finally pinned.unpersist(blocking = false)
+        } else sink(probe, batchId)
       }
       .start()
 

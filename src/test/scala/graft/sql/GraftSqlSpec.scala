@@ -291,6 +291,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(kapi.nonEmpty && ktvf == kapi)
   }
 
+  test("graft_kmeans TVF state releases per session without evicting user caches") {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    import org.apache.spark.storage.StorageLevel
+    val user = Tables.load(spark, sf, "nation").cache()
+    user.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val tvf = spark.sql(
+      "SELECT * FROM graft_kmeans('embeddings', '4', '1') ORDER BY vec_id")
+    tvf.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the TVF's evaluation-barrier persist must be live after the query")
+    // surgical release: only the TVF's tracked frame goes; the user
+    // cache survives (the clearCache hammer would have evicted it)
+    Tables.releaseTrackedCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "tracked TVF frames must be unpersisted by releaseTrackedCaches")
+    assert(user.storageLevel != StorageLevel.NONE,
+      "user caches must survive the tracked release")
+    user.unpersist(blocking = false)
+  }
+
   test("graft_cdc_chunks and graft_media_dedup_index equal the operator API") {
     GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
