@@ -162,8 +162,9 @@ object AnnCurves {
     sb.append("| family | knob | seed recall@10 | trained recall@10 |\n")
     sb.append("|---|---|---|---|\n")
     def row2(family: String, knob: String, seed: Double, trained: Double): Unit = {
-      sb.append(f"| $family | $knob | $seed%.3f | $trained%.3f |\n")
-      println(f"[ann] de-cloned $family $knob seed=$seed%.3f trained=$trained%.3f")
+      def fmt(v: Double) = if (v.isNaN) "—" else f"$v%.3f"
+      sb.append(s"| $family | $knob | ${fmt(seed)} | ${fmt(trained)} |\n")
+      println(s"[ann] de-cloned $family $knob seed=${fmt(seed)} trained=${fmt(trained)}")
     }
     // lloyd >= 2 are the published operating points: a single round
     // measured below-seed once (m=8, 0.119 vs 0.125 — one neighbour
@@ -193,6 +194,35 @@ object AnnCurves {
           qvs2(q), k, nProbe, excludeVecId = q))),
         meanRecall2(q => ids(IvfIndex.topKAdcIndexed(spark, adcTrainDir,
           qvs2(q), k, nProbe, excludeVecId = q))))
+    }
+
+    // ---- de-cloned tier, LARGER trained codebooks (r15 directive 4):
+    // kCode = 32/64 — the knob the 16-entry seed convention capped —
+    // at m = 8 and 16, full-scan PQ seed-vs-trained first
+    for (kc <- Seq(32, 64); m <- Seq(8, 16)) {
+      val cb = IvfIndex.trainPqCodebooksIntRaw(emb2, m, kc, rounds = 4)
+      row2(s"PQ (kCode=$kc, lloyd=4)", s"m=$m",
+        meanRecall2(q => pqTop(Similarity.pqEncodeAdc(emb2, m, kc, q), q)),
+        meanRecall2(q => pqTop(Similarity.pqEncodeAdc(emb2, m, kc, q,
+          Some(cb)), q)))
+    }
+    // IVFADC + exact re-rank through writeTrainedAdcIndex (the
+    // production build path): the published ≥ 0.5 operating points
+    for (kc <- Seq(32, 64); m <- Seq(8, 16)) {
+      val d = Files.createTempDirectory(s"graft_ann_adc_t${kc}_$m").toString
+      IvfIndex.writeTrainedAdcIndex(emb2, cents2, d, m, kc, rounds = 4)
+      for (nProbe <- Seq(4, 8, 16)) {
+        row2(s"IVFADC trained (m=$m, kCode=$kc, lloyd=4)",
+          s"nProbe=$nProbe, adc-only",
+          Double.NaN, // seed column not re-measured at this shape
+          meanRecall2(q => ids(IvfIndex.topKAdcIndexed(spark, d,
+            qvs2(q), k, nProbe, excludeVecId = q))))
+        row2(s"IVFADC trained + re-rank (m=$m, kCode=$kc, cand=10k)",
+          s"nProbe=$nProbe",
+          Double.NaN,
+          meanRecall2(q => ids(IvfIndex.topKAdcRerankIndexed(spark, d,
+            emb2, qvs2(q), k, nProbe, cand = 10 * k, excludeVecId = q))))
+      }
     }
 
     sb.append("""

@@ -310,6 +310,22 @@ object IvfIndex {
     writeCodebook(spark, path, m, kCode, sub, flat.toSeq)
   }
 
+  /** [[writeAdcIndex]] with a TRAINED codebook — the production build
+    * path: [[trainPqCodebooksIntRaw]] (per-subspace integer Lloyd on
+    * the global int8 grid, the q165/q176-gated derivation) replaces
+    * the replayable seed convention, which ANN_RECALL.md's de-cloned
+    * tier shows underfitting badly (recall@10 0.125 → 0.5+ at the
+    * published kCode=32/64 + re-rank operating points). Training is
+    * an offline index-build cost paid once per (corpus, shape) — the
+    * BPE-merge-table discipline; the probe side (topKAdcIndexed /
+    * topKAdcRerankIndexed) is codebook-agnostic and unchanged.
+    */
+  def writeTrainedAdcIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                           path: String, m: Int = 8, kCode: Int = 32,
+                           rounds: Int = 2): Unit =
+    writeAdcIndex(emb, centroids, path, m, kCode,
+      codebook = Some(trainPqCodebooksIntRaw(emb, m, kCode, rounds)))
+
   /** Top-k search against a materialised IVFADC index by ASCENDING
     * integer ADC distance. The raw query vector arrives WITH the query
     * (production shape — the index never stores floats): the driver

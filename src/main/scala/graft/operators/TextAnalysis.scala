@@ -344,20 +344,24 @@ object TextAnalysis {
     * a rescan of the history. Existence is all novelty needs (a gram
     * in the history can never be first-seen in a later batch), so the
     * index carries no owner column and appends stay cheap.
+    * Hash-bucketed on the gram ([[IndexLayout]]) so probes and
+    * append-time dedup prune to the batch's buckets.
     */
   def writeGramIndex(docs: DataFrame, path: String, k: Int = 3): Unit =
-    TextDedup.wordShingles(docs, k).select(col("sh")).distinct()
-      .write.mode("overwrite").parquet(path)
+    IndexLayout.writeBucketed(
+      TextDedup.wordShingles(docs, k).select(col("sh")).distinct(),
+      "sh", path, "overwrite")
 
   /** O(batch) index maintenance: append the batch's grams that are
     * not already present. One batch-sized distinct + one anti-join
-    * probe of the standing index — the history is only ever READ.
+    * probe of the standing index (PRUNED to the batch's buckets) —
+    * the history is only ever read where the batch can collide.
     */
   def appendGramIndex(batch: DataFrame, path: String, k: Int = 3): Unit = {
-    val idx = batch.sparkSession.read.parquet(path)
-    TextDedup.wordShingles(batch, k).select(col("sh")).distinct()
-      .join(idx, Seq("sh"), "left_anti")
-      .write.mode("append").parquet(path)
+    val fresh = TextDedup.wordShingles(batch, k).select(col("sh")).distinct()
+    val idx = IndexLayout.prunedScan(batch.sparkSession, path, "sh", fresh)
+    IndexLayout.writeBucketed(
+      fresh.join(idx, Seq("sh"), "left_anti"), "sh", path, "append")
   }
 
   /** Ingest-time novelty: [[noveltyStats]] for a NEW batch against the
@@ -369,13 +373,15 @@ object TextAnalysis {
     * equivalence — while only the batch is ever shingled.
     *
     * Scale shape: batch grams anti-join the index (hash join on the
-    * gram key, index side never collected), then the same two
+    * gram key, index side never collected and PRUNED to the batch's
+    * buckets — [[IndexLayout.prunedScan]]), then the same two
     * batch-sized aggregations as the inline operator.
     */
   def noveltyAgainstIndex(batch: DataFrame, path: String,
                           k: Int = 3): DataFrame = {
-    val idx = batch.sparkSession.read.parquet(path)
     val grams = TextDedup.wordShingles(batch, k)
+    val idx = IndexLayout.prunedScan(batch.sparkSession, path, "sh",
+      grams.select(col("sh")))
     val totals = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val novel = grams.join(idx, Seq("sh"), "left_anti")

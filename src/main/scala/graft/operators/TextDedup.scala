@@ -137,33 +137,44 @@ object TextDedup {
     * to [[normalizedDedup]]: normalized exact dedup is the cheapest
     * first filter an ingest pipeline runs, and it must check the new
     * batch against ALL history, which a per-batch group-by cannot do.
+    * Hash-bucketed on `norm_hash` ([[IndexLayout]]) so the per-batch
+    * probe prunes to the batch's buckets instead of scanning history.
     */
   def writeNormHashIndex(docs: DataFrame, path: String): Unit =
-    normHashed(docs).write.mode("overwrite").parquet(path)
+    IndexLayout.writeBucketed(normHashed(docs), "norm_hash", path,
+      "overwrite")
 
   /** O(batch) index maintenance: only the new docs are hashed and
-    * appended as new part files; history is never read or rewritten.
+    * appended as new part files inside their buckets; history is
+    * never read or rewritten (a key's bucket never changes).
     */
   def appendToNormHashIndex(docs: DataFrame, path: String): Unit =
-    normHashed(docs).write.mode("append").parquet(path)
+    IndexLayout.writeBucketed(normHashed(docs), "norm_hash", path, "append")
 
   /** Ingest-time normalized dedup against [[writeNormHashIndex]]
     * state: hash the NEW batch's canonical forms and annotate each doc
     * with how many indexed docs share its form (`n_index_docs` = 0 ⟺
     * genuinely new content) and the earliest holder (`first_doc`,
-    * null when fresh). History is only ever read from its 2-column
-    * index; the per-hash aggregate is map-side combined (shuffle sized
-    * by the index's distinct 32-hex digests, no skew — identical docs
-    * collapse into one row); batch-side cost is one narrow projection.
+    * null when fresh). History is only ever read from its bucketed
+    * 2-column index, PRUNED to the batch's buckets/keys
+    * ([[IndexLayout.prunedScan]] — probe cost ∝ batch, not history);
+    * the per-hash aggregate is map-side combined (shuffle sized by
+    * the touched distinct digests, no skew — identical docs collapse
+    * into one row); batch-side cost is one narrow projection, run
+    * once for the prune job and once under the probe join
+    * (deliberately NOT cached — per-micro-batch callers must not
+    * accumulate pinned batch state).
     */
   def normalizedDedupAgainstIndex(newDocs: DataFrame, path: String)
   : DataFrame = {
     val spark = newDocs.sparkSession
-    val idx = spark.read.parquet(path)
+    val keyed = normHashed(newDocs)
+    val idx = IndexLayout.prunedScan(spark, path, "norm_hash",
+        keyed.select(col("norm_hash")))
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("first_doc"),
         count(lit(1)).as("n_index_docs"))
-    normHashed(newDocs)
+    keyed
       .join(idx, Seq("norm_hash"), "left")
       .select(col("doc_id"), col("norm_hash"),
         coalesce(col("n_index_docs"), lit(0L)).as("n_index_docs"),
@@ -229,20 +240,35 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Materialise the MinHash signature index of a corpus: one parquet
-    * row per doc holding its distinct shingle set, set size, and the
-    * 32-min signature array — the state an INCREMENTAL ingestion
-    * pipeline keeps between batches so each new batch dedups against
-    * everything already accepted without re-shingling the historical
-    * corpus. Layout is plain columnar parquet: the band join in
-    * [[nearDupsAgainstIndex]] reads only (doc_id, sig) until
-    * verification needs `set`, so column pruning keeps the common scan
-    * narrow.
+  /** Materialise the MinHash signature index of a corpus — the state
+    * an INCREMENTAL ingestion pipeline keeps between batches so each
+    * new batch dedups against everything already accepted without
+    * re-shingling the historical corpus. Two bucketed parquet trees
+    * ([[IndexLayout]]):
+    *
+    *  - `<path>/bands`: the INVERTED band index `(band, bkey,
+    *    doc_id)` partitioned by `bucket(bkey)` — the probe's band
+    *    join prunes to the batch's band-key buckets, so the scan is
+    *    ∝ batch, not history;
+    *  - `<path>/docs`: one row per doc `(doc_id, set, n, sig)`
+    *    partitioned by `bucket(doc_id)` — verification reads ONLY the
+    *    candidates' buckets (column pruning additionally keeps `set`
+    *    unread until the verify join).
+    *
+    * The band rows are 16/doc of ~20 bytes — the price of never
+    * scanning history per batch.
     */
   def writeSignatureIndex(docs: DataFrame, path: String,
                           maxShingleFreq: Option[Long] = None): Unit = {
-    signatureTable(docs, maxShingleFreq)
-      .write.mode("overwrite").parquet(path)
+    val sigs = signatureTable(docs, maxShingleFreq).cache()
+    try {
+      IndexLayout.writeBucketed(
+        sigs.select(col("doc_id"), col("set"), col("n"), col("sig")),
+        "doc_id", s"$path/docs", "overwrite")
+      IndexLayout.writeBucketed(
+        lshBands(sigs).select(col("band"), col("bkey"), col("doc_id")),
+        "bkey", s"$path/bands", "overwrite")
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** (doc_id, set, n, sig): the per-doc state [[minhashLshPairs]]
@@ -299,12 +325,23 @@ object TextDedup {
 
   /** Incremental near-dup detection: which NEW documents duplicate a
     * document already in the signature index at `indexPath`? The LSH
-    * band join runs new-batch bands against index bands (output ∝ true
-    * collisions, exactly like the self-join miner), and candidates are
-    * verified with exact Jaccard from the two stored shingle sets.
-    * The new batch is shingled once; the historical corpus is only ever
-    * READ from its index — the property that makes per-batch ingestion
-    * dedup O(batch), not O(corpus), in compute.
+    * band join runs new-batch bands against the PERSISTED inverted
+    * band index, PRUNED to the batch's band-key buckets ([[IndexLayout
+    * .prunedScan]] — output ∝ true collisions AND scan ∝ batch), and
+    * candidates are verified with exact Jaccard from the two stored
+    * shingle sets, the index side read only for the candidates'
+    * doc-id buckets. The new batch is shingled once; the historical
+    * corpus is only ever READ from its index, and only the slices the
+    * batch actually touches — the property that makes per-batch
+    * ingestion dedup O(batch + collisions), not O(corpus), in compute
+    * AND in I/O.
+    *
+    * The batch signatures and the candidate pairs are cached and
+    * registered ([[graft.Tables.trackOperatorCache]]): query callers
+    * release via releaseOperatorCaches, per-micro-batch callers via
+    * releaseTrackedCaches after each sink. A legacy single-tree index
+    * (no `bands/` subdirectory) still probes correctly — bands derive
+    * on the fly from the full scan, without pruning.
     *
     * Output: (doc_id, dup_of, jaccard) — one row per (new doc, indexed
     * doc) pair at or above the threshold.
@@ -312,17 +349,33 @@ object TextDedup {
   def nearDupsAgainstIndex(newDocs: DataFrame, indexPath: String,
                            threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val index = spark.read.parquet(indexPath)
-    val newSigs = signatureTable(newDocs).cache()
-    val candidates = lshBands(newSigs).as("a")
-      .join(lshBands(index).as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val split = bandsPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(bandsPath)
+    val newSigs = graft.Tables.trackOperatorCache(
+      signatureTable(newDocs).cache())
+    val batchBands = lshBands(newSigs)
+    val idxBands =
+      if (split)
+        IndexLayout.prunedScan(spark, s"$indexPath/bands", "bkey",
+          batchBands.select(col("bkey")))
+      else lshBands(spark.read.parquet(indexPath))
+    val candidates = graft.Tables.trackOperatorCache(
+      batchBands.as("a")
+        .join(idxBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+        .cache())
+    val idxDocs =
+      if (split)
+        IndexLayout.prunedScan(spark, s"$indexPath/docs", "doc_id",
+          candidates.select(col("db")))
+      else spark.read.parquet(indexPath)
     candidates
       .join(newSigs.select(col("doc_id"), col("set"), col("n")).as("za"),
         col("da") === col("za.doc_id"))
-      .join(index.select(col("doc_id"), col("set"), col("n")).as("zb"),
+      .join(idxDocs.select(col("doc_id"), col("set"), col("n")).as("zb"),
         col("db") === col("zb.doc_id"))
       .withColumn("common",
         size(array_intersect(col("za.set"), col("zb.set"))).cast("long"))
@@ -435,40 +488,65 @@ object TextDedup {
       bandBits = 16, maxHamming, maxBandFreq)
   }
 
-  /** Materialise the 64-bit-signature index of accepted history: one
-    * parquet row per doc `(doc_id, simhash)` — the standing state a
-    * MEDIA ingestion pipeline keeps between batches (the signature
-    * analogue of [[writeSignatureIndex]]; the signature is any
-    * modality's 64-bit perceptual hash — image aHash, audio envelope,
-    * video center-frame). Plain columnar parquet: the banded probe
-    * reads both columns, nothing else is stored — 16 bytes/doc.
+  /** Materialise the 64-bit-signature index of accepted history — the
+    * standing state a MEDIA ingestion pipeline keeps between batches
+    * (the signature analogue of [[writeSignatureIndex]]; the signature
+    * is any modality's 64-bit perceptual hash — image aHash, audio
+    * envelope, video center-frame). Layout is the INVERTED BAND index
+    * the probe actually joins on: each doc explodes into its 4 16-bit
+    * band rows `(bkey, doc_id, simhash)`, written
+    * `partitionBy(band, bucket)` with `bucket =
+    * [[IndexLayout.bucketOf]](bkey)` — so the band-j probe join reads
+    * ONLY partition `band=j` pruned to the batch's band-j
+    * buckets/keys, never the whole history. 4 rows/doc of 20 bytes is
+    * the cost; the alternative (a flat (doc_id, simhash) table) makes
+    * every probe scan all of history per band.
     */
   def writeHashIndex(sigs: DataFrame, path: String): Unit =
-    sigs.select(col("doc_id"), col("simhash"))
-      .write.mode("overwrite").parquet(path)
+    writeHashIndexMode(sigs, path, "overwrite")
 
-  /** O(batch) index maintenance: new part files only — the historical
-    * rows are never read or rewritten (band keys are derived at probe
-    * time from the signature, so there is no index structure to
-    * rebuild).
+  /** O(batch) index maintenance: new part files only, inside their
+    * (band, bucket) directories — historical rows are never read or
+    * rewritten (a key's band and bucket never change).
     */
   def appendToHashIndex(sigs: DataFrame, path: String): Unit =
-    sigs.select(col("doc_id"), col("simhash"))
-      .write.mode("append").parquet(path)
+    writeHashIndexMode(sigs, path, "append")
+
+  private def writeHashIndexMode(sigs: DataFrame, path: String,
+                                 mode: String): Unit =
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535")
+              .as("bkey"))): _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.bkey").as("bkey"),
+        col("doc_id"), col("simhash"))
+      .withColumn("bucket", IndexLayout.bucketOf(col("bkey")))
+      .write.mode(mode).partitionBy("band", "bucket").parquet(path)
 
   /** Incremental banded near-dup probe against [[writeHashIndex]]
     * state: which NEW signatures are within `maxHamming` of an indexed
-    * one? The band join runs batch bands against index bands with the
-    * [[hammingPairs64]] first-match discipline (every matching pair is
-    * emitted by exactly one band join, no distinct over candidates),
-    * and `maxBandFreq` applies the hot-key cap to the INDEX side —
-    * the standing corpus is where boilerplate accumulates; a hot index
+    * one? The band-j join reads ONLY the index's `band=j` partition,
+    * PRUNED to the batch's band-j buckets (and, for bounded batches,
+    * the band-j keys themselves as a pushed IN-list) — probe cost is
+    * O(batch + collisions) at ANY history size, with the
+    * [[hammingPairs64]] first-match discipline (every matching pair
+    * emitted by exactly one band join, no distinct over candidates).
+    * `maxBandFreq` applies the hot-key cap to the INDEX side — the
+    * standing corpus is where boilerplate accumulates; a hot index
     * key (> cap docs share it) is excluded from its band's join, and
-    * a pair survives iff SOME equal band has a non-hot index key —
-    * so no per-key join group exceeds cap index rows at any history
-    * size. The batch is hashed once; the history is only ever READ
-    * from its index — per-batch media dedup is O(batch + collisions),
-    * not O(corpus).
+    * a pair survives iff SOME equal band has a non-hot index key.
+    * Hotness is a property of the KEY, and every hot flag the
+    * predicate consults belongs to a band key the batch carries, so
+    * the flags are computed from the same pruned scans (counts per
+    * key are exact — a key's index rows all live in its one bucket)
+    * and ride the BATCH rows: no index-wide aggregate anywhere.
+    *
+    * The keyed batch is cached across the prune jobs, flag joins and
+    * band joins, and registered with
+    * [[graft.Tables.trackOperatorCache]] — query callers release via
+    * releaseOperatorCaches, per-micro-batch callers via
+    * releaseTrackedCaches after each sink.
     *
     * Output: (doc_id, dup_of, hamming) — one row per (new doc,
     * indexed doc) pair within the radius.
@@ -479,36 +557,66 @@ object TextDedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band blocking over 64 bits only guarantees recall for hamming <= 3")
     val spark = newSigs.sparkSession
-    def keyed(df: DataFrame) = df.select(
-      col("doc_id") +: col("simhash") +:
-        (0 until 4).map(j =>
-          expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as(s"k$j")): _*)
-    val idx0 = keyed(spark.read.parquet(path))
-    val batch = keyed(newSigs.select(col("doc_id"), col("simhash")))
-    // hot flags ride the index rows (one distinct-key aggregate + one
-    // 1:≤1 flag join per band — the bandedSimhashPairs shape); the
-    // index is cached across the 4 hot aggregates + 4 probe joins,
-    // released via graft.Tables.releaseOperatorCaches
-    val idx = maxBandFreq.fold(idx0) { cap =>
-      val base = idx0.cache()
-      (0 until 4).foldLeft(base) { (df, j) =>
-        val hot = base.groupBy(col(s"k$j"))
+    val raw = spark.read.parquet(path)
+    val legacy = !raw.columns.contains("band") // pre-bucketed flat layout
+    val batch = graft.Tables.trackOperatorCache(
+      newSigs.select(
+        col("doc_id") +: col("simhash") +:
+          (0 until 4).map(j =>
+            expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535")
+              .as(s"k$j")): _*)
+        .cache())
+    // the band-j slice of the index as (doc_id, simhash, bkey),
+    // partition-pruned to the batch's band-j buckets/keys; memoized so
+    // the capped path's two uses per band (hot aggregate + join) pay
+    // the prune-collect job once
+    val bandScans = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def scanBand(j: Int): DataFrame = bandScans.getOrElseUpdate(j,
+      if (legacy)
+        raw.select(col("doc_id"), col("simhash"),
+          expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as("bkey"))
+      else {
+        val base = raw.filter(col("band") === j)
+        val kb = batch.select(col(s"k$j").as("k"),
+            IndexLayout.bucketOf(col(s"k$j")).as("b"))
+          .distinct().limit(IndexLayout.MaxKeyPushdown + 1).collect()
+        val pruned =
+          if (kb.length <= IndexLayout.MaxKeyPushdown)
+            base.filter(
+              col("bucket").isin(kb.map(_.getInt(1)).distinct.toSeq: _*) &&
+                col("bkey").isin(kb.map(_.get(0)).toSeq: _*))
+          else {
+            val buckets = batch
+              .select(IndexLayout.bucketOf(col(s"k$j")).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            base.filter(col("bucket").isin(buckets: _*))
+          }
+        pruned.select(col("doc_id"), col("simhash"), col("bkey"))
+      })
+    val capped = maxBandFreq.isDefined
+    // hot flags ride the BATCH rows (one pruned-scan aggregate + one
+    // 1:≤1 flag join per band); counts per key over the pruned scan
+    // equal the full-index counts for every batch key
+    val flagged = maxBandFreq.fold(batch) { cap =>
+      (0 until 4).foldLeft(batch) { (df, j) =>
+        val hot = scanBand(j).groupBy(col("bkey"))
           .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-          .select(col(s"k$j"), lit(true).as(s"h$j"))
+          .select(col("bkey").as(s"k$j"), lit(true).as(s"h$j"))
         df.join(hot, Seq(s"k$j"), "left")
           .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
-      }.cache()
+      }
     }
-    val capped = maxBandFreq.isDefined
     val perBand = (0 until 4).map { j =>
-      val eligible = if (capped) !col(s"b.h$j") else lit(true)
+      val eligible = if (capped) !col(s"a.h$j") else lit(true)
       val firstMatch = (0 until j)
-        .map(k =>
-          if (capped) col(s"a.k$k") =!= col(s"b.k$k") || col(s"b.h$k")
-          else col(s"a.k$k") =!= col(s"b.k$k"))
+        .map { k =>
+          val neq = col(s"a.k$k") =!=
+            expr(s"shiftrightunsigned(b.simhash, ${k * 16}) & 65535")
+          if (capped) neq || col(s"a.h$k") else neq
+        }
         .foldLeft(eligible)(_ && _)
-      batch.as("a")
-        .join(idx.as("b"), col(s"a.k$j") === col(s"b.k$j") && firstMatch)
+      flagged.as("a")
+        .join(scanBand(j).as("b"), col(s"a.k$j") === col("b.bkey") && firstMatch)
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
     }
@@ -1152,19 +1260,22 @@ object TextDedup {
     */
   def writeSubstringIndex(bench: DataFrame, path: String,
                           windowChars: Int = 40): Unit =
-    charWindows(bench, windowChars).select(col("g")).distinct()
-      .write.mode("overwrite").parquet(path)
+    IndexLayout.writeBucketed(
+      charWindows(bench, windowChars).select(col("g")).distinct(),
+      "g", path, "overwrite")
 
   /** Incrementally extend a substring index with a new benchmark's
-    * windows: O(new benchmark) — existing windows are never rewritten,
-    * and cross-file duplicate windows are harmless (the probe is a
-    * left-semi join; `n_grams` counts distinct matched windows either
-    * way), so no global dedup pass is needed at append time.
+    * windows: O(new benchmark) — existing windows are never rewritten
+    * (new part files land inside their buckets), and cross-file
+    * duplicate windows are harmless (the probe is a left-semi join;
+    * `n_grams` counts distinct matched windows either way), so no
+    * global dedup pass is needed at append time.
     */
   def appendToSubstringIndex(newBench: DataFrame, path: String,
                              windowChars: Int = 40): Unit =
-    charWindows(newBench, windowChars).select(col("g")).distinct()
-      .write.mode("append").parquet(path)
+    IndexLayout.writeBucketed(
+      charWindows(newBench, windowChars).select(col("g")).distinct(),
+      "g", path, "append")
 
   /** [[substringMatches]] against a PERSISTED window index: identical
     * results (the q139 gate hash-matches q101's oracle), but the
@@ -1187,14 +1298,22 @@ object TextDedup {
                               windowChars: Int = 40,
                               maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val spark = docs.sparkSession
-    val idx = spark.read.parquet(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
       .getContentSummary(p).getLength
-    substringMatchesIndexedDf(docs,
-      if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes) broadcast(idx)
-      else idx,
-      windowChars)
+    // small index: broadcast the whole thing (pruning can't beat a
+    // hash relation that already fits). Oversized index: prune the
+    // scan to the batch's window buckets ([[IndexLayout.prunedScan]]
+    // — one extra batch-sized window pass buys a history-independent
+    // index read; a batch's window universe almost always exceeds the
+    // key-pushdown cap, so this is normally bucket pruning).
+    val idx =
+      if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes)
+        broadcast(spark.read.parquet(path).drop("bucket"))
+      else
+        IndexLayout.prunedScan(spark, path, "g",
+          charWindows(docs, windowChars).select(col("g")))
+    substringMatchesIndexedDf(docs, idx, windowChars)
   }
 
   /** Conservative decoded-rows-to-on-disk ratio for snappy-parquet
@@ -1272,7 +1391,8 @@ object TextDedup {
     charWindows(benchSets.select(col("doc_id"), col("text")), windowChars)
       .join(benchSets.select(col("doc_id"), col("eval_set_id")), Seq("doc_id"))
       .select(col("g"), col("eval_set_id")).distinct()
-      .write.mode("overwrite").partitionBy("eval_set_id")
+      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v0")
     flipIndexVersion(spark, path, 0)
   }
@@ -1288,7 +1408,8 @@ object TextDedup {
     val v = currentIndexVersion(newBench.sparkSession, path)
     charWindows(newBench, windowChars).select(col("g")).distinct()
       .withColumn("eval_set_id", lit(evalSetId))
-      .write.mode("append").partitionBy("eval_set_id")
+      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .write.mode("append").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$v")
   }
 
@@ -1304,7 +1425,8 @@ object TextDedup {
     val next = cur + 1
     spark.read.parquet(s"$path/v$cur")
       .select(col("g"), col("eval_set_id")).distinct()
-      .write.mode("overwrite").partitionBy("eval_set_id")
+      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$next")
     flipIndexVersion(spark, path, next)
     next
@@ -1322,12 +1444,20 @@ object TextDedup {
                                   maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val spark = docs.sparkSession
     val v = currentIndexVersion(spark, path)
-    val idx = spark.read.parquet(s"$path/v$v")
-      .select(col("g"), col("eval_set_id").cast("long").as("eval_set_id"))
-      .distinct()
     val p = new org.apache.hadoop.fs.Path(s"$path/v$v")
     val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
       .getContentSummary(p).getLength
+    // broadcast when small; bucket-pruned scan when not (see
+    // [[substringMatchesIndexed]] — same decision, versioned tree)
+    val scan =
+      if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes)
+        spark.read.parquet(s"$path/v$v").drop("bucket")
+      else
+        IndexLayout.prunedScan(spark, s"$path/v$v", "g",
+          charWindows(docs, windowChars).select(col("g")))
+    val idx = scan
+      .select(col("g"), col("eval_set_id").cast("long").as("eval_set_id"))
+      .distinct()
     val idxSide =
       if (bytes * BroadcastExpansionFactor <= maxBroadcastBytes) broadcast(idx)
       else idx
@@ -1554,37 +1684,44 @@ object TextDedup {
   /** Materialise the standing CDC chunk-hash index of accepted
     * history: one parquet row per (doc, chunk) occurrence —
     * `(doc_id, chunk_idx, chunk_hash)` — the sub-document analogue of
-    * [[writeSignatureIndex]]/[[writeHashIndex]]. Plain columnar
-    * parquet; band-free (chunk equality is exact), so there is no
-    * index structure to rebuild on append.
+    * [[writeSignatureIndex]]/[[writeHashIndex]]. Columnar parquet
+    * hash-bucketed on `chunk_hash` ([[IndexLayout]]) so probes prune;
+    * band-free (chunk equality is exact), so there is no index
+    * structure to rebuild on append.
     */
   def writeChunkIndex(docs: DataFrame, path: String,
                       w: Int = 8, d: Int = 32): Unit =
-    cdcChunks(docs, w, d)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
-      .write.mode("overwrite").parquet(path)
+    IndexLayout.writeBucketed(
+      cdcChunks(docs, w, d)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash")),
+      "chunk_hash", path, "overwrite")
 
   /** O(batch) chunk-index maintenance: only the new docs are chunked
-    * and written as new part files — historical rows are never read
-    * or rewritten (the [[appendToHashIndex]] discipline).
+    * and written as new part files inside their buckets — historical
+    * rows are never read or rewritten (the [[appendToHashIndex]]
+    * discipline).
     */
   def appendToChunkIndex(docs: DataFrame, path: String,
                          w: Int = 8, d: Int = 32): Unit =
-    cdcChunks(docs, w, d)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
-      .write.mode("append").parquet(path)
+    IndexLayout.writeBucketed(
+      cdcChunks(docs, w, d)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash")),
+      "chunk_hash", path, "append")
 
   /** Ingest-time sub-document dedup probe against [[writeChunkIndex]]
     * state: CDC-chunk the NEW batch only and annotate every batch
     * chunk with how many distinct indexed docs already contain a
     * chunk with the same hash (`n_index_docs` = 0 ⟺ genuinely new
-    * content). The history is only ever READ from its 3-column index
-    * — never re-chunked — and the per-hash aggregate is map-side
-    * combined (shuffle sized by the index's distinct hashes, each a
-    * 16-byte digest, not by documents); at corpus scale the index
-    * would be written bucketed by `chunk_hash` so the probe join
-    * prunes to the batch's buckets. Batch-side cost is O(batch): one
-    * narrow kernel pass + Generate.
+    * content). The history is only ever READ from its bucketed
+    * 3-column index — never re-chunked — PRUNED to the batch's
+    * buckets/keys ([[IndexLayout.prunedScan]]: probe cost ∝ batch +
+    * collisions at ANY history size), and the per-hash aggregate is
+    * map-side combined (shuffle sized by the touched distinct hashes,
+    * each a 16-byte digest, not by documents). Batch-side cost is
+    * O(batch): the narrow kernel + Generate runs once for the prune
+    * job and once under the probe join — deliberately NOT cached, so
+    * per-micro-batch streaming callers ([[graft.streaming.StreamingOps
+    * .cdcProbePerBatch]]) never accumulate pinned batch state.
     *
     * Output: one row per batch chunk — `(doc_id, chunk_idx,
     * from_word, to_word, n_words, chunk_hash, n_index_docs)`.
@@ -1592,10 +1729,12 @@ object TextDedup {
   def cdcProbeAgainstChunkIndex(newDocs: DataFrame, path: String,
                                 w: Int = 8, d: Int = 32): DataFrame = {
     val spark = newDocs.sparkSession
-    val counts = spark.read.parquet(path)
+    val batch = cdcChunks(newDocs, w, d)
+    val counts = IndexLayout.prunedScan(spark, path, "chunk_hash",
+        batch.select(col("chunk_hash")))
       .groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_index_docs"))
-    cdcChunks(newDocs, w, d)
+    batch
       .join(counts, Seq("chunk_hash"), "left")
       .select(col("doc_id"), col("chunk_idx"), col("from_word"),
         col("to_word"), col("n_words"), col("chunk_hash"),

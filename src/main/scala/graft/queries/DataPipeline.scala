@@ -505,6 +505,18 @@ object DataPipeline {
           Tables.load(s, dir, "embeddings"), gmx, flat, m = PqM, kCode = PqK)
         .orderBy(col("vec_id"), col("m_sub"))
     },
+    // q165 at the PRODUCTION codebook size (kCode = 32, the operating
+    // tier ANN_RECALL.md's de-cloned curves recommend): the oracle
+    // replays the 32-seed integer Lloyd bit-for-bit, so the gate
+    // proves the codebook derivation that writeTrainedAdcIndex ships
+    "q176_pq_train_int32" -> { (s, dir) =>
+      val (gmx, flat) = SharedArtifacts.pqIntCodebook(s, dir,
+        m = PqM, kCode = PqK32, rounds = PqTrainRounds)
+      graft.operators.IvfIndex.pqAssignInt(
+          Tables.load(s, dir, "embeddings"), gmx, flat, m = PqM,
+          kCode = PqK32)
+        .orderBy(col("vec_id"), col("m_sub"))
+    },
     // JL ±1 random projection (Achlioptas 2003): 64 → 16 dims in one
     // narrow pass of 16 codegen'd dot products against md5-derived
     // sign literals — the downstream-byte-shrinking lever for every
@@ -1226,6 +1238,72 @@ object DataPipeline {
   private final val PqSub = 8
   // integer-Lloyd rounds for the q165 trained-codebook gate
   private final val PqTrainRounds = 2
+  // production codebook size for the q176 gate (ANN_RECALL.md: 16
+  // entries underfit the de-cloned tier; 32+ is where trained
+  // codebooks start recovering usable recall)
+  private final val PqK32 = 32
+
+  /** The q165/q176 oracle, parameterized by PQ shape: gmx + global
+    * int8 grid from the raw embeddings, per-subspace seed codebooks
+    * (vec_id < k), `rounds` unrolled (d2, kk)-argmin assignment +
+    * floor-divided update rounds, final per-(vector, subspace) code
+    * and exact integer d2.
+    */
+  private def pqTrainIntOracle(m: Int, k: Int, sub: Int,
+                               trainRounds: Int): String = {
+    val rounds = (1 to trainRounds).map { r =>
+      val prevC = s"c${r - 1}"
+      s"""d$r AS (SELECT p.vec_id, p.ms, c.kk,
+         |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
+         |      + list_dot_product(c.cq, c.cq) AS d2
+         |  FROM p JOIN $prevC c USING (ms)),
+         |a$r AS (SELECT vec_id, ms, kk FROM (
+         |    SELECT vec_id, ms, kk,
+         |      row_number() OVER (PARTITION BY vec_id, ms
+         |                         ORDER BY d2, kk) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |x$r AS (SELECT a.ms, a.kk, unnest(p.qs) AS x,
+         |         unnest(range(1, len(p.qs) + 1)) AS dd
+         |  FROM a$r a JOIN p USING (vec_id, ms)),
+         |s$r AS (SELECT ms, kk, dd, sum(x) AS s, count(*) AS n FROM x$r
+         |       GROUP BY 1, 2, 3),
+         |c$r AS (SELECT ms, kk, list(CAST(floor(s / n) AS DOUBLE)
+         |                            ORDER BY dd) AS cq
+         |    FROM s$r GROUP BY 1, 2
+         |  UNION ALL SELECT pc.ms, pc.kk, pc.cq FROM $prevC pc
+         |    WHERE NOT EXISTS (SELECT 1 FROM s$r z
+         |                      WHERE z.ms = pc.ms AND z.kk = pc.kk))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |gm AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)),
+       |                                 'max')) AS gmx FROM e),
+       |qz AS (SELECT vec_id, list_transform(v,
+       |    x -> CAST(CAST(floor(x / (gmx / 127.0) + 0.5) AS BIGINT)
+       |              AS DOUBLE)) AS q
+       |  FROM e, gm),
+       |sb AS (SELECT unnest(range(0, $m)) AS ms),
+       |p AS (SELECT vec_id, ms,
+       |    list_slice(q, CAST(ms * $sub + 1 AS INT),
+       |      CAST(ms * $sub + $sub AS INT)) AS qs
+       |  FROM qz CROSS JOIN sb),
+       |c0 AS (SELECT ms, CAST(vec_id AS INT) AS kk, qs AS cq FROM p
+       |       WHERE vec_id < $k),
+       |$rounds,
+       |df AS (SELECT p.vec_id, p.ms, c.kk,
+       |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
+       |      + list_dot_product(c.cq, c.cq) AS d2
+       |  FROM p JOIN c$trainRounds c USING (ms))
+       |SELECT vec_id, CAST(ms AS BIGINT) AS m_sub,
+       |  CAST(kk AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2
+       |FROM (SELECT vec_id, ms, kk, d2,
+       |    row_number() OVER (PARTITION BY vec_id, ms
+       |                       ORDER BY d2, kk) AS rn
+       |  FROM df) WHERE rn = 1
+       |ORDER BY vec_id, m_sub""".stripMargin
+  }
 
   // ---- oracle SQL (generated from the same definitions the operators use) ----
 
@@ -1934,60 +2012,12 @@ object DataPipeline {
     // from the raw embeddings, per-(ms) seed codebooks, each round's
     // (d2, kk)-argmin assignment + floor-divided update unrolled, and
     // the final per-(vector, subspace) code + exact integer d2
-    "q165_pq_train_int" -> {
-      val rounds = (1 to PqTrainRounds).map { r =>
-        val prevC = s"c${r - 1}"
-        s"""d$r AS (SELECT p.vec_id, p.ms, c.kk,
-           |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
-           |      + list_dot_product(c.cq, c.cq) AS d2
-           |  FROM p JOIN $prevC c USING (ms)),
-           |a$r AS (SELECT vec_id, ms, kk FROM (
-           |    SELECT vec_id, ms, kk,
-           |      row_number() OVER (PARTITION BY vec_id, ms
-           |                         ORDER BY d2, kk) AS rn
-           |    FROM d$r) WHERE rn = 1),
-           |x$r AS (SELECT a.ms, a.kk, unnest(p.qs) AS x,
-           |         unnest(range(1, len(p.qs) + 1)) AS dd
-           |  FROM a$r a JOIN p USING (vec_id, ms)),
-           |s$r AS (SELECT ms, kk, dd, sum(x) AS s, count(*) AS n FROM x$r
-           |       GROUP BY 1, 2, 3),
-           |c$r AS (SELECT ms, kk, list(CAST(floor(s / n) AS DOUBLE)
-           |                            ORDER BY dd) AS cq
-           |    FROM s$r GROUP BY 1, 2
-           |  UNION ALL SELECT pc.ms, pc.kk, pc.cq FROM $prevC pc
-           |    WHERE NOT EXISTS (SELECT 1 FROM s$r z
-           |                      WHERE z.ms = pc.ms AND z.kk = pc.kk))"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |gm AS (SELECT max(list_aggregate(list_transform(v, x -> abs(x)),
-         |                                 'max')) AS gmx FROM e),
-         |qz AS (SELECT vec_id, list_transform(v,
-         |    x -> CAST(CAST(floor(x / (gmx / 127.0) + 0.5) AS BIGINT)
-         |              AS DOUBLE)) AS q
-         |  FROM e, gm),
-         |sb AS (SELECT unnest(range(0, $PqM)) AS ms),
-         |p AS (SELECT vec_id, ms,
-         |    list_slice(q, CAST(ms * $PqSub + 1 AS INT),
-         |      CAST(ms * $PqSub + $PqSub AS INT)) AS qs
-         |  FROM qz CROSS JOIN sb),
-         |c0 AS (SELECT ms, CAST(vec_id AS INT) AS kk, qs AS cq FROM p
-         |       WHERE vec_id < $PqK),
-         |$rounds,
-         |df AS (SELECT p.vec_id, p.ms, c.kk,
-         |    list_dot_product(p.qs, p.qs) - 2 * list_dot_product(p.qs, c.cq)
-         |      + list_dot_product(c.cq, c.cq) AS d2
-         |  FROM p JOIN c$PqTrainRounds c USING (ms))
-         |SELECT vec_id, CAST(ms AS BIGINT) AS m_sub,
-         |  CAST(kk AS BIGINT) AS code, CAST(d2 AS BIGINT) AS d2
-         |FROM (SELECT vec_id, ms, kk, d2,
-         |    row_number() OVER (PARTITION BY vec_id, ms
-         |                       ORDER BY d2, kk) AS rn
-         |  FROM df) WHERE rn = 1
-         |ORDER BY vec_id, m_sub""".stripMargin
-    },
+    "q165_pq_train_int" -> pqTrainIntOracle(PqM, PqK, PqSub, PqTrainRounds),
+    // the q165 discipline at the PRODUCTION codebook size: kCode = 32
+    // (the knob ANN_RECALL.md's de-cloned tier shows the 16-entry
+    // seed convention underfitting) — same arithmetic, 32 seeds
+    "q176_pq_train_int32" -> pqTrainIntOracle(PqM, PqK32, PqSub,
+      PqTrainRounds),
 
     "q92_semantic_decontam" ->
       """WITH e AS (SELECT vec_id, label,

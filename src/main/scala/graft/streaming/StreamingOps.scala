@@ -406,7 +406,7 @@ object StreamingOps {
         val contaminated = graft.operators.TextDedup
           .substringMatches(survivors, bench, windowChars)
           .select(col("doc_id")).distinct()
-        sink(delta
+        try sink(delta
           .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
           .join(contaminated.withColumn("is_cont", lit(true)),
             Seq("doc_id"), "left")
@@ -415,6 +415,9 @@ object StreamingOps {
               .when(col("is_cont"), lit("contaminated"))
               .otherwise(lit("kept")).as("status"),
             length(col("text")).cast("long").as("n_chars")), batchId)
+        // the index probe caches its batch signatures + candidates
+        // (tracked): release per micro-batch
+        finally graft.Tables.releaseTrackedCaches(batch.sparkSession)
       }
       .start()
 
@@ -454,9 +457,12 @@ object StreamingOps {
         val delta = graft.operators.SnapshotDiff
           .delta(oldSnap, fpNew, "doc_id", "fp")
           .select(col("doc_id"), col("text"), col("blob"))
-        sink(graft.operators.Curation.multimodalIngestVerdict(delta,
+        try sink(graft.operators.Curation.multimodalIngestVerdict(delta,
           mediaSig, sigIndexPath, hashIndexPath, bench,
           threshold, windowChars, maxHamming, maxBandFreq), batchId)
+        // the media probe inside the verdict caches its keyed batch
+        // (tracked): release per micro-batch
+        finally graft.Tables.releaseTrackedCaches(batch.sparkSession)
       }
       .start()
 
@@ -478,8 +484,11 @@ object StreamingOps {
     sigs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(graft.operators.TextDedup.nearDupsAgainstHashIndex(
+        try sink(graft.operators.TextDedup.nearDupsAgainstHashIndex(
           batch, indexPath, maxHamming, maxBandFreq), batchId)
+        // the probe caches the keyed batch (tracked): release it per
+        // micro-batch so a long-running stream never accumulates
+        finally graft.Tables.releaseTrackedCaches(batch.sparkSession)
       }
       .start()
 

@@ -1,0 +1,145 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{TextAnalysis, TextDedup}
+
+/** Standing-index probe flatness smoke (r15 verdict directive 1):
+  * builds each bucketed standing index at a 1× and a 10× history
+  * size, probes both with the SAME small batch, and grades the probe
+  * wall-time ratio. Under the bucketed layout the probe reads only
+  * the batch's buckets/keys, so its cost is a function of the batch,
+  * not the history — the measured ratio should sit far below the 10×
+  * an O(index) scan would show (budget ≤ 3× absorbs scheduler noise
+  * and the log-ish cost of more part files per touched bucket).
+  *
+  * History tiers: sf0.1 documents (5k docs) vs testdata_sf1 (50k — a
+  * verbatim 10× of the same corpus, tools/gen_sf1.py); the probe
+  * batch is 200 sf0.1 docs with ids disjoint from nothing in
+  * particular — the probe's cost model does not depend on hit rate.
+  * Timing: 1 cold + 3 timed reps per cell, min of the timed reps (the
+  * contention-robust statistic, like tools/scale_smoke.py).
+  *
+  * `runMain graft.tools.ProbeSmoke [out.md]` — writes
+  * tools/probe_smoke_report.md by default; every row also prints as
+  * `[probe-smoke] family t1x=… t10x=… ratio=… verdict=…`.
+  */
+object ProbeSmoke {
+  def main(args: Array[String]): Unit = {
+    val outFile = if (args.nonEmpty) args(0) else "tools/probe_smoke_report.md"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-probe-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val small = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val big = Tables.load(spark, "testdata_sf1", "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = small.filter(col("doc_id") >= 4800).cache()
+    batch.count()
+
+    def tmp(kind: String): String = {
+      val slug = kind.replaceAll("[^A-Za-z0-9_]+", "_")
+      val p = Files.createTempDirectory(s"graft_probesmoke_$slug")
+      sys.addShutdownHook {
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }
+      p.toString
+    }
+
+    /** min-of-3 timed probe executions after a cold pass; each run
+      * re-CONSTRUCTS the probe (the prune-collect jobs are part of
+      * the per-batch cost being graded) and fully materializes it.
+      */
+    def time(probe: () => DataFrame): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        probe().queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Tables.releaseTrackedCaches(spark)
+        dt
+      }
+      once() // cold
+      Seq.fill(3)(once()).min
+    }
+
+    case class Row(family: String, t1: Double, t10: Double) {
+      def ratio: Double = t10 / t1
+      def verdict: String = if (ratio <= 3.0) "PASS" else "FAIL"
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def grade(family: String, build: (DataFrame, String) => Unit,
+              probe: String => () => DataFrame): Unit = {
+      val d1 = tmp(s"${family}_1x"); val d10 = tmp(s"${family}_10x")
+      build(small, d1); build(big, d10)
+      val r = Row(family, time(probe(d1)), time(probe(d10)))
+      rows += r
+      println(f"[probe-smoke] $family t1x=${r.t1}%.3f t10x=${r.t10}%.3f " +
+        f"ratio=${r.ratio}%.2f verdict=${r.verdict}")
+    }
+
+    grade("norm_hash (q175)",
+      (h, p) => TextDedup.writeNormHashIndex(h, p),
+      p => () => TextDedup.normalizedDedupAgainstIndex(batch, p))
+
+    grade("cdc_chunks (q163)",
+      (h, p) => TextDedup.writeChunkIndex(h, p, w = 4, d = 16),
+      p => () => TextDedup.cdcProbeAgainstChunkIndex(batch, p, w = 4, d = 16))
+
+    val sigSmall = TextDedup.simhash64(small).cache(); sigSmall.count()
+    val sigBig = TextDedup.simhash64(big).cache(); sigBig.count()
+    val sigBatch = TextDedup.simhash64(batch).cache(); sigBatch.count()
+    grade("hash64_banded (q161)",
+      (h, p) => TextDedup.writeHashIndex(
+        if (h eq small) sigSmall else sigBig, p),
+      p => () => TextDedup.nearDupsAgainstHashIndex(sigBatch, p,
+        maxHamming = 3, maxBandFreq = Some(64L)))
+
+    grade("minhash_sigs (q150/q77)",
+      (h, p) => TextDedup.writeSignatureIndex(h, p),
+      p => () => TextDedup.nearDupsAgainstIndex(batch, p, threshold = 0.8))
+
+    grade("substring_windows (q139)",
+      (h, p) => TextDedup.writeSubstringIndex(h, p, windowChars = 40),
+      // maxBroadcastBytes = 0 forces the oversized-index tier — the
+      // pruning path under grade; the broadcast tier is trivially flat
+      p => () => TextDedup.substringMatchesIndexed(batch, p,
+        windowChars = 40, maxBroadcastBytes = 0L))
+
+    grade("gram_index (q151)",
+      (h, p) => TextAnalysis.writeGramIndex(h, p),
+      p => () => TextAnalysis.noveltyAgainstIndex(batch, p))
+
+    val sb = new StringBuilder
+    sb.append("# Standing-index probe flatness: history 1x (5k docs) vs ")
+    sb.append("10x (50k docs), fixed 200-doc batch\n\n")
+    sb.append("Bucketed layout (IndexLayout): the probe prunes its scan to ")
+    sb.append("the batch's buckets/keys, so probe cost tracks the batch, ")
+    sb.append("not the history. Budget: ratio <= 3.0 (noise + more part ")
+    sb.append("files per touched bucket); an O(index) scan would sit near ")
+    sb.append("10x. min of 3 timed reps after a cold pass, local[")
+    sb.append(cpus).append("].\n\n")
+    sb.append("| index family | probe t(1x) s | probe t(10x) s | ratio | verdict |\n")
+    sb.append("|---|---|---|---|---|\n")
+    rows.foreach { r =>
+      sb.append(f"| ${r.family} | ${r.t1}%.3f | ${r.t10}%.3f " +
+        f"| ${r.ratio}%.2fx | ${r.verdict} |\n")
+    }
+    Files.writeString(Paths.get(outFile), sb.toString, StandardCharsets.UTF_8)
+    println(s"[probe-smoke] wrote $outFile")
+    spark.stop()
+  }
+}

@@ -199,7 +199,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(probe(built) == inline)
     assert(probe(rebuilt) == inline)
     // appended index holds each gram once (the anti-join dedups)
-    val grams = spark.read.parquet(built).as[String].collect()
+    val grams = spark.read.parquet(built).select("sh").as[String].collect()
     assert(grams.length == grams.distinct.length)
     assert(inline.map(r => (r._1, r._3)) ==
       Seq((5L, 0L), (6L, 1L), (7L, 1L)))

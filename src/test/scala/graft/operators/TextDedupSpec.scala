@@ -469,9 +469,15 @@ class TextDedupSpec extends SparkSpec {
       .collect().toSeq
     assert(indexed == inline && inline.nonEmpty)
     // the shuffle tier (index too big to broadcast) is value-identical
-    val shuffled = TextDedup.substringMatchesIndexed(train, dir, 40,
-      maxBroadcastBytes = 0L).collect().toSeq
-    assert(shuffled == inline)
+    // AND bucket-prunes its index scan to the batch's windows — the
+    // oversized-index path must never scan the whole standing index
+    val big = TextDedup.substringMatchesIndexed(train, dir, 40,
+      maxBroadcastBytes = 0L)
+    val bigPlan = big.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(bigPlan)
+      .isDefined, bigPlan)
+    assert(big.collect().toSeq == inline)
     // incremental append: half the benchmark at build + half appended
     // equals the full inline scan (duplicate windows across files are
     // harmless to the left-semi probe)
