@@ -52,11 +52,19 @@ object IndexLayout {
 
   /** Write `df` hash-bucketed on `keyCol` (mode = overwrite|append).
     * The bucket is derived, never stored logically: readers get it as
-    * a partition column and [[prunedScan]] drops it.
+    * a partition column and [[prunedScan]] drops it. The write
+    * repartitions on the bucket first — without it every write task
+    * opens a file in every bucket directory (tasks × B small files
+    * per write/append); with it each bucket lands in one task → ~1
+    * file per touched bucket per write. Index builds are offline
+    * cost, so the extra exchange is the right trade; a production
+    * deployment with TB-sized buckets raises the output parallelism
+    * (repartition(N, bucket)) instead.
     */
   def writeBucketed(df: DataFrame, keyCol: String, path: String,
                     mode: String): Unit =
     df.withColumn("bucket", bucketOf(col(keyCol)))
+      .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Read the index at `path` pruned to `batchKeys` (a one-column

@@ -522,6 +522,9 @@ object TextDedup {
       .select(col("e.band").as("band"), col("e.bkey").as("bkey"),
         col("doc_id"), col("simhash"))
       .withColumn("bucket", IndexLayout.bucketOf(col("bkey")))
+      // one task per (band, bucket) → ~1 file per touched directory
+      // per write (see IndexLayout.writeBucketed)
+      .repartition(col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(path)
 
   /** Incremental banded near-dup probe against [[writeHashIndex]]
@@ -1392,6 +1395,7 @@ object TextDedup {
       .join(benchSets.select(col("doc_id"), col("eval_set_id")), Seq("doc_id"))
       .select(col("g"), col("eval_set_id")).distinct()
       .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v0")
     flipIndexVersion(spark, path, 0)
@@ -1409,6 +1413,7 @@ object TextDedup {
     charWindows(newBench, windowChars).select(col("g")).distinct()
       .withColumn("eval_set_id", lit(evalSetId))
       .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("append").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$v")
   }
@@ -1426,6 +1431,7 @@ object TextDedup {
     spark.read.parquet(s"$path/v$cur")
       .select(col("g"), col("eval_set_id")).distinct()
       .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$next")
     flipIndexVersion(spark, path, next)

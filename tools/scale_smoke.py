@@ -98,8 +98,11 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # aggregate + narrow binary reassembly)
            # and the ingest-time normalized dedup probe (q175 — batch
            # projection + index-sized hash aggregate)
+           # r16: the q165 discipline at the production codebook size
+           # (q176 — kCode=32 integer Lloyd: m*rounds small aggregates
+           # + one narrow emit, linear in vectors)
            "q163", "q164", "q165", "q166", "q167", "q168", "q169",
-           "q170", "q171", "q172", "q173", "q174", "q175"]
+           "q170", "q171", "q172", "q173", "q174", "q175", "q176"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
