@@ -255,6 +255,21 @@ object AnnCurves {
       |  of 16 queries) — train >= 2 rounds. On the cloned sf1 tier both
       |  codebooks hit the same clone ceiling, so the de-cloned table is
       |  the one that ranks quantizers.
+      |- The kCode=32/64 rows (r15 directive 4) are the PRODUCTION
+      |  operating tier, built through `IvfIndex.writeTrainedAdcIndex`
+      |  (the 32-entry integer-Lloyd derivation is oracle-gated by
+      |  q176). The de-cloned recall collapse is fixed by the
+      |  combination, not any single knob: trained codebooks at
+      |  kCode >= 32 give the ADC stage usable candidate ordering
+      |  (adc-only 0.19-0.46), and the exact re-rank over cand = 10k
+      |  turns that into 0.61-0.93 — RECOMMENDED operating points:
+      |  m=16, kCode=32, nProbe=16, cand=10k -> 0.919 recall@10
+      |  scanning all codes + 100 raw rows; m=8, kCode=32, nProbe=8,
+      |  cand=10k -> 0.613 scanning half the codes. The seed column is
+      |  dash-marked there: the seed convention exists for oracle
+      |  replay, not production, and its kCode=16 collapse is already
+      |  quantified above. AnnRecallSpec pins the >= 0.5 bar end-to-end
+      |  through writeTrainedAdcIndex.
       |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)

@@ -491,6 +491,35 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("trained ADC index + re-rank clears 0.5 recall@10 on the de-cloned tier") {
+    import org.apache.spark.sql.functions.col
+    // the r16 production operating point (ANN_RECALL.md: m=16,
+    // kCode=32, nProbe=all, cand=10k measured 0.919 at lloyd=4): the
+    // whole path — trained codebook derivation (q176-gated), index
+    // build via writeTrainedAdcIndex, ADC candidate stage, exact
+    // re-rank — must clear the 0.5 bar the seed convention collapses
+    // under (kCode=16 seed IVFADC sat at ~0.1)
+    val k = 10
+    val qids = Seq(70L, 111L, 222L, 333L, 444L, 555L, 666L, 777L)
+    val exactK = qids.map(q =>
+      q -> ids(Similarity.bruteForceTopK(emb01, q, k))).toMap
+    val centroids = IvfIndex.train(emb01, nLists = 4, iters = 2)
+    val qvs = qids.map(q => q -> emb01.filter(col("vec_id") === q)
+      .select(org.apache.spark.sql.functions
+        .transform(col("embedding"), x => x.cast("double")))
+      .head.getSeq[Double](0)).toMap
+    val dir = tempDir("graft_adc_trained_prod")
+    IvfIndex.writeTrainedAdcIndex(emb01, centroids, dir, m = 16,
+      kCode = 32, rounds = 4)
+    val rec = qids.map { q =>
+      (ids(IvfIndex.topKAdcRerankIndexed(spark, dir, emb01, qvs(q), k,
+        nProbe = 4, cand = 10 * k, excludeVecId = q)) & exactK(q))
+        .size.toDouble / k
+    }.sum / qids.size
+    info(f"de-cloned trained ADC + re-rank (m=16, kCode=32): recall@10=$rec%.3f")
+    assert(rec >= 0.5, f"production operating point under the bar: $rec%.3f")
+  }
+
   test("semanticContamination forced-literal over the bound fails fast") {
     import org.apache.spark.sql.functions.col
     val e = intercept[IllegalArgumentException] {
