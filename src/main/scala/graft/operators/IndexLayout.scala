@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   * never read or rewritten, and there is no index structure to
   * rebuild (the bucket of a key never changes).
   *
-  * Sizing: `NumBuckets` = 64 here (directory count stays civil on the
-  * test tiers); a production deployment sizes B so one bucket of the
-  * expected index fits a scan task (B ≈ index_bytes / 128 MB) — the
+  * Sizing: `NumBuckets` = 16 here — on the test tiers the indexes are
+  * KBs, so bucket count is pure file-open overhead (measured: 64
+  * buckets cost the sf0.1 probes ~2× in parquet footer reads alone);
+  * a production deployment sizes B so one bucket of the expected
+  * index fits a scan task (B ≈ index_bytes / 128 MB — thousands, at
+  * which point bucket pruning alone carries the probe). The
   * probe-side contract (prune to the batch's buckets) is independent
   * of B.
   *
@@ -38,7 +41,7 @@ import org.apache.spark.sql.functions._
 object IndexLayout {
 
   /** Buckets per index — see the sizing note above. */
-  val NumBuckets = 64
+  val NumBuckets = 16
 
   /** Max distinct batch keys shipped as a literal IN-list into the
     * scan (beyond bucket pruning). Bounded so the filter expression
@@ -46,6 +49,38 @@ object IndexLayout {
     * bucket-only pruning, which is already history-size-independent.
     */
   val MaxKeyPushdown = 4096
+
+  /** Session conf: minimum index ON-DISK bytes before a probe pays
+    * the pruning machinery (one batch-sized stats job + filters). The
+    * same decision shape as the substring probe's broadcast tier: a
+    * tiny index costs less to scan whole than one extra pass over the
+    * batch, so pruning only engages once the index outgrows this —
+    * which any real standing index does immediately; the default
+    * exists so KB-sized test/ramp-up indexes don't pay prune jobs.
+    * Set to 0 to force pruning (plan pins, probe smoke).
+    */
+  val PruneMinBytesKey = "spark.graft.indexPruneMinBytes"
+  val PruneMinBytesDefault: Long = 16L << 20
+
+  private def pruneMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption(PruneMinBytesKey).map(_.toLong)
+      .getOrElse(PruneMinBytesDefault)
+
+  /** On-disk size of an index tree (driver-side filesystem metadata —
+    * the [[graft.operators.TextDedup.substringMatchesIndexed]]
+    * decision reads the same summary).
+    */
+  def indexBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+  }
+
+  /** Should a probe of the index at `path` pay the pruning machinery?
+    * False for indexes under [[PruneMinBytesKey]] on disk.
+    */
+  def shouldPrune(spark: SparkSession, path: String): Boolean =
+    indexBytes(spark, path) >= pruneMinBytes(spark)
 
   def bucketOf(key: Column): Column =
     pmod(xxhash64(key), lit(NumBuckets)).cast("int")
@@ -70,13 +105,15 @@ object IndexLayout {
   /** Read the index at `path` pruned to `batchKeys` (a one-column
     * frame of the batch's — possibly repeated — key values):
     *
-    *  1. ONE batch-sized job collects the distinct (key, bucket)
-    *     pairs up to [[MaxKeyPushdown]]+1;
-    *  2. within the cap → filter the scan by `bucket IN (...)` AND
-    *     `key IN (...)` (partition pruning + row-group pushdown);
-    *  3. over the cap → a second job collects just the distinct
-    *     buckets (≤ [[NumBuckets]] values by construction) and the
-    *     scan prunes on buckets alone.
+    *  1. ONE batch-sized job aggregates per-bucket distinct-key
+    *     counts (map-side combined to ≤ [[NumBuckets]] rows) — the
+    *     COMPLETE bucket set plus the exact distinct-key total;
+    *  2. the scan always prunes on `bucket IN (batch buckets)`;
+    *  3. when the distinct keys fit [[MaxKeyPushdown]], a second
+    *     (cheap by construction — the batch is small) job collects
+    *     them and the scan additionally pushes `key IN (...)` for
+    *     row-group/dictionary skipping inside the touched buckets.
+    *     Large batches pay exactly ONE extra batch pass.
     *
     * Correct for every probe here because each one only ever consumes
     * index rows whose key EQUALS some batch key (equi-joins and
@@ -88,23 +125,21 @@ object IndexLayout {
                  batchKeys: DataFrame): DataFrame = {
     val idx = spark.read.parquet(path)
     if (!idx.columns.contains("bucket")) idx // legacy flat layout
+    else if (!shouldPrune(spark, path)) idx.drop("bucket")
     else {
-      val kb = batchKeys
-        .select(col(batchKeys.columns.head).as("k"),
-          bucketOf(col(batchKeys.columns.head)).as("b"))
-        .distinct().limit(MaxKeyPushdown + 1).collect()
+      val kc = batchKeys.columns.head
+      val stats = batchKeys
+        .groupBy(bucketOf(col(kc)).as("b"))
+        .agg(count_distinct(col(kc)).as("n")).collect()
+      val buckets = stats.map(_.getInt(0)).toSeq
+      val nKeys = stats.map(_.getLong(1)).sum
+      val byBucket = idx.filter(col("bucket").isin(buckets: _*))
       val pruned =
-        if (kb.length <= MaxKeyPushdown) {
-          val buckets = kb.map(_.getInt(1)).distinct.toSeq
-          val keys = kb.map(_.get(0)).toSeq
-          idx.filter(col("bucket").isin(buckets: _*) &&
-            col(keyCol).isin(keys: _*))
-        } else {
-          val buckets = batchKeys
-            .select(bucketOf(col(batchKeys.columns.head)).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          idx.filter(col("bucket").isin(buckets: _*))
-        }
+        if (nKeys <= MaxKeyPushdown) {
+          val keys = batchKeys.select(col(kc)).distinct()
+            .collect().map(_.get(0)).toSeq
+          byBucket.filter(col(keyCol).isin(keys: _*))
+        } else byBucket
       pruned.drop("bucket")
     }
   }

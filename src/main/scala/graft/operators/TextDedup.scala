@@ -562,6 +562,9 @@ object TextDedup {
     val spark = newSigs.sparkSession
     val raw = spark.read.parquet(path)
     val legacy = !raw.columns.contains("band") // pre-bucketed flat layout
+    // tiny indexes scan whole (IndexLayout.shouldPrune): the pruning
+    // machinery only pays once the index outgrows one batch pass
+    val prune = !legacy && IndexLayout.shouldPrune(spark, path)
     val batch = graft.Tables.trackOperatorCache(
       newSigs.select(
         col("doc_id") +: col("simhash") +:
@@ -578,22 +581,23 @@ object TextDedup {
       if (legacy)
         raw.select(col("doc_id"), col("simhash"),
           expr(s"shiftrightunsigned(simhash, ${j * 16}) & 65535").as("bkey"))
+      else if (!prune)
+        raw.filter(col("band") === j)
+          .select(col("doc_id"), col("simhash"), col("bkey"))
       else {
         val base = raw.filter(col("band") === j)
-        val kb = batch.select(col(s"k$j").as("k"),
-            IndexLayout.bucketOf(col(s"k$j")).as("b"))
-          .distinct().limit(IndexLayout.MaxKeyPushdown + 1).collect()
+        val stats = batch
+          .groupBy(IndexLayout.bucketOf(col(s"k$j")).as("b"))
+          .agg(count_distinct(col(s"k$j")).as("n")).collect()
+        val buckets = stats.map(_.getInt(0)).toSeq
+        val nKeys = stats.map(_.getLong(1)).sum
+        val byBucket = base.filter(col("bucket").isin(buckets: _*))
         val pruned =
-          if (kb.length <= IndexLayout.MaxKeyPushdown)
-            base.filter(
-              col("bucket").isin(kb.map(_.getInt(1)).distinct.toSeq: _*) &&
-                col("bkey").isin(kb.map(_.get(0)).toSeq: _*))
-          else {
-            val buckets = batch
-              .select(IndexLayout.bucketOf(col(s"k$j")).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSeq
-            base.filter(col("bucket").isin(buckets: _*))
-          }
+          if (nKeys <= IndexLayout.MaxKeyPushdown) {
+            val keys = batch.select(col(s"k$j")).distinct()
+              .collect().map(_.get(0)).toSeq
+            byBucket.filter(col("bkey").isin(keys: _*))
+          } else byBucket
         pruned.select(col("doc_id"), col("simhash"), col("bkey"))
       })
     val capped = maxBandFreq.isDefined

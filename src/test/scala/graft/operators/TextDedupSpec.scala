@@ -471,13 +471,18 @@ class TextDedupSpec extends SparkSpec {
     // the shuffle tier (index too big to broadcast) is value-identical
     // AND bucket-prunes its index scan to the batch's windows — the
     // oversized-index path must never scan the whole standing index
-    val big = TextDedup.substringMatchesIndexed(train, dir, 40,
-      maxBroadcastBytes = 0L)
-    val bigPlan = big.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(bigPlan)
-      .isDefined, bigPlan)
-    assert(big.collect().toSeq == inline)
+    // (prune threshold forced to 0: this fixture index is tiny)
+    spark.conf.set(graft.operators.IndexLayout.PruneMinBytesKey, "0")
+    try {
+      val big = TextDedup.substringMatchesIndexed(train, dir, 40,
+        maxBroadcastBytes = 0L)
+      val bigPlan = big.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(bigPlan)
+        .isDefined, bigPlan)
+      assert(big.collect().toSeq == inline)
+    } finally
+      spark.conf.unset(graft.operators.IndexLayout.PruneMinBytesKey)
     // incremental append: half the benchmark at build + half appended
     // equals the full inline scan (duplicate windows across files are
     // harmless to the left-semi probe)

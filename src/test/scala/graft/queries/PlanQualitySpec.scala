@@ -591,27 +591,29 @@ class PlanQualitySpec extends SparkSpec {
     // the index scan is pruned to exactly the two columns the count
     // aggregate needs (chunk_idx is stored but not read)
     assert(plan.contains("struct<doc_id:bigint,chunk_hash:string>"), plan)
-    // and PARTITION-pruned to the batch's buckets (the bucketed
-    // standing-index layout): an unpruned scan reads all of history
-    // per batch, which at corpus scale dwarfs the batch itself
-    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
-      plan)
   }
 
   test("standing-index probes prune their scans to the batch's buckets") {
-    // q175 (norm-hash), q161 (banded media hash), q150/q77 (MinHash
-    // bands), q151 (gram index): every standing index is bucketed and
-    // every probe's parquet scan carries a bucket partition filter
-    for (q <- Seq("q175_norm_dedup_ingest", "q161_media_ingest_dedup",
-        "q77_incremental_dedup", "q151_novelty_index")) {
-      val plan = formatted(q)
-      assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan)
-        .isDefined, s"$q probe scan is not bucket-pruned:\n$plan")
-    }
-    // the banded media probe additionally pins its band slice
-    val mplan = formatted("q161_media_ingest_dedup")
-    assert("""PartitionFilters: \[[^\]]*band""".r.findFirstIn(mplan).isDefined,
-      mplan)
+    // q163 (chunk-hash), q175 (norm-hash), q161 (banded media hash),
+    // q77 (MinHash bands), q151 (gram index): every standing index is
+    // bucketed and every probe's parquet scan carries a bucket
+    // partition filter once the index crosses the engage threshold
+    // (forced to 0 here — the gate-scale indexes are KBs, and the
+    // threshold exists precisely so tiny indexes skip the machinery)
+    spark.conf.set(graft.operators.IndexLayout.PruneMinBytesKey, "0")
+    try {
+      for (q <- Seq("q163_cdc_ingest_probe", "q175_norm_dedup_ingest",
+          "q161_media_ingest_dedup", "q77_incremental_dedup",
+          "q151_novelty_index")) {
+        val plan = formatted(q)
+        assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan)
+          .isDefined, s"$q probe scan is not bucket-pruned:\n$plan")
+      }
+      // the banded media probe additionally pins its band slice
+      val mplan = formatted("q161_media_ingest_dedup")
+      assert("""PartitionFilters: \[[^\]]*band""".r.findFirstIn(mplan)
+        .isDefined, mplan)
+    } finally spark.conf.unset(graft.operators.IndexLayout.PruneMinBytesKey)
   }
 
   test("q164 CDC keep-first: one ownership aggregate + doc-partitioned window") {
