@@ -111,16 +111,17 @@ SLACK = 2.0
 # the previous run.
 REMEASURED_NOTES = [
     "This report is a single full-suite run (no cache merges), "
-    "re-measured in r15 with the round's new queries (q163-q175) in "
-    "the suite and the grading statistic changed from median to MIN "
-    "of the 3 timed reps (r14 verdict directive 2): r14's q34 FAIL "
-    "and q150 19.1x drift were both host-I/O spikes on a shared VM "
-    "that a median cannot shed — min-of-reps grades the plan, the "
-    "medians stay in the raw JSON for contention forensics. Two "
-    "earlier same-day full runs already re-established q34 at "
-    "20.2x/15.1x and q150 at 4.5x/3.8x; this final run adds the "
-    "byte-CDC apply pair (q173/q174) and the ingest-time normalized "
-    "dedup probe (q175).",
+    "re-measured in r16 with the trained-PQ production-codebook gate "
+    "(q176, kCode=32) added and the standing-index families "
+    "(q139/q150/q151/q161/q163/q175) re-graded through the round's "
+    "BUCKETED index layout (IndexLayout: partitionBy bucket, probes "
+    "prune to the batch's buckets/keys once the index crosses the "
+    "spark.graft.indexPruneMinBytes engage threshold; the probe-vs-"
+    "index-growth claim itself is graded separately by "
+    "tools/probe_smoke_report.md, which holds probe time ~flat "
+    "against a 10x history). Grading statistic remains MIN of the 3 "
+    "timed reps (r14 directive 2) — the medians stay in the raw JSON "
+    "for contention forensics.",
     "Historical context: q144's fp_sum overflowed i64 at sf1 (fixed "
     "with a modular digest); q148's interpreted HOF quantize chain "
     "cost 41 s at sf1 before the codegen'd graft_quantize8_arr "
