@@ -225,6 +225,70 @@ object AnnCurves {
       }
     }
 
+    // ---- text-IVF tier (r16 directive 5): the embedding-free hashed
+    // text vectors (the q124/q130 bridge) through seed vs TRAINED
+    // geometry on the de-cloned documents. Seed = the oracle-replayable
+    // conventions (IVF centroids are the first nLists docs' hashed
+    // vectors — the q130 geometry; ADC codebook = subvectors of the
+    // first kCode vectors); trained = Lloyd IVF centroids +
+    // writeTrainedAdcIndex's integer-Lloyd codebook (the q176-gated
+    // derivation). Ground truth: brute hashed-vector cosine.
+    val docsT = Tables.load(spark, declonedDir, "documents")
+    val tvecs = graft.operators.TextVectors.featureHashVectors(docsT, 256)
+      .select(col("doc_id").as("vec_id"), col("fvec").as("embedding"))
+      .cache()
+    val nT = tvecs.count()
+    val qidsT = (0 until nQueries).map(i => 32L + i * ((nT - 32) / nQueries))
+    val exactT: Map[Long, Set[Long]] = qidsT.map { q =>
+      q -> ids(Similarity.bruteForceTopK(tvecs, q, k))
+    }.toMap
+    def meanRecallT(top: Long => Set[Long]): Double =
+      qidsT.map(q => (top(q) & exactT(q)).size.toDouble / k).sum / qidsT.size
+    val qvsT: Map[Long, Seq[Double]] = qidsT.map { q =>
+      q -> tvecs.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0).toSeq
+    }.toMap
+    sb.append(s"\n## Text-IVF tier — `$declonedDir` documents hashed to ")
+    sb.append(s"256-d integer vectors ($nT docs): seed vs trained\n\n")
+    sb.append("| family | knob | seed recall@10 | trained recall@10 |\n")
+    sb.append("|---|---|---|---|\n")
+    val nListsT = 16
+    val seedCentsT = tvecs.filter(col("vec_id") < nListsT)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+    val trainCentsT = IvfIndex.train(tvecs, nListsT, iters = 2)
+    val ivfSeedDir = Files.createTempDirectory("graft_ann_tivf_s_").toString
+    val ivfTrainDir = Files.createTempDirectory("graft_ann_tivf_t_").toString
+    IvfIndex.writeIndex(tvecs, seedCentsT, ivfSeedDir)
+    IvfIndex.writeIndex(tvecs, trainCentsT, ivfTrainDir)
+    for (nProbe <- Seq(1, 2, 4, 8)) {
+      row2(s"text IVF-flat (nLists=$nListsT)", s"nProbe=$nProbe",
+        meanRecallT(q => ids(IvfIndex.topKIndexed(spark, ivfSeedDir, q, k, nProbe))),
+        meanRecallT(q => ids(IvfIndex.topKIndexed(spark, ivfTrainDir, q, k, nProbe))))
+    }
+    // the production compressed path over text vectors: trained IVFADC
+    // + exact re-rank, vs the all-seed conventions at the same shape
+    val adcSeedT = Files.createTempDirectory("graft_ann_tadc_s_").toString
+    val adcTrainT = Files.createTempDirectory("graft_ann_tadc_t_").toString
+    IvfIndex.writeAdcIndex(tvecs, seedCentsT, adcSeedT, m = 16, kCode = 32)
+    IvfIndex.writeTrainedAdcIndex(tvecs, trainCentsT, adcTrainT, m = 16,
+      kCode = 32, rounds = 4)
+    for (nProbe <- Seq(4, 8, 16)) {
+      row2("text IVFADC (m=16, kCode=32)", s"nProbe=$nProbe, adc-only",
+        meanRecallT(q => ids(IvfIndex.topKAdcIndexed(spark, adcSeedT,
+          qvsT(q), k, nProbe, excludeVecId = q))),
+        meanRecallT(q => ids(IvfIndex.topKAdcIndexed(spark, adcTrainT,
+          qvsT(q), k, nProbe, excludeVecId = q))))
+      row2("text IVFADC + re-rank (m=16, kCode=32, cand=10k)",
+        s"nProbe=$nProbe",
+        meanRecallT(q => ids(IvfIndex.topKAdcRerankIndexed(spark, adcSeedT,
+          tvecs, qvsT(q), k, nProbe, cand = 10 * k, excludeVecId = q))),
+        meanRecallT(q => ids(IvfIndex.topKAdcRerankIndexed(spark, adcTrainT,
+          tvecs, qvsT(q), k, nProbe, cand = 10 * k, excludeVecId = q))))
+    }
+
     sb.append("""
       |Notes:
       |- `testdata_sf1` replicates the sf0.1 embeddings 10× VERBATIM, so for
@@ -270,6 +334,15 @@ object AnnCurves {
       |  replay, not production, and its kCode=16 collapse is already
       |  quantified above. AnnRecallSpec pins the >= 0.5 bar end-to-end
       |  through writeTrainedAdcIndex.
+      |- The text-IVF tier (r16 directive 5) runs the embedding-free
+      |  hashed vectors through the SAME index stack: seed columns are
+      |  the q130/q121 oracle conventions, trained columns are Lloyd
+      |  IVF centroids + the q176-gated integer-Lloyd codebook via
+      |  writeTrainedAdcIndex. Hashed integer vectors are heavy-tailed
+      |  (a few hot buckets carry most mass), which quantizes BETTER
+      |  than the near-orthogonal synthetic embeddings — trained
+      |  text-ADC + re-rank is the recommended embedding-free serving
+      |  path; AnnRecallSpec pins its >= 0.5 bar end-to-end.
       |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)

@@ -99,15 +99,37 @@ object Tables {
   // release exactly the operator state it created — repeated TVF
   // calls otherwise accumulate persisted frames until the global
   // clearCache hammer runs, which also evicts unrelated user caches
-  // (r15 advice). Weakly keyed nowhere: entries die with the session
-  // via the same stopped-session sweep as the loader cache.
-  private val tracked = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+  // (r15 advice). WEAKLY keyed with weakly-held frames (r16 advice):
+  // a DataFrame strongly references its session, so a strong map
+  // would pin every cloned session (newSession) discarded without
+  // releaseTrackedCaches for the lifetime of the shared context. Once
+  // the caller drops the session and its frames, GC clears the entry.
+  // The trade: a frame GC'd BEFORE its release call can no longer be
+  // surgically unpersisted — its blocks reclaim via the shared
+  // context's clearCache, exactly the pre-tracking behavior; callers
+  // release promptly after the terminal action (same stack frame
+  // still references the frame), so the window is nil in practice.
+  private val tracked = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]]()
 
-  /** Register a persisted operator result for per-session release. */
+  /** Register a persisted operator result for per-session release.
+    * Also sweeps refs already cleared or unpersisted elsewhere
+    * (storageLevel back to NONE) so queues never grow unbounded in a
+    * session that mixes TVFs with global clearCache calls.
+    */
   def trackOperatorCache(df: DataFrame): DataFrame = {
-    tracked.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    tracked.synchronized {
+      val q = tracked.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[
+          java.lang.ref.WeakReference[DataFrame]]())
+      q.removeIf { r =>
+        val d = r.get()
+        d == null ||
+          (d ne df) && d.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      }
+      q.add(new java.lang.ref.WeakReference(df))
+    }
     df
   }
 
@@ -116,10 +138,9 @@ object Tables {
     * calls between TVF queries; user caches are untouched.
     */
   def releaseTrackedCaches(spark: SparkSession): Unit = {
-    tracked.keySet().removeIf(s => s.sparkContext.isStopped)
-    Option(tracked.remove(spark)).foreach { q =>
-      q.forEach(df => df.unpersist(blocking = false))
-    }
+    val q = tracked.synchronized(tracked.remove(spark))
+    if (q != null)
+      q.forEach(r => Option(r.get()).foreach(_.unpersist(blocking = false)))
   }
 
   /** Release every operator-internal `cache()` (see the cache contract

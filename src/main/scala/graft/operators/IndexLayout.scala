@@ -85,6 +85,16 @@ object IndexLayout {
   def bucketOf(key: Column): Column =
     pmod(xxhash64(key), lit(NumBuckets)).cast("int")
 
+  /** Layout of the existing index tree at `path`: Some(true) if it is
+    * bucketed (has the `bucket` partition column — the same check the
+    * probes use), Some(false) for a pre-bucketing flat tree, None if
+    * the path does not exist / holds no parquet yet.
+    */
+  def existingLayoutBucketed(spark: SparkSession,
+                             path: String): Option[Boolean] =
+    try Some(spark.read.parquet(path).columns.contains("bucket"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   /** Write `df` hash-bucketed on `keyCol` (mode = overwrite|append).
     * The bucket is derived, never stored logically: readers get it as
     * a partition column and [[prunedScan]] drops it. The write
@@ -95,25 +105,53 @@ object IndexLayout {
     * cost, so the extra exchange is the right trade; a production
     * deployment with TB-sized buckets raises the output parallelism
     * (repartition(N, bucket)) instead.
+    *
+    * Appends detect the EXISTING tree's layout first: appending
+    * bucket directories into a pre-bucketing flat tree would mix
+    * root-level data files with `bucket=*` dirs and break partition
+    * discovery ("Conflicting directory structures") — corrupting the
+    * standing index on the first append. A legacy flat tree therefore
+    * gets a flat append (the probes' legacy fallback keeps reading it,
+    * unpruned); rebuilding with mode=overwrite migrates it.
     */
   def writeBucketed(df: DataFrame, keyCol: String, path: String,
-                    mode: String): Unit =
-    df.withColumn("bucket", bucketOf(col(keyCol)))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(path)
+                    mode: String): Unit = {
+    val legacyAppend = mode == "append" &&
+      existingLayoutBucketed(df.sparkSession, path).contains(false)
+    if (legacyAppend) df.write.mode("append").parquet(path)
+    else
+      df.withColumn("bucket", bucketOf(col(keyCol)))
+        .repartition(col("bucket"))
+        .write.mode(mode).partitionBy("bucket").parquet(path)
+  }
 
   /** Read the index at `path` pruned to `batchKeys` (a one-column
     * frame of the batch's — possibly repeated — key values):
     *
-    *  1. ONE batch-sized job aggregates per-bucket distinct-key
-    *     counts (map-side combined to ≤ [[NumBuckets]] rows) — the
-    *     COMPLETE bucket set plus the exact distinct-key total;
+    *  1. ONE batch-sized job computes, per touched bucket, the exact
+    *     distinct-key count AND the keys themselves (shipped capped at
+    *     [[MaxKeyPushdown]]+1 per bucket, so the driver transfer is
+    *     ≤ B·(cap+1) rows regardless of batch size) — the COMPLETE
+    *     bucket set plus the distinct-key total, in one pass;
     *  2. the scan always prunes on `bucket IN (batch buckets)`;
-    *  3. when the distinct keys fit [[MaxKeyPushdown]], a second
-    *     (cheap by construction — the batch is small) job collects
-    *     them and the scan additionally pushes `key IN (...)` for
-    *     row-group/dictionary skipping inside the touched buckets.
-    *     Large batches pay exactly ONE extra batch pass.
+    *  3. when the distinct keys fit [[MaxKeyPushdown]], the already
+    *     collected per-bucket key lists (complete by construction —
+    *     each bucket's count ≤ the under-cap total) are additionally
+    *     pushed as `key IN (...)` for row-group/dictionary skipping
+    *     inside the touched buckets. No second batch job either way
+    *     (r16 verdict: the old stats+keys pair ran the batch lineage
+    *     twice; the fold recovers the q163/q175 probe overhead).
+    *
+    * The batch key column is CAST to the index key's type before
+    * hashing: `xxhash64` is type-sensitive, so an int batch key
+    * probed against a long index key would otherwise bucket
+    * differently and silently drop every match.
+    *
+    * Memory shape: the distinct runs as a spillable hash aggregate
+    * BEFORE the per-bucket collect_list, so the only unbounded buffer
+    * is one bucket's distinct keys — bounded by the batch, which is a
+    * micro-batch by contract (the same order the old two-job path
+    * paid twice).
     *
     * Correct for every probe here because each one only ever consumes
     * index rows whose key EQUALS some batch key (equi-joins and
@@ -127,17 +165,20 @@ object IndexLayout {
     if (!idx.columns.contains("bucket")) idx // legacy flat layout
     else if (!shouldPrune(spark, path)) idx.drop("bucket")
     else {
+      val kt = idx.schema(keyCol).dataType
       val kc = batchKeys.columns.head
-      val stats = batchKeys
-        .groupBy(bucketOf(col(kc)).as("b"))
-        .agg(count_distinct(col(kc)).as("n")).collect()
+      val keyed = batchKeys.select(col(kc).cast(kt).as("k")).distinct()
+      val stats = keyed
+        .groupBy(bucketOf(col("k")).as("b"))
+        .agg(count(lit(1)).as("n"),
+          slice(collect_list(col("k")), 1, MaxKeyPushdown + 1).as("ks"))
+        .collect()
       val buckets = stats.map(_.getInt(0)).toSeq
       val nKeys = stats.map(_.getLong(1)).sum
       val byBucket = idx.filter(col("bucket").isin(buckets: _*))
       val pruned =
         if (nKeys <= MaxKeyPushdown) {
-          val keys = batchKeys.select(col(kc)).distinct()
-            .collect().map(_.get(0)).toSeq
+          val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
           byBucket.filter(col(keyCol).isin(keys: _*))
         } else byBucket
       pruned.drop("bucket")

@@ -444,15 +444,35 @@ object Similarity {
     * at 100 TB you raise k so cells stay ~10⁴-10⁵ rows (SemDeDup used
     * 50k clusters for LAION); cross-cluster near-dups are the accepted
     * recall loss of the method.
+    *
+    * The sizing rule assumes the geometry cooperates; when one
+    * degenerate centroid swallows a clone-heavy corpus the cell
+    * self-join goes quadratic with no error. `maxClusterN` is the
+    * guard (the [[prototypicality]] / q86 hot-key discipline):
+    * clusters larger than the cap are EXCLUDED from pair mining — all
+    * their members are kept (`dup_of` null) — declarative semantics an
+    * oracle can state without knowing the plan ("a vector is dropped
+    * when some smaller-id neighbour in its ≤ cap-member cluster
+    * reaches the threshold"). The size filter runs on an aggregate
+    * BEFORE the join, so no join group ever exceeds the cap and the
+    * pair work is ≤ cap²·k by construction.
     */
   def semanticDedup(emb: DataFrame, seedIds: Seq[Long], threshold: Double,
-                    iters: Int = 0): DataFrame = {
+                    iters: Int = 0,
+                    maxClusterN: Option[Long] = None): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val centroids = seedCentroids(vecs, seedIds, iters)
     val asn = vecs.withColumn("cluster_id", IvfIndex.argmin(centroids))
-    val a = asn.select(col("cluster_id"), col("vec_id").as("wa"), col("v").as("va"))
-    val b = asn.select(col("cluster_id"), col("vec_id").as("wb"), col("v").as("vb"))
+    val mined = maxClusterN.fold(asn) { cap =>
+      val small = asn.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_n"))
+        .filter(col("cluster_n") <= cap)
+        .select(col("cluster_id"))
+      asn.join(small, Seq("cluster_id"))
+    }
+    val a = mined.select(col("cluster_id"), col("vec_id").as("wa"), col("v").as("va"))
+    val b = mined.select(col("cluster_id"), col("vec_id").as("wb"), col("v").as("vb"))
     val drops = a.join(b, Seq("cluster_id"))
       .filter(col("wa") < col("wb") &&
         cosine(col("va"), col("vb")) >= threshold)

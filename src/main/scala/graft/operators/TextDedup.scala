@@ -513,7 +513,19 @@ object TextDedup {
     writeHashIndexMode(sigs, path, "append")
 
   private def writeHashIndexMode(sigs: DataFrame, path: String,
-                                 mode: String): Unit =
+                                 mode: String): Unit = {
+    // appending band/bucket dirs into a pre-bucketing flat tree would
+    // break partition discovery (the IndexLayout.writeBucketed
+    // contract): a legacy (doc_id, simhash) tree gets a flat append
+    // and keeps riding the probe's legacy fallback
+    val legacyAppend = mode == "append" &&
+      (try !sigs.sparkSession.read.parquet(path).columns.contains("band")
+       catch { case _: org.apache.spark.sql.AnalysisException => false })
+    if (legacyAppend) {
+      sigs.select(col("doc_id"), col("simhash"))
+        .write.mode("append").parquet(path)
+      return
+    }
     sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
@@ -526,6 +538,7 @@ object TextDedup {
       // per write (see IndexLayout.writeBucketed)
       .repartition(col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(path)
+  }
 
   /** Incremental banded near-dup probe against [[writeHashIndex]]
     * state: which NEW signatures are within `maxHamming` of an indexed
@@ -586,16 +599,21 @@ object TextDedup {
           .select(col("doc_id"), col("simhash"), col("bkey"))
       else {
         val base = raw.filter(col("band") === j)
-        val stats = batch
-          .groupBy(IndexLayout.bucketOf(col(s"k$j")).as("b"))
-          .agg(count_distinct(col(s"k$j")).as("n")).collect()
+        // ONE batch job per band: per-bucket key count + the keys
+        // themselves shipped capped (the IndexLayout.prunedScan fold —
+        // the old stats+keys pair ran the cached batch twice per band)
+        val stats = batch.select(col(s"k$j").as("k")).distinct()
+          .groupBy(IndexLayout.bucketOf(col("k")).as("b"))
+          .agg(count(lit(1)).as("n"),
+            slice(collect_list(col("k")), 1,
+              IndexLayout.MaxKeyPushdown + 1).as("ks"))
+          .collect()
         val buckets = stats.map(_.getInt(0)).toSeq
         val nKeys = stats.map(_.getLong(1)).sum
         val byBucket = base.filter(col("bucket").isin(buckets: _*))
         val pruned =
           if (nKeys <= IndexLayout.MaxKeyPushdown) {
-            val keys = batch.select(col(s"k$j")).distinct()
-              .collect().map(_.get(0)).toSeq
+            val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
             byBucket.filter(col("bkey").isin(keys: _*))
           } else byBucket
         pruned.select(col("doc_id"), col("simhash"), col("bkey"))
@@ -603,15 +621,20 @@ object TextDedup {
     val capped = maxBandFreq.isDefined
     // hot flags ride the BATCH rows (one pruned-scan aggregate + one
     // 1:≤1 flag join per band); counts per key over the pruned scan
-    // equal the full-index counts for every batch key
+    // equal the full-index counts for every batch key. The flagged
+    // batch is CACHED (r16 advice): each of the 4 per-band joins
+    // consumes it, and without the cache a legacy/under-threshold
+    // probe would re-run all 4 hot aggregates + the batch lineage per
+    // band join.
     val flagged = maxBandFreq.fold(batch) { cap =>
-      (0 until 4).foldLeft(batch) { (df, j) =>
-        val hot = scanBand(j).groupBy(col("bkey"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-          .select(col("bkey").as(s"k$j"), lit(true).as(s"h$j"))
-        df.join(hot, Seq(s"k$j"), "left")
-          .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
-      }
+      graft.Tables.trackOperatorCache(
+        (0 until 4).foldLeft(batch) { (df, j) =>
+          val hot = scanBand(j).groupBy(col("bkey"))
+            .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+            .select(col("bkey").as(s"k$j"), lit(true).as(s"h$j"))
+          df.join(hot, Seq(s"k$j"), "left")
+            .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
+        }.cache())
     }
     val perBand = (0 until 4).map { j =>
       val eligible = if (capped) !col(s"a.h$j") else lit(true)

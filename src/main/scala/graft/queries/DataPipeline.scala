@@ -563,6 +563,34 @@ object DataPipeline {
           $"kept", $"dup_of")
         .orderBy($"vec_id")
     },
+    // q112 with the degenerate-cluster guard engaged: clusters larger
+    // than total/4 members are EXCLUDED from pair mining (all their
+    // members kept) — the declarative cap semantics that keep one
+    // skewed centroid from making the within-cluster join quadratic.
+    // The cap deliberately BITES on this fixture (two of the four
+    // Voronoi cells exceed total/4 at every SF), so the gate pins both
+    // arms: capped-out clusters all-kept, surviving clusters deduped
+    // identically to q112. The count() that sizes the cap is one
+    // batch-cheap job; at production scale the cap is a constant you
+    // choose (~10⁵), not a computed fraction.
+    "q177_semdedup_capped" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.loadParallel(s, dir, "embeddings")
+      val base = emb.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+      val planted = emb.select($"vec_id",
+        transform($"embedding", x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
+          .as("embedding"))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      val u = base.unionAll(planted)
+      Similarity.semanticDedup(u, seedIds = Seq(0L, 1L, 2L, 3L),
+          threshold = 0.95, iters = 0, maxClusterN = Some(u.count() / 4))
+        .select($"vec_id", $"cluster_id".cast("long").as("cluster_id"),
+          $"kept", $"dup_of")
+        .orderBy($"vec_id")
+    },
     // prototypicality pruning ("beyond neural scaling laws" shape):
     // rank every vector by cosine to its own cluster centroid and drop
     // the most-prototypical 10% of each cluster (the policy large-data
@@ -1881,6 +1909,40 @@ object DataPipeline {
         |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
         |    FROM sc) WHERE rn = 1),
         |n AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM asn),
+        |pr AS (SELECT a.vec_id AS wa, b.vec_id AS wb
+        |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
+        |d AS (SELECT wb AS vec_id, min(wa) AS dup_of FROM pr GROUP BY 1)
+        |SELECT asn.vec_id, asn.cid AS cluster_id,
+        |  d.dup_of IS NULL AS kept, d.dup_of
+        |FROM asn LEFT JOIN d ON asn.vec_id = d.vec_id
+        |ORDER BY asn.vec_id""".stripMargin,
+
+    // q177: the q112 replay with the cluster cap — pairs are mined
+    // only within clusters of ≤ count(*)/4 members (integer division
+    // both engines); members of capped-out clusters are all kept.
+    "q177_semdedup_capped" ->
+      """WITH o AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id + 10000 AS vid,
+        |    list_transform(v, x -> x + 0.005 * CAST(1 + vec_id % 3 AS DOUBLE)) AS v
+        |  FROM o),
+        |u AS (SELECT vec_id, v FROM o UNION ALL SELECT vid AS vec_id, v FROM p),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM u WHERE vec_id IN (0, 1, 2, 3)),
+        |sc AS (SELECT u.vec_id, u.v, c.cid,
+        |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(u.v, c.cv) AS score
+        |  FROM u, c),
+        |asn AS (SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |small AS (SELECT cid FROM asn GROUP BY cid
+        |  HAVING count(*) <= (SELECT count(*) // 4 FROM u)),
+        |n AS (SELECT asn.vec_id, asn.v, asn.cid,
+        |    sqrt(list_dot_product(asn.v, asn.v)) AS nrm
+        |  FROM asn JOIN small ON asn.cid = small.cid),
         |pr AS (SELECT a.vec_id AS wa, b.vec_id AS wb
         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),

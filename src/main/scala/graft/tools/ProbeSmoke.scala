@@ -25,13 +25,23 @@ import graft.operators.{TextAnalysis, TextDedup}
   * Timing: 1 cold + 3 timed reps per cell, min of the timed reps (the
   * contention-robust statistic, like tools/scale_smoke.py).
   *
-  * `runMain graft.tools.ProbeSmoke [out.md]` — writes
+  * `runMain graft.tools.ProbeSmoke [out.md] [dir1x] [dir10x]` — writes
   * tools/probe_smoke_report.md by default; every row also prints as
-  * `[probe-smoke] family t1x=… t10x=… ratio=… verdict=…`.
+  * `[probe-smoke] family t1x=… t10x=… ratio=… verdict=…`. The two
+  * history dirs default to /root/testdata/sf0.1 and ./testdata_sf1
+  * and are overridable by args 2/3 or SPARK_GRAFT_SMOKE_1X_DIR /
+  * SPARK_GRAFT_SMOKE_10X_DIR (the Bench/Profile parameterization
+  * convention), so the smoke runs on any machine layout.
   */
 object ProbeSmoke {
   def main(args: Array[String]): Unit = {
     val outFile = if (args.nonEmpty) args(0) else "tools/probe_smoke_report.md"
+    val dir1x = args.lift(1)
+      .orElse(sys.env.get("SPARK_GRAFT_SMOKE_1X_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
+    val dir10x = args.lift(2)
+      .orElse(sys.env.get("SPARK_GRAFT_SMOKE_10X_DIR"))
+      .getOrElse("testdata_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,9 +55,9 @@ object ProbeSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val small = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val small = Tables.load(spark, dir1x, "documents")
       .select(col("doc_id"), col("text"))
-    val big = Tables.load(spark, "testdata_sf1", "documents")
+    val big = Tables.load(spark, dir10x, "documents")
       .select(col("doc_id"), col("text"))
     val batch = small.filter(col("doc_id") >= 4800).cache()
     batch.count()

@@ -520,6 +520,47 @@ class AnnRecallSpec extends SparkSpec {
     assert(rec >= 0.5, f"production operating point under the bar: $rec%.3f")
   }
 
+  test("text-IVF trained path: hashed vectors through writeTrainedAdcIndex clear the bar") {
+    import org.apache.spark.sql.functions.{col, transform}
+    // r16 directive 5: the embedding-free text-ANN path (q124 hashed
+    // vectors, q130 IVF layout) through the PRODUCTION trained-codebook
+    // build (q176-gated integer-Lloyd derivation inside
+    // writeTrainedAdcIndex) + exact re-rank — the de-cloned documents
+    // tier, ground truth = brute hashed cosine. ANN_RECALL.md publishes
+    // the full seed-vs-trained table; this pins the operating point.
+    val k = 10
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val tvecs = graft.operators.TextVectors.featureHashVectors(docs, 256)
+      .select(col("doc_id").as("vec_id"), col("fvec").as("embedding"))
+      .cache()
+    try {
+      val qids = Seq(70L, 444L, 1111L, 2222L, 3333L)
+      val exactK = qids.map(q =>
+        q -> ids(Similarity.bruteForceTopK(tvecs, q, k))).toMap
+      val qvs = qids.map(q => q -> tvecs.filter(col("vec_id") === q)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head.getSeq[Double](0)).toMap
+      val centroids = IvfIndex.train(tvecs, nLists = 4, iters = 2)
+      val dir = tempDir("graft_text_adc_trained")
+      IvfIndex.writeTrainedAdcIndex(tvecs, centroids, dir, m = 16,
+        kCode = 32, rounds = 2)
+      def recall(nProbe: Int) = qids.map { q =>
+        (ids(IvfIndex.topKAdcRerankIndexed(spark, dir, tvecs, qvs(q), k,
+          nProbe, cand = 10 * k, excludeVecId = q)) & exactK(q))
+          .size.toDouble / k
+      }.sum / qids.size
+      val rec = recall(4)
+      info(f"text-IVF trained ADC + re-rank (m=16, kCode=32): recall@10=$rec%.3f")
+      assert(rec >= 0.5, f"text trained operating point under the bar: $rec%.3f")
+      // and the probed-partial tier still prunes list partitions
+      val pruned = IvfIndex.topKAdcIndexed(spark, dir, qvs(70L), k,
+        nProbe = 1, excludeVecId = 70L)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(scan).isDefined, scan)
+    } finally tvecs.unpersist()
+  }
+
   test("semanticContamination forced-literal over the bound fails fast") {
     import org.apache.spark.sql.functions.col
     val e = intercept[IllegalArgumentException] {

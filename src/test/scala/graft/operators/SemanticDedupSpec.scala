@@ -90,6 +90,44 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup maxClusterN keeps every member of the planted giant cluster") {
+    // the degenerate geometry the cap guards against: 40 near-clones
+    // all land on blob A's centroid (one cell = ~the corpus, the
+    // quadratic shape), blob B keeps 2 members with a planted
+    // near-copy pair. With the cap the giant cell is excluded from
+    // pair mining — all its members kept, no witness — while the
+    // small cell still dedups.
+    val giant = (10L until 50L).map(i =>
+      (i, Array(1.0f, 0.0f, (i % 7) * 1e-4f, 0.0f)))
+    val small = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f)),
+      (5L, Array(0.1f, 0.9f, 0.0f, 0.1001f))) // near-copy of 3
+    val emb = (small ++ giant).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, seedIds = Seq(0L, 1L),
+        threshold = 0.999, iters = 0, maxClusterN = Some(10L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // every row still present with its assignment
+    assert(out.keySet == (small ++ giant).map(_._1).toSet)
+    // the giant cluster (blob A: 0 + the 40 clones) is capped out:
+    // all kept despite being mutual near-copies
+    val aCluster = out(0L)._1
+    val aMembers = out.filter(_._2._1 == aCluster)
+    assert(aMembers.size == 41)
+    assert(aMembers.values.forall(v => v._2 && v._3.isEmpty))
+    // the small cluster still dedups: 5 folds onto 3
+    assert(out(1L)._2 && out(3L)._2)
+    assert(!out(5L)._2 && out(5L)._3.contains(3L))
+    // uncapped, the same fixture mines the giant cell's pairs
+    val un = Similarity.semanticDedup(emb, seedIds = Seq(0L, 1L),
+        threshold = 0.999, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(un.count(!_._2) > 1)
+  }
+
   test("prototypicality maxClusterN excludes the planted giant cluster") {
     // a degenerate corpus: 40 near-clones collapse onto blob A's
     // centroid while blob B keeps 2 members — with a cap below 40

@@ -650,6 +650,47 @@ class TextDedupSpec extends SparkSpec {
     assert(appended == Seq((10L, 1L, 1L), (11L, 1L, 2L), (12L, 0L, -1L)))
   }
 
+  test("appends detect a legacy flat index and keep it readable (no mixed layout)") {
+    // a pre-bucketing flat tree: appending bucket=*/ dirs into it
+    // would break partition discovery ("Conflicting directory
+    // structures") and corrupt the standing index on the first append
+    // (r16 advice). The append must stay flat; the probe's legacy
+    // fallback keeps reading the whole tree.
+    val hist1 = Seq((1L, "Alpha, Beta!")).toDF("doc_id", "text")
+    val hist2 = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA BETA"), (11L, "gamma  delta"), (12L, "fresh words"))
+      .toDF("doc_id", "text")
+    val dir = tempDir("graft_norm_idx_legacy")
+    // legacy layout = the 2-column projection written flat
+    TextDedup.normalizedDedup(hist1)
+      .select($"doc_id", $"norm_hash").write.mode("overwrite").parquet(dir)
+    TextDedup.appendToNormHashIndex(hist2, dir)
+    val got = TextDedup.normalizedDedupAgainstIndex(batch, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((10L, 1L, 1L), (11L, 1L, 2L), (12L, 0L, -1L)))
+    // and the tree stayed flat — no bucket partition column appeared
+    assert(!spark.read.parquet(dir).columns.contains("bucket"))
+  }
+
+  test("hash-index append detects a legacy flat tree and keeps it readable") {
+    val anchorA = 0x1111222233334444L
+    val anchorB = 0x5555666677778888L
+    val dir = tempDir("graft_hash_idx_legacy")
+    // legacy layout: flat (doc_id, simhash), no band/bucket dirs
+    Seq((1L, anchorA)).toDF("doc_id", "simhash")
+      .write.mode("overwrite").parquet(dir)
+    TextDedup.appendToHashIndex(
+      Seq((2L, anchorB)).toDF("doc_id", "simhash"), dir)
+    val batch = Seq((100L, anchorA ^ 1L), (101L, anchorB))
+      .toDF("doc_id", "simhash")
+    val hits = TextDedup.nearDupsAgainstHashIndex(batch, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(hits == Seq((100L, 1L, 1), (101L, 2L, 0)))
+    assert(!spark.read.parquet(dir).columns.contains("band"))
+  }
+
   test("CDC chunk index: append-built probe equals rebuild-from-scratch") {
     val mk = (id: Long, seed: Int) =>
       (id, (0 until 120).map(i => s"w${(i * 13 + seed) % 211}").mkString(" "))

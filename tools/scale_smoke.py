@@ -102,7 +102,12 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # (q176 — kCode=32 integer Lloyd: m*rounds small aggregates
            # + one narrow emit, linear in vectors)
            "q163", "q164", "q165", "q166", "q167", "q168", "q169",
-           "q170", "q171", "q172", "q173", "q174", "q175", "q176"]
+           "q170", "q171", "q172", "q173", "q174", "q175", "q176",
+           # r17: semantic dedup with the degenerate-cluster cap
+           # (q177 — clusters above total/4 members are excluded from
+           # pair mining, so pair work is bounded by the cap; the
+           # work counter below replays the cap from the dump)
+           "q177"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
@@ -152,6 +157,15 @@ DUMP_WORK_SQL = {
     "q112": """
       SELECT CAST(sum(n * n) AS BIGINT) FROM (
         SELECT cluster_id, count(*) AS n
+        FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
+    # q177 = q112 with the cap: clusters above total/4 are excluded
+    # from pair mining (their members only pay the linear assignment
+    # term), so the query's true work is linear + the SMALL cells'
+    # pair term — the bound the cap exists to enforce
+    "q177": """
+      SELECT CAST(sum(CASE WHEN n <= t / 4 THEN n * n ELSE n END)
+                  AS BIGINT) FROM (
+        SELECT cluster_id, count(*) AS n, sum(count(*)) OVER () AS t
         FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
 }
 
