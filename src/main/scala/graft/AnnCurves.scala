@@ -234,8 +234,11 @@ object AnnCurves {
     // writeTrainedAdcIndex's integer-Lloyd codebook (the q176-gated
     // derivation). Ground truth: brute hashed-vector cosine.
     val docsT = Tables.load(spark, declonedDir, "documents")
+    // integer counts cast once to double: the ANN kernels are
+    // float/double-typed (exactly representable — entries are small)
     val tvecs = graft.operators.TextVectors.featureHashVectors(docsT, 256)
-      .select(col("doc_id").as("vec_id"), col("fvec").as("embedding"))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("fvec"), x => x.cast("double")).as("embedding"))
       .cache()
     val nT = tvecs.count()
     val qidsT = (0 until nQueries).map(i => 32L + i * ((nT - 32) / nQueries))
@@ -268,25 +271,24 @@ object AnnCurves {
         meanRecallT(q => ids(IvfIndex.topKIndexed(spark, ivfSeedDir, q, k, nProbe))),
         meanRecallT(q => ids(IvfIndex.topKIndexed(spark, ivfTrainDir, q, k, nProbe))))
     }
-    // the production compressed path over text vectors: trained IVFADC
-    // + exact re-rank, vs the all-seed conventions at the same shape
+    // the compressed tier over text vectors: trained IVFADC + exact
+    // re-rank vs the all-seed conventions at the same shape. Published
+    // for honesty, not as a recommendation — AnnRecallSpec's 24-config
+    // sweep (m × kCode × rounds × cand) plateaus at 0.20–0.48, cand
+    // the only effective lever: PQ's global int8 grid crushes
+    // heavy-tailed sparse count vectors (see the note below).
     val adcSeedT = Files.createTempDirectory("graft_ann_tadc_s_").toString
     val adcTrainT = Files.createTempDirectory("graft_ann_tadc_t_").toString
-    IvfIndex.writeAdcIndex(tvecs, seedCentsT, adcSeedT, m = 16, kCode = 32)
+    IvfIndex.writeAdcIndex(tvecs, seedCentsT, adcSeedT, m = 16, kCode = 64)
     IvfIndex.writeTrainedAdcIndex(tvecs, trainCentsT, adcTrainT, m = 16,
-      kCode = 32, rounds = 4)
-    for (nProbe <- Seq(4, 8, 16)) {
-      row2("text IVFADC (m=16, kCode=32)", s"nProbe=$nProbe, adc-only",
-        meanRecallT(q => ids(IvfIndex.topKAdcIndexed(spark, adcSeedT,
-          qvsT(q), k, nProbe, excludeVecId = q))),
-        meanRecallT(q => ids(IvfIndex.topKAdcIndexed(spark, adcTrainT,
-          qvsT(q), k, nProbe, excludeVecId = q))))
-      row2("text IVFADC + re-rank (m=16, kCode=32, cand=10k)",
+      kCode = 64, rounds = 2)
+    for (nProbe <- Seq(8, 16); cand <- Seq(10, 30)) {
+      row2(s"text IVFADC + re-rank (m=16, kCode=64, cand=${cand}k)",
         s"nProbe=$nProbe",
         meanRecallT(q => ids(IvfIndex.topKAdcRerankIndexed(spark, adcSeedT,
-          tvecs, qvsT(q), k, nProbe, cand = 10 * k, excludeVecId = q))),
+          tvecs, qvsT(q), k, nProbe, cand = cand * k, excludeVecId = q))),
         meanRecallT(q => ids(IvfIndex.topKAdcRerankIndexed(spark, adcTrainT,
-          tvecs, qvsT(q), k, nProbe, cand = 10 * k, excludeVecId = q))))
+          tvecs, qvsT(q), k, nProbe, cand = cand * k, excludeVecId = q))))
     }
 
     sb.append("""
@@ -338,11 +340,20 @@ object AnnCurves {
       |  hashed vectors through the SAME index stack: seed columns are
       |  the q130/q121 oracle conventions, trained columns are Lloyd
       |  IVF centroids + the q176-gated integer-Lloyd codebook via
-      |  writeTrainedAdcIndex. Hashed integer vectors are heavy-tailed
-      |  (a few hot buckets carry most mass), which quantizes BETTER
-      |  than the near-orthogonal synthetic embeddings — trained
-      |  text-ADC + re-rank is the recommended embedding-free serving
-      |  path; AnnRecallSpec pins its >= 0.5 bar end-to-end.
+      |  writeTrainedAdcIndex. The RECOMMENDED text serving path is the
+      |  trained IVF-FLAT index: scoring over the probed lists is exact
+      |  integer arithmetic, so recall is purely an assignment question
+      |  and full probe reproduces brute force bit-for-bit
+      |  (AnnRecallSpec pins both). The ADC tier is published for
+      |  honesty, NOT recommended for hashed text: count vectors are
+      |  heavy-tailed (hot buckets reach hundreds while typical entries
+      |  are 1-3), so PQ's global int8 grid quantizes most entries
+      |  to zero and the ADC ordering plateaus at 0.20-0.48 recall@10
+      |  across a 24-config sweep regardless of m/kCode/rounds — cand
+      |  (the exact re-rank pool) is the only effective lever. Real
+      |  embeddings don't have this pathology (see the tiers above);
+      |  if text must be compressed, quantize per-vector (the q93 int8
+      |  path) instead of product-quantizing.
       |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)

@@ -44,11 +44,29 @@ object IndexLayout {
   val NumBuckets = 16
 
   /** Max distinct batch keys shipped as a literal IN-list into the
-    * scan (beyond bucket pruning). Bounded so the filter expression
-    * and its parquet pushdown stay cheap; larger batches fall back to
-    * bucket-only pruning, which is already history-size-independent.
+    * scan (beyond bucket pruning). MEASURED crossover
+    * (tools/inlist_crossover.md, 50k-doc gram index, probe =
+    * scan+count, min of 3): the literal IN-list wins below ~2k keys
+    * (256 keys: 0.12 s vs 0.18 s semi — parquet gets the list as a
+    * pushed filter, row-group stats + dictionary pages skip
+    * non-matching pages), while the broadcast left-semi join is FLAT
+    * in the key count (~0.12-0.18 s at 256→16384 keys) and wins above
+    * (4096: 0.20 s IN vs 0.12 s semi; 16384: 0.60 s vs 0.13 s — the
+    * filter expression's build+eval cost grows with the list). Hence
+    * the tiering: IN-list to 2048, then [[SemiJoinMaxKeys]].
     */
-  val MaxKeyPushdown = 4096
+  val MaxKeyPushdown = 2048
+
+  /** Max distinct batch keys restricted via a broadcast LEFT-SEMI join
+    * of the scan against the batch's distinct-key frame — the tier
+    * between the literal IN-list and bucket-only pruning. No parquet
+    * pushdown, but a constant-size plan and a hash-probe per scanned
+    * row; the build side is the batch's distinct keys (never the
+    * index), bounded here so the explicit broadcast stays
+    * driver/executor-safe. Above this, bucket pruning alone (already
+    * history-size-independent) carries the probe.
+    */
+  val SemiJoinMaxKeys: Long = 1L << 20
 
   /** Session conf: minimum index ON-DISK bytes before a probe pays
     * the pruning machinery (one batch-sized stats job + filters). The
@@ -140,7 +158,14 @@ object IndexLayout {
     *     pushed as `key IN (...)` for row-group/dictionary skipping
     *     inside the touched buckets. No second batch job either way
     *     (r16 verdict: the old stats+keys pair ran the batch lineage
-    *     twice; the fold recovers the q163/q175 probe overhead).
+    *     twice; the fold recovers the q163/q175 probe overhead);
+    *  4. between [[MaxKeyPushdown]] and [[SemiJoinMaxKeys]] distinct
+    *     keys, the scan is instead restricted by a broadcast
+    *     LEFT-SEMI join against the batch's distinct keys (measured
+    *     flat in the key count where the literal IN-list grows —
+    *     see the crossover table on [[MaxKeyPushdown]]); that costs
+    *     one more batch pass (the distinct re-runs under the join),
+    *     bounded by the batch.
     *
     * The batch key column is CAST to the index key's type before
     * hashing: `xxhash64` is type-sensitive, so an int batch key
@@ -180,7 +205,10 @@ object IndexLayout {
         if (nKeys <= MaxKeyPushdown) {
           val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
           byBucket.filter(col(keyCol).isin(keys: _*))
-        } else byBucket
+        } else if (nKeys <= SemiJoinMaxKeys)
+          byBucket.join(broadcast(keyed.select(col("k").as(keyCol))),
+            Seq(keyCol), "left_semi")
+        else byBucket
       pruned.drop("bucket")
     }
   }

@@ -615,7 +615,12 @@ object TextDedup {
           if (nKeys <= IndexLayout.MaxKeyPushdown) {
             val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
             byBucket.filter(col("bkey").isin(keys: _*))
-          } else byBucket
+          } else
+            // the band key universe is <= 65536, always inside the
+            // semi-join tier (IndexLayout.SemiJoinMaxKeys)
+            byBucket.join(
+              broadcast(batch.select(col(s"k$j").as("bkey")).distinct()),
+              Seq("bkey"), "left_semi")
         pruned.select(col("doc_id"), col("simhash"), col("bkey"))
       })
     val capped = maxBandFreq.isDefined

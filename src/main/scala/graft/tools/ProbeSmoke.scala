@@ -130,13 +130,14 @@ object ProbeSmoke {
     // substring windows: the probe's key universe is per-CHAR windows,
     // so pruning granularity depends on the batch. A bounded batch
     // (distinct windows <= MaxKeyPushdown) rides the key-pushdown path
-    // and must be flat; a big batch touches every bucket and degrades
-    // to a 1/B-granular scan of the index — graded against the
-    // LINEAR budget (~10x + noise) it is honestly expected to track,
-    // and printed so the trade is visible, not hidden. (The broadcast
-    // tier — benchmark window sets are usually MBs — is trivially
-    // flat and not under grade; maxBroadcastBytes = 0 forces the
-    // oversized-index tier here.)
+    // and must be flat; a big batch touches every bucket and rides the
+    // broadcast SEMI-JOIN tier (key-restricted, but not parquet-pushed
+    // — every touched-bucket row is read and hash-probed), so it
+    // tracks the touched-bucket volume: graded against the LINEAR
+    // budget (~10x + noise) and printed so the trade stays visible.
+    // (The broadcast tier — benchmark window sets are usually MBs —
+    // is trivially flat and not under grade; maxBroadcastBytes = 0
+    // forces the oversized-index tier here.)
     val batch12 = small.filter(col("doc_id") >= 4988).cache()
     batch12.count()
     grade("substring_windows bounded batch (q139)",
@@ -161,12 +162,13 @@ object ProbeSmoke {
     sb.append("not the history. Budget: ratio <= 3.0 (noise + more part ")
     sb.append("files per touched bucket); an O(index) scan would sit near ")
     sb.append("10x. The one deliberate exception: a batch whose distinct ")
-    sb.append("key count exceeds the IN-list pushdown cap AND touches ")
-    sb.append("every bucket degrades to a 1/B-granular index scan — the ")
-    sb.append("200-doc substring-window row measures that tier against a ")
-    sb.append("linear 12x budget so the trade stays visible (production ")
-    sb.append("sizes B in the thousands, and benchmark window sets ")
-    sb.append("normally ride the broadcast tier anyway). min of 3 timed ")
+    sb.append("key count exceeds the IN-list pushdown cap touches every ")
+    sb.append("bucket and rides the broadcast semi-join tier (keys ")
+    sb.append("restrict rows but are not parquet-pushed) — the 200-doc ")
+    sb.append("substring-window row measures that tier against a linear ")
+    sb.append("12x budget so the trade stays visible (production sizes B ")
+    sb.append("in the thousands, and benchmark window sets normally ride ")
+    sb.append("the broadcast tier anyway). min of 3 timed ")
     sb.append("reps after a cold pass, local[").append(cpus).append("].\n\n")
     sb.append("| index family | probe t(1x) s | probe t(10x) s | ratio | budget | verdict |\n")
     sb.append("|---|---|---|---|---|---|\n")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bucketed standing-index layout's probe contract: every
+  * key-restriction tier (literal IN-list ≤ MaxKeyPushdown, broadcast
+  * left-semi ≤ SemiJoinMaxKeys, bucket-only above) returns exactly the
+  * index rows whose key equals some batch key — value-identical across
+  * tiers — and the cheaper-shape tiering itself is the measured
+  * crossover of tools/inlist_crossover.md.
+  */
+class IndexLayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("prunedScan tiers are value-identical and pick the measured shape") {
+    val dir = tempDir("graft_idxlayout_tiers")
+    val idx = (0L until 20000L).map(i => (i, s"payload$i")).toDF("k", "p")
+    IndexLayout.writeBucketed(idx, "k", dir, "overwrite")
+    spark.conf.set(IndexLayout.PruneMinBytesKey, "0")
+    try {
+      def probe(nKeys: Int) = {
+        val batch = (0 until nKeys).map(i => i.toLong * 7L).toDF("k")
+        IndexLayout.prunedScan(spark, dir, "k", batch)
+          .join(batch.distinct(), Seq("k")) // the consumer contract
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      }
+      def expected(nKeys: Int) =
+        (0 until nKeys).map(_ * 7L).filter(_ < 20000L)
+          .map(k => (k, s"payload$k")).toSet
+      // tier 1: IN-list (<= MaxKeyPushdown distinct keys)
+      assert(probe(100) == expected(100))
+      // tier 2: broadcast semi-join (> MaxKeyPushdown)
+      val n2 = IndexLayout.MaxKeyPushdown + 500
+      assert(probe(n2) == expected(n2))
+      // the tier-2 plan really is a left-semi broadcast, not a
+      // key-literal filter over thousands of entries
+      val bigBatch = (0 until n2).map(i => i.toLong * 7L).toDF("k")
+      val plan = IndexLayout.prunedScan(spark, dir, "k", bigBatch)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        plan)
+      // and bucket pruning reached the scan in both tiers
+      assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan)
+        .isDefined, plan)
+    } finally spark.conf.unset(IndexLayout.PruneMinBytesKey)
+  }
+
+  test("prunedScan casts batch keys to the index key type before bucketing") {
+    // xxhash64 is type-sensitive: an INT batch key against a LONG
+    // index key would bucket differently and silently drop every
+    // match without the cast (r16 advice)
+    val dir = tempDir("graft_idxlayout_cast")
+    val idx = (0L until 1000L).map(i => (i, i * 2L)).toDF("k", "v")
+    IndexLayout.writeBucketed(idx, "k", dir, "overwrite")
+    spark.conf.set(IndexLayout.PruneMinBytesKey, "0")
+    try {
+      val batch = (0 until 50).map(_ * 3).toDF("k") // INT keys
+      val got = IndexLayout.prunedScan(spark, dir, "k", batch)
+        .collect().map(_.getLong(0)).toSet
+      assert((0 until 50).map(_ * 3L).toSet.subsetOf(got), got.toString)
+    } finally spark.conf.unset(IndexLayout.PruneMinBytesKey)
+  }
+}
