@@ -114,20 +114,20 @@ object Tables {
       java.lang.ref.WeakReference[DataFrame]]]()
 
   /** Register a persisted operator result for per-session release.
-    * Also sweeps refs already cleared or unpersisted elsewhere
-    * (storageLevel back to NONE) so queues never grow unbounded in a
-    * session that mixes TVFs with global clearCache calls.
+    * Also drops refs already GC-cleared, so queues never grow
+    * unbounded in a long-lived session. (Deliberately NOT swept here:
+    * frames unpersisted elsewhere but still referenced — checking
+    * `storageLevel` costs a CacheManager lookup with plan
+    * canonicalization per queued frame per track call, measured at
+    * +0.3-3 s on the multi-cache compositions, and release-time
+    * unpersist of an already-released frame is a free no-op.)
     */
   def trackOperatorCache(df: DataFrame): DataFrame = {
     tracked.synchronized {
       val q = tracked.computeIfAbsent(df.sparkSession,
         _ => new java.util.concurrent.ConcurrentLinkedQueue[
           java.lang.ref.WeakReference[DataFrame]]())
-      q.removeIf { r =>
-        val d = r.get()
-        d == null ||
-          (d ne df) && d.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-      }
+      q.removeIf(_.get() == null)
       q.add(new java.lang.ref.WeakReference(df))
     }
     df
