@@ -354,6 +354,18 @@ object AnnCurves {
       |  embeddings don't have this pathology (see the tiers above);
       |  if text must be compressed, quantize per-vector (the q93 int8
       |  path) instead of product-quantizing.
+      |- Text IVF-flat seed-vs-trained columns must be read against the
+      |  PROBED-ROW fraction, not nProbe/nLists: the seeded geometry is
+      |  skewed (graft.tools.TextIvfSkew, sf0.1: seed top-1 list holds
+      |  27.7% of the corpus vs trained 14.1%; at nProbe=8 seed probes
+      |  52.2% of rows vs trained 45.4%, at nProbe=1 10.3% vs 6.4%), so
+      |  seed's higher recall at equal nProbe is bought with more
+      |  scanned rows — per scanned row the geometries are ~equivalent
+      |  (and trained wins outright at nProbe=1: 0.281 @ 6.4% vs 0.231
+      |  @ 10.3%). Operationally the BALANCED lists are the point: a
+      |  list holding a quarter of a 100 TB corpus is a straggler task
+      |  and a floor on pruning, so trained centroids remain the
+      |  recommendation.
       |""".stripMargin)
     Files.writeString(Paths.get(outFile), sb.toString,
       StandardCharsets.UTF_8)
