@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   * never read or rewritten, and there is no index structure to
   * rebuild (the bucket of a key never changes).
   *
-  * Sizing: `NumBuckets` = 16 here — on the test tiers the indexes are
+  * Sizing: default B = 16 — on the test tiers the indexes are
   * KBs, so bucket count is pure file-open overhead (measured: 64
   * buckets cost the sf0.1 probes ~2× in parquet footer reads alone);
-  * a production deployment sizes B so one bucket of the expected
-  * index fits a scan task (B ≈ index_bytes / 128 MB — thousands, at
-  * which point bucket pruning alone carries the probe). The
-  * probe-side contract (prune to the batch's buckets) is independent
-  * of B.
+  * a production deployment sets [[NumBucketsKey]] before the index
+  * build so one bucket of the expected index fits a scan task
+  * (B ≈ index_bytes / 128 MB — thousands, at which point bucket
+  * pruning alone carries the probe). B is persisted per tree
+  * (`_graft_index_meta.json`) and appends/probes always use the
+  * tree's own B; the probe-side contract (prune to the batch's
+  * buckets) is independent of B.
   *
   * Back-compat: a scan of a parquet tree WITHOUT a `bucket` partition
   * column (an index written before this layout) falls back to the
@@ -40,8 +42,60 @@ import org.apache.spark.sql.functions._
   */
 object IndexLayout {
 
-  /** Buckets per index — see the sizing note above. */
+  /** Default buckets per index — see the sizing note above. */
   val NumBuckets = 16
+
+  /** Session conf: buckets for NEW indexes (overwrite-mode writes).
+    * The production sizing rule from the scaladoc made usable: set
+    * B ≈ expected_index_bytes / 128 MB before the index build so one
+    * bucket of the grown index fits a scan task. The bucket count is
+    * a property of the TREE, not the session — it is persisted in a
+    * `_graft_index_meta.json` file next to the data, appends and
+    * probes always use the tree's own B (a key's bucket must never
+    * depend on who is asking), and pre-meta trees read as B = 16
+    * (every tree written before this knob existed).
+    */
+  val NumBucketsKey = "spark.graft.indexNumBuckets"
+
+  private[operators] def confNumBuckets(spark: SparkSession): Int =
+    spark.conf.getOption(NumBucketsKey).map(_.toInt).getOrElse(NumBuckets)
+
+  private val MetaFile = "_graft_index_meta.json"
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, MetaFile)
+
+  /** Persist the tree's bucket count (called AFTER the parquet write —
+    * overwrite mode deletes the directory, taking any previous meta
+    * with it).
+    */
+  private[operators] def writeMeta(spark: SparkSession, path: String,
+                                   b: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"numBuckets": $b}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The bucket count the tree at `path` was written with: its meta
+    * file, or [[NumBuckets]] for trees that predate the knob.
+    */
+  def indexNumBuckets(spark: SparkSession, path: String): Int = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) NumBuckets
+    else {
+      val in = fs.open(p)
+      val body = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+      """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).getOrElse(NumBuckets)
+    }
+  }
 
   /** Max distinct batch keys shipped as a literal IN-list into the
     * scan (beyond bucket pruning). MEASURED crossover
@@ -100,8 +154,8 @@ object IndexLayout {
   def shouldPrune(spark: SparkSession, path: String): Boolean =
     indexBytes(spark, path) >= pruneMinBytes(spark)
 
-  def bucketOf(key: Column): Column =
-    pmod(xxhash64(key), lit(NumBuckets)).cast("int")
+  def bucketOf(key: Column, b: Int = NumBuckets): Column =
+    pmod(xxhash64(key), lit(b)).cast("int")
 
   /** Layout of the existing index tree at `path`: Some(true) if it is
     * bucketed (has the `bucket` partition column — the same check the
@@ -134,13 +188,21 @@ object IndexLayout {
     */
   def writeBucketed(df: DataFrame, keyCol: String, path: String,
                     mode: String): Unit = {
-    val legacyAppend = mode == "append" &&
-      existingLayoutBucketed(df.sparkSession, path).contains(false)
-    if (legacyAppend) df.write.mode("append").parquet(path)
-    else
-      df.withColumn("bucket", bucketOf(col(keyCol)))
-        .repartition(col("bucket"))
-        .write.mode(mode).partitionBy("bucket").parquet(path)
+    val spark = df.sparkSession
+    val existing = existingLayoutBucketed(spark, path)
+    val legacyAppend = mode == "append" && existing.contains(false)
+    if (legacyAppend) { df.write.mode("append").parquet(path); return }
+    // appends use the TREE's bucket count (a key's bucket must never
+    // depend on the writing session); new/overwritten trees take the
+    // session conf
+    val b =
+      if (mode == "append" && existing.contains(true))
+        indexNumBuckets(spark, path)
+      else confNumBuckets(spark)
+    df.withColumn("bucket", bucketOf(col(keyCol), b))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+    writeMeta(spark, path, b)
   }
 
   /** Read the index at `path` pruned to `batchKeys` (a one-column
@@ -191,10 +253,11 @@ object IndexLayout {
     else if (!shouldPrune(spark, path)) idx.drop("bucket")
     else {
       val kt = idx.schema(keyCol).dataType
+      val b = indexNumBuckets(spark, path)
       val kc = batchKeys.columns.head
       val keyed = batchKeys.select(col(kc).cast(kt).as("k")).distinct()
       val stats = keyed
-        .groupBy(bucketOf(col("k")).as("b"))
+        .groupBy(bucketOf(col("k"), b).as("b"))
         .agg(count(lit(1)).as("n"),
           slice(collect_list(col("k")), 1, MaxKeyPushdown + 1).as("ks"))
         .collect()

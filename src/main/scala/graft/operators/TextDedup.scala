@@ -518,14 +518,21 @@ object TextDedup {
     // break partition discovery (the IndexLayout.writeBucketed
     // contract): a legacy (doc_id, simhash) tree gets a flat append
     // and keeps riding the probe's legacy fallback
-    val legacyAppend = mode == "append" &&
-      (try !sigs.sparkSession.read.parquet(path).columns.contains("band")
-       catch { case _: org.apache.spark.sql.AnalysisException => false })
-    if (legacyAppend) {
+    val spark = sigs.sparkSession
+    val existingBanded: Option[Boolean] =
+      try Some(spark.read.parquet(path).columns.contains("band"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (mode == "append" && existingBanded.contains(false)) {
       sigs.select(col("doc_id"), col("simhash"))
         .write.mode("append").parquet(path)
       return
     }
+    // appends use the TREE's bucket count; new/overwritten trees take
+    // the session conf (IndexLayout.NumBucketsKey)
+    val b =
+      if (mode == "append" && existingBanded.contains(true))
+        IndexLayout.indexNumBuckets(spark, path)
+      else IndexLayout.confNumBuckets(spark)
     sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
@@ -533,11 +540,12 @@ object TextDedup {
               .as("bkey"))): _*)).as("e"))
       .select(col("e.band").as("band"), col("e.bkey").as("bkey"),
         col("doc_id"), col("simhash"))
-      .withColumn("bucket", IndexLayout.bucketOf(col("bkey")))
+      .withColumn("bucket", IndexLayout.bucketOf(col("bkey"), b))
       // one task per (band, bucket) → ~1 file per touched directory
       // per write (see IndexLayout.writeBucketed)
       .repartition(col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(path)
+    IndexLayout.writeMeta(spark, path, b)
   }
 
   /** Incremental banded near-dup probe against [[writeHashIndex]]
@@ -578,6 +586,9 @@ object TextDedup {
     // tiny indexes scan whole (IndexLayout.shouldPrune): the pruning
     // machinery only pays once the index outgrows one batch pass
     val prune = !legacy && IndexLayout.shouldPrune(spark, path)
+    val numBuckets =
+      if (prune) IndexLayout.indexNumBuckets(spark, path)
+      else IndexLayout.NumBuckets
     val batch = graft.Tables.trackOperatorCache(
       newSigs.select(
         col("doc_id") +: col("simhash") +:
@@ -603,7 +614,7 @@ object TextDedup {
         // themselves shipped capped (the IndexLayout.prunedScan fold —
         // the old stats+keys pair ran the cached batch twice per band)
         val stats = batch.select(col(s"k$j").as("k")).distinct()
-          .groupBy(IndexLayout.bucketOf(col("k")).as("b"))
+          .groupBy(IndexLayout.bucketOf(col("k"), numBuckets).as("b"))
           .agg(count(lit(1)).as("n"),
             slice(collect_list(col("k")), 1,
               IndexLayout.MaxKeyPushdown + 1).as("ks"))
@@ -1423,13 +1434,15 @@ object TextDedup {
   def writeSubstringIndexSets(benchSets: DataFrame, path: String,
                               windowChars: Int = 40): Unit = {
     val spark = benchSets.sparkSession
+    val b = IndexLayout.confNumBuckets(spark)
     charWindows(benchSets.select(col("doc_id"), col("text")), windowChars)
       .join(benchSets.select(col("doc_id"), col("eval_set_id")), Seq("doc_id"))
       .select(col("g"), col("eval_set_id")).distinct()
-      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .withColumn("bucket", IndexLayout.bucketOf(col("g"), b))
       .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v0")
+    IndexLayout.writeMeta(spark, s"$path/v0", b)
     flipIndexVersion(spark, path, 0)
   }
 
@@ -1442,9 +1455,11 @@ object TextDedup {
   def appendToSubstringIndexSets(newBench: DataFrame, evalSetId: Int,
                                  path: String, windowChars: Int = 40): Unit = {
     val v = currentIndexVersion(newBench.sparkSession, path)
+    // the TREE's bucket count, never the session's (see IndexLayout)
+    val b = IndexLayout.indexNumBuckets(newBench.sparkSession, s"$path/v$v")
     charWindows(newBench, windowChars).select(col("g")).distinct()
       .withColumn("eval_set_id", lit(evalSetId))
-      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .withColumn("bucket", IndexLayout.bucketOf(col("g"), b))
       .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("append").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$v")
@@ -1460,12 +1475,16 @@ object TextDedup {
                                 path: String): Int = {
     val cur = currentIndexVersion(spark, path)
     val next = cur + 1
+    // compaction is a rebuild: it may resize to the session conf (the
+    // natural place to grow B as the index grows)
+    val b = IndexLayout.confNumBuckets(spark)
     spark.read.parquet(s"$path/v$cur")
       .select(col("g"), col("eval_set_id")).distinct()
-      .withColumn("bucket", IndexLayout.bucketOf(col("g")))
+      .withColumn("bucket", IndexLayout.bucketOf(col("g"), b))
       .repartition(col("eval_set_id"), col("bucket"))
       .write.mode("overwrite").partitionBy("eval_set_id", "bucket")
       .parquet(s"$path/v$next")
+    IndexLayout.writeMeta(spark, s"$path/v$next", b)
     flipIndexVersion(spark, path, next)
     next
   }

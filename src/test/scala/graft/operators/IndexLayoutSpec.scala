@@ -47,6 +47,41 @@ class IndexLayoutSpec extends SparkSpec {
     } finally spark.conf.unset(IndexLayout.PruneMinBytesKey)
   }
 
+  test("configurable bucket count: B is a property of the tree, not the session") {
+    // the production sizing rule (B ≈ index_bytes / 128 MB) made
+    // usable: overwrite writes take the session conf and persist B in
+    // the tree's meta; appends and probes always use the TREE's B —
+    // a key's bucket must never depend on who is asking
+    val dir = tempDir("graft_idxlayout_b64")
+    spark.conf.set(IndexLayout.NumBucketsKey, "64")
+    try {
+      IndexLayout.writeBucketed(
+        (0L until 5000L).map(i => (i, i * 3L)).toDF("k", "v"),
+        "k", dir, "overwrite")
+      assert(IndexLayout.indexNumBuckets(spark, dir) == 64)
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+      assert(dirs.size > IndexLayout.NumBuckets && dirs.size <= 64, dirs.size)
+      // an append from a session with a DIFFERENT conf still lands in
+      // the tree's 64-bucket geometry
+      spark.conf.set(IndexLayout.NumBucketsKey, "4")
+      IndexLayout.writeBucketed(
+        (5000L until 6000L).map(i => (i, i * 3L)).toDF("k", "v"),
+        "k", dir, "append")
+      assert(IndexLayout.indexNumBuckets(spark, dir) == 64)
+      // probe correctness under forced pruning at the tree's B
+      spark.conf.set(IndexLayout.PruneMinBytesKey, "0")
+      val batch = Seq(10L, 4999L, 5500L, 123456L).toDF("k")
+      val got = IndexLayout.prunedScan(spark, dir, "k", batch)
+        .join(batch, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 30L), (4999L, 14997L), (5500L, 16500L)), got)
+    } finally {
+      spark.conf.unset(IndexLayout.NumBucketsKey)
+      spark.conf.unset(IndexLayout.PruneMinBytesKey)
+    }
+  }
+
   test("prunedScan casts batch keys to the index key type before bucketing") {
     // xxhash64 is type-sensitive: an INT batch key against a LONG
     // index key would bucket differently and silently drop every
