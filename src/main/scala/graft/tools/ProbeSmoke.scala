@@ -154,6 +154,18 @@ object ProbeSmoke {
       (h, p) => TextAnalysis.writeGramIndex(h, p),
       p => () => TextAnalysis.noveltyAgainstIndex(batch, p))
 
+    // custom bucket count under the same grade: the production knob
+    // (spark.graft.indexNumBuckets, persisted per tree) must keep the
+    // probe flat — the probe reads B from the tree's meta, so this
+    // also exercises the meta round-trip at a non-default B
+    spark.conf.set(graft.operators.IndexLayout.NumBucketsKey, "64")
+    try
+      grade("norm_hash @ B=64 (custom bucket count)",
+        (h, p) => TextDedup.writeNormHashIndex(h, p),
+        p => () => TextDedup.normalizedDedupAgainstIndex(batch, p))
+    finally
+      spark.conf.unset(graft.operators.IndexLayout.NumBucketsKey)
+
     val sb = new StringBuilder
     sb.append("# Standing-index probe flatness: history 1x (5k docs) vs ")
     sb.append("10x (50k docs), fixed 200-doc batch\n\n")
