@@ -190,6 +190,58 @@ object IvfIndex {
       .partitionBy("list_id").mode("append").parquet(s"$path/lists")
   }
 
+  /** Ingest-time SEMANTIC dedup probe against a standing [[writeIndex]]
+    * tree — the embedding-level member of the incremental-ingest
+    * family (MinHash q77, norm-hash q175, CDC chunks q163, media bands
+    * q161 cover the other modalities): which NEW vectors are within
+    * cosine `threshold` of an already-INDEXED vector in the same
+    * Voronoi cell? SemDeDup's within-cell comparison discipline
+    * applied across the batch/history boundary, so a re-embedded
+    * paraphrase of historical content is caught without re-scoring
+    * history.
+    *
+    * Scale shape: the batch is assigned by the STORED centroids (a
+    * k-row driver pull — the index geometry is fixed between
+    * retrains), and the history is only ever read from the lists the
+    * batch actually touches — the batch's ≤ k distinct `list_id`s
+    * arrive as a partition filter, so probe I/O is the batch's cells,
+    * not the corpus, at ANY history size. Within the touched cells the
+    * join is the equi-join on `list_id` (pair work Σ|batch_cell|·
+    * |index_cell| — the k knob bounds cell sizes exactly as in
+    * [[graft.operators.Similarity.semanticDedup]]), followed by one
+    * map-side-combinable min/count aggregate keyed by batch vector.
+    *
+    * Output: one row per batch vector — `(vec_id, list_id, n_dups,
+    * dup_of)` with `dup_of` = the smallest-id indexed witness at or
+    * above the threshold (null, with `n_dups` 0, when the vector is
+    * semantically fresh). Cross-cell near-dups are the method's
+    * accepted recall loss, as in SemDeDup.
+    */
+  def semanticDedupAgainstIndex(newEmb: DataFrame, path: String,
+                                threshold: Double): DataFrame = {
+    val spark = newEmb.sparkSession
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val batch = assign(newEmb, centroids)
+    // the touched cells: bounded by k (the centroid count), so the
+    // collect is a ≤ k-row driver pull, never batch-sized
+    val touched = batch.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(touched: _*)) // partition pruning
+      .select(col("list_id"), col("vec_id").as("ivec"), col("v").as("iv"))
+    val hits = batch.as("b")
+      .join(lists, Seq("list_id"))
+      .filter(Similarity.cosine(col("b.v"), col("iv")) >= threshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("ivec")).as("dup_of"), count(lit(1)).as("n_dups"))
+    batch.select(col("vec_id"), col("list_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"))
+  }
+
   /** Materialise the QUANTIZED IVF-flat layout: the same list-partitioned
     * parquet as [[writeIndex]], but the stored payload is the int8
     * quantization (per-vector symmetric `scale` + one-byte-per-dim

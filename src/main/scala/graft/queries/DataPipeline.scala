@@ -591,6 +591,28 @@ object DataPipeline {
           $"kept", $"dup_of")
         .orderBy($"vec_id")
     },
+    // SEMANTIC ingest dedup — the embedding-level member of the
+    // incremental probe family (MinHash q77, norm-hash q175, CDC
+    // q163, media q161): a planted batch of jittered copies (the q112
+    // fixture, ids +10000) probes the STANDING seeded IVF-flat index
+    // over the history. Assignment rides the stored centroids (k-row
+    // pull), history is read only from the batch's lists (partition
+    // filter), and the oracle replays both assignments, the same-cell
+    // cosine pairs, the min witness and the per-vector dup count.
+    "q178_semantic_ingest_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.ivfSeedIndexPath(s, dir, nLists = 4)
+      val emb = Tables.loadParallel(s, dir, "embeddings")
+      val batch = emb.select($"vec_id",
+        transform($"embedding", x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
+          .as("embedding"))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
+          threshold = 0.95)
+        .orderBy($"vec_id")
+    },
     // prototypicality pruning ("beyond neural scaling laws" shape):
     // rank every vector by cosine to its own cluster centroid and drop
     // the most-prototypical 10% of each cluster (the policy large-data
@@ -1951,6 +1973,43 @@ object DataPipeline {
         |  d.dup_of IS NULL AS kept, d.dup_of
         |FROM asn LEFT JOIN d ON asn.vec_id = d.vec_id
         |ORDER BY asn.vec_id""".stripMargin,
+
+    // q178: history assignment around the 4 seed vectors (the index
+    // build), batch assignment of the jittered copies by the SAME
+    // stored geometry, same-cell cosine pairs at 0.95, min witness +
+    // dup count per batch vector.
+    "q178_semantic_ingest_dedup" ->
+      """WITH o AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM o WHERE vec_id IN (0, 1, 2, 3)),
+        |ha AS (SELECT vec_id, v, cid FROM (
+        |    SELECT o.vec_id, o.v, c.cid,
+        |      row_number() OVER (PARTITION BY o.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(o.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM o, c) WHERE rn = 1),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(v, x -> x + 0.005 * CAST(1 + vec_id % 3 AS DOUBLE)) AS v
+        |  FROM o),
+        |ba AS (SELECT vec_id, v, cid FROM (
+        |    SELECT p.vec_id, p.v, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(p.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM p, c) WHERE rn = 1),
+        |hits AS (SELECT b.vec_id, min(h.vec_id) AS dup_of,
+        |    count(*) AS n_dups
+        |  FROM ba b JOIN ha h ON b.cid = h.cid
+        |  WHERE list_dot_product(b.v, h.v) /
+        |    (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(h.v, h.v)))
+        |    >= 0.95
+        |  GROUP BY 1)
+        |SELECT ba.vec_id, CAST(ba.cid AS BIGINT) AS list_id,
+        |  CAST(coalesce(hits.n_dups, 0) AS BIGINT) AS n_dups, hits.dup_of
+        |FROM ba LEFT JOIN hits ON ba.vec_id = hits.vec_id
+        |ORDER BY ba.vec_id""".stripMargin,
 
     // q113: same assignment replay over 8 seeds, then cosine to the
     // OWN centroid, a (pc DESC, vec_id) rank within the cluster, and

@@ -150,6 +150,25 @@ object SharedArtifacts {
         emb.filter(col("vec_id") >= splitAt), path)
     }
 
+  /** IVF-flat index over the whole embeddings table with the
+    * replayable SEED geometry (centroid cid = the embedding of
+    * vec_id = cid, iters = 0 — the q112/q130 convention) — the
+    * standing history state of the semantic ingest-dedup pipeline;
+    * q178's timed query is the per-batch probe the index exists for.
+    * Built once per process per sf-dir.
+    */
+  def ivfSeedIndexPath(s: SparkSession, dir: String, nLists: Int = 4): String =
+    artifact(dir, s"ivf_seed_$nLists") { path =>
+      import org.apache.spark.sql.functions.{col, transform}
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < nLists)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      graft.operators.IvfIndex.writeIndex(emb, centroids, path)
+    }
+
   /** Quantized IVF-flat index over the whole embeddings table
     * ([[graft.operators.IvfIndex.writeQuantizedIndex]]): int8 payloads
     * inside the list-partitioned layout. Built once per process per

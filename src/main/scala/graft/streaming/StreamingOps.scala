@@ -518,6 +518,41 @@ object StreamingOps {
     * the union of batch results, and with it the 3-batch run equals
     * the sequential replay — both pinned by StreamingOpsSpec.
     */
+  /** Per-batch SEMANTIC ingest dedup: each micro-batch of `(vec_id,
+    * embedding)` vectors probes the standing
+    * [[graft.operators.IvfIndex.writeIndex]] state through
+    * [[graft.operators.IvfIndex.semanticDedupAgainstIndex]] — the
+    * streaming flavor of q178, completing the per-batch symmetry
+    * across the dedup modalities (MinHash [[ingestVerdictPerBatch]],
+    * media [[mediaDedupPerBatch]], CDC [[cdcProbePerBatch]]). With `appendAfterProbe` the batch then
+    * extends the index via `appendToIndex` (stored-centroid
+    * assignment, O(batch) new part files in the touched lists), so
+    * batch n+1 sees batch n's vectors — with the same defensive
+    * materialization as the CDC flavor: the probe is pinned + counted
+    * BEFORE the sink and the append, so a deferring sink can never
+    * observe its own batch in the index.
+    */
+  def semanticDedupPerBatch(emb: DataFrame, indexPath: String,
+                            threshold: Double,
+                            appendAfterProbe: Boolean = false,
+                            sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probe = graft.operators.IvfIndex.semanticDedupAgainstIndex(
+          batch, indexPath, threshold)
+        if (appendAfterProbe) {
+          val pinned = probe.persist()
+          try {
+            pinned.count() // break the probe->index dependency NOW
+            sink(pinned, batchId)
+            graft.operators.IvfIndex.appendToIndex(batch, indexPath)
+          } finally pinned.unpersist(blocking = false)
+        } else sink(probe, batchId)
+      }
+      .start()
+
   def cdcProbePerBatch(docs: DataFrame, indexPath: String,
                        w: Int = 8, d: Int = 32,
                        appendAfterProbe: Boolean = false,

@@ -872,6 +872,76 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed2.filter(_._1 == 202L).forall(_._3 > 0))
   }
 
+  test("semantic probe: 2-batch stream ≡ batch operator; append lifecycle ≡ sequential replay") {
+    implicit val sq = spark.sqlContext
+    // two well-separated blobs as history; batch = a near-copy of a
+    // member of each blob plus one orthogonal fresh vector
+    val history = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.9f, 0.1f, 0.1001f, 0.0f)),  // near-copy of 2
+      (11L, Array(0.1f, 0.9f, 0.0f, 0.1001f)),  // near-copy of 3
+      (12L, Array(0.0f, 0.0f, 0.0f, 1.0f)))     // fresh
+    val cents = Seq(
+      0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val idx = tempDir("graft_stream_sem_idx")
+    graft.operators.IvfIndex.writeIndex(history, cents, idx)
+    val want = graft.operators.IvfIndex.semanticDedupAgainstIndex(
+        batch.toDF("vec_id", "embedding"), idx, threshold = 0.999)
+      .as[(Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Option[Long])]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupPerBatch(
+      mem.toDF().toDF("vec_id", "embedding"), idx, threshold = 0.999,
+      sink = (df, _) => df.as[(Long, Long, Long, Option[Long])]
+        .collect().foreach(got.add))
+    mem.addData(batch.take(2)); q.processAllAvailable()
+    mem.addData(batch.drop(2)); q.processAllAvailable(); q.stop()
+    val streamed = got.toArray
+      .map(_.asInstanceOf[(Long, Long, Long, Option[Long])])
+      .sortBy(_._1).toSeq
+    assert(streamed == want && want.nonEmpty)
+    assert(want.find(_._1 == 10L).get._4.contains(2L))
+    assert(want.find(_._1 == 11L).get._4.contains(3L))
+    assert(want.find(_._1 == 12L).get._3 == 0L)
+
+    // append lifecycle: batch n+1 must see batch n's vectors — equal
+    // to the sequential probe-then-append replay with the batch ops
+    val idxS = tempDir("graft_stream_sem_idx_s")
+    val idxR = tempDir("graft_stream_sem_idx_r")
+    graft.operators.IvfIndex.writeIndex(history, cents, idxS)
+    graft.operators.IvfIndex.writeIndex(history, cents, idxR)
+    val gotS = new ConcurrentLinkedQueue[(Long, Long, Long, Option[Long])]()
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingOps.semanticDedupPerBatch(
+      mem2.toDF().toDF("vec_id", "embedding"), idxS, threshold = 0.999,
+      appendAfterProbe = true,
+      sink = (df, _) => df.as[(Long, Long, Long, Option[Long])]
+        .collect().foreach(gotS.add))
+    // 12 is fresh in batch 1; its re-add (22) in batch 2 must hit
+    val b1 = Seq(batch(2)); val b2 = Seq((22L, batch(2)._2))
+    mem2.addData(b1); q2.processAllAvailable()
+    mem2.addData(b2); q2.processAllAvailable(); q2.stop()
+    val replay = Seq(b1, b2).flatMap { b =>
+      val r = graft.operators.IvfIndex.semanticDedupAgainstIndex(
+          b.toDF("vec_id", "embedding"), idxR, threshold = 0.999)
+        .as[(Long, Long, Long, Option[Long])].collect().toSeq
+      graft.operators.IvfIndex.appendToIndex(
+        b.toDF("vec_id", "embedding"), idxR)
+      r
+    }.sortBy(_._1)
+    val streamed2 = gotS.toArray
+      .map(_.asInstanceOf[(Long, Long, Long, Option[Long])])
+      .sortBy(_._1).toSeq
+    assert(streamed2 == replay)
+    assert(streamed2.find(_._1 == 12L).get._3 == 0L)
+    assert(streamed2.find(_._1 == 22L).get._4.contains(12L))
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must

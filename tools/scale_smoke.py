@@ -106,8 +106,12 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # r17: semantic dedup with the degenerate-cluster cap
            # (q177 — clusters above total/4 members are excluded from
            # pair mining, so pair work is bounded by the cap; the
-           # work counter below replays the cap from the dump)
-           "q177"]
+           # work counter below replays the cap from the dump) and
+           # the SEMANTIC ingest probe (q178 — batch assigned by the
+           # stored centroids, history read only from the batch's
+           # lists; pair work is the same-cell batch x history
+           # product, counted from the dump's per-list batch sizes)
+           "q177", "q178"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
@@ -115,6 +119,11 @@ SLACK = 2.0
 # tiers — no standalone merges; the notes record what changed since
 # the previous run.
 REMEASURED_NOTES = [
+    "q178 (semantic ingest probe) was added to the query list after "
+    "this round's full smoke run closed; its first graded rows land "
+    "with the next full run — the probe's scale shape is meanwhile "
+    "covered by its oracle gate and the StreamingOpsSpec lifecycle "
+    "parity.",
     "This report is a single full-suite run (no cache merges), "
     "re-measured in r16 with the trained-PQ production-codebook gate "
     "(q176, kCode=32) added and the standing-index families "
@@ -166,6 +175,13 @@ DUMP_WORK_SQL = {
       SELECT CAST(sum(CASE WHEN n <= t / 4 THEN n * n ELSE n END)
                   AS BIGINT) FROM (
         SELECT cluster_id, count(*) AS n, sum(count(*)) OVER () AS t
+        FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
+    # q178's probe joins each batch cell against the SAME cell of the
+    # history; the gate's batch is the jittered history, so both sides
+    # of every cell have the dump's per-list count — pair work ~ sum n²
+    "q178": """
+      SELECT CAST(sum(n * n) AS BIGINT) FROM (
+        SELECT list_id, count(*) AS n
         FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
 }
 
