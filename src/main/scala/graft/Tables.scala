@@ -99,37 +99,37 @@ object Tables {
   // release exactly the operator state it created — repeated TVF
   // calls otherwise accumulate persisted frames until the global
   // clearCache hammer runs, which also evicts unrelated user caches
-  // (r15 advice). WEAKLY keyed with weakly-held frames (r16 advice):
-  // a DataFrame strongly references its session, so a strong map
-  // would pin every cloned session (newSession) discarded without
-  // releaseTrackedCaches for the lifetime of the shared context. Once
-  // the caller drops the session and its frames, GC clears the entry.
-  // The trade: a frame GC'd BEFORE its release call can no longer be
-  // surgically unpersisted — its blocks reclaim via the shared
-  // context's clearCache, exactly the pre-tracking behavior; callers
-  // release promptly after the terminal action (same stack frame
-  // still references the frame), so the window is nil in practice.
-  private val tracked = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]]()
+  // (r15 advice). STRONGLY held (r17 advice): the r16 weak-ref design
+  // assumed the caller's stack still referenced the frame at release
+  // time, but the TVF path keeps only `.queryExecution.logical` and
+  // drops the Dataset wrapper immediately — any GC before the release
+  // call cleared the weak ref and the cached BLOCKS (held strongly by
+  // the CacheManager regardless of this map) then leaked until the
+  // global clearCache, defeating the surgical release this mechanism
+  // exists for. A strong ref guarantees release works; the cost is
+  // only the small plan objects, never extra cached data. Entries for
+  // sessions whose CONTEXT stopped sweep on the next track (their
+  // blocks died with the context); the one residual is a live
+  // newSession clone discarded without release — its queue (plan
+  // objects, not blocks: the clone's blocks were pinned by the shared
+  // CacheManager either way, and a global clearCache still frees
+  // them) lives until context stop.
+  private val tracked = scala.collection.concurrent.TrieMap
+    .empty[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
 
   /** Register a persisted operator result for per-session release.
-    * Also drops refs already GC-cleared, so queues never grow
-    * unbounded in a long-lived session. (Deliberately NOT swept here:
-    * frames unpersisted elsewhere but still referenced — checking
-    * `storageLevel` costs a CacheManager lookup with plan
-    * canonicalization per queued frame per track call, measured at
-    * +0.3-3 s on the multi-cache compositions, and release-time
-    * unpersist of an already-released frame is a free no-op.)
+    * (Deliberately NOT checking `storageLevel` per queued frame:
+    * that costs a CacheManager lookup with plan canonicalization per
+    * track call, measured at +0.3-3 s on the multi-cache
+    * compositions, and release-time unpersist of an already-released
+    * frame is a free no-op.)
     */
   def trackOperatorCache(df: DataFrame): DataFrame = {
-    tracked.synchronized {
-      val q = tracked.computeIfAbsent(df.sparkSession,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[
-          java.lang.ref.WeakReference[DataFrame]]())
-      q.removeIf(_.get() == null)
-      q.add(new java.lang.ref.WeakReference(df))
-    }
+    tracked.keysIterator
+      .filter(_.sparkContext.isStopped).foreach(tracked.remove)
+    tracked.getOrElseUpdate(df.sparkSession,
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
     df
   }
 
@@ -137,11 +137,9 @@ object Tables {
     * for this session — the surgical release a long-lived SQL session
     * calls between TVF queries; user caches are untouched.
     */
-  def releaseTrackedCaches(spark: SparkSession): Unit = {
-    val q = tracked.synchronized(tracked.remove(spark))
-    if (q != null)
-      q.forEach(r => Option(r.get()).foreach(_.unpersist(blocking = false)))
-  }
+  def releaseTrackedCaches(spark: SparkSession): Unit =
+    tracked.remove(spark)
+      .foreach(_.forEach(_.unpersist(blocking = false)))
 
   /** Release every operator-internal `cache()` (see the cache contract
     * in [[graft.operators.TextDedup]]). Call after the terminal action

@@ -67,33 +67,61 @@ object IndexLayout {
 
   /** Persist the tree's bucket count (called AFTER the parquet write —
     * overwrite mode deletes the directory, taking any previous meta
-    * with it).
+    * with it). Written to a temp name and renamed into place, so a
+    * crash mid-write can never leave a half-written meta a later
+    * reader parses into a wrong B; a crash BETWEEN the parquet write
+    * and the rename leaves no meta at all, which [[indexNumBuckets]]
+    * turns into a loud error (not a silent B = 16) whenever the
+    * bucket directories prove the tree was written wider.
     */
   private[operators] def writeMeta(spark: SparkSession, path: String,
                                    b: Int): Unit = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"numBuckets": $b}""".getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"index meta write failed for $path")
   }
 
   /** The bucket count the tree at `path` was written with: its meta
     * file, or [[NumBuckets]] for trees that predate the knob.
+    *
+    * Failure safety: the meta is read to EOF (a short `read` that
+    * truncated the digits would silently parse a smaller B and
+    * mis-bucket every probe), and a MISSING meta is only trusted to
+    * mean B = 16 when the `bucket=*` directories are consistent with
+    * that — a tree whose max bucket directory is >= 16 was provably
+    * written wider, so assuming 16 would mis-bucket the next append
+    * and silently drop probe matches on the mixed tree. That case
+    * fails loudly with a rebuild message instead.
     */
   def indexNumBuckets(spark: SparkSession, path: String): Int = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) NumBuckets
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
-      val body = try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
-      } finally in.close()
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
         .map(_.group(1).toInt).getOrElse(NumBuckets)
+    } else {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val bucketRe = """bucket=(\d+)""".r
+      val maxBucket =
+        if (!fs.exists(root)) -1
+        else fs.listStatus(root).iterator.flatMap(s =>
+          bucketRe.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+          .foldLeft(-1)(math.max)
+      if (maxBucket >= NumBuckets)
+        throw new IllegalStateException(
+          s"index tree $path has bucket directories up to bucket=$maxBucket " +
+            s"but no $MetaFile — it was written with a custom bucket count " +
+            "whose meta is missing (crash between data and meta write, or a " +
+            "partial copy). Rebuild the index (mode=overwrite) or restore " +
+            "the meta file; assuming the default would silently mis-bucket.")
+      NumBuckets
     }
   }
 
@@ -121,6 +149,25 @@ object IndexLayout {
     * history-size-independent) carries the probe.
     */
   val SemiJoinMaxKeys: Long = 1L << 20
+
+  /** Byte bound on the semi-join tier's broadcast build side:
+    * [[SemiJoinMaxKeys]] alone bounds ROWS, but an explicit
+    * `broadcast()` bypasses autoBroadcastJoinThreshold, and 2²⁰
+    * 40-char substring windows are ~100 MB of strings — enough to
+    * hurt the driver the tier exists to protect. The key bytes come
+    * from the SAME one-pass stats job as the counts (exact: the sum
+    * of the distinct keys' string octet lengths), and a batch over
+    * either bound falls back to bucket-only pruning, which is already
+    * history-size-independent. Tunable per session
+    * ([[SemiJoinMaxBytesKey]]) — a deployment with a bigger driver
+    * raises it, the spec shrinks it to pin the fallback.
+    */
+  val SemiJoinMaxBytes: Long = 64L << 20
+  val SemiJoinMaxBytesKey = "spark.graft.indexSemiJoinMaxBytes"
+
+  private def semiJoinMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(SemiJoinMaxBytesKey).map(_.toLong)
+      .getOrElse(SemiJoinMaxBytes)
 
   /** Session conf: minimum index ON-DISK bytes before a probe pays
     * the pruning machinery (one batch-sized stats job + filters). The
@@ -251,28 +298,103 @@ object IndexLayout {
     val idx = spark.read.parquet(path)
     if (!idx.columns.contains("bucket")) idx // legacy flat layout
     else if (!shouldPrune(spark, path)) idx.drop("bucket")
+    else restrictToBatchKeys(idx, keyCol, batchKeys,
+      indexNumBuckets(spark, path))
+  }
+
+  /** The key-restriction tiering itself, over an ALREADY-LOADED index
+    * frame that still carries its `bucket` partition column — the core
+    * [[prunedScan]] delegates to, exposed so per-GROUP probes (the
+    * banded media probe restricts each band's slice separately) ride
+    * the same measured crossover constants instead of hand-rolling
+    * them. `b` must be the TREE's bucket count
+    * ([[indexNumBuckets]]). Returns the restricted frame without the
+    * bucket column.
+    */
+  private[operators] def restrictToBatchKeys(idx: DataFrame, keyCol: String,
+                                             batchKeys: DataFrame,
+                                             b: Int): DataFrame = {
+    val kt = idx.schema(keyCol).dataType
+    val kc = batchKeys.columns.head
+    val keyed = batchKeys.select(col(kc).cast(kt).as("k")).distinct()
+    val stats = keyed
+      .groupBy(bucketOf(col("k"), b).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("k").cast("string"))).as("bytes"),
+        slice(collect_list(col("k")), 1, MaxKeyPushdown + 1).as("ks"))
+      .collect()
+    val buckets = stats.map(_.getInt(0)).toSeq
+    val nKeys = stats.map(_.getLong(1)).sum
+    val keyBytes = stats.map(_.getLong(2)).sum
+    val byBucket = idx.filter(col("bucket").isin(buckets: _*))
+    val pruned =
+      if (nKeys <= MaxKeyPushdown) {
+        val keys = stats.flatMap(_.getSeq[Any](3)).toSeq
+        byBucket.filter(col(keyCol).isin(keys: _*))
+      } else if (nKeys <= SemiJoinMaxKeys &&
+                 keyBytes <= semiJoinMaxBytes(idx.sparkSession))
+        byBucket.join(broadcast(keyed.select(col("k").as(keyCol))),
+          Seq(keyCol), "left_semi")
+      else byBucket
+    pruned.drop("bucket")
+  }
+
+  // ---- version-pointer protocol -----------------------------------
+  // Shared by every VERSIONED index layout (the substring eval-set
+  // index's compaction, the standing IVF semantic index's retrain):
+  // versions are immutable sibling directories `v0, v1, …` under the
+  // index root and `_current` names the live one. Writers build the
+  // next version completely, then flip the pointer; readers resolve
+  // the pointer once per probe, so an in-flight reader keeps its
+  // version while the flip happens (retention deletes versions older
+  // than the read horizon).
+
+  private def pointerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_current")
+
+  def versionDir(path: String, v: Int): String = s"$path/v$v"
+
+  /** The live version number at `path` (0 when no pointer exists —
+    * pre-versioning trees and fresh v0 builds read identically).
+    */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val p = pointerPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
     else {
-      val kt = idx.schema(keyCol).dataType
-      val b = indexNumBuckets(spark, path)
-      val kc = batchKeys.columns.head
-      val keyed = batchKeys.select(col(kc).cast(kt).as("k")).distinct()
-      val stats = keyed
-        .groupBy(bucketOf(col("k"), b).as("b"))
-        .agg(count(lit(1)).as("n"),
-          slice(collect_list(col("k")), 1, MaxKeyPushdown + 1).as("ks"))
-        .collect()
-      val buckets = stats.map(_.getInt(0)).toSeq
-      val nKeys = stats.map(_.getLong(1)).sum
-      val byBucket = idx.filter(col("bucket").isin(buckets: _*))
-      val pruned =
-        if (nKeys <= MaxKeyPushdown) {
-          val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
-          byBucket.filter(col(keyCol).isin(keys: _*))
-        } else if (nKeys <= SemiJoinMaxKeys)
-          byBucket.join(broadcast(keyed.select(col("k").as(keyCol))),
-            Seq(keyCol), "left_semi")
-        else byBucket
-      pruned.drop("bucket")
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
     }
+  }
+
+  /** Point `_current` at `version` — written to a temp name first and
+    * renamed into place last, so a reader never sees a half-written
+    * pointer. (Local-FS rename is atomic; on HDFS a production build
+    * would use FileContext.rename(OVERWRITE) — same one-pointer-flip
+    * protocol.)
+    */
+  def flipVersion(spark: SparkSession, path: String, version: Int): Unit = {
+    val fs = pointerPath(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path, "_current.tmp")
+    val cur = pointerPath(path)
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"pointer flip failed for $path v$version")
+  }
+
+  /** The directory a reader of the index at `path` should scan: the
+    * current version's subdirectory when a `_current` pointer exists,
+    * `path` itself otherwise — every pre-versioning flat tree keeps
+    * working unchanged, and [[flipVersion]] migrates it in place (the
+    * old root data stays for in-flight readers, new readers follow the
+    * pointer).
+    */
+  def resolveVersionDir(spark: SparkSession, path: String): String = {
+    val p = pointerPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) versionDir(path, currentVersion(spark, path)) else path
   }
 }

@@ -184,10 +184,79 @@ object IvfIndex {
     */
   def appendToIndex(newEmb: DataFrame, path: String): Unit = {
     val spark = newEmb.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val dir = IndexLayout.resolveVersionDir(spark, path)
+    val centroids = readCentroids(spark, dir)
     assign(newEmb, centroids).write
-      .partitionBy("list_id").mode("append").parquet(s"$path/lists")
+      .partitionBy("list_id").mode("append").parquet(s"$dir/lists")
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  // ---- standing-index lifecycle (versioned IVF-flat) ----------------
+  //
+  // [[writeIndex]] fixes the centroid geometry forever — fine between
+  // retrains, but a drifting corpus degrades assignment quality (and
+  // the measured list skew of seed geometries — tools/TextIvfSkew: the
+  // seed top-1 list holds 27.7% of the corpus vs 14.1% trained — makes
+  // a rebalance path a correctness-of-scale feature, not a nicety).
+  // The lifecycle is the substring index's version-pointer protocol
+  // (IndexLayout.flipVersion): versions are immutable `v<N>` sibling
+  // dirs, `_current` names the live one, probes resolve the pointer
+  // once per batch, and retrain builds the NEXT version completely
+  // before the flip — in-flight probes keep their snapshot, and a
+  // pre-versioning flat tree migrates in place (its root data stays
+  // for in-flight readers; new readers follow the pointer).
+
+  /** Build version 0 of a VERSIONED IVF-flat index: [[writeIndex]]
+    * into `path/v0` plus the `_current` pointer. Probes and appends
+    * against `path` resolve the pointer, so the call sites are
+    * identical to the flat layout.
+    */
+  def writeVersionedIndex(emb: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                          path: String): Unit = {
+    writeIndex(emb, centroids, IndexLayout.versionDir(path, 0))
+    IndexLayout.flipVersion(emb.sparkSession, path, 0)
+  }
+
+  /** Re-center the standing index at `path` around EXPLICIT new
+    * centroids: the current version's vectors are re-assigned (one
+    * distributed pass — broadcast argmin, exactly the build path) and
+    * written as the next version, then the pointer flips. Returns the
+    * new version number; the old directory is left for in-flight
+    * readers (a retention job deletes versions older than the read
+    * horizon). Centroid ids need not match the old geometry — the new
+    * version is self-contained.
+    */
+  def retrainIndexVersionWith(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              centroids: Seq[(Int, Seq[Double])]): Int = {
+    val curDir = IndexLayout.resolveVersionDir(spark, path)
+    val next =
+      if (curDir == path) 1 // migrating a pre-versioning flat tree
+      else IndexLayout.currentVersion(spark, path) + 1
+    val corpus = spark.read.parquet(s"$curDir/lists")
+      .select(col("vec_id"), col("v").as("embedding"))
+    writeIndex(corpus, centroids, IndexLayout.versionDir(path, next))
+    IndexLayout.flipVersion(spark, path, next)
+    next
+  }
+
+  /** [[retrainIndexVersionWith]] with centroids TRAINED on the
+    * index's own current corpus ([[train]]'s deterministic-init Lloyd
+    * rounds) — the production drift response: rebalance the lists to
+    * the corpus that actually accumulated, atomically, while probes
+    * keep reading the old version.
+    */
+  def retrainIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          path: String, nLists: Int = 8,
+                          iters: Int = 3): Int = {
+    val curDir = IndexLayout.resolveVersionDir(spark, path)
+    val corpus = spark.read.parquet(s"$curDir/lists")
+      .select(col("vec_id"), col("v").as("embedding"))
+    retrainIndexVersionWith(spark, path, train(corpus, nLists, iters))
   }
 
   /** Ingest-time SEMANTIC dedup probe against a standing [[writeIndex]]
@@ -216,30 +285,67 @@ object IvfIndex {
     * above the threshold (null, with `n_dups` 0, when the vector is
     * semantically fresh). Cross-cell near-dups are the method's
     * accepted recall loss, as in SemDeDup.
+    *
+    * `maxListN` is the HOT-CELL guard (the `maxClusterN`/`maxBandFreq`
+    * discipline its batch siblings carry): without it, one hot Voronoi
+    * list — which seed geometries produce by default (tools/
+    * TextIvfSkew: 27.7% of the corpus in the top-1 seed list) — makes
+    * per-batch probe I/O and join work ∝ corpus/k with no error. With
+    * the cap, index lists holding MORE than `maxListN` vectors
+    * contribute no pairs: their batch vectors are reported fresh
+    * (`n_dups` 0, `dup_of` null) with `hot` = true — declarative
+    * semantics an oracle can state without knowing the plan. The
+    * hotness decision reads only the partition column (a per-list
+    * count over the touched directories — row-group metadata, no
+    * vector payloads), and hot directories are then excluded from the
+    * payload scan by partition pruning, so with the cap the probe's
+    * data read is bounded by `maxListN`·touched regardless of how
+    * skewed the index grew. The `hot` column only exists when the cap
+    * is set, so uncapped callers (q178) see the original schema.
     */
   def semanticDedupAgainstIndex(newEmb: DataFrame, path: String,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                maxListN: Option[Long] = None): DataFrame = {
     val spark = newEmb.sparkSession
     VectorExpressions.register(spark)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val batch = assign(newEmb, centroids)
+    val dir = IndexLayout.resolveVersionDir(spark, path)
+    val centroids = readCentroids(spark, dir)
+    // ONE assignment pass per batch: the assigned frame feeds the
+    // touched-list collect, the hits join AND the final left join —
+    // cached + tracked like every other per-batch probe (r17 verdict
+    // #2); query callers release via releaseOperatorCaches, per-batch
+    // callers (semanticDedupPerBatch) via releaseTrackedCaches.
+    val batch = graft.Tables.trackOperatorCache(
+      assign(newEmb, centroids).cache())
     // the touched cells: bounded by k (the centroid count), so the
     // collect is a ≤ k-row driver pull, never batch-sized
     val touched = batch.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val inTouched = spark.read.parquet(s"$dir/lists")
       .filter(col("list_id").isin(touched: _*)) // partition pruning
+    // hot lists: a count over the partition column only (no payload
+    // read), ≤ k rows collected; hot directories never reach the scan
+    val hotLists: Seq[Int] = maxListN.fold(Seq.empty[Int]) { cap =>
+      inTouched.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).collect().map(_.getInt(0)).toSeq
+    }
+    val lists = (if (hotLists.isEmpty) inTouched
+                 else inTouched.filter(!col("list_id").isin(hotLists: _*)))
       .select(col("list_id"), col("vec_id").as("ivec"), col("v").as("iv"))
     val hits = batch.as("b")
       .join(lists, Seq("list_id"))
       .filter(Similarity.cosine(col("b.v"), col("iv")) >= threshold)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(min(col("ivec")).as("dup_of"), count(lit(1)).as("n_dups"))
-    batch.select(col("vec_id"), col("list_id"))
+    val base = batch.select(col("vec_id"), col("list_id"))
       .join(hits, Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"))
+    maxListN.fold(base) { _ =>
+      base.withColumn("hot",
+        if (hotLists.isEmpty) lit(false)
+        else col("list_id").isin(hotLists.map(_.toLong): _*))
+    }
   }
 
   /** Materialise the QUANTIZED IVF-flat layout: the same list-partitioned
@@ -786,9 +892,9 @@ object IvfIndex {
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   queryVecId: Long, k: Int = 20, nProbe: Int = 2): DataFrame = {
     VectorExpressions.register(spark)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
+    val dir = IndexLayout.resolveVersionDir(spark, path)
+    val centroids = readCentroids(spark, dir)
+    val lists = spark.read.parquet(s"$dir/lists")
     val qRow = lists.filter(col("vec_id") === queryVecId)
       .select(col("v")).head.getSeq[Double](0).toSeq
     val probeLists = nearestLists(centroids, qRow, nProbe)

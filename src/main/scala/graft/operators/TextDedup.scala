@@ -608,32 +608,17 @@ object TextDedup {
       else if (!prune)
         raw.filter(col("band") === j)
           .select(col("doc_id"), col("simhash"), col("bkey"))
-      else {
-        val base = raw.filter(col("band") === j)
-        // ONE batch job per band: per-bucket key count + the keys
-        // themselves shipped capped (the IndexLayout.prunedScan fold —
-        // the old stats+keys pair ran the cached batch twice per band)
-        val stats = batch.select(col(s"k$j").as("k")).distinct()
-          .groupBy(IndexLayout.bucketOf(col("k"), numBuckets).as("b"))
-          .agg(count(lit(1)).as("n"),
-            slice(collect_list(col("k")), 1,
-              IndexLayout.MaxKeyPushdown + 1).as("ks"))
-          .collect()
-        val buckets = stats.map(_.getInt(0)).toSeq
-        val nKeys = stats.map(_.getLong(1)).sum
-        val byBucket = base.filter(col("bucket").isin(buckets: _*))
-        val pruned =
-          if (nKeys <= IndexLayout.MaxKeyPushdown) {
-            val keys = stats.flatMap(_.getSeq[Any](2)).toSeq
-            byBucket.filter(col("bkey").isin(keys: _*))
-          } else
-            // the band key universe is <= 65536, always inside the
-            // semi-join tier (IndexLayout.SemiJoinMaxKeys)
-            byBucket.join(
-              broadcast(batch.select(col(s"k$j").as("bkey")).distinct()),
-              Seq("bkey"), "left_semi")
-        pruned.select(col("doc_id"), col("simhash"), col("bkey"))
-      })
+      else
+        // the per-band variant of IndexLayout.prunedScan — ONE batch
+        // job per band (per-bucket counts + capped keys in one pass),
+        // the same measured IN-list/semi-join tiering, delegated so
+        // the crossover constants live in one place (the band key
+        // universe is <= 65536 numeric keys, always within both
+        // semi-tier bounds, so the bucket-only fallback never fires)
+        IndexLayout.restrictToBatchKeys(
+          raw.filter(col("band") === j), "bkey",
+          batch.select(col(s"k$j")), numBuckets)
+          .select(col("doc_id"), col("simhash"), col("bkey")))
     val capped = maxBandFreq.isDefined
     // hot flags ride the BATCH rows (one pruned-scan aggregate + one
     // 1:≤1 flag join per band); counts per key over the pruned scan
@@ -1396,35 +1381,15 @@ object TextDedup {
   // rebuild (the index is a distinct-window SET; see
   // SubstringIndexSetsSpec).
 
+  // pointer read/flip delegate to the shared version-pointer protocol
+  // (IndexLayout) — one implementation for every versioned layout
   private def currentIndexVersion(spark: org.apache.spark.sql.SparkSession,
-                                  path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_current")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
-    }
-  }
+                                  path: String): Int =
+    IndexLayout.currentVersion(spark, path)
 
-  /** Point `_current` at `version` — written to a temp name first and
-    * renamed into place last, so a reader never sees a half-written
-    * pointer. (Local-FS rename is atomic; on HDFS a production build
-    * would use FileContext.rename(OVERWRITE) — same one-pointer-flip
-    * protocol.)
-    */
   private def flipIndexVersion(spark: org.apache.spark.sql.SparkSession,
-                               path: String, version: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_current.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"pointer flip failed for $path v$version")
-  }
+                               path: String, version: Int): Unit =
+    IndexLayout.flipVersion(spark, path, version)
 
   /** Build version 0 of a multi-eval-set window index: `benchSets`
     * carries (eval_set_id, doc_id, text); distinct windows are written

@@ -613,6 +613,51 @@ object DataPipeline {
           threshold = 0.95)
         .orderBy($"vec_id")
     },
+    // q178 with the hot-cell guard engaged: index lists holding more
+    // than history/4 vectors contribute NO pairs — their batch vectors
+    // are reported fresh with hot = true (the maxClusterN/maxBandFreq
+    // discipline applied to the ingest probe). The cap deliberately
+    // BITES on the seed geometry (two of the four Voronoi cells exceed
+    // history/4 at every SF — the same skew q177 exploits), so the
+    // gate pins both arms: hot cells all fresh+flagged, cold cells
+    // identical to q178. Hot directories never reach the payload scan
+    // (partition pruning), so the capped probe's data read is bounded
+    // by cap·touched at any history size.
+    "q179_semantic_ingest_capped" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.ivfSeedIndexPath(s, dir, nLists = 4)
+      val emb = Tables.loadParallel(s, dir, "embeddings")
+      val batch = emb.select($"vec_id",
+        transform($"embedding", x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
+          .as("embedding"))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
+          threshold = 0.95, maxListN = Some(emb.count() / 4))
+        .orderBy($"vec_id")
+    },
+    // Standing-IVF LIFECYCLE: the index behind this probe was built at
+    // the seed-0..3 geometry (q178's), then RETRAINED around vec_id
+    // 4..7 and atomically flipped to v1 (SharedArtifacts does both
+    // steps once per process) — the probe resolves the `_current`
+    // pointer, so a hash match proves the retrain landed: the oracle
+    // replays the NEW geometry (seeds 4..7), which assigns most
+    // vectors differently from q178's.
+    "q180_semantic_index_retrain" -> { (s, dir) =>
+      import s.implicits._
+      val path = SharedArtifacts.ivfVersionedIndexPath(s, dir)
+      val emb = Tables.loadParallel(s, dir, "embeddings")
+      val batch = emb.select($"vec_id",
+        transform($"embedding", x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
+          .as("embedding"))
+        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
+          threshold = 0.95)
+        .orderBy($"vec_id")
+    },
     // prototypicality pruning ("beyond neural scaling laws" shape):
     // rank every vector by cosine to its own cluster centroid and drop
     // the most-prototypical 10% of each cluster (the policy large-data
@@ -1984,6 +2029,83 @@ object DataPipeline {
         |  FROM embeddings),
         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
         |      FROM o WHERE vec_id IN (0, 1, 2, 3)),
+        |ha AS (SELECT vec_id, v, cid FROM (
+        |    SELECT o.vec_id, o.v, c.cid,
+        |      row_number() OVER (PARTITION BY o.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(o.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM o, c) WHERE rn = 1),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(v, x -> x + 0.005 * CAST(1 + vec_id % 3 AS DOUBLE)) AS v
+        |  FROM o),
+        |ba AS (SELECT vec_id, v, cid FROM (
+        |    SELECT p.vec_id, p.v, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(p.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM p, c) WHERE rn = 1),
+        |hits AS (SELECT b.vec_id, min(h.vec_id) AS dup_of,
+        |    count(*) AS n_dups
+        |  FROM ba b JOIN ha h ON b.cid = h.cid
+        |  WHERE list_dot_product(b.v, h.v) /
+        |    (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(h.v, h.v)))
+        |    >= 0.95
+        |  GROUP BY 1)
+        |SELECT ba.vec_id, CAST(ba.cid AS BIGINT) AS list_id,
+        |  CAST(coalesce(hits.n_dups, 0) AS BIGINT) AS n_dups, hits.dup_of
+        |FROM ba LEFT JOIN hits ON ba.vec_id = hits.vec_id
+        |ORDER BY ba.vec_id""".stripMargin,
+
+    // q179: the q178 replay with the hot-cell cap — index cells
+    // holding more than count(history)/4 vectors (integer division,
+    // both engines) contribute no pairs; their batch vectors are
+    // fresh with hot = true.
+    "q179_semantic_ingest_capped" ->
+      """WITH o AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM o WHERE vec_id IN (0, 1, 2, 3)),
+        |ha AS (SELECT vec_id, v, cid FROM (
+        |    SELECT o.vec_id, o.v, c.cid,
+        |      row_number() OVER (PARTITION BY o.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(o.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM o, c) WHERE rn = 1),
+        |hot AS (SELECT cid FROM ha GROUP BY cid
+        |  HAVING count(*) > (SELECT count(*) // 4 FROM o)),
+        |p AS (SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(v, x -> x + 0.005 * CAST(1 + vec_id % 3 AS DOUBLE)) AS v
+        |  FROM o),
+        |ba AS (SELECT vec_id, v, cid FROM (
+        |    SELECT p.vec_id, p.v, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(p.v, c.cv),
+        |        c.cid) AS rn
+        |    FROM p, c) WHERE rn = 1),
+        |hits AS (SELECT b.vec_id, min(h.vec_id) AS dup_of,
+        |    count(*) AS n_dups
+        |  FROM ba b JOIN ha h ON b.cid = h.cid
+        |  WHERE b.cid NOT IN (SELECT cid FROM hot)
+        |    AND list_dot_product(b.v, h.v) /
+        |    (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(h.v, h.v)))
+        |    >= 0.95
+        |  GROUP BY 1)
+        |SELECT ba.vec_id, CAST(ba.cid AS BIGINT) AS list_id,
+        |  CAST(coalesce(hits.n_dups, 0) AS BIGINT) AS n_dups, hits.dup_of,
+        |  ba.cid IN (SELECT cid FROM hot) AS hot
+        |FROM ba LEFT JOIN hits ON ba.vec_id = hits.vec_id
+        |ORDER BY ba.vec_id""".stripMargin,
+
+    // q180: the q178 replay at the RETRAINED geometry — history and
+    // batch assigned around the vectors of vec_id 4..7 (cid 0..3 in
+    // vec_id order), which is what v1 of the versioned index stores.
+    "q180_semantic_index_retrain" ->
+      """WITH o AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |      FROM o WHERE vec_id IN (4, 5, 6, 7)),
         |ha AS (SELECT vec_id, v, cid FROM (
         |    SELECT o.vec_id, o.v, c.cid,
         |      row_number() OVER (PARTITION BY o.vec_id ORDER BY

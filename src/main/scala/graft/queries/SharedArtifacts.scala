@@ -159,14 +159,44 @@ object SharedArtifacts {
     */
   def ivfSeedIndexPath(s: SparkSession, dir: String, nLists: Int = 4): String =
     artifact(dir, s"ivf_seed_$nLists") { path =>
-      import org.apache.spark.sql.functions.{col, transform}
+      graft.operators.IvfIndex.writeIndex(
+        Tables.load(s, dir, "embeddings"), seedCentroids(s, dir, 0L, nLists),
+        path)
+    }
+
+  /** Replayable seed centroids: cid i = the (double-cast) embedding of
+    * vec_id `from + i` — the q112/q130 convention, shared by the
+    * seed-geometry index artifacts.
+    */
+  private def seedCentroids(s: SparkSession, dir: String, from: Long,
+                            n: Int): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.functions.{col, transform}
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") >= from && col("vec_id") < from + n)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+  }
+
+  /** VERSIONED standing IVF index taken through the full lifecycle the
+    * layout exists for (q180): v0 built with the seed-0..3 geometry
+    * (exactly [[ivfSeedIndexPath]]'s), then RETRAINED around the
+    * vectors of vec_id 4..7 — a genuinely different, still replayable
+    * geometry — into v1 with the atomic pointer flip
+    * ([[graft.operators.IvfIndex.retrainIndexVersionWith]]). The gated
+    * probe resolves the pointer, so it proves build, retrain, flip and
+    * probe-of-current end-to-end; probing the OLD version during the
+    * rebuild is pinned by SemanticDedupSpec (the spec can hold both
+    * versions open, the gate cannot).
+    */
+  def ivfVersionedIndexPath(s: SparkSession, dir: String): String =
+    artifact(dir, "ivf_versioned") { path =>
       val emb = Tables.load(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < nLists)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .collect().sortBy(_.getLong(0))
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-      graft.operators.IvfIndex.writeIndex(emb, centroids, path)
+      graft.operators.IvfIndex.writeVersionedIndex(
+        emb, seedCentroids(s, dir, 0L, 4), path)
+      graft.operators.IvfIndex.retrainIndexVersionWith(
+        s, path, seedCentroids(s, dir, 4L, 4))
     }
 
   /** Quantized IVF-flat index over the whole embeddings table

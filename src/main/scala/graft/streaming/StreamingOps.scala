@@ -534,22 +534,27 @@ object StreamingOps {
     */
   def semanticDedupPerBatch(emb: DataFrame, indexPath: String,
                             threshold: Double,
+                            maxListN: Option[Long] = None,
                             appendAfterProbe: Boolean = false,
                             sink: (DataFrame, Long) => Unit)
   : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val probe = graft.operators.IvfIndex.semanticDedupAgainstIndex(
-          batch, indexPath, threshold)
-        if (appendAfterProbe) {
-          val pinned = probe.persist()
-          try {
-            pinned.count() // break the probe->index dependency NOW
-            sink(pinned, batchId)
-            graft.operators.IvfIndex.appendToIndex(batch, indexPath)
-          } finally pinned.unpersist(blocking = false)
-        } else sink(probe, batchId)
+        // the probe caches its assigned batch (tracked): release per
+        // micro-batch so a long-running stream never accumulates
+        try {
+          val probe = graft.operators.IvfIndex.semanticDedupAgainstIndex(
+            batch, indexPath, threshold, maxListN)
+          if (appendAfterProbe) {
+            val pinned = probe.persist()
+            try {
+              pinned.count() // break the probe->index dependency NOW
+              sink(pinned, batchId)
+              graft.operators.IvfIndex.appendToIndex(batch, indexPath)
+            } finally pinned.unpersist(blocking = false)
+          } else sink(probe, batchId)
+        } finally graft.Tables.releaseTrackedCaches(batch.sparkSession)
       }
       .start()
 

@@ -154,6 +154,36 @@ object ProbeSmoke {
       (h, p) => TextAnalysis.writeGramIndex(h, p),
       p => () => TextAnalysis.noveltyAgainstIndex(batch, p))
 
+    // semantic IVF ingest probe (q178/q179): the one per-batch probe
+    // whose per-LIST cost grows with history by design (a Voronoi
+    // cell is ~corpus/k), so flatness comes from the hot-cell guard:
+    // lists above maxListN are skipped after a partition-column-only
+    // count (no payload read), and probe data I/O is then bounded by
+    // cap·touched at ANY history size. The cap here is the 1x
+    // history's largest list — the per-batch scan budget a production
+    // deployment would set — so the 10x lists (each ~10x their 1x
+    // size) trip it and the CAPPED probe stays flat.
+    val embSmall = Tables.load(spark, dir1x, "embeddings")
+    val embBig = Tables.load(spark, dir10x, "embeddings")
+    val seedCents = embSmall.filter(col("vec_id") < 4)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val listCap = graft.operators.IvfIndex.assign(embSmall, seedCents)
+      .groupBy(col("list_id")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val embBatch = embSmall.filter(col("vec_id") >= 4800)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.005D)")
+          .as("embedding")).cache()
+    embBatch.count()
+    grade("semantic_ivf capped (q179)",
+      (h, p) => graft.operators.IvfIndex.writeIndex(
+        if (h eq small) embSmall else embBig, seedCents, p),
+      p => () => graft.operators.IvfIndex.semanticDedupAgainstIndex(
+        embBatch, p, threshold = 0.95, maxListN = Some(listCap)))
+
     // custom bucket count under the same grade: the production knob
     // (spark.graft.indexNumBuckets, persisted per tree) must keep the
     // probe flat — the probe reads B from the tree's meta, so this

@@ -82,6 +82,81 @@ class IndexLayoutSpec extends SparkSpec {
     }
   }
 
+  test("missing meta: wide trees fail loudly, default-width trees stay legacy") {
+    // a B=64 tree whose meta is lost (crash between data and meta
+    // write, partial copy) must NOT silently read as B=16 — the next
+    // append would mis-bucket every key and probes would silently
+    // drop matches on the mixed tree (r17 verdict #3 / advice)
+    val dir = tempDir("graft_idxlayout_meta_lost")
+    spark.conf.set(IndexLayout.NumBucketsKey, "64")
+    try IndexLayout.writeBucketed(
+      (0L until 5000L).map(i => (i, i)).toDF("k", "v"), "k", dir, "overwrite")
+    finally spark.conf.unset(IndexLayout.NumBucketsKey)
+    assert(IndexLayout.indexNumBuckets(spark, dir) == 64)
+    assert(new java.io.File(dir, "_graft_index_meta.json").delete())
+    val e = intercept[IllegalStateException](
+      IndexLayout.indexNumBuckets(spark, dir))
+    assert(e.getMessage.contains("Rebuild"), e.getMessage)
+    // appends and pruned probes go through the same read → loud too
+    intercept[IllegalStateException](IndexLayout.writeBucketed(
+      (5000L until 5100L).map(i => (i, i)).toDF("k", "v"), "k", dir, "append"))
+    // a DEFAULT-width tree with no meta is every pre-knob tree: its
+    // bucket dirs stay under 16, so it keeps reading as B=16
+    val dir16 = tempDir("graft_idxlayout_meta_legacy")
+    IndexLayout.writeBucketed(
+      (0L until 1000L).map(i => (i, i)).toDF("k", "v"), "k", dir16, "overwrite")
+    assert(new java.io.File(dir16, "_graft_index_meta.json").delete())
+    assert(IndexLayout.indexNumBuckets(spark, dir16) == IndexLayout.NumBuckets)
+  }
+
+  test("semi-join tier is byte-bounded: oversized key bytes fall back to bucket-only") {
+    // SemiJoinMaxKeys bounds ROWS; wide string keys could still build
+    // a driver-hostile broadcast (r17 advice). Over the byte bound the
+    // scan falls back to bucket-only pruning — value-identical for
+    // every consumer (they re-join on the key), just unpushed.
+    val dir = tempDir("graft_idxlayout_bytes")
+    val idx = (0L until 20000L).map(i => (s"key_${"x" * 30}_$i", i))
+      .toDF("k", "p")
+    IndexLayout.writeBucketed(idx, "k", dir, "overwrite")
+    spark.conf.set(IndexLayout.PruneMinBytesKey, "0")
+    try {
+      val n = IndexLayout.MaxKeyPushdown + 500 // above the IN-list tier
+      val batch = (0 until n).map(i => s"key_${"x" * 30}_${i * 7}").toDF("k")
+      def scan() = IndexLayout.prunedScan(spark, dir, "k", batch)
+      val expected = (0 until n).map(_ * 7L).filter(_ < 20000L)
+        .map(i => (s"key_${"x" * 30}_$i", i)).toSet
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.join(batch.distinct(), Seq("k")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      // within the byte bound: the broadcast semi tier
+      assert(scan().queryExecution.executedPlan.toString
+        .contains("LeftSemi"))
+      assert(got(scan()) == expected)
+      // over the byte bound: bucket-only, same values
+      spark.conf.set(IndexLayout.SemiJoinMaxBytesKey, "1024")
+      assert(!scan().queryExecution.executedPlan.toString
+        .contains("LeftSemi"))
+      assert(got(scan()) == expected)
+    } finally {
+      spark.conf.unset(IndexLayout.PruneMinBytesKey)
+      spark.conf.unset(IndexLayout.SemiJoinMaxBytesKey)
+    }
+  }
+
+  test("version pointer: flip is atomic-rename, resolve falls back to the flat root") {
+    val dir = tempDir("graft_idxlayout_versions")
+    // no pointer: version 0, resolve = the root itself (legacy trees)
+    assert(IndexLayout.currentVersion(spark, dir) == 0)
+    assert(IndexLayout.resolveVersionDir(spark, dir) == dir)
+    IndexLayout.flipVersion(spark, dir, 0)
+    assert(IndexLayout.resolveVersionDir(spark, dir) == s"$dir/v0")
+    IndexLayout.flipVersion(spark, dir, 1)
+    assert(IndexLayout.currentVersion(spark, dir) == 1)
+    assert(IndexLayout.resolveVersionDir(spark, dir) == s"$dir/v1")
+    // no temp file left behind
+    assert(!new java.io.File(dir, "_current.tmp").exists())
+  }
+
   test("prunedScan casts batch keys to the index key type before bucketing") {
     // xxhash64 is type-sensitive: an INT batch key against a LONG
     // index key would bucket differently and silently drop every

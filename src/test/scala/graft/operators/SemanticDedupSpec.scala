@@ -128,6 +128,96 @@ class SemanticDedupSpec extends SparkSpec {
     assert(un.count(!_._2) > 1)
   }
 
+  test("semanticDedupAgainstIndex maxListN skips the planted hot list and flags its batch") {
+    // the ingest-probe flavor of the giant-cluster guard (r17 verdict
+    // #1): 40 near-clones make list 0 of the standing index hot; the
+    // batch holds a near-copy landing in the hot list (a REAL dup the
+    // cap knowingly forgoes) and one landing in the cold list. Capped:
+    // the hot list contributes no pairs — its batch vector is fresh
+    // with hot = true and the hot DIRECTORY never reaches the payload
+    // scan; the cold list dedups exactly as uncapped.
+    val history = ((10L until 50L).map(i =>
+      (i, Array(1.0f, 0.0f, (i % 7) * 1e-4f, 0.0f))) ++ Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val idx = tempDir("graft_semdedup_hotlist")
+    IvfIndex.writeIndex(history, cents, idx)
+    val batch = Seq(
+      (100L, Array(1.0f, 0.0f, 1e-4f, 0.0f)),   // near-copy of 17 (hot list)
+      (101L, Array(0.1f, 0.9f, 0.0f, 0.1001f))) // near-copy of 3 (cold list)
+      .toDF("vec_id", "embedding")
+    val capped = IvfIndex.semanticDedupAgainstIndex(batch, idx,
+      threshold = 0.999, maxListN = Some(10L))
+    assert(capped.columns.toSeq ==
+      Seq("vec_id", "list_id", "n_dups", "dup_of", "hot"))
+    val got = capped.collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4)))).toMap
+    assert(got(100L) == ((0L, None, true)), got.toString) // hot: fresh + flagged
+    assert(got(101L)._1 > 0L && got(101L)._2.contains(3L) && !got(101L)._3)
+    // the hot directory is excluded by PARTITION pruning, not a
+    // post-scan filter: the payload scan's partition filters carry a
+    // NOT-IN on list_id
+    val plan = capped.queryExecution.executedPlan.toString
+    // (a single hot list prints as `NOT (list_id#N = 0)`, several as
+    // `NOT list_id#N IN (...)` — match either)
+    assert("""PartitionFilters: \[[^\]]*NOT \(?list_id#\d+""".r
+      .findFirstIn(plan).isDefined, plan)
+    // uncapped: same call, no hot column, the hot-list dup IS found
+    val un = IvfIndex.semanticDedupAgainstIndex(batch, idx, threshold = 0.999)
+    assert(un.columns.toSeq == Seq("vec_id", "list_id", "n_dups", "dup_of"))
+    val unGot = un.collect().map(r => r.getLong(0) ->
+      Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(unGot(100L).nonEmpty && unGot(101L).contains(3L))
+    graft.Tables.releaseTrackedCaches(spark)
+  }
+
+  test("versioned IVF lifecycle: retrain builds v1 while v0 stays probeable, then the flip lands") {
+    // the standing semantic index's drift response (r17 verdict #4):
+    // v0 at geometry A (both blobs on centroid 0 — a deliberately bad
+    // single-sided geometry), retrain around geometry B (the two blob
+    // anchors), flip; the probe resolves the pointer, so the SAME call
+    // sees the rebalanced lists, and the old version dir remains
+    // readable for in-flight probes.
+    val idx = tempDir("graft_ivf_lifecycle")
+    val history = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val geomA = Seq(0 -> Seq(0.5, 0.5, 0.0, 0.0)) // one cell swallows all
+    val geomB = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    IvfIndex.writeVersionedIndex(history, geomA, idx)
+    assert(IndexLayout.currentVersion(spark, idx) == 0)
+    val batch = Seq((10L, Array(0.9f, 0.1f, 0.1001f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def probe() = IvfIndex.semanticDedupAgainstIndex(batch, idx,
+      threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSeq
+    val onA = probe()
+    assert(onA == Seq((10L, 0L, Some(2L)))) // everything in cell 0
+    val v1 = IvfIndex.retrainIndexVersionWith(spark, idx, geomB)
+    assert(v1 == 1 && IndexLayout.currentVersion(spark, idx) == 1)
+    // the probe now resolves v1: blob A's cell no longer holds blob B
+    val onB = probe()
+    assert(onB == Seq((10L, 0L, Some(2L))))
+    // and the rebalance is observable in the lists: v1 splits the
+    // corpus 2/2 where v0 held all 4 in one list
+    val v0Sizes = spark.read.parquet(s"$idx/v0/lists")
+      .groupBy("list_id").count().collect().map(_.getLong(1)).toSeq
+    val v1Sizes = spark.read.parquet(s"$idx/v1/lists")
+      .groupBy("list_id").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(v0Sizes == Seq(4L) && v1Sizes == Seq(2L, 2L))
+    // retrain-with-TRAINED-centroids path: one more version, corpus
+    // carried forward intact
+    val v2 = IvfIndex.retrainIndexVersion(spark, idx, nLists = 2, iters = 1)
+    assert(v2 == 2 && IndexLayout.currentVersion(spark, idx) == 2)
+    assert(spark.read.parquet(s"$idx/v2/lists").count() == 4L)
+    graft.Tables.releaseTrackedCaches(spark)
+  }
+
   test("prototypicality maxClusterN excludes the planted giant cluster") {
     // a degenerate corpus: 40 near-clones collapse onto blob A's
     // centroid while blob B keeps 2 members — with a cap below 40

@@ -942,6 +942,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed2.find(_._1 == 22L).get._4.contains(12L))
   }
 
+  test("semantic probe with maxListN: streamed hot-cell guard ≡ capped batch operator") {
+    implicit val sq = spark.sqlContext
+    // list 0 of the standing index is HOT (12 near-clones > cap = 10);
+    // the stream's batches carry a near-copy landing in the hot list
+    // and one landing in the cold list — per-batch results must equal
+    // the capped batch operator's, including the hot flag
+    val history = ((10L until 22L).map(i =>
+      (i, Array(1.0f, 0.0f, (i % 7) * 1e-4f, 0.0f))) ++ Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val idx = tempDir("graft_stream_sem_hot")
+    graft.operators.IvfIndex.writeIndex(history, cents, idx)
+    val batch = Seq(
+      (100L, Array(1.0f, 0.0f, 1e-4f, 0.0f)),   // hot list
+      (101L, Array(0.1f, 0.9f, 0.0f, 0.1001f))) // cold list
+    val want = graft.operators.IvfIndex.semanticDedupAgainstIndex(
+        batch.toDF("vec_id", "embedding"), idx, threshold = 0.999,
+        maxListN = Some(10L))
+      .as[(Long, Long, Long, Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    graft.Tables.releaseTrackedCaches(spark)
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Option[Long], Boolean)]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupPerBatch(
+      mem.toDF().toDF("vec_id", "embedding"), idx, threshold = 0.999,
+      maxListN = Some(10L),
+      sink = (df, _) => df.as[(Long, Long, Long, Option[Long], Boolean)]
+        .collect().foreach(r => got.add(r)))
+    mem.addData(batch.take(1)); q.processAllAvailable()
+    mem.addData(batch.drop(1)); q.processAllAvailable(); q.stop()
+    val streamed = got.toArray
+      .map(_.asInstanceOf[(Long, Long, Long, Option[Long], Boolean)])
+      .sortBy(_._1).toSeq
+    assert(streamed == want && want.nonEmpty)
+    assert(want.find(_._1 == 100L).get._5 &&
+      want.find(_._1 == 100L).get._3 == 0L) // hot: fresh + flagged
+    assert(!want.find(_._1 == 101L).get._5 &&
+      want.find(_._1 == 101L).get._4.contains(3L))
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must

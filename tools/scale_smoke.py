@@ -111,7 +111,14 @@ QUERIES = ["q34", "q38", "q48", "q86", "q87", "q101", "q102",
            # stored centroids, history read only from the batch's
            # lists; pair work is the same-cell batch x history
            # product, counted from the dump's per-list batch sizes)
-           "q177", "q178"]
+           "q177", "q178",
+           # r18: the semantic ingest probe with the hot-cell guard
+           # (q179 — lists above history/4 are skipped after a
+           # partition-column count, so pair work is the cold cells'
+           # batch x history product only) and the versioned-index
+           # retrain probe (q180 — the q178 shape at the retrained
+           # v1 geometry; the work counter reuses the per-list sums)
+           "q179", "q180"]
 SLACK = 2.0
 
 # Annotations shown under the table. The current report is ONE uncut
@@ -119,11 +126,11 @@ SLACK = 2.0
 # tiers — no standalone merges; the notes record what changed since
 # the previous run.
 REMEASURED_NOTES = [
-    "q178 (semantic ingest probe) was added to the query list after "
-    "this round's full smoke run closed; its first graded rows land "
-    "with the next full run — the probe's scale shape is meanwhile "
-    "covered by its oracle gate and the StreamingOpsSpec lifecycle "
-    "parity.",
+    "r18: fresh full-suite run with the semantic ingest-probe family "
+    "completed — q178 graded for the first time (it had joined the "
+    "list after r17's run closed), plus the new capped probe (q179, "
+    "hot lists excluded from pair mining per its work counter) and "
+    "the versioned-retrain probe (q180).",
     "This report is a single full-suite run (no cache merges), "
     "re-measured in r16 with the trained-PQ production-codebook gate "
     "(q176, kCode=32) added and the standing-index families "
@@ -180,6 +187,22 @@ DUMP_WORK_SQL = {
     # history; the gate's batch is the jittered history, so both sides
     # of every cell have the dump's per-list count — pair work ~ sum n²
     "q178": """
+      SELECT CAST(sum(n * n) AS BIGINT) FROM (
+        SELECT list_id, count(*) AS n
+        FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
+    # q179 = q178 with the hot-cell cap: lists whose HISTORY count
+    # exceeds history/4 contribute no pairs (the batch is the jittered
+    # history, so the dump's per-list batch count equals the history
+    # count — n > t/4 replays the guard exactly); hot lists pay only
+    # the linear assignment term
+    "q179": """
+      SELECT CAST(sum(CASE WHEN n <= t / 4 THEN n * n ELSE n END)
+                  AS BIGINT) FROM (
+        SELECT list_id, count(*) AS n, sum(count(*)) OVER () AS t
+        FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
+    # q180 probes the RETRAINED v1 geometry uncapped — same per-list
+    # pair product as q178, just over the new assignment
+    "q180": """
       SELECT CAST(sum(n * n) AS BIGINT) FROM (
         SELECT list_id, count(*) AS n
         FROM read_parquet('{dump}/*.parquet') GROUP BY 1)""",
