@@ -132,7 +132,10 @@ object Bench {
           failed += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query caches must not leak across runs
+      // per-query caches must not leak across runs; draining the
+      // tracked registry first also keeps its (strong) refs bounded
+      // over a 180-query x 4-run process
+      graft.Tables.releaseOperatorCaches(spark)
       // settle cross-query JVM debt (codegen classes, broadcast/shuffle
       // cleanup) so late queries in the sorted order aren't billed for
       // earlier queries' garbage — measured ~3x inflation on the last

@@ -80,7 +80,7 @@ object Verify {
         }
         println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         writeSummary()
-        spark.catalog.clearCache()
+        graft.Tables.releaseOperatorCaches(spark)
       }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
