@@ -397,4 +397,29 @@ object IndexLayout {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) versionDir(path, currentVersion(spark, path)) else path
   }
+
+  /** The retention half of the version protocol: delete every `v<N>`
+    * directory with N < `keepFrom` — never the live version (the call
+    * refuses a `keepFrom` beyond it), and meant to run only once
+    * `keepFrom` is at or behind the deployment's read horizon (a probe
+    * that resolved the pointer before a flip may still be reading an
+    * older version; local test processes probe synchronously, so
+    * horizon = current). Returns the versions actually deleted.
+    */
+  def pruneVersionsBelow(spark: SparkSession, path: String,
+                         keepFrom: Int): Seq[Int] = {
+    val cur = currentVersion(spark, path)
+    require(keepFrom <= cur,
+      s"refusing to prune versions below $keepFrom: the live version is v$cur")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val vRe = """v(\d+)""".r
+    fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case vRe(n) if n.toInt < keepFrom =>
+          fs.delete(s.getPath, true); Some(n.toInt)
+        case _ => None
+      }
+    }.sorted
+  }
 }

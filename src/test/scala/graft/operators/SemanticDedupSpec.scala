@@ -215,6 +215,14 @@ class SemanticDedupSpec extends SparkSpec {
     val v2 = IvfIndex.retrainIndexVersion(spark, idx, nLists = 2, iters = 1)
     assert(v2 == 2 && IndexLayout.currentVersion(spark, idx) == 2)
     assert(spark.read.parquet(s"$idx/v2/lists").count() == 4L)
+    // retention: old versions drop once past the read horizon; the
+    // live version is protected
+    intercept[IllegalArgumentException](
+      IndexLayout.pruneVersionsBelow(spark, idx, 3))
+    assert(IndexLayout.pruneVersionsBelow(spark, idx, 2) == Seq(0, 1))
+    assert(!new java.io.File(idx, "v0").exists())
+    assert(!new java.io.File(idx, "v1").exists())
+    assert(probe().nonEmpty) // the live version still serves
     graft.Tables.releaseTrackedCaches(spark)
   }
 
