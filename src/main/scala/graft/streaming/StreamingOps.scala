@@ -492,32 +492,6 @@ object StreamingOps {
       }
       .start()
 
-  /** Per-batch SUB-DOCUMENT ingest dedup: each micro-batch of
-    * `(doc_id, text)` docs is CDC-chunked (batch-only kernel pass) and
-    * probed against the standing
-    * [[graft.operators.TextDedup.writeChunkIndex]] state — the
-    * streaming flavor of q163, closing the per-batch symmetry the
-    * other standing indexes already have ([[ingestVerdictPerBatch]]
-    * for MinHash, [[mediaDedupPerBatch]] for media hashes). With
-    * `appendAfterProbe` the batch's chunks then extend the index as
-    * new part files (O(batch), history never rewritten), so batch n+1
-    * sees batch n's content — the incremental-ingest lifecycle in one
-    * sink. With `appendAfterProbe` the probe result is DEFENSIVELY
-    * materialized (persist + count) before the sink sees it and before
-    * the append runs, so correctness cannot hinge on whether the sink
-    * evaluates eagerly — a deferring sink (one that stashes the
-    * DataFrame and collects later) would otherwise observe its own
-    * batch in the index. The pinned blocks are released once the
-    * batch's append completes (the extra pass is batch-sized); a sink
-    * that defers collection beyond its own foreachBatch invocation
-    * must copy the rows it needs — after release a recompute would
-    * read the extended index.
-    *
-    * Each batch's probe result is a pure function of (batch, index
-    * state), so with `appendAfterProbe = false` any batching yields
-    * the union of batch results, and with it the 3-batch run equals
-    * the sequential replay — both pinned by StreamingOpsSpec.
-    */
   /** Per-batch SEMANTIC ingest dedup: each micro-batch of `(vec_id,
     * embedding)` vectors probes the standing
     * [[graft.operators.IvfIndex.writeIndex]] state through
@@ -530,7 +504,11 @@ object StreamingOps {
     * batch n+1 sees batch n's vectors — with the same defensive
     * materialization as the CDC flavor: the probe is pinned + counted
     * BEFORE the sink and the append, so a deferring sink can never
-    * observe its own batch in the index.
+    * observe its own batch in the index. `maxListN` passes the
+    * hot-cell guard through (q179 semantics: over-budget index lists
+    * are skipped, their batch vectors reported fresh with `hot` =
+    * true) — on a long-running stream the cap is what keeps a
+    * skew-accumulating index from inflating every future batch.
     */
   def semanticDedupPerBatch(emb: DataFrame, indexPath: String,
                             threshold: Double,
@@ -558,6 +536,32 @@ object StreamingOps {
       }
       .start()
 
+  /** Per-batch SUB-DOCUMENT ingest dedup: each micro-batch of
+    * `(doc_id, text)` docs is CDC-chunked (batch-only kernel pass) and
+    * probed against the standing
+    * [[graft.operators.TextDedup.writeChunkIndex]] state — the
+    * streaming flavor of q163, closing the per-batch symmetry the
+    * other standing indexes already have ([[ingestVerdictPerBatch]]
+    * for MinHash, [[mediaDedupPerBatch]] for media hashes). With
+    * `appendAfterProbe` the batch's chunks then extend the index as
+    * new part files (O(batch), history never rewritten), so batch n+1
+    * sees batch n's content — the incremental-ingest lifecycle in one
+    * sink. With `appendAfterProbe` the probe result is DEFENSIVELY
+    * materialized (persist + count) before the sink sees it and before
+    * the append runs, so correctness cannot hinge on whether the sink
+    * evaluates eagerly — a deferring sink (one that stashes the
+    * DataFrame and collects later) would otherwise observe its own
+    * batch in the index. The pinned blocks are released once the
+    * batch's append completes (the extra pass is batch-sized); a sink
+    * that defers collection beyond its own foreachBatch invocation
+    * must copy the rows it needs — after release a recompute would
+    * read the extended index.
+    *
+    * Each batch's probe result is a pure function of (batch, index
+    * state), so with `appendAfterProbe = false` any batching yields
+    * the union of batch results, and with it the 3-batch run equals
+    * the sequential replay — both pinned by StreamingOpsSpec.
+    */
   def cdcProbePerBatch(docs: DataFrame, indexPath: String,
                        w: Int = 8, d: Int = 32,
                        appendAfterProbe: Boolean = false,
