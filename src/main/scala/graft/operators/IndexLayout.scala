@@ -320,7 +320,10 @@ object IndexLayout {
     val stats = keyed
       .groupBy(bucketOf(col("k"), b).as("b"))
       .agg(count(lit(1)).as("n"),
-        sum(octet_length(col("k").cast("string"))).as("bytes"),
+        // coalesce: a bucket holding only a NULL key (xxhash64(null)
+        // hashes to the seed bucket) sums bytes to null
+        coalesce(sum(octet_length(col("k").cast("string"))), lit(0L))
+          .as("bytes"),
         slice(collect_list(col("k")), 1, MaxKeyPushdown + 1).as("ks"))
       .collect()
     val buckets = stats.map(_.getInt(0)).toSeq
