@@ -249,14 +249,69 @@ object IvfIndex {
     * rounds) — the production drift response: rebalance the lists to
     * the corpus that actually accumulated, atomically, while probes
     * keep reading the old version.
+    *
+    * `sampleFraction` is the 100 TB knob this file's header already
+    * prescribes ("train on a sample, assign the full corpus once"):
+    * each Lloyd iteration is a full pass (posexplode + groupBy) over
+    * whatever train() sees, so retraining a corpus-sized index on all
+    * of it pays `iters` corpus-wide shuffles for centroids a k-means
+    * estimate doesn't need — centroid error shrinks with sample size,
+    * not corpus size. The sample is DETERMINISTIC (hash of vec_id, no
+    * RNG), so a retrain is replayable; the re-assignment that builds
+    * the new version still covers every stored vector.
     */
   def retrainIndexVersion(spark: org.apache.spark.sql.SparkSession,
                           path: String, nLists: Int = 8,
-                          iters: Int = 3): Int = {
+                          iters: Int = 3,
+                          sampleFraction: Double = 1.0): Int = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]; got $sampleFraction")
     val curDir = IndexLayout.resolveVersionDir(spark, path)
     val corpus = spark.read.parquet(s"$curDir/lists")
       .select(col("vec_id"), col("v").as("embedding"))
-    retrainIndexVersionWith(spark, path, train(corpus, nLists, iters))
+    val trainSet =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000L))
+          < lit((sampleFraction * 1000000L).toLong))
+    retrainIndexVersionWith(spark, path, train(trainSet, nLists, iters))
+  }
+
+  /** COMPACT the current version into the next one WITHOUT touching
+    * the geometry — the other half of the lifecycle, for when the
+    * problem is fragmentation rather than drift: every
+    * [[appendToIndex]] micro-batch lands ~one new part file in each
+    * touched list directory, so after thousands of batches a probe's
+    * cost turns file-open-bound (parquet footer reads) long before
+    * any list is hot. Retraining would defragment too, but pays a
+    * full broadcast-argmin pass over the corpus to recompute
+    * assignments that cannot change; compaction instead rewrites the
+    * stored rows clustered by their EXISTING `list_id` (one shuffle
+    * by partition key, ~one file per list) and copies the centroid
+    * table unchanged, then flips the pointer — same snapshot
+    * semantics as retrain, in-flight readers keep the old version.
+    * Mirrors the substring index's versioned compaction
+    * (`TextDedup.compactDecontamIndex`). Returns the new version.
+    *
+    * Like retrain, this assumes the single-writer maintenance model
+    * (one compaction/retrain job at a time, appends quiesced during
+    * the copy): an append that lands in the OLD version after the
+    * rewrite's snapshot read would not be carried into the new one.
+    */
+  def compactIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val curDir = IndexLayout.resolveVersionDir(spark, path)
+    val next =
+      if (curDir == path) 1 // migrating a pre-versioning flat tree
+      else IndexLayout.currentVersion(spark, path) + 1
+    val nd = IndexLayout.versionDir(path, next)
+    spark.read.parquet(s"$curDir/lists")
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$nd/lists")
+    spark.read.parquet(s"$curDir/centroids")
+      .repartition(1).write.mode("overwrite").parquet(s"$nd/centroids")
+    IndexLayout.flipVersion(spark, path, next)
+    next
   }
 
   /** Ingest-time SEMANTIC dedup probe against a standing [[writeIndex]]

@@ -226,6 +226,86 @@ class SemanticDedupSpec extends SparkSpec {
     graft.Tables.releaseTrackedCaches(spark)
   }
 
+  test("versioned IVF compaction: fragmented appends collapse to one file per list, probe unchanged") {
+    // the no-retrain half of the lifecycle: micro-batch appends land
+    // ~one part file per touched list each, so a long-running ingest
+    // turns the probe file-open-bound; compaction rewrites the rows
+    // clustered by their EXISTING list_id into the next version (no
+    // argmin recompute — the geometry is untouched) and flips.
+    val idx = tempDir("graft_ivf_compact")
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    IvfIndex.writeVersionedIndex(
+      Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+          (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      cents, idx)
+    // three appends, each touching both lists → each list dir fragments
+    for (b <- 1 to 3)
+      IvfIndex.appendToIndex(
+        Seq((10L * b, Array(0.9f, 0.1f, b * 1e-4f, 0.0f)),
+            (10L * b + 1, Array(0.1f, 0.9f, 0.0f, b * 1e-4f)))
+          .toDF("vec_id", "embedding"), idx)
+    def partFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(s"$idx/v0/lists/list_id=0") >= 4)
+    val batch = Seq((100L, Array(0.9f, 0.1f, 1e-4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def probe() = IvfIndex.semanticDedupAgainstIndex(batch, idx,
+        threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.get(3))))
+      .toSeq
+    val before = probe()
+    assert(IvfIndex.compactIndexVersion(spark, idx) == 1)
+    assert(IndexLayout.currentVersion(spark, idx) == 1)
+    // defragmented: one file per list, all 8 rows carried, centroids
+    // copied bit-identically, probe result unchanged through the flip
+    assert(partFiles(s"$idx/v1/lists/list_id=0") == 1)
+    assert(partFiles(s"$idx/v1/lists/list_id=1") == 1)
+    assert(spark.read.parquet(s"$idx/v1/lists").count() == 8L)
+    assert(spark.read.parquet(s"$idx/v1/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+      == cents.map { case (c, v) => (c, v) })
+    assert(probe() == before)
+    graft.Tables.releaseTrackedCaches(spark)
+  }
+
+  test("sampled retrain: Lloyd trains on the deterministic sample, re-assignment covers everything") {
+    // the 100 TB knob: each Lloyd iteration is a full pass over the
+    // training set, so retrain trains on a hash-sampled fraction —
+    // replayable, no RNG — while the new version still re-assigns and
+    // carries EVERY stored vector
+    val idx = tempDir("graft_ivf_retrain_sample")
+    val corpus = (0L until 40L).map(i =>
+      if (i % 2 == 0) (i, Array(1.0f, (i % 5) * 0.01f, 0.0f, 0.0f))
+      else (i, Array(0.0f, 1.0f, (i % 5) * 0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.writeVersionedIndex(corpus,
+      Seq(0 -> Seq(0.5, 0.5, 0.0, 0.0)), idx)
+    val v1 = IvfIndex.retrainIndexVersion(spark, idx, nLists = 2,
+      iters = 2, sampleFraction = 0.5)
+    assert(v1 == 1 && IndexLayout.currentVersion(spark, idx) == 1)
+    // every vector carried, and the trained geometry actually split
+    // the one-cell v0 into two populated lists
+    assert(spark.read.parquet(s"$idx/v1/lists").count() == 40L)
+    assert(spark.read.parquet(s"$idx/v1/lists")
+      .select("list_id").distinct().count() == 2L)
+    // replayable: the same sampled retrain from the same version
+    // produces identical assignments (no RNG anywhere)
+    val again = tempDir("graft_ivf_retrain_sample2")
+    IvfIndex.writeVersionedIndex(corpus,
+      Seq(0 -> Seq(0.5, 0.5, 0.0, 0.0)), again)
+    IvfIndex.retrainIndexVersion(spark, again, nLists = 2,
+      iters = 2, sampleFraction = 0.5)
+    val a = spark.read.parquet(s"$idx/v1/lists")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = spark.read.parquet(s"$again/v1/lists")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      IvfIndex.retrainIndexVersion(spark, idx, sampleFraction = 0.0))
+  }
+
   test("prototypicality maxClusterN excludes the planted giant cluster") {
     // a degenerate corpus: 40 near-clones collapse onto blob A's
     // centroid while blob B keeps 2 members — with a cap below 40
