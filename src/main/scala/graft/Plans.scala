@@ -46,7 +46,9 @@ object Plans {
     "q144_snapshot_diff" -> "snapshot diff (r13): one full-outer SortMergeJoin on (key, fingerprint) — payloads stay scan-side, classification is a projection above the join",
     "q145_delta_dedup" -> "delta-driven incremental dedup (r13): only the snapshot delta is shingled/hashed; the corpus is reached through its persisted MinHash signature index — banded equi-join against the index scan, candidate-only exact verification",
     "q146_chunk_manifest" -> "sequence-writer manifest (r13): explode(sequence(first_seq, last_seq)) above concatChunk's one window — output ∝ docs + boundary crossings, all interval math in one projection, no extra Exchange",
-    "q148_kmeans_int" -> "integer-exact Lloyd k-means (r13): the shown plan is the FINAL assignment — one narrow argmin pass over k literal centroid arrays, no join, no shuffle; each earlier round was the same narrow pass + one (cluster, dim) hash aggregation with only k*dim rows reaching the driver")
+    "q148_kmeans_int" -> "integer-exact Lloyd k-means (r13): the shown plan is the FINAL assignment — one narrow argmin pass over k literal centroid arrays, no join, no shuffle; each earlier round was the same narrow pass + one (cluster, dim) hash aggregation with only k*dim rows reaching the driver",
+    "q179_semantic_ingest_capped" -> "capped semantic ingest probe (r18): the batch is assigned by STORED centroids (broadcast argmin), the standing index is read only from the batch's lists via PartitionFilters, and the hot-cell guard shows up IN the plan — hot list directories are excluded by a NOT-IN partition filter before any payload page is read, so the probe's scan is bounded by maxListN x touched regardless of index skew",
+    "q180_semantic_index_retrain" -> "versioned-index probe (r18): identical probe shape through the _current pointer — the scan's Location points INSIDE the flipped v1 directory, proving retrain+flip are invisible to the probe plan (same pruning, new geometry)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

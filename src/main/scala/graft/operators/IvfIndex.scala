@@ -308,11 +308,46 @@ object IvfIndex {
     spark.read.parquet(s"$curDir/lists")
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$nd/lists")
-    spark.read.parquet(s"$curDir/centroids")
-      .repartition(1).write.mode("overwrite").parquet(s"$nd/centroids")
+    // carry every non-lists sibling artifact unchanged (centroids
+    // always; a codebook when the tree is ADC-shaped) — compaction
+    // must never strip an artifact a probe needs
+    for (side <- Seq("centroids", "codebook")) {
+      val sp = new org.apache.hadoop.fs.Path(s"$curDir/$side")
+      if (sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp))
+        spark.read.parquet(s"$curDir/$side")
+          .repartition(1).write.mode("overwrite").parquet(s"$nd/$side")
+    }
     IndexLayout.flipVersion(spark, path, next)
     next
   }
+
+  /** Per-list occupancy of the index at `path` — the measurement half
+    * of the retrain decision (tools/TextIvfSkew made it offline; this
+    * makes it an operator): `(list_id, n, share)` for every populated
+    * list, share = n / total. Reads ONLY the partition column (no
+    * payload pages), so it costs footer reads — run it per maintenance
+    * window, not per batch.
+    */
+  def listSkewStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val dir = IndexLayout.resolveVersionDir(spark, path)
+    val counts = spark.read.parquet(s"$dir/lists")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+    counts.withColumn("share",
+      col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+  }
+
+  /** The decision rule on [[listSkewStats]]: retrain when the hottest
+    * list holds more than `maxTopShare` of the corpus (the skew level
+    * at which one list is a straggler task and a floor on pruning —
+    * tools/TextIvfSkew measured 27.7% for seed geometry vs 14.1%
+    * trained at nLists = 8). A ≤ k-row driver pull.
+    */
+  def needsRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxTopShare: Double = 0.25): Boolean =
+    listSkewStats(spark, path)
+      .agg(max(col("share"))).head.getDouble(0) > maxTopShare
 
   /** Ingest-time SEMANTIC dedup probe against a standing [[writeIndex]]
     * tree — the embedding-level member of the incremental-ingest

@@ -306,6 +306,29 @@ class SemanticDedupSpec extends SparkSpec {
       IvfIndex.retrainIndexVersion(spark, idx, sampleFraction = 0.0))
   }
 
+  test("listSkewStats/needsRetrain: the measurement half of the retrain decision") {
+    val idx = tempDir("graft_ivf_skew")
+    // two EQUAL 20/20 blobs, but a degenerate initial geometry whose
+    // centroid 0 captures everything (centroid 1 points away from both)
+    val corpus = (0L until 40L).map(i =>
+      if (i % 2 == 0) (i, Array(1.0f, (i % 5) * 0.01f, 0.0f, 0.0f))
+      else (i, Array(0.0f, 1.0f, (i % 5) * 0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.writeVersionedIndex(corpus,
+      Seq(0 -> Seq(0.5, 0.5, 0.0, 0.0), 1 -> Seq(-1.0, -1.0, 0.0, 0.0)), idx)
+    val stats = IvfIndex.listSkewStats(spark, idx).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stats(0)._1 == 40L && stats(0)._2 == 1.0)
+    assert(IvfIndex.needsRetrain(spark, idx, maxTopShare = 0.25))
+    // re-center on the blob anchors: 20/20, the SAME decision call flips
+    IvfIndex.retrainIndexVersionWith(spark, idx,
+      Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)))
+    val after = IvfIndex.listSkewStats(spark, idx).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == Map(0 -> 20L, 1 -> 20L))
+    assert(!IvfIndex.needsRetrain(spark, idx, maxTopShare = 0.6))
+  }
+
   test("prototypicality maxClusterN excludes the planted giant cluster") {
     // a degenerate corpus: 40 near-clones collapse onto blob A's
     // centroid while blob B keeps 2 members — with a cap below 40
