@@ -126,19 +126,29 @@ object Tables {
     * frame is a free no-op.)
     */
   def trackOperatorCache(df: DataFrame): DataFrame = {
-    tracked.keysIterator
-      .filter(_.sparkContext.isStopped).foreach(tracked.remove)
-    tracked.getOrElseUpdate(df.sparkSession,
-      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    // synchronized WITH releaseTrackedCaches: lookup-and-add must be
+    // atomic against remove-and-unpersist, or a track racing a
+    // concurrent release adds its frame to a queue the release
+    // already detached — the frame's blocks then stay pinned with no
+    // registry entry left to ever release them (the TrieMap alone
+    // makes each step safe, not the compound)
+    tracked.synchronized {
+      tracked.keysIterator
+        .filter(_.sparkContext.isStopped).foreach(tracked.remove)
+      tracked.getOrElseUpdate(df.sparkSession,
+        new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    }
     df
   }
 
   /** Unpersist ONLY the frames registered via [[trackOperatorCache]]
     * for this session — the surgical release a long-lived SQL session
-    * calls between TVF queries; user caches are untouched.
+    * calls between TVF queries; user caches are untouched. (The
+    * unpersist loop runs OUTSIDE the registry lock — only the
+    * detach is synchronized.)
     */
   def releaseTrackedCaches(spark: SparkSession): Unit =
-    tracked.remove(spark)
+    tracked.synchronized(tracked.remove(spark))
       .foreach(_.forEach(_.unpersist(blocking = false)))
 
   /** Release every operator-internal `cache()` (see the cache contract

@@ -65,14 +65,42 @@ object IndexLayout {
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, MetaFile)
 
+  private[operators] def metaExists(spark: SparkSession,
+                                    path: String): Boolean = {
+    val p = metaPath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Replace `dst` with the freshly-written `tmp` in ONE metadata op:
+    * `FileContext.rename(OVERWRITE)`, not delete-then-rename — the
+    * two-step variant has a window in which a concurrent reader sees
+    * NO file at all (a probe resolving the version pointer mid-flip
+    * would fall back to the flat root; a probe reading the meta
+    * mid-rewrite would hit the missing-meta error on a healthy tree).
+    * Local FS and HDFS both implement the overwrite rename as an
+    * atomic replace.
+    */
+  private def atomicReplace(spark: SparkSession,
+                            tmp: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fc =
+      if (dst.toUri.getScheme != null)
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      else org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Persist the tree's bucket count (called AFTER the parquet write —
     * overwrite mode deletes the directory, taking any previous meta
-    * with it). Written to a temp name and renamed into place, so a
-    * crash mid-write can never leave a half-written meta a later
-    * reader parses into a wrong B; a crash BETWEEN the parquet write
-    * and the rename leaves no meta at all, which [[indexNumBuckets]]
-    * turns into a loud error (not a silent B = 16) whenever the
-    * bucket directories prove the tree was written wider.
+    * with it). Written to a temp name and atomically renamed OVER the
+    * destination, so a crash mid-write can never leave a half-written
+    * meta a later reader parses into a wrong B, and a concurrent
+    * reader never observes the meta missing mid-replace; a crash
+    * BETWEEN the parquet write and the rename leaves no meta at all,
+    * which [[indexNumBuckets]] turns into a loud error (not a silent
+    * B = 16) whenever the bucket directories prove the tree was
+    * written wider.
     */
   private[operators] def writeMeta(spark: SparkSession, path: String,
                                    b: Int): Unit = {
@@ -82,8 +110,7 @@ object IndexLayout {
     val out = fs.create(tmp, true)
     try out.write(s"""{"numBuckets": $b}""".getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"index meta write failed for $path")
+    atomicReplace(spark, tmp, p)
   }
 
   /** The bucket count the tree at `path` was written with: its meta
@@ -97,6 +124,16 @@ object IndexLayout {
     * written wider, so assuming 16 would mis-bucket the next append
     * and silently drop probe matches on the mixed tree. That case
     * fails loudly with a rebuild message instead.
+    *
+    * The guard is ONE-SIDED by construction: a custom tree NARROWER
+    * than the default (B < 16) whose meta is lost is indistinguishable
+    * from a legacy pre-knob tree that simply has no keys hashing into
+    * the higher buckets — directory names cannot prove narrowness the
+    * way they prove width. Deployments running B < 16 (the knob exists
+    * for B in the thousands; smaller-than-default is a test shape)
+    * should treat the meta like any other deployment manifest: it is
+    * a one-line file, version it / restore it from the build config
+    * rather than relying on inference.
     */
   def indexNumBuckets(spark: SparkSession, path: String): Int = {
     val p = metaPath(path)
@@ -242,14 +279,18 @@ object IndexLayout {
     // appends use the TREE's bucket count (a key's bucket must never
     // depend on the writing session); new/overwritten trees take the
     // session conf
-    val b =
-      if (mode == "append" && existing.contains(true))
-        indexNumBuckets(spark, path)
-      else confNumBuckets(spark)
+    val append = mode == "append" && existing.contains(true)
+    val b = if (append) indexNumBuckets(spark, path) else confNumBuckets(spark)
     df.withColumn("bucket", bucketOf(col(keyCol), b))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
-    writeMeta(spark, path, b)
+    // the meta is a property of the TREE and appends read (not choose)
+    // B, so an append whose tree already carries meta must not touch
+    // it — even an atomic rewrite of the same value is a pointless
+    // failure surface on every ingest batch. Appends only stamp meta
+    // when the tree predates the knob (bucketed, no meta → B = 16 by
+    // construction, now made durable).
+    if (!(append && metaExists(spark, path))) writeMeta(spark, path, b)
   }
 
   /** Read the index at `path` pruned to `batchKeys` (a one-column
@@ -372,10 +413,13 @@ object IndexLayout {
   }
 
   /** Point `_current` at `version` — written to a temp name first and
-    * renamed into place last, so a reader never sees a half-written
-    * pointer. (Local-FS rename is atomic; on HDFS a production build
-    * would use FileContext.rename(OVERWRITE) — same one-pointer-flip
-    * protocol.)
+    * atomically renamed OVER the pointer last
+    * (`FileContext.rename(OVERWRITE)`), so a reader never sees a
+    * half-written pointer AND never sees the pointer missing mid-flip:
+    * a delete-then-rename would open a window in which
+    * [[resolveVersionDir]] falls back to the flat root — a crash for
+    * version-built trees (no root data) and a silent stale read for
+    * in-place-migrated ones.
     */
   def flipVersion(spark: SparkSession, path: String, version: Int): Unit = {
     val fs = pointerPath(path)
@@ -384,8 +428,7 @@ object IndexLayout {
     val cur = pointerPath(path)
     val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"pointer flip failed for $path v$version")
+    atomicReplace(spark, tmp, cur)
   }
 
   /** The directory a reader of the index at `path` should scan: the

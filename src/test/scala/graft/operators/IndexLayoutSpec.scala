@@ -63,12 +63,18 @@ class IndexLayoutSpec extends SparkSpec {
         .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
       assert(dirs.size > IndexLayout.NumBuckets && dirs.size <= 64, dirs.size)
       // an append from a session with a DIFFERENT conf still lands in
-      // the tree's 64-bucket geometry
+      // the tree's 64-bucket geometry — and does NOT touch the meta
+      // file at all (appends read B, they don't choose it; rewriting
+      // even the same value per ingest batch is a pointless failure
+      // surface, and mtime pins that no rewrite happens)
+      val meta = new java.io.File(dir, "_graft_index_meta.json")
+      val metaStamp = meta.lastModified()
       spark.conf.set(IndexLayout.NumBucketsKey, "4")
       IndexLayout.writeBucketed(
         (5000L until 6000L).map(i => (i, i * 3L)).toDF("k", "v"),
         "k", dir, "append")
       assert(IndexLayout.indexNumBuckets(spark, dir) == 64)
+      assert(meta.lastModified() == metaStamp)
       // probe correctness under forced pruning at the tree's B
       spark.conf.set(IndexLayout.PruneMinBytesKey, "0")
       val batch = Seq(10L, 4999L, 5500L, 123456L).toDF("k")
