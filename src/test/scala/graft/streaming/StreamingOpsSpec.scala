@@ -984,6 +984,45 @@ class StreamingOpsSpec extends SparkSpec {
       want.find(_._1 == 101L).get._4.contains(3L))
   }
 
+  test("retrain-and-flip lands between micro-batches: the next batch probes v1 transparently") {
+    implicit val sq = spark.sqlContext
+    // v0 has a degenerate one-cell geometry holding both blobs;
+    // between batch 1 and batch 2 a maintenance job retrains around
+    // the blob anchors and atomically flips — the SAME running stream
+    // must probe v1 for batch 2 (assignments by the NEW geometry)
+    // with no restart: the probe resolves the `_current` pointer per
+    // micro-batch, and the overwrite-rename flip guarantees it never
+    // observes a missing pointer mid-maintenance
+    val history = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val idx = tempDir("graft_stream_sem_retrain")
+    graft.operators.IvfIndex.writeVersionedIndex(history,
+      Seq(0 -> Seq(0.5, 0.5, 0.0, 0.0)), idx) // one cell swallows all
+    val got = new ConcurrentLinkedQueue[(Long, Long, Long, Option[Long])]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semanticDedupPerBatch(
+      mem.toDF().toDF("vec_id", "embedding"), idx, threshold = 0.999,
+      sink = (df, _) => df.as[(Long, Long, Long, Option[Long])]
+        .collect().foreach(got.add))
+    val nearCopyOf3 = Array(0.1f, 0.9f, 0.0f, 0.1001f)
+    mem.addData(Seq((100L, nearCopyOf3))); q.processAllAvailable()
+    // maintenance between batches: re-center on the blob anchors
+    graft.operators.IvfIndex.retrainIndexVersionWith(spark, idx,
+      Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)))
+    mem.addData(Seq((101L, nearCopyOf3))); q.processAllAvailable(); q.stop()
+    val streamed = got.toArray
+      .map(_.asInstanceOf[(Long, Long, Long, Option[Long])])
+      .sortBy(_._1).toSeq
+    // batch 1 probed v0 (everything in cell 0); batch 2 probed v1
+    // (the same vector now lands in blob B's cell) — same witness
+    assert(streamed == Seq(
+      (100L, 0L, 1L, Some(3L)),
+      (101L, 1L, 1L, Some(3L))), streamed.toString)
+  }
+
   test("per-batch driver state fails loudly on unbounded score cardinality") {
     // the driver-held cumulative distribution assumes a bounded
     // integer score; a CONTINUOUS score (every row distinct) must
