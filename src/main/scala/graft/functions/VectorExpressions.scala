@@ -829,6 +829,164 @@ object PqKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Fused quantize + per-subspace argmin + d2 for the integer-PQ
+    * assignment pass (q165/q176 and the training loop's per-round
+    * assignment). Replaces an m·(k+1)-dot literal expression tree
+    * (~270 Catalyst nodes at m=8, k=32) whose ANALYSIS + OPTIMIZATION
+    * alone cost multiple driver seconds per query — the same work in
+    * one codegen'd kernel call is a 3-node tree, and at 100 TB the
+    * generated code is one tight loop instead of a several-hundred-KB
+    * whole-stage method that Janino splits.
+    *
+    * Arithmetic is BIT-IDENTICAL to the expression form it replaces
+    * (the q165/q176 oracles replay it):
+    *  - quantize (gmx > 0 only): `floor(x / (gmx/127.0) + 0.5)`, the
+    *    division by the pre-folded step, exactly like the old
+    *    `transform` lambda; gmx <= 0 means "input already on the grid"
+    *    (the training loop's cached q).
+    *  - score(kk) = bb − 2.0·ab with bb = Σ c², ab = Σ q·c, each a
+    *    separate left-to-right 0.0-seeded sum (bb was a driver-folded
+    *    `c.map(x*x).sum` literal before — same order);
+    *  - argmin by (score, kk) via java.lang.Double.compare — the
+    *    array_min struct ordering;
+    *  - d2 = (aa + bestScore).toLong with aa = Σ q² (the old
+    *    `graft_dot(qs, qs) + score` then CAST AS LONG).
+    * Null/degenerate input (null array, d % m != 0, wrong codebook
+    * length) returns null — the old tree emitted m rows of null
+    * scores there; no gated corpus contains such rows (the verify
+    * gates pin this).
+    */
+  def assignInt(v: ArrayData, floatInput: Boolean, gmx: Double,
+                cents: ArrayData, m: Int,
+                k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (m < 1 || k < 1) return null
+    val d = v.numElements()
+    if (d == 0 || d % m != 0) return null
+    val sub = d / m
+    if (cents.numElements() != m * k * sub) return null
+    val q = new Array[Double](d)
+    val step = gmx / 127.0
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      val x = if (floatInput) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = if (gmx > 0) math.floor(x / step + 0.5) else x
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var ms = 0
+    while (ms < m) {
+      val off = ms * sub
+      var aa = 0.0
+      i = 0
+      while (i < sub) { val x = q(off + i); aa += x * x; i += 1 }
+      var bestScore = Double.PositiveInfinity
+      var bestK = 0
+      var kk = 0
+      while (kk < k) {
+        val base = (ms * k + kk) * sub
+        var bb = 0.0
+        var ab = 0.0
+        i = 0
+        while (i < sub) {
+          val c = cents.getDouble(base + i)
+          bb += c * c
+          ab += q(off + i) * c
+          i += 1
+        }
+        val score = bb - 2.0 * ab
+        if (java.lang.Double.compare(score, bestScore) < 0) {
+          bestScore = score; bestK = kk
+        }
+        kk += 1
+      }
+      out(ms) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ms.toLong, bestK.toLong, (aa + bestScore).toLong))
+      ms += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_pq_assign(vec, gmx, codebook, m, k)` →
+  * array<struct<m_sub:long, code:long, d2:long>> — the fused
+  * integer-PQ assignment ([[PqKernel.assignInt]] has the arithmetic
+  * contract). One codegen'd call per row; the codebook rides as one
+  * array literal instead of m·k slice/dot subtrees.
+  */
+case class PqAssignInt(v: Expression, gmx: Expression, cents: Expression,
+                       m: Expression, k: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(v, gmx, cents, m, k)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m_sub", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_assign"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vOk = v.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val ok = vOk && gmx.dataType == DoubleType &&
+      cents.dataType == ArrayType(DoubleType, containsNull = false) &&
+      m.dataType == IntegerType && k.dataType == IntegerType
+    if (!ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_assign expects (array<float>|array<double>, double, " +
+          s"array<double>, int, int), got (${children.map(_.dataType.simpleString).mkString(", ")})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val floatInput: Boolean = v.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = v.eval(input)
+    val g = gmx.eval(input)
+    val cc = cents.eval(input)
+    val mm = m.eval(input)
+    val kk = k.eval(input)
+    if (vv == null || g == null || cc == null || mm == null || kk == null) null
+    else PqKernel.assignInt(vv.asInstanceOf[ArrayData], floatInput,
+      g.asInstanceOf[Double], cc.asInstanceOf[ArrayData],
+      mm.asInstanceOf[Int], kk.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vCode = v.genCode(ctx)
+    val gCode = gmx.genCode(ctx)
+    val cCode = cents.genCode(ctx)
+    val mCode = m.genCode(ctx)
+    val kCode = k.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${vCode.code}
+        |${gCode.code}
+        |${cCode.code}
+        |${mCode.code}
+        |${kCode.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  (${vCode.isNull} || ${gCode.isNull} || ${cCode.isNull} ||
+        |   ${mCode.isNull} || ${kCode.isNull}) ? null :
+        |  graft.functions.PqKernel.assignInt(${vCode.value}, $floatInput,
+        |    ${gCode.value}, ${cCode.value}, ${mCode.value}, ${kCode.value});
+        |boolean ${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(v = newChildren(0), gmx = newChildren(1), cents = newChildren(2),
+      m = newChildren(3), k = newChildren(4))
 }
 
 object VectorExpressions {
@@ -853,6 +1011,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_assign",
+      exprs => PqAssignInt(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rotate",
       exprs => RotateGivens(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

@@ -762,17 +762,17 @@ object IvfIndex {
         slice(col("q"), ms * sub + 1, sub).as("v"))
       // score = cc − 2·v·c (the per-row vv term is constant across
       // entries, so the (score, id)-min is the true d2 argmin with
-      // the graft_pq_encode tie-break)
-      def best(cents: Seq[Seq[Double]]) = array_min(array(
-        cents.zipWithIndex.map { case (c, kk) =>
-          struct((lit(c.map(x => x * x).sum) -
-            lit(2.0) * Similarity.dot(col("v"), typedLit(c))).as("score"),
-            lit(kk).as("kk"))
-        }: _*))
+      // the graft_pq_encode tie-break) — the fused graft_pq_assign
+      // kernel at m=1 over the already-quantized slice (gmx <= 0 =
+      // no re-quantize) replays the old literal argmin tree
+      // bit-for-bit while keeping each round's plan a 3-node tree
+      def best(cents: Seq[Seq[Double]]) = element_at(
+        call_function("graft_pq_assign", col("v"), lit(0.0),
+          typedLit(cents.flatten), lit(1), lit(kCode)), 1)
       var cents: Seq[Seq[Double]] =
         (0 until kCode).map(kk => seeds(kk).slice(ms * sub, ms * sub + sub).toSeq)
       for (_ <- 0 until rounds) {
-        val sums = proj.withColumn("kk", best(cents).getField("kk"))
+        val sums = proj.withColumn("kk", best(cents).getField("code").cast("int"))
           .select(col("kk"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy(col("kk"), col("d"))
           .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -815,30 +815,15 @@ object IvfIndex {
   def pqAssignInt(emb: DataFrame, gmx: Double, flat: Seq[Double],
                   m: Int, kCode: Int): DataFrame = {
     VectorExpressions.register(emb.sparkSession)
-    val sub = flat.length / (m * kCode)
-    // cache(): the quantize transform is an interpreted HOF that
-    // CollapseProject would otherwise re-inline into every one of the
-    // m·(kCode+1) argmin references per row (the q148 lesson — the
-    // barrier keeps it at ONE evaluation per row). Callers release via
-    // graft.Tables.releaseOperatorCaches.
-    val q = emb.select(col("vec_id"), expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / " +
-        s"(${gmx}D / 127.0D) + 0.5D) AS DOUBLE))").as("q"))
-      .cache()
-    val perMs = (0 until m).map { ms =>
-      val qs = slice(col("q"), ms * sub + 1, sub)
-      val cents = (0 until kCode).map(kk =>
-        flat.slice((ms * kCode + kk) * sub, (ms * kCode + kk) * sub + sub))
-      val best = array_min(array(cents.zipWithIndex.map { case (c, kk) =>
-        struct((lit(c.map(x => x * x).sum) -
-          lit(2.0) * Similarity.dot(qs, typedLit(c))).as("score"),
-          lit(kk).as("kk"))
-      }: _*))
-      struct(lit(ms).cast("long").as("m_sub"),
-        best.getField("kk").cast("long").as("code"),
-        (Similarity.dot(qs, qs) + best.getField("score")).cast("long").as("d2"))
-    }
-    q.select(col("vec_id"), explode(array(perMs: _*)).as("e"))
+    // ONE fused codegen'd kernel call per row (quantize + m argmins +
+    // d2 — PqKernel.assignInt pins the bit-identical arithmetic). The
+    // old form built an m·(kCode+1)-dot literal tree whose Catalyst
+    // analysis/optimization alone cost seconds of driver time per run
+    // (measured 4.8 s plan time at m=8, kCode=32) and needed a cache()
+    // barrier to stop CollapseProject re-inlining the interpreted
+    // quantize HOF; the kernel needs neither the cache nor the tree.
+    emb.select(col("vec_id"), explode(call_function("graft_pq_assign",
+        col("embedding"), lit(gmx), typedLit(flat), lit(m), lit(kCode))).as("e"))
       .select(col("vec_id"), col("e.m_sub").as("m_sub"),
         col("e.code").as("code"), col("e.d2").as("d2"))
   }
