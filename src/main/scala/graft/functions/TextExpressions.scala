@@ -104,31 +104,55 @@ case class WordGrams(text: Expression, k: Expression)
 
 /** Static shingling kernel, shared by interpreted eval and codegen. */
 object TextShingling {
+  /** Byte-range word layout of `text` split on every 0x20 byte — the
+    * exact segmentation of `split(text, ' ', -1)` (0x20 never occurs
+    * inside a multi-byte UTF-8 sequence, so byte split == char split;
+    * empty segments kept). Returns (bytes, starts, n) with `n` words,
+    * `starts(i)` the byte offset of word i and `starts(n) =
+    * bytes.length + 1` a sentinel, so:
+    *  - word i = bytes[starts(i), starts(i+1) − 1)
+    *  - the ' '-join of words i..j = bytes[starts(i), starts(j+1) − 1)
+    *    — every inter-word separator is exactly one space byte by
+    *    construction, so joined grams are CONTIGUOUS RANGES of the
+    *    original bytes and never need building or re-encoding.
+    * Replaces the per-kernel `toString.split(" ", -1)` (a UTF-16
+    * decode + per-word String allocation) and every per-gram
+    * StringBuilder + getBytes round-trip — pure per-task-work
+    * reduction, byte-identical outputs.
+    */
+  private def wordRanges(text: UTF8String): (Array[Byte], Array[Int], Int) = {
+    val bytes = text.getBytes
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) n += 1; i += 1 }
+    val starts = new Array[Int](n + 1)
+    starts(n) = bytes.length + 1
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    (bytes, starts, n)
+  }
+
   /** Distinct word k-grams of `text` in first-occurrence order, or null
     * when the text has fewer than k words (the caller's drop condition).
     */
   def shingles(text: UTF8String, k: Int): GenericArrayData = {
-    // the exact split Spark's split(text, " ") performs
-    val words = text.toString.split(" ", -1)
-    if (words.length < k) return null
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
+    val (bytes, starts, n) = wordRanges(text)
+    if (n < k) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+    while (i <= n - k) {
+      seen.add(UTF8String.fromBytes(bytes, starts(i),
+        starts(i + k) - 1 - starts(i)))
       i += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var p = 0
-    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
   }
 
@@ -137,20 +161,13 @@ object TextShingling {
     * dedups for set-similarity). Null when fewer than k words.
     */
   def grams(text: UTF8String, k: Int): GenericArrayData = {
-    val words = text.toString.split(" ", -1)
-    if (words.length < k) return null
-    val out = new Array[Any](words.length - k + 1)
-    val sb = new java.lang.StringBuilder()
+    val (bytes, starts, n) = wordRanges(text)
+    if (n < k) return null
+    val out = new Array[Any](n - k + 1)
     var i = 0
-    while (i <= words.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+    while (i <= n - k) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i),
+        starts(i + k) - 1 - starts(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -158,22 +175,15 @@ object TextShingling {
 
   /** Consecutive spans of `spanWords` words, trailing partial kept. */
   def spans(text: UTF8String, spanWords: Int): GenericArrayData = {
-    val words = text.toString.split(" ", -1)
-    val n = words.length
+    val (bytes, starts, n) = wordRanges(text)
     val nSpans = (n + spanWords - 1) / spanWords
     val out = new Array[Any](nSpans)
-    val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < nSpans) {
-      sb.setLength(0)
-      var j = i * spanWords
+      val from = i * spanWords
       val end = math.min(n, (i + 1) * spanWords)
-      while (j < end) {
-        if (j > i * spanWords) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromBytes(bytes, starts(from),
+        starts(end) - 1 - starts(from))
       i += 1
     }
     new GenericArrayData(out)
@@ -188,13 +198,15 @@ object TextShingling {
     */
   def simhash(text: UTF8String, bits: Int): Long = {
     require(bits == 16 || bits == 64, s"graft_simhash supports 16 or 64 bits, got $bits")
-    val words = text.toString.split(" ", -1)
+    val (bytes, starts, n) = wordRanges(text)
     val votes = new Array[Int](bits)
     val md = md5.get()
+    val h = new Array[Byte](16)
     var i = 0
-    while (i < words.length) {
+    while (i < n) {
       md.reset()
-      val h = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      md.update(bytes, starts(i), starts(i + 1) - 1 - starts(i))
+      md.digest(h, 0, 16)
       if (bits == 64) {
         var wh = 0L
         var b = 0
@@ -232,15 +244,17 @@ object TextShingling {
   def featureHash(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     require(dim >= 2 && dim <= (1 << 20),
       s"graft_fhash needs 2 <= dim <= ${1 << 20}, got $dim")
-    val words = text.toString.split(" ", -1)
+    val (bytes, starts, n) = wordRanges(text)
     val acc = new Array[Long](dim)
     val md = md5.get()
+    val h = new Array[Byte](16)
     var i = 0
-    while (i < words.length) {
-      val w = words(i)
-      if (!w.isEmpty) {
+    while (i < n) {
+      val wLen = starts(i + 1) - 1 - starts(i)
+      if (wLen > 0) {
         md.reset()
-        val h = md.digest(w.getBytes(StandardCharsets.UTF_8))
+        md.update(bytes, starts(i), wLen)
+        md.digest(h, 0, 16)
         // first 13 hex digits = bytes 0-5 plus the high nibble of byte
         // 6 (52 bits, always non-negative)
         var pre = 0L
@@ -313,22 +327,18 @@ object TextShingling {
     */
   def cdcCuts(text: UTF8String, w: Int, d: Long): GenericArrayData = {
     require(w >= 1 && d >= 1, s"graft_cdc requires w >= 1 and d >= 1, got ($w, $d)")
-    val words = text.toString.split(" ", -1)
-    val n = words.length
+    val (bytes, starts, n) = wordRanges(text)
     val md = md5.get()
-    val sb = new java.lang.StringBuilder()
+    val dg = new Array[Byte](16)
     val ends = new java.util.ArrayList[Any]()
     var i = w - 1
     while (i < n - 1) { // the final index is a forced end, never a gram cut
-      sb.setLength(0)
-      var j = i - w + 1
-      while (j <= i) {
-        if (j > i - w + 1) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      val dg = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      // the w-word gram ending at i is the contiguous byte range from
+      // word i−w+1's start to word i's end (single-space separators)
+      val from = starts(i - w + 1)
       md.reset()
+      md.update(bytes, from, starts(i + 1) - 1 - from)
+      md.digest(dg, 0, 16)
       var h = 0L
       var b = 0
       while (b < 6) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
@@ -353,12 +363,13 @@ object TextShingling {
     val n = bin.length
     if (n == 0) return null
     val md = md5.get()
+    val dg = new Array[Byte](16)
     val ends = new java.util.ArrayList[Any]()
     var i = w - 1
     while (i < n - 1) { // the final offset is a forced end, never a gear cut
       md.reset()
       md.update(bin, i - w + 1, w)
-      val dg = md.digest()
+      md.digest(dg, 0, 16)
       var h = 0L
       var b = 0
       while (b < 6) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
@@ -376,33 +387,26 @@ object TextShingling {
     */
   def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     require(k >= 1 && w >= 1, s"graft_winnow requires k >= 1 and w >= 1, got ($k, $w)")
-    val words = text.toString.split(" ", -1)
-    val n = words.length - k + 1 // gram count
+    val (bytes, starts, nWords) = wordRanges(text)
+    val n = nWords - k + 1 // gram count
     if (n < w) return null
-    // 12-hex-char md5 prefix per consecutive k-gram (fixed-width
-    // lowercase hex: string order == 48-bit value order)
+    // 48-bit md5 prefix per consecutive k-gram, kept as a LONG for the
+    // deque comparisons (the published hex form is fixed-width
+    // lowercase, so hex string order == 48-bit value order and
+    // equality coincides — the hex is rendered only for the selected
+    // grams below). Each gram is a contiguous byte range of the text.
     val md = md5.get()
-    val hs = new Array[String](n)
-    val sb = new java.lang.StringBuilder()
+    val dg = new Array[Byte](16)
+    val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
       md.reset()
-      val hex = new Array[Char](12)
+      md.update(bytes, starts(i), starts(i + k) - 1 - starts(i))
+      md.digest(dg, 0, 16)
+      var h = 0L
       var b = 0
-      while (b < 6) {
-        hex(2 * b) = HexDigits((d(b) >> 4) & 0xf)
-        hex(2 * b + 1) = HexDigits(d(b) & 0xf)
-        b += 1
-      }
-      hs(i) = new String(hex)
+      while (b < 6) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      hs(i) = h
       i += 1
     }
     // monotonic deque of gram indices with strictly increasing hashes;
@@ -415,7 +419,7 @@ object TextShingling {
     var last = -1
     i = 0
     while (i < n) {
-      while (tail > head && hs(deque(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i
       tail += 1
       if (i >= w - 1) {
@@ -429,8 +433,14 @@ object TextShingling {
     var p = 0
     while (p < selected.size) {
       val s = selected.get(p)
+      val hex = new Array[Char](12)
+      var b = 0
+      while (b < 12) {
+        hex(b) = HexDigits(((hs(s) >>> ((11 - b) * 4)) & 0xfL).toInt)
+        b += 1
+      }
       out(p) = org.apache.spark.sql.catalyst.InternalRow(
-        s + 1, UTF8String.fromString(hs(s)))
+        s + 1, UTF8String.fromString(new String(hex)))
       p += 1
     }
     new GenericArrayData(out)
