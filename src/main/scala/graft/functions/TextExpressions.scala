@@ -173,6 +173,39 @@ object TextShingling {
     new GenericArrayData(out)
   }
 
+  /** All `w`-char windows of `text` in position order (window i, 0-based,
+    * = chars [i, i+w)) — ONE linear char-boundary walk emitting
+    * zero-copy byte slices. Replaces the decontam family's
+    * `explode(sequence(1, len−w+1))` + `substring(text, pos, w)` shape,
+    * whose per-position substring walks chars from the string start
+    * (O(len²) per document) and whose Generate carried the full text
+    * on every per-char row. Null when the text has fewer than `w`
+    * chars (the callers' length filter drops those rows anyway).
+    */
+  def charWindows(text: UTF8String, w: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) { if ((bytes(i) & 0xC0) != 0x80) nChars += 1; i += 1 }
+    if (nChars < w) return null
+    val starts = new Array[Int](nChars + 1)
+    starts(nChars) = nBytes
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nChars - w + 1)
+    i = 0
+    while (i <= nChars - w) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + w) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Consecutive spans of `spanWords` words, trailing partial kept. */
   def spans(text: UTF8String, spanWords: Int): GenericArrayData = {
     val (bytes, starts, n) = wordRanges(text)
@@ -453,6 +486,44 @@ object TextShingling {
   * array_join(slice(w, i*sw+1, sw), ' '))` over `w = split(text, ' ')`
   * without the interpreted per-span lambda.
   */
+/** All `w`-char windows of a text in position order (see
+  * [[TextShingling.charWindows]]) — `graft_char_windows(text, w)`;
+  * callers pair it with `posexplode` (0-based pos + 1 = the old
+  * 1-based `sequence` position).
+  */
+case class CharWindows(text: Expression, w: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = w
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_char_windows"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || w.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_char_windows expects (string, int), got " +
+          s"(${text.dataType.simpleString}, ${w.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, ww: Any): Any =
+    TextShingling.charWindows(t.asInstanceOf[UTF8String], ww.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ww) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.charWindows($t, $ww);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(text = newLeft, w = newRight)
+}
+
 case class WordSpans(text: Expression, spanWords: Expression)
   extends BinaryExpression {
 
@@ -833,5 +904,8 @@ object TextExpressions {
       "graft_cdc_bytes", exprs => CdcByteCuts(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fhash", exprs => FeatureHash(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_windows", exprs => CharWindows(exprs(0), exprs(1)),
+      "built-in")
   }
 }

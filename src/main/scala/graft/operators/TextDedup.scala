@@ -1052,13 +1052,18 @@ object TextDedup {
     * explicit length filter matters: `sequence(1, n)` with n <= 0
     * would COUNT DOWN, not return empty).
     */
-  private def charWindows(docs: DataFrame, w: Int): DataFrame =
+  private def charWindows(docs: DataFrame, w: Int): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    // one linear kernel pass per doc (zero-copy window slices) instead
+    // of explode(sequence) + substring(text, pos, w), whose char-indexed
+    // substring walk is O(pos) per position — quadratic per document —
+    // and whose Generate carried the full text on every per-char row
     docs.filter(col("text").isNotNull && length(col("text")) >= w)
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, length(text) - ${w - 1})")).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $w)").as("g"))
+        posexplode(call_function("graft_char_windows", col("text"), lit(w)))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+  }
 
   /** Character-level exact-substring decontamination (the exact-match
     * discipline of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -1125,15 +1130,14 @@ object TextDedup {
                                 windowChars: Int, padChars: Int,
                                 maxBroadcastChars: Long): DataFrame = {
     val benchSide = benchWindowSide(bench, windowChars, maxBroadcastChars)
+    graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .filter(col("text").isNotNull && length(col("text")) >= windowChars)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(expr(s"sequence(1, length(text) - ${windowChars - 1})"))
-          .as("pos"),
-        col("text"))
+        posexplode(call_function("graft_char_windows", col("text"),
+          lit(windowChars))).as(Seq("p0", "g")))
       .select(col("doc_id"), col("n_chars"),
-        col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $windowChars)").as("g"))
+        (col("p0") + 1).cast("long").as("pos"), col("g"))
       .join(benchSide, Seq("g"), "left_semi")
       .select(col("doc_id"),
         greatest(lit(1L), col("pos") - padChars).as("s"),
