@@ -58,11 +58,25 @@ object Dsir {
                         buckets: Int = 65536): DataFrame = {
     require(buckets >= 64 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 64, got $buckets")
-    val rawGrams = NgramLm.bigrams(raw, id, text)
-      .withColumn("bucket", gramBucket(col("bg"), buckets))
+    // ONE gram+hash pass over the raw corpus: pre-aggregate to
+    // (doc, bucket, cnt) — map-side combinable, ≤ min(grams, docs ×
+    // buckets) rows — and derive BOTH the raw count table and the
+    // per-doc weights from it. The previous shape evaluated the
+    // bigram Generate + md5 bucket hash twice (once for the model,
+    // once for the weights) and joined the model against every gram
+    // occurrence instead of every (doc, bucket) group. Weights are
+    // unchanged integers: importance = Σ_grams q = Σ_buckets cnt·q,
+    // n_grams = Σ cnt, mean = the same truncating div.
+    // Cache contract: released by callers via
+    // graft.Tables.releaseOperatorCaches, like every operator cache.
+    val perDoc = graft.Tables.trackOperatorCache(
+      NgramLm.bigrams(raw, id, text)
+        .withColumn("bucket", gramBucket(col("bg"), buckets))
+        .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .cache())
     // the raw-side count table: every bucket a raw gram can hit is
     // present by construction, so the model join below is inner
-    val rb = rawGrams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val rb = perDoc.groupBy("bucket").agg(sum(col("cnt")).as("cr"))
     val tb = NgramLm.bigrams(target.withColumn("_dsir_id", lit(0L)),
         "_dsir_id", text)
       .withColumn("bucket", gramBucket(col("bg"), buckets))
@@ -70,12 +84,12 @@ object Dsir {
     val model = rb.join(tb, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
-    rawGrams
+    perDoc
       .join(broadcast(model), Seq("bucket"))
       .withColumn("q", expr("(1000000 * (ct + 1)) div (cr + 1)"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("q")).as("importance"),
-        expr("sum(q) div count(1)").as("imp_mean"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("q")).as("importance"),
+        expr("sum(cnt * q) div sum(cnt)").as("imp_mean"))
   }
 }

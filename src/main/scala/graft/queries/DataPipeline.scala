@@ -1181,11 +1181,17 @@ object DataPipeline {
     * signature — one chain serves every modality, which is the point.
     */
   private def dedupApply(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val pairs = TextDedup.hammingPairs64(sigs, maxHamming = 3,
+    // cache the (doc_id, simhash) signatures: the frame feeds both the
+    // pair miner and the final per-doc join, and its lineage is a full
+    // media decode+hash pass — uncached, that decode ran twice per
+    // query. Narrow rows (16 bytes/doc), released by the caller via
+    // graft.Tables.releaseOperatorCaches like every operator cache.
+    val s = graft.Tables.trackOperatorCache(sigs.cache())
+    val pairs = TextDedup.hammingPairs64(s, maxHamming = 3,
         maxBandFreq = Some(HammingBandCap))
       .select(col("doc_a"), col("doc_b"))
     val labels = graft.operators.Components.dupClusters(pairs)
-    sigs.select(col("doc_id"))
+    s.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"),
