@@ -690,13 +690,22 @@ object Corpus {
       val newSnap = edits.unionByName(readds)
         .unionByName(contamAdds).unionByName(freshAdds)
       def fp(df: DataFrame) = df.withColumn("fp", md5($"text".cast("binary")))
-      val delta = graft.operators.SnapshotDiff
+      // the delta is referenced through FOUR lineages (dedup probe,
+      // survivor anti-join, decontam, final verdict join) and its own
+      // lineage is the full-outer snapshot diff over both fingerprinted
+      // snapshots — cache it once, batch-sized rows (the
+      // Curation.multimodalIngestVerdict discipline, which q166 already
+      // applies; released via Tables.releaseOperatorCaches)
+      val delta = graft.Tables.trackOperatorCache(graft.operators.SnapshotDiff
         .delta(fp(base), fp(newSnap), "doc_id", "fp")
         .select($"doc_id", $"text")
+        .cache())
       val idxPath = SharedArtifacts.signatureIndexPath(s, dir,
         splitAt = 10000000L)
-      val dups = TextDedup.nearDupsAgainstIndex(delta, idxPath,
-        threshold = 0.8).select($"doc_id").distinct()
+      // dup ids feed both the survivor anti-join and the final verdict
+      val dups = graft.Tables.trackOperatorCache(
+        TextDedup.nearDupsAgainstIndex(delta, idxPath, threshold = 0.8)
+          .select($"doc_id").distinct().cache())
       val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
       val bench = all.filter($"source" === "src0").select($"doc_id", $"text")
       val contaminated = TextDedup.substringMatches(survivors, bench,
