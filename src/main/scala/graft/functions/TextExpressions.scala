@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for word k-gram shingling — the hot
@@ -168,6 +168,41 @@ object TextShingling {
     while (i <= n - k) {
       out(i) = UTF8String.fromBytes(bytes, starts(i),
         starts(i + k) - 1 - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The md5-prefix hash of every consecutive k-word gram, in position
+    * order: value of the first `hexDigits` hex characters of
+    * md5(gram) — exactly `conv(substring(md5(gram), 1, hexDigits),
+    * 16, 10)` — computed in ONE linear pass over the text's byte
+    * ranges. Replaces the gram-string Generate + Spark Md5 (32-char
+    * hex string allocation) + Substring + Conv (decimal re-parse) per
+    * gram with a direct digest-nibble pack. Null when fewer than k
+    * words (like [[grams]]).
+    */
+  def gramHashes(text: UTF8String, k: Int, hexDigits: Int): GenericArrayData = {
+    require(k >= 1 && hexDigits >= 1 && hexDigits <= 15,
+      s"graft_gram_hashes requires k >= 1, 1 <= hexDigits <= 15, got ($k, $hexDigits)")
+    val (bytes, starts, n) = wordRanges(text)
+    if (n < k) return null
+    val md = md5.get()
+    val dg = new Array[Byte](16)
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + k) - 1 - starts(i))
+      md.digest(dg, 0, 16)
+      var h = 0L
+      var d = 0
+      while (d < hexDigits) {
+        val b = dg(d >> 1) & 0xff
+        h = (h << 4) | (if ((d & 1) == 0) b >>> 4 else b & 0xf)
+        d += 1
+      }
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)
@@ -486,6 +521,50 @@ object TextShingling {
   * array_join(slice(w, i*sw+1, sw), ' '))` over `w = split(text, ' ')`
   * without the interpreted per-span lambda.
   */
+/** md5-prefix hash per consecutive k-word gram (see
+  * [[TextShingling.gramHashes]]) — `graft_gram_hashes(text, k,
+  * hexDigits)` → array<long>, the fused form of `transform(
+  * graft_grams(text, k), g -> conv(substring(md5(g), 1, hexDigits),
+  * 16, 10))`.
+  */
+case class GramHashes(text: Expression, k: Expression, hexDigits: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = k
+  override def third: Expression = hexDigits
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (text.dataType != StringType || k.dataType != IntegerType ||
+        hexDigits.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_hashes expects (string, int, int), got " +
+          s"(${text.dataType.simpleString}, ${k.dataType.simpleString}, " +
+          s"${hexDigits.dataType.simpleString})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(t: Any, kk: Any, hd: Any): Any =
+    TextShingling.gramHashes(t.asInstanceOf[UTF8String],
+      kk.asInstanceOf[Int], hd.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk, hd) => {
+      s"""
+         |${ev.value} = graft.functions.TextShingling.gramHashes($t, $kk, $hd);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(text = newFirst, k = newSecond, hexDigits = newThird)
+}
+
 /** All `w`-char windows of a text in position order (see
   * [[TextShingling.charWindows]]) — `graft_char_windows(text, w)`;
   * callers pair it with `posexplode` (0-based pos + 1 = the old
@@ -907,5 +986,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_windows", exprs => CharWindows(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes",
+      exprs => GramHashes(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -69,17 +69,22 @@ object Dsir {
     // n_grams = Σ cnt, mean = the same truncating div.
     // Cache contract: released by callers via
     // graft.Tables.releaseOperatorCaches, like every operator cache.
+    graft.functions.TextExpressions.register(raw.sparkSession)
+    // fused bigram+md5-prefix kernel (graft_gram_hashes = the
+    // conv(substring(md5(g),1,8),16,10) arithmetic of [[gramBucket]]
+    // without the gram-string and hex-string intermediates)
+    def bucketed(df: DataFrame, idc: String) = df
+      .select(col(idc), explode(call_function("graft_gram_hashes",
+        col(text), lit(2), lit(8))).as("hv"))
+      .select(col(idc), (col("hv") % buckets).as("bucket"))
     val perDoc = graft.Tables.trackOperatorCache(
-      NgramLm.bigrams(raw, id, text)
-        .withColumn("bucket", gramBucket(col("bg"), buckets))
+      bucketed(raw, id)
         .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("cnt"))
         .cache())
     // the raw-side count table: every bucket a raw gram can hit is
     // present by construction, so the model join below is inner
     val rb = perDoc.groupBy("bucket").agg(sum(col("cnt")).as("cr"))
-    val tb = NgramLm.bigrams(target.withColumn("_dsir_id", lit(0L)),
-        "_dsir_id", text)
-      .withColumn("bucket", gramBucket(col("bg"), buckets))
+    val tb = bucketed(target.withColumn("_dsir_id", lit(0L)), "_dsir_id")
       .groupBy("bucket").agg(count(lit(1)).as("ct"))
     val model = rb.join(tb, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"),

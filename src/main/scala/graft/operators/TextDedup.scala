@@ -845,12 +845,12 @@ object TextDedup {
                           minDocs: Int): DataFrame = {
     require(spanWords > 0 && minDocs >= 2)
     graft.functions.TextExpressions.register(docs.sparkSession)
+    // fused gram+hash kernel: one pass, longs only — no gram strings,
+    // no md5 hex round-trip, and the (dup-agg + semi-join) double
+    // reference re-evaluates a long array instead of the string chain
     val g = docs.select(col("doc_id"),
-        posexplode(call_function("graft_grams", col("text"), lit(spanWords)))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram").cast("binary")), 1, 12), 16, 10)
-          .cast("long").as("gh"))
+        posexplode(call_function("graft_gram_hashes", col("text"),
+          lit(spanWords), lit(12))).as(Seq("pos", "gh")))
     val dup = g.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
