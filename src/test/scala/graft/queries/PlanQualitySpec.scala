@@ -465,7 +465,9 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q127 max-dup spans: seeds join left-semi on gram hashes, no cartesian") {
     val plan = formatted("q127_max_dup_spans")
-    assert(plan.contains("graft_grams"), plan)
+    // r18: gram materialization + md5-prefix hashing fused into the
+    // graft_gram_hashes kernel (same values, one pass)
+    assert(plan.contains("graft_gram_hashes"), plan)
     // the duplicated-hash membership arrives as a LeftSemi equi-join
     // on the 8-byte hash; the island merge is a per-doc window
     assert(plan.contains("LeftSemi"), plan)
@@ -677,7 +679,7 @@ class PlanQualitySpec extends SparkSpec {
     // mining/ownership is q131's shape; the rewrite itself is one
     // collect_list aggregate + one keyed left join + a higher-order
     // filter expression — no per-word shuffle, no reassembly join
-    assert(plan.contains("graft_grams"), plan)
+    assert(plan.contains("graft_gram_hashes"), plan)
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
