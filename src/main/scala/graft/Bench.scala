@@ -188,35 +188,51 @@ object Bench {
     val failedJson = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_sec":${fmt(coldTotal)},"reps":$reps,"queries":$qs$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // the line ALSO lands in a file (r10 verdict directive 5): the
-    // driver tails a bounded window of stdout, and a truncated tail
-    // left BENCH_r10.json with "parsed": null — a file is the
-    // machine-readable artifact, stdout is just the human echo.
+    // the line ALSO lands in files (r10 verdict directive 5, r18
+    // verdict directive 2): the driver tails a BOUNDED window of stdout
+    // (2000 chars in the r18 artifacts — the 179-query line is ~5 KB,
+    // so it can NEVER be recovered from the tail no matter where it is
+    // printed), so a file is the machine-readable artifact and stdout
+    // is just the human echo. Two files:
+    //  - the round-stamped bench_out_r{N}.json (audit history), and
+    //  - the FIXED-PATH bench_out.json in the repo root, rewritten on
+    //    every full-suite run — the stable name a comparator can read
+    //    without knowing the round number.
     // Artifact hygiene (r14 verdict directive 2): the round-stamped
     // default name only ever receives CLEAN FULL-SUITE runs — a
     // filtered (SPARK_GRAFT_ONLY) or partially-failed run lands in
     // bench_out_partial.json instead, so investigation debris can
-    // never masquerade as the round's headline artifact
-    try {
-      val clean = failed.isEmpty && only.isEmpty
-      val default =
-        if (!clean) "bench_out_partial.json"
-        else Round match {
-          case Some(r) => s"bench_out_r$r.json"
-          case None =>
-            System.err.println("[bench] no BENCH_r*.json found in " +
-              s"'${sys.env.getOrElse("SPARK_GRAFT_REPO", ".")}' — cannot " +
-              "derive the round; writing bench_out_unstamped.json (set " +
-              "SPARK_GRAFT_REPO to the repo root or SPARK_GRAFT_BENCH_OUT " +
-              "explicitly)")
-            "bench_out_unstamped.json"
-        }
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", default))
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] bench_out write failed: ${e.getMessage}") }
+    // never masquerade as the round's headline artifact. The fixed
+    // path accepts any FULL-SUITE run (a run with failures still
+    // carries its "failed" list inside the line, so a reader can tell)
+    // but never a filtered one.
+    def writeLine(p: java.nio.file.Path): Unit =
+      try java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] bench_out write to $p failed: ${e.getMessage}") }
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO", ".")
+    val clean = failed.isEmpty && only.isEmpty
+    val default =
+      if (!clean) "bench_out_partial.json"
+      else Round match {
+        case Some(r) => s"bench_out_r$r.json"
+        case None =>
+          System.err.println("[bench] no BENCH_r*.json found in " +
+            s"'$repoDir' — cannot " +
+            "derive the round; writing bench_out_unstamped.json (set " +
+            "SPARK_GRAFT_REPO to the repo root or SPARK_GRAFT_BENCH_OUT " +
+            "explicitly)")
+          "bench_out_unstamped.json"
+      }
+    writeLine(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", default)))
+    if (only.isEmpty)
+      writeLine(java.nio.file.Paths.get(repoDir, "bench_out.json"))
+    // stop the session BEFORE the stdout echo so the one-line JSON is
+    // the process's final stdout line (nothing from Spark shutdown can
+    // land after it) — the best the stdout channel can do given the
+    // bounded tail.
     spark.stop()
+    println(line)
   }
 }

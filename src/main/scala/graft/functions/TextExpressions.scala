@@ -218,6 +218,11 @@ object TextShingling {
     * chars (the callers' length filter drops those rows anyway).
     */
   def charWindows(text: UTF8String, w: Int): GenericArrayData = {
+    // match the sibling kernels' validation (gramHashes, cdcCuts,
+    // winnow): w = 0 would silently emit nChars+1 empty windows and a
+    // negative w would surface as a NegativeArraySizeException deep in
+    // the kernel instead of an argument error (r18 advice)
+    require(w >= 1, s"graft_char_windows requires w >= 1, got $w")
     val bytes = text.getBytes
     val nBytes = bytes.length
     var nChars = 0

@@ -856,6 +856,17 @@ object PqKernel {
     * length) returns null — the old tree emitted m rows of null
     * scores there; no gated corpus contains such rows (the verify
     * gates pin this).
+    *
+    * Known corner where "bit-identical" does NOT hold (r18 advice):
+    * a subspace whose EVERY codebook score is NaN (NaN codebook
+    * entries against a finite quantized vector). Here bestScore stays
+    * +Infinity (Double.compare(NaN, +Inf) > 0), so d2 saturates to
+    * Long.MaxValue, while the old struct-min tree propagated the NaN
+    * and CAST(aa + NaN AS LONG) yielded 0. Unreachable for every
+    * gated corpus and for any codebook the trainers here can produce
+    * (centroid means of finite int vectors are finite); documented
+    * rather than replicated because reproducing NaN propagation would
+    * complicate the argmin for a state no caller can reach.
     */
   def assignInt(v: ArrayData, floatInput: Boolean, gmx: Double,
                 cents: ArrayData, m: Int,
