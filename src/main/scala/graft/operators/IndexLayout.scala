@@ -103,14 +103,58 @@ object IndexLayout {
     * written wider.
     */
   private[operators] def writeMeta(spark: SparkSession, path: String,
-                                   b: Int): Unit = {
+                                   b: Int): Unit =
+    writeMetaBody(spark, path, s"""{"numBuckets": $b}""")
+
+  private def writeMetaBody(spark: SparkSession, path: String,
+                            body: String): Unit = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path, MetaFile + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"numBuckets": $b}""".getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     atomicReplace(spark, tmp, p)
+  }
+
+  private def readMetaBody(spark: SparkSession,
+                           path: String): Option[String] = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** One integer field of the tree's meta file, or None when the meta
+    * (or the key) is absent. Read to EOF like [[indexNumBuckets]] — a
+    * truncated read must never parse a shorter number.
+    */
+  private[operators] def readMetaLong(spark: SparkSession, path: String,
+                                      key: String): Option[Long] =
+    readMetaBody(spark, path).flatMap { body =>
+      ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?\\d+)").r
+        .findFirstMatchIn(body).map(_.group(1).toLong)
+    }
+
+  /** Upsert one integer field into the tree's meta file, preserving
+    * every other integer field (the meta is a flat string→integer
+    * object by construction — both writers here only ever store
+    * counts). Same temp-write + atomic-replace discipline as
+    * [[writeMeta]], and the single-writer maintenance model the index
+    * lifecycle already assumes makes read-merge-write safe.
+    */
+  private[operators] def upsertMetaLong(spark: SparkSession, path: String,
+                                        key: String, value: Long): Unit = {
+    val kvRe = """"([^"]+)"\s*:\s*(-?\d+)""".r
+    val kvs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    readMetaBody(spark, path).foreach(b =>
+      kvRe.findAllMatchIn(b).foreach(m => kvs(m.group(1)) = m.group(2).toLong))
+    kvs(key) = value
+    writeMetaBody(spark, path,
+      kvs.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
   }
 
   /** The bucket count the tree at `path` was written with: its meta

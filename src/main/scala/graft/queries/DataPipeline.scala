@@ -620,10 +620,17 @@ object DataPipeline {
     "q179_semantic_ingest_capped" -> { (s, dir) =>
       import s.implicits._
       val path = SharedArtifacts.ivfSeedIndexPath(s, dir, nLists = 4)
-      val emb = Tables.loadParallel(s, dir, "embeddings")
+      // cap = history/4, where history is read off the STANDING index's
+      // own meta stamp (one driver-side file read, no job): the cap is
+      // a property of the index, and at 100 TB a per-batch corpus
+      // count would be exactly the cost the index exists to avoid
+      // (r18 verdict directive 6; the stamp equals the emb.count() the
+      // old memo computed — the index holds the whole embeddings table)
       graft.operators.IvfIndex.semanticDedupAgainstIndex(
-          jitteredBatch(emb), path,
-          threshold = 0.95, maxListN = Some(historyCount(emb, dir) / 4))
+          jitteredBatch(Tables.loadParallel(s, dir, "embeddings")), path,
+          threshold = 0.95,
+          maxListN = Some(
+            graft.operators.IvfIndex.indexedVectorCount(s, path) / 4))
         .orderBy($"vec_id")
     },
     // Standing-IVF LIFECYCLE: the index behind this probe was built at
@@ -1086,16 +1093,6 @@ object DataPipeline {
             lit(0.005) * (lit(1L) + pmod(col("vec_id"), lit(3L))).cast("double"))
           .as("embedding"))
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
-
-  // history row count per SF dir, memoized per process (the BPE
-  // merge-table discipline): q179's cap = history/4 is a gate
-  // constant, not per-rep work — without the memo every bench rep
-  // would bill a full-table count into the capped probe's time
-  private val histCounts =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def historyCount(emb: org.apache.spark.sql.DataFrame,
-                           dir: String): Long =
-    histCounts.getOrElseUpdate(dir, emb.count())
 
   private val WinnowK = 4
   private val WinnowW = 5
