@@ -91,35 +91,61 @@ object Curation {
                               maxHamming: Int = 3,
                               maxBandFreq: Option[Long] = None): DataFrame = {
     // cache(): the verdict references the delta through FOUR lineages
-    // (text probe, text-survivor anti-join, decontam, final join) and
-    // the delta's own lineage is expensive — a media-signature kernel
-    // pass over two snapshots plus the full-outer diff — so without a
-    // barrier each stage would recompute it (measured: the uncached
-    // q166 chain cost ~10x its cached cost). Same contract as
-    // minhashLshPairs: callers release via
-    // graft.Tables.releaseOperatorCaches after the terminal action.
-    val d = delta.cache()
-    // each stage's doc_id set is also cached: the sets are tiny, but
-    // their LINEAGES are the expensive probes (LSH band join, banded
-    // hash join, window decontam) and each set is referenced by both
-    // the next stage's anti-join and the final verdict join — without
-    // the barrier every probe re-runs 2-4x
-    val textDups = TextDedup
-      .nearDupsAgainstIndex(d.select(col("doc_id"), col("text")),
-        sigIndexPath, threshold)
-      .select(col("doc_id")).distinct().cache()
-    val tSurv = d.join(textDups, Seq("doc_id"), "left_anti")
-    val mediaSigs = tSurv.select(col("doc_id"), mediaSig.as("simhash"))
-      .filter(col("simhash").isNotNull)
-    val mediaDups = TextDedup
-      .nearDupsAgainstHashIndex(mediaSigs, hashIndexPath, maxHamming,
-        maxBandFreq)
-      .select(col("doc_id")).distinct().cache()
-    val mSurv = tSurv.join(mediaDups, Seq("doc_id"), "left_anti")
-    val contaminated = TextDedup
-      .substringMatches(mSurv.select(col("doc_id"), col("text")), bench,
-        windowChars)
-      .select(col("doc_id")).distinct()
+    // (three probes, final join) and the delta's own lineage is
+    // expensive — a media-signature kernel pass over two snapshots plus
+    // the full-outer diff — so without a barrier each stage would
+    // recompute it (measured: the uncached q166 chain cost ~10x its
+    // cached cost). Tracked, so BOTH release flavors work: query
+    // callers via releaseOperatorCaches, the per-micro-batch streaming
+    // caller via releaseTrackedCaches (which the untracked cache()
+    // here previously leaked past).
+    val d = graft.Tables.trackOperatorCache(delta.cache())
+    val spark = d.sparkSession
+    // materialize the delta ONCE before the concurrent probes below:
+    // three threads racing to build the same uncached InMemoryRelation
+    // would each recompute the partitions they scan first
+    d.count()
+    // The three probes are INDEPENDENT over the full delta: the old
+    // chain probed media only on text survivors and decontam only on
+    // media survivors, but the verdict's precedence
+    // (dup_text > dup_media > contaminated > kept) makes the per-doc
+    // status identical either way — a doc flagged by an earlier stage
+    // reports that stage's reason no matter what later stages say, so
+    // widening a later probe's input to all delta docs can only set
+    // flags the precedence already masks. Decoupling them removes the
+    // two anti-join barriers AND lets the probes run as CONCURRENT
+    // actions on the shared cached delta (guide §2.6 job overlap): the
+    // LSH band probe, the banded hash probe and the window decontam
+    // each spend most of their wall in short serial stages
+    // (batch-stats collects, index-meta reads, AQE planning), so
+    // overlapping them backfills those gaps — the r18 profile's q166
+    // cost was 47 mostly-serial jobs.
+    // Each probe's doc_id set is cached: the sets are tiny, but their
+    // LINEAGES are the expensive probes, and each set is referenced by
+    // both its materializing count and the final verdict join. The
+    // whole probe — construction (the index probes run bounded
+    // batch-stats collects and meta reads eagerly) and materialization
+    // — runs inside its thread.
+    val probes = buildConcurrently(spark, Seq(
+      ("ingest probe: text near-dups", () => graft.Tables.trackOperatorCache(
+        TextDedup
+          .nearDupsAgainstIndex(d.select(col("doc_id"), col("text")),
+            sigIndexPath, threshold)
+          .select(col("doc_id")).distinct().cache())),
+      ("ingest probe: media near-dups", () => graft.Tables.trackOperatorCache(
+        TextDedup
+          .nearDupsAgainstHashIndex(
+            d.select(col("doc_id"), mediaSig.as("simhash"))
+              .filter(col("simhash").isNotNull),
+            hashIndexPath, maxHamming, maxBandFreq)
+          .select(col("doc_id")).distinct().cache())),
+      ("ingest probe: decontam", () => graft.Tables.trackOperatorCache(
+        TextDedup
+          .substringMatches(d.select(col("doc_id"), col("text")), bench,
+            windowChars)
+          .select(col("doc_id")).distinct().cache()))))
+    val (textDups, mediaDups, contaminated) =
+      (probes(0), probes(1), probes(2))
     d
       .join(textDups.withColumn("is_tdup", lit(true)), Seq("doc_id"), "left")
       .join(mediaDups.withColumn("is_mdup", lit(true)), Seq("doc_id"), "left")
@@ -130,5 +156,44 @@ object Curation {
           .when(col("is_cont"), lit("contaminated"))
           .otherwise(lit("kept")).as("status"),
         length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Build AND fully materialize independent (already-`cache()`d by
+    * their builder) frames on concurrent driver threads (guide §2.6):
+    * Spark's FIFO scheduler backfills one job's straggler tail with the
+    * next job's tasks, and — the dominant effect at micro-batch sizes —
+    * each probe's serial driver work (planning, batch-stats collects,
+    * index meta reads, AQE re-optimization) overlaps the others'
+    * instead of queueing behind them. Each thread constructs its frame
+    * (eager construction work included), then materializes it with one
+    * count — the frames are cached, so the caller's downstream use
+    * reads the built cache. The first failure is rethrown after every
+    * thread finishes (a failed probe must not leave a sibling running
+    * against a cache the caller is about to release). Everything the
+    * closures touch (CacheManager, function registry, the tracked-cache
+    * registry) is thread-safe for concurrent sessions already.
+    */
+  private[graft] def buildConcurrently(
+      spark: org.apache.spark.sql.SparkSession,
+      tasks: Seq[(String, () => DataFrame)]): IndexedSeq[DataFrame] = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val out = new Array[DataFrame](tasks.size)
+    val threads = tasks.zipWithIndex.map { case ((name, fn), i) =>
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobDescription(name)
+          val df = fn()
+          df.count()
+          out(i) = df
+        } catch { case e: Throwable => errs.add(e) }
+        finally spark.sparkContext.setJobDescription(null)
+      }, s"graft-probe-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    out.toIndexedSeq
   }
 }

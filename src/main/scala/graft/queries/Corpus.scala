@@ -690,10 +690,10 @@ object Corpus {
       val newSnap = edits.unionByName(readds)
         .unionByName(contamAdds).unionByName(freshAdds)
       def fp(df: DataFrame) = df.withColumn("fp", md5($"text".cast("binary")))
-      // the delta is referenced through FOUR lineages (dedup probe,
-      // survivor anti-join, decontam, final verdict join) and its own
-      // lineage is the full-outer snapshot diff over both fingerprinted
-      // snapshots — cache it once, batch-sized rows (the
+      // the delta is referenced through THREE lineages (dedup probe,
+      // decontam, final verdict join) and its own lineage is the
+      // full-outer snapshot diff over both fingerprinted snapshots —
+      // cache it once, batch-sized rows (the
       // Curation.multimodalIngestVerdict discipline, which q166 already
       // applies; released via Tables.releaseOperatorCaches)
       val delta = graft.Tables.trackOperatorCache(graft.operators.SnapshotDiff
@@ -702,14 +702,28 @@ object Corpus {
         .cache())
       val idxPath = SharedArtifacts.signatureIndexPath(s, dir,
         splitAt = 10000000L)
-      // dup ids feed both the survivor anti-join and the final verdict
-      val dups = graft.Tables.trackOperatorCache(
-        TextDedup.nearDupsAgainstIndex(delta, idxPath, threshold = 0.8)
-          .select($"doc_id").distinct().cache())
-      val survivors = delta.join(dups, Seq("doc_id"), "left_anti")
       val bench = all.filter($"source" === "src0").select($"doc_id", $"text")
-      val contaminated = TextDedup.substringMatches(survivors, bench,
-        windowChars = 40).select($"doc_id").distinct()
+      // The two probes are INDEPENDENT over the full delta: decontam
+      // used to probe only dedup survivors, but the verdict's
+      // precedence (dup > contaminated > kept) reports "dup" for a doc
+      // both probes flag either way, so widening decontam's input to
+      // all delta docs cannot change any status. Decoupling removes the
+      // survivor anti-join barrier and lets both probes run as
+      // CONCURRENT actions on the shared cached delta (guide §2.6 —
+      // the q166 discipline; each probe's serial driver stages overlap
+      // the other's). Materialize the delta first so the threads don't
+      // race to build its cache.
+      delta.count()
+      val probes = graft.operators.Curation.buildConcurrently(s, Seq(
+        ("ingest probe: text near-dups", () =>
+          graft.Tables.trackOperatorCache(
+            TextDedup.nearDupsAgainstIndex(delta, idxPath, threshold = 0.8)
+              .select($"doc_id").distinct().cache())),
+        ("ingest probe: decontam", () =>
+          graft.Tables.trackOperatorCache(
+            TextDedup.substringMatches(delta, bench, windowChars = 40)
+              .select($"doc_id").distinct().cache()))))
+      val (dups, contaminated) = (probes(0), probes(1))
       delta
         .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
         .join(contaminated.withColumn("is_cont", lit(true)),
