@@ -38,17 +38,28 @@ final class ChildProcess(cmd: String, ctx: Option[TaskContext]) {
   try Runtime.getRuntime.addShutdownHook(shutdownHook)
   catch { case _: IllegalStateException => () } // already shutting down
 
+  // Task binding is REBINDABLE (child pooling, r18 verdict directive 3):
+  // a pooled child detaches from the finished task (unbind) and is
+  // re-attached by the next borrower (bind). The generation counter
+  // makes each task's completion listener a no-op once the child has
+  // moved on — listeners accumulate on the TaskContext, not here.
+  @volatile private var bound: TaskContext = null
+  private val bindGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // The reference re-validates the query every 100 ms while blocked on
   // child I/O and kills the child on cancellation. JVM pipe reads are not
   // interruptible, so a watchdog destroys the process when the Spark task
-  // is killed, which makes the blocked read fail fast.
+  // is killed, which makes the blocked read fail fast. One watchdog per
+  // child for its whole (possibly multi-task) life: it polls whichever
+  // task is CURRENTLY bound and just sleeps while the child idles in
+  // the pool.
   private val watchdog: Thread = ctx match {
-    case Some(c) =>
+    case Some(_) =>
       val t = new Thread(() => {
         try {
-          var watching = true
-          while (watching && !closed.get() && proc.isAlive) {
-            if (c.isInterrupted()) { terminate(); watching = false }
+          while (!closed.get() && proc.isAlive) {
+            val c = bound
+            if (c != null && c.isInterrupted()) terminate()
             else Thread.sleep(100)
           }
         } catch { case _: InterruptedException => () }
@@ -59,7 +70,31 @@ final class ChildProcess(cmd: String, ctx: Option[TaskContext]) {
     case None => null
   }
 
-  ctx.foreach(_.addTaskCompletionListener[Unit](_ => terminate()))
+  ctx.foreach(bind)
+
+  /** Attach this child to a task: the watchdog honors the task's
+    * cancellation from here on, and task completion terminates the
+    * child UNLESS it was released first ([[unbind]]) — the pooling
+    * hand-off. Construction with a ctx binds automatically (the
+    * original single-task lifecycle).
+    */
+  def bind(c: TaskContext): Unit = {
+    val gen = bindGen.incrementAndGet()
+    bound = c
+    c.addTaskCompletionListener[Unit] { _ =>
+      if (bindGen.get() == gen) terminate()
+    }
+  }
+
+  /** Detach from the current task without terminating — called only by
+    * the pool when the stream protocol completed cleanly. The pending
+    * completion listener becomes a no-op; the watchdog goes dormant
+    * until the next [[bind]].
+    */
+  private[operators] def unbind(): Unit = {
+    bound = null
+    bindGen.incrementAndGet()
+  }
 
   /** True while the child has not exited. */
   def alive: Boolean = proc.isAlive

@@ -124,7 +124,8 @@ object Stream {
     */
   private def planned(df: DataFrame, side: Option[DataFrame], cmd: String,
                       format: StreamFormat, chunkSize: Int,
-                      outSchema: StructType, sideLocal: Boolean = false): DataFrame = {
+                      outSchema: StructType, sideLocal: Boolean = false,
+                      reuseChildren: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // speculative execution runs DUPLICATE children for slow tasks: for
     // a side-effecting command both copies execute (only one's output is
@@ -138,7 +139,7 @@ object Stream {
       AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
     PlanBridge.ofRows(spark, StreamPlan(
       df.queryExecution.analyzed, side.map(_.queryExecution.analyzed),
-      cmd, format, chunkSize, attrs, sideLocal))
+      cmd, format, chunkSize, attrs, sideLocal, reuseChildren))
   }
 
   /** TSV-format stream: rows out as TSV, each response message becomes one
@@ -155,9 +156,11 @@ object Stream {
     * partition counts fail fast at execution.
     */
   def tsv(df: DataFrame, cmd: String, chunkSize: Int = 10000,
-          side: Option[DataFrame] = None, sideLocal: Boolean = false): DataFrame = {
+          side: Option[DataFrame] = None, sideLocal: Boolean = false,
+          reuseChildren: Boolean = false): DataFrame = {
     checkAllowed(df.sparkSession, cmd)
-    planned(df, side, cmd, StreamFormat.Tsv, chunkSize, tsvOutputSchema, sideLocal)
+    planned(df, side, cmd, StreamFormat.Tsv, chunkSize, tsvOutputSchema,
+      sideLocal, reuseChildren)
   }
 
   def arrowOutputSchema(declared: StructType): StructType =
@@ -173,11 +176,12 @@ object Stream {
     */
   def arrow(df: DataFrame, cmd: String, declared: StructType,
             chunkSize: Int = 10000, side: Option[DataFrame] = None,
-            sideLocal: Boolean = false): DataFrame = {
+            sideLocal: Boolean = false,
+            reuseChildren: Boolean = false): DataFrame = {
     checkAllowed(df.sparkSession, cmd)
     declared.fields.foreach(f => ArrowProtocol.arrowField(f.name, f.dataType))
     planned(df, side, cmd, StreamFormat.Arrow(declared), chunkSize,
-      arrowOutputSchema(declared), sideLocal)
+      arrowOutputSchema(declared), sideLocal, reuseChildren)
   }
 
   /** R-data-frame-format stream (`format=df`, reference O14/O15): each
@@ -191,12 +195,13 @@ object Stream {
     */
   def df(input: DataFrame, cmd: String, declared: StructType,
          chunkSize: Int = 10000, side: Option[DataFrame] = None,
-         sideLocal: Boolean = false): DataFrame = {
+         sideLocal: Boolean = false,
+         reuseChildren: Boolean = false): DataFrame = {
     checkAllowed(input.sparkSession, cmd)
     RdfProtocol.checkSchema(input.schema, "input")
     RdfProtocol.checkDeclared(declared)
     side.foreach(sd => RdfProtocol.checkSchema(sd.schema, "side input"))
     planned(input, side, cmd, StreamFormat.Rdf(declared), chunkSize,
-      arrowOutputSchema(declared), sideLocal)
+      arrowOutputSchema(declared), sideLocal, reuseChildren)
   }
 }

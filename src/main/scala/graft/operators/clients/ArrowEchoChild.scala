@@ -16,18 +16,28 @@ import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
   * frame, answer one frame, and after the zero-length end-of-data frame
   * answer a final empty frame. Used by the ScalaTest protocol suite to
   * validate both directions of the framing.
+  *
+  * LOOP-STYLE (child pooling): after the end-of-data handshake the
+  * client waits for the NEXT stream's first frame instead of exiting —
+  * exactly the reference clients' shape, whose `map(f)` loop only ends
+  * when the parent closes the pipe. EOF *between* streams is therefore
+  * the one clean exit; EOF mid-frame is still a protocol error.
   */
 object ArrowEchoChild {
   def main(args: Array[String]): Unit = {
     val in = new BufferedInputStream(System.in, 1 << 20)
     val out = new BufferedOutputStream(System.out, 1 << 20)
     val allocator = new RootAllocator(Long.MaxValue)
-    def readLen(): Long = {
+    // -1 = parent closed the pipe at a stream boundary (clean shutdown)
+    def readLenOrEof(): Long = {
       val b = new Array[Byte](8)
       var off = 0
       while (off < 8) {
         val r = in.read(b, off, 8 - off)
-        if (r < 0) throw new EOFException("parent closed pipe")
+        if (r < 0) {
+          if (off == 0) return -1L
+          throw new EOFException("parent closed pipe mid-header")
+        }
         off += r
       }
       ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
@@ -39,10 +49,11 @@ object ArrowEchoChild {
     }
     var done = false
     while (!done) {
-      val len = readLen()
-      if (len == 0) {
-        writeLen(0); out.flush() // final message: no data
-        done = true
+      val len = readLenOrEof()
+      if (len < 0) {
+        done = true // pool shutdown: pipe closed between streams
+      } else if (len == 0) {
+        writeLen(0); out.flush() // final message: no data; await next stream
       } else {
         val payload = new Array[Byte](len.toInt)
         var off = 0

@@ -26,30 +26,44 @@ import graft.operators.RdfProtocol
 object RdfEchoChild {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("echo")
-    val in = new BufferedInputStream(System.in, 1 << 20)
+    // LOOP-STYLE (child pooling): after the end-of-data handshake the
+    // client resets its per-stream state and waits for the next
+    // stream's first message — the reference R client's `map(f)` loop
+    // shape, which only ends when the parent closes the pipe. The
+    // PushbackInputStream lets the loop distinguish the clean
+    // between-streams EOF (first byte of a message) from EOF
+    // mid-message (still an error inside readDynamic).
+    val in = new java.io.PushbackInputStream(
+      new BufferedInputStream(System.in, 1 << 20), 1)
     val out = new BufferedOutputStream(System.out, 1 << 20)
     var rows = 0L
     var done = false
     while (!done) {
-      RdfProtocol.readDynamic(in) match {
-        case null =>
-          if (mode == "rowcount") {
-            val schema = StructType(Seq(StructField("n", IntegerType)))
-            RdfProtocol.writeChunk(out,
-              IndexedSeq(new GenericInternalRow(Array[Any](rows.toInt))), schema)
-          } else {
-            RdfProtocol.writeEof(out)
-          }
-          out.flush()
-          done = true
-        case (schema, batch) =>
-          if (mode == "rowcount") {
-            rows += batch.length
-            RdfProtocol.writeEof(out) // "no data right now"
-          } else {
-            RdfProtocol.writeChunk(out, batch.toIndexedSeq, schema)
-          }
-          out.flush()
+      val first = in.read()
+      if (first < 0) {
+        done = true // pool shutdown: pipe closed between streams
+      } else {
+        in.unread(first)
+        RdfProtocol.readDynamic(in) match {
+          case null =>
+            if (mode == "rowcount") {
+              val schema = StructType(Seq(StructField("n", IntegerType)))
+              RdfProtocol.writeChunk(out,
+                IndexedSeq(new GenericInternalRow(Array[Any](rows.toInt))), schema)
+            } else {
+              RdfProtocol.writeEof(out)
+            }
+            out.flush()
+            rows = 0L // end of this stream; await the next one
+          case (schema, batch) =>
+            if (mode == "rowcount") {
+              rows += batch.length
+              RdfProtocol.writeEof(out) // "no data right now"
+            } else {
+              RdfProtocol.writeChunk(out, batch.toIndexedSeq, schema)
+            }
+            out.flush()
+        }
       }
     }
   }

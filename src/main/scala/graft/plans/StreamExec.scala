@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{ArrowProtocol, ChildProcess, RdfProtocol, TsvProtocol}
+import graft.operators.{ArrowProtocol, ChildProcess, ChildProcessPool, RdfProtocol, TsvProtocol}
 
 /** Physical `stream()` operator (reference `PhysicalStream`,
   * `src/PhysicalStream.cpp:59-176`): per partition, fork one child
@@ -49,7 +49,8 @@ case class StreamExec(
     format: StreamFormat,
     chunkSize: Int,
     output: Seq[Attribute],
-    sideLocal: Boolean = false) extends SparkPlan {
+    sideLocal: Boolean = false,
+    reuseChildren: Boolean = false) extends SparkPlan {
 
   override def children: Seq[SparkPlan] = input +: side.toSeq
 
@@ -180,6 +181,7 @@ case class StreamExec(
     val sideSchema = side.map(_.schema)
     val command = cmd
     val chunk = chunkSize
+    val reuse = reuseChildren
     // Each partition reduces to a sequence of frame-write thunks; the
     // protocol iterator below is shared by both input shapes. Columnar
     // children (vectorized parquet scan, an upstream Arrow pipe) encode
@@ -286,7 +288,8 @@ case class StreamExec(
             val b = oneExchange(ArrowProtocol.writeEof(child.stdin), last = true)
             if (b.isDefined) return b
           }
-          child.terminate()
+          // protocol complete: a loop-style child goes back to the pool
+          ChildProcessPool.release(command, child, reuse)
           None
         }
 
@@ -314,8 +317,8 @@ case class StreamExec(
                           sideRows: IndexedSeq[InternalRow]): Iterator[ColumnarBatch] = {
       val ctx = TaskContext.get()
       val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-      val child = new ChildProcess(command, Option(ctx))
-      kids += 1
+      val (child, forked) = ChildProcessPool.acquire(command, Option(ctx), reuse)
+      if (forked) kids += 1
       val allocator = new RootAllocator(Long.MaxValue)
       val buf = new ArrowProtocol.ColumnarFrameBuffer(inSchema, allocator)
       // one frame = exactly `chunk` rows (the declared chunk_size),
@@ -360,8 +363,8 @@ case class StreamExec(
                      sideRows: IndexedSeq[InternalRow]): Iterator[ColumnarBatch] = {
       val ctx = TaskContext.get()
       val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-      val child = new ChildProcess(command, Option(ctx))
-      kids += 1
+      val (child, forked) = ChildProcessPool.acquire(command, Option(ctx), reuse)
+      if (forked) kids += 1
       val allocator = new RootAllocator(Long.MaxValue)
       val frames = iter.map(_.copy()).grouped(chunk).map { rows =>
         () => ArrowProtocol.writeBatchInternal(
@@ -399,6 +402,7 @@ case class StreamExec(
       org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
     val command = cmd
     val chunk = chunkSize
+    val reuse = reuseChildren
     format match {
       case StreamFormat.Tsv =>
         // one child per task regardless of side mode; `sideLines` is the
@@ -408,8 +412,8 @@ case class StreamExec(
                          sideLines: Array[String]): Iterator[InternalRow] = {
           val ctx = TaskContext.get()
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-          val child = new ChildProcess(command, Option(ctx))
-          kids += 1
+          val (child, forked) = ChildProcessPool.acquire(command, Option(ctx), reuse)
+          if (forked) kids += 1
           // format before grouping: the input iterator may reuse row
           // objects, but formatted strings are immutable
           val lineChunks = iter.map(TsvProtocol.formatInternalRow(_, inSchema))
@@ -451,7 +455,8 @@ case class StreamExec(
                 sentEof = true
                 return oneExchange(Iterator.empty, 0, last = true)
               }
-              child.terminate()
+              // protocol complete: a loop-style child goes back to the pool
+              ChildProcessPool.release(command, child, reuse)
               null
             }
           }
@@ -483,8 +488,8 @@ case class StreamExec(
                          sideRows: IndexedSeq[InternalRow]): Iterator[InternalRow] = {
           val ctx = TaskContext.get()
           val pid = if (ctx == null) 0L else ctx.partitionId().toLong
-          val child = new ChildProcess(command, Option(ctx))
-          kids += 1
+          val (child, forked) = ChildProcessPool.acquire(command, Option(ctx), reuse)
+          if (forked) kids += 1
           // copy before grouping: the input iterator may reuse row
           // objects, and the column-major encoder traverses each chunk
           // once per column
@@ -527,7 +532,8 @@ case class StreamExec(
                 sentEof = true
                 return oneExchange(RdfProtocol.writeEof(child.stdin), last = true)
               }
-              child.terminate()
+              // protocol complete: a loop-style child goes back to the pool
+              ChildProcessPool.release(command, child, reuse)
               null
             }
           }

@@ -58,7 +58,8 @@ case class StreamPlan(
     format: StreamFormat,
     chunkSize: Int,
     output: Seq[Attribute],
-    sideLocal: Boolean = false) extends LogicalPlan {
+    sideLocal: Boolean = false,
+    reuseChildren: Boolean = false) extends LogicalPlan {
 
   override def children: Seq[LogicalPlan] = input +: side.toSeq
 

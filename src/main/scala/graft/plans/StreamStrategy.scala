@@ -15,7 +15,8 @@ object StreamStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: StreamPlan =>
       StreamExec(planLater(p.input), p.side.map(planLater),
-        p.cmd, p.format, p.chunkSize, p.output, p.sideLocal) :: Nil
+        p.cmd, p.format, p.chunkSize, p.output, p.sideLocal,
+        p.reuseChildren) :: Nil
     case _ => Nil
   }
 

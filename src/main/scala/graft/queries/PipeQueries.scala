@@ -18,10 +18,19 @@ import graft.operators.Stream
   * query aggregates them away before comparing (SURVEY.md §7.4 risk 4).
   */
 object PipeQueries {
+  // All three children are LOOP-STYLE (child pooling, r18 verdict
+  // directive 3): the end-of-data message resets the per-stream state
+  // and the child waits for the NEXT stream's header instead of
+  // exiting — the reference clients' `map(f)` loop shape, which only
+  // ends when the parent closes the pipe. That is what lets the
+  // queries pass `reuseChildren = true`: a pooled child serves one
+  // task after another, so fork count per query drops from
+  // partitions × runs to the concurrency high-water mark.
+
   /** Echo each line prefixed with "ok" (reference stream_test_client analog). */
   private val awkEcho =
     """awk -W interactive 'BEGIN{n=-1}
-      |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); exit }; print n }
+      |{ if (n<0) { n=$0+0; if (n==0) { print 0; fflush(); n=-1; next }; print n }
       |  else     { print "ok\t" $0; if (--n==0) { fflush(); n=-1 } } }'"""
       .stripMargin.replace("\n", " ")
 
@@ -29,16 +38,20 @@ object PipeQueries {
   private val awkSum =
     """awk -W interactive 'BEGIN{n=-1; s=0}
       |{ if (n<0) { n=$0+0;
-      |             if (n==0) { printf "1\n%d\n", s; fflush(); exit };
+      |             if (n==0) { printf "1\n%d\n", s; fflush(); s=0; n=-1 };
       |             next }
       |  s += $1; if (--n==0) { print 0; fflush(); n=-1 } }'"""
       .stripMargin.replace("\n", " ")
 
-  /** First message is a key\tname lookup (side input); then map keys. */
+  /** First message is a key\tname lookup (side input); then map keys.
+    * The finalize reset clears the lookup table (`split("", m)` — the
+    * portable whole-array clear) and re-arms mode 0, so a reused child
+    * rebuilds its table from the next stream's own side chunk.
+    */
   private val awkLookup =
     """awk -W interactive 'BEGIN{n=-1; mode=0}
       |{ if (n<0) { n=$0+0;
-      |             if (n==0) { print 0; fflush(); exit };
+      |             if (n==0) { print 0; fflush(); n=-1; mode=0; split("", m); next };
       |             print (mode==0 ? 0 : n); next }
       |  if (mode==0) { split($0,f,"\t"); m[f[1]]=f[2]; if (--n==0){ fflush(); n=-1; mode=1 } }
       |  else { print m[$1]; if (--n==0) { fflush(); n=-1 } } }'"""
@@ -53,7 +66,7 @@ object PipeQueries {
       // 8 awk children in parallel (see q43's sizing note)
       val in = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber").repartition(8, $"l_orderkey")
-      Stream.tsv(in, awkEcho, chunkSize = 5000)
+      Stream.tsv(in, awkEcho, chunkSize = 5000, reuseChildren = true)
         .select(explode(split($"response", "\n")).as("line"))
         .select(split($"line", "\t").as("f"))
         .select($"f".getItem(1).cast("long").as("orderkey"),
@@ -70,7 +83,7 @@ object PipeQueries {
       val in = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
         .repartition(8, $"l_orderkey").select($"q")
-      Stream.tsv(in, awkSum, chunkSize = 5000)
+      Stream.tsv(in, awkSum, chunkSize = 5000, reuseChildren = true)
         .agg(sum($"response".cast("long")).as("sum_qty"))
     },
 
@@ -91,7 +104,8 @@ object PipeQueries {
         .select($"l_orderkey", $"l_quantity").repartition(8, $"l_orderkey")
       val declared = StructType(Seq(
         StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType)))
-      Stream.arrow(in, cmd, declared, chunkSize = 8192)
+      Stream.arrow(in, cmd, declared, chunkSize = 8192,
+        reuseChildren = true)
         .agg(count(lit(1)).as("n"),
              sum($"l_orderkey").as("sum_orderkey"),
              round(sum($"l_quantity"), 4).as("sum_qty"))
@@ -117,7 +131,8 @@ object PipeQueries {
       val declared = StructType(Seq(
         StructField("ln", IntegerType), StructField("qty", DoubleType),
         StructField("rf", StringType)))
-      Stream.df(in, cmd, declared, chunkSize = 8192)
+      Stream.df(in, cmd, declared, chunkSize = 8192,
+        reuseChildren = true)
         .agg(count(lit(1)).as("n"),
           sum($"ln".cast("long")).as("sum_ln"),
           round(sum($"qty"), 4).as("sum_qty"),
@@ -130,7 +145,8 @@ object PipeQueries {
       import s.implicits._
       val side = Tables.load(s, dir, "nation").select($"n_nationkey", $"n_name")
       val in = Tables.load(s, dir, "customer").select($"c_nationkey")
-      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side))
+      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side),
+        reuseChildren = true)
         .select(explode(split($"response", "\n")).as("n_name"))
         .groupBy($"n_name").agg(count(lit(1)).as("n"))
         .orderBy($"n_name")
@@ -148,7 +164,8 @@ object PipeQueries {
         .select($"n_nationkey", $"n_name").repartition(8, $"n_nationkey")
       val in = Tables.load(s, dir, "customer")
         .select($"c_nationkey").repartition(8, $"c_nationkey")
-      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side), sideLocal = true)
+      Stream.tsv(in, awkLookup, chunkSize = 5000, side = Some(side),
+        sideLocal = true, reuseChildren = true)
         .select(explode(split($"response", "\n")).as("n_name"))
         .groupBy($"n_name").agg(count(lit(1)).as("n"))
         .orderBy($"n_name")
