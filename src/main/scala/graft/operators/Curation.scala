@@ -45,10 +45,6 @@ object Curation {
     val qdocs = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .filter(col("n_tokens") >= minTokens)
-    val pairs = TextDedup.minhashLshPairs(qdocs, dedupThreshold)
-    val drop = Components.dupClusters(pairs)
-      .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
-    val deduped = qdocs.join(drop, Seq("doc_id"), "left_anti")
     val benchGrams = TextDedup.wordShingles(bench, contaminationNgram)
       .select(col("sh")).distinct()
     val wordBound = Option(
@@ -56,10 +52,29 @@ object Curation {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val benchSide =
       if (wordBound <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
-    val contaminated = TextDedup.wordShingles(deduped, contaminationNgram)
-      .join(benchSide, Seq("sh"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // The dedup chain (LSH pair mining + pointer-jumping components)
+    // and decontamination are INDEPENDENT per-doc properties: probing
+    // contamination on all gate-passing docs instead of dedup
+    // survivors flags a superset, but `clean` anti-joins it FROM the
+    // survivors, so the surviving set is identical — which frees the
+    // two most expensive stages to run as concurrent jobs on the
+    // shared input (guide §2.6, the multimodalIngestVerdict
+    // discipline; the components loop's serial rounds overlap the
+    // decontam scan instead of preceding it).
+    val probes = buildConcurrently(docs.sparkSession, Seq(
+      ("curate: near-dup drop set", () => graft.Tables.trackOperatorCache(
+        Components.dupClusters(
+            TextDedup.minhashLshPairs(qdocs, dedupThreshold))
+          .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
+          .cache())),
+      ("curate: decontam", () => graft.Tables.trackOperatorCache(
+        TextDedup.wordShingles(qdocs, contaminationNgram)
+          .join(benchSide, Seq("sh"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .cache()))))
+    val (drop, contaminated) = (probes(0), probes(1))
+    val clean = qdocs.join(drop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     Sampling.assignSplit(clean, "doc_id", splits)
   }
 

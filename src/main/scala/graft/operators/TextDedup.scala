@@ -703,11 +703,20 @@ object TextDedup {
     // the signature aggregation would recompute dozens of times.
     val keyed = maxBandFreq.fold(keyed0) { cap =>
       val base = keyed0.cache()
+      // MELTED hot aggregate: one shuffle of the posexploded (band,
+      // key) pairs (4x rows, map-side combined to distinct keys)
+      // replaces four per-band shuffles of the same total bytes; the
+      // ≤ 4 * n/(cap+1)-row hot table is cached so the four flag joins
+      // read it instead of re-running the aggregate.
+      val hot = base.select(posexplode(array((0 until 4).map(j =>
+          col(s"k$j")): _*)).as(Seq("j", "k")))
+        .groupBy(col("j"), col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .cache()
       (0 until 4).foldLeft(base) { (df, j) =>
-        val hot = base.groupBy(col(s"k$j"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
-          .select(col(s"k$j"), lit(true).as(s"h$j"))
-        df.join(hot, Seq(s"k$j"), "left")
+        val hj = hot.filter(col("j") === j)
+          .select(col("k").as(s"k$j"), lit(true).as(s"h$j"))
+        df.join(hj, Seq(s"k$j"), "left")
           .withColumn(s"h$j", coalesce(col(s"h$j"), lit(false)))
       }.cache()
     }

@@ -364,14 +364,36 @@ object SharedArtifacts {
     * the columnar artifact — the benched media paths contain zero
     * fixture UDFs.
     */
-  def mediaFixture(s: SparkSession, dir: String, kind: String): DataFrame =
-    s.read.parquet(artifact(dir, s"media_$kind") { path =>
-      import org.apache.spark.sql.functions.col
-      Tables.loadParallel(s, dir, "documents")
-        .select(col("doc_id"),
-          MediaFixtures.pack(kind)(col("doc_id"), col("text")).as("blob"))
-        .write.mode("overwrite").parquet(path)
-    })
+  /** Every fixture kind, packed in ONE pass over the documents table —
+    * a full run consumes all seven kinds, and the old one-artifact-per-
+    * kind shape paid seven corpus scan+pack passes of cold-pass time.
+    * The packed frame is cached for the duration of the build only, so
+    * the seven per-kind writes read it from memory; each kind still
+    * lands in its OWN single-blob-column parquet (measured: a combined
+    * 7-blob-column file costs every per-kind reader ~0.05-0.15 s per
+    * run in footer/row-group overhead — the per-kind files keep the
+    * read path byte-identical to the old layout). Blob bytes per
+    * (doc, kind) are unchanged (same pack UDFs, same rows).
+    */
+  private val MediaKinds =
+    Seq("grft", "pgm", "bmp", "png", "jpeg", "wav", "avi")
+
+  def mediaFixture(s: SparkSession, dir: String, kind: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(MediaKinds.contains(kind), s"unknown media fixture kind: $kind")
+    val root = artifact(dir, "media_all") { path =>
+      val packed = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id") +: MediaKinds.map(k =>
+          MediaFixtures.pack(k)(col("doc_id"), col("text"))
+            .as(s"blob_$k")): _*)
+        .cache()
+      try MediaKinds.foreach { k =>
+        packed.select(col("doc_id"), col(s"blob_$k").as("blob"))
+          .write.mode("overwrite").parquet(s"$path/$k")
+      } finally packed.unpersist(blocking = false)
+    }
+    s.read.parquet(s"$root/$kind")
+  }
 
   private def artifact(dir: String, kind: String)(build: String => Unit): String =
     dirs.computeIfAbsent((dir, kind), { _ =>
